@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as
+  (spark, sf_dir) -> DataFrame builders.
+``oracle_sql()`` — matching DuckDB SQL for the hash-compare gate.
 """
 
 from __future__ import annotations
@@ -13,26 +12,58 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_table_spark.operators.relational import (
+    RELATIONAL_ORACLE,
+    RELATIONAL_QUERIES,
+)
+
+try:  # extension operators land incrementally; keep entry importable
+    from data_table_spark.operators.dedup import DEDUP_ORACLE, DEDUP_QUERIES
+except Exception:  # pragma: no cover
+    DEDUP_QUERIES, DEDUP_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.similarity import (
+        SIMILARITY_ORACLE,
+        SIMILARITY_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    SIMILARITY_QUERIES, SIMILARITY_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.textstats import (
+        TEXTSTATS_ORACLE,
+        TEXTSTATS_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    TEXTSTATS_QUERIES, TEXTSTATS_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.reference_ops import (
+        REFERENCE_ORACLE,
+        REFERENCE_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    REFERENCE_QUERIES, REFERENCE_ORACLE = {}, {}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape, SURVEY §2.3 Q12) on sf0.001."""
+    return RELATIONAL_QUERIES["q12_group_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(RELATIONAL_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(SIMILARITY_QUERIES)
+    out.update(TEXTSTATS_QUERIES)
+    out.update(REFERENCE_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLE)
+    out.update(DEDUP_ORACLE)
+    out.update(SIMILARITY_ORACLE)
+    out.update(TEXTSTATS_ORACLE)
+    out.update(REFERENCE_ORACLE)
+    return out

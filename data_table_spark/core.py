@@ -1,0 +1,476 @@
+"""DataTable — a thin facade over pyspark.sql.DataFrame reproducing the
+reference's data-table semantics (SURVEY §1, §2.1 R1-R26).
+
+The reference (AccelerationNet/data-table, /root/reference/data-table.lisp)
+is a mutable, row-ordered, in-memory rectangle. Spark DataFrames are
+immutable and unordered, so the facade:
+
+- keeps a hidden ``_row_id`` column stamped at ingest (dense 0-based,
+  computed distributed — per-partition counts + cumulative offsets, no
+  single-partition window, no RDD round-trip);
+- implements every order-sensitive op (cell get/set, sub-table, overlay,
+  ordered compare) relative to ``_row_id``;
+- mirrors the reference's mutate-vs-copy split: ``…_bang`` methods rebind
+  this facade in place, plain methods return a new facade
+  (e.g. symbolize-column-names! data-table.lisp:114-117).
+
+Positional ops are meaningful for the report-building workloads the
+reference targets (reference README.md:14-17); the 100 TB hot path is the
+relational surface (operators/relational.py), which never touches _row_id.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .functions.formatting import format_table_for_output
+from .inference import auto_type, coerce_table, ensure_column_types, guess_types
+from .names import dedupe_names, resolve_column, spark_safe_name, symbolize_name
+
+ROW_ID = "_row_id"
+
+
+def with_row_id(df: DataFrame, col: str = ROW_ID) -> DataFrame:
+    """Stamp a dense sequential 0-based row id preserving current order.
+
+    Distributed zipWithIndex in pure DataFrame ops: per-partition local
+    row_number + broadcast-joined cumulative partition offsets. Two light
+    jobs; no global sort, no single-partition window (scale-safe).
+    """
+    if col in df.columns:
+        return df
+    pid = F.spark_partition_id()
+    mono = F.monotonically_increasing_id()
+    tagged = df.withColumn("_dt_pid", pid).withColumn("_dt_mono", mono)
+    w = Window.partitionBy("_dt_pid").orderBy("_dt_mono")
+    local = tagged.withColumn("_dt_local", F.row_number().over(w) - 1)
+    offsets = (
+        tagged.groupBy("_dt_pid").count()
+        .withColumn(
+            "_dt_offset",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("_dt_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_dt_pid", "_dt_offset")
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_dt_pid")
+        .withColumn(col, (F.col("_dt_local") + F.col("_dt_offset")).cast("long"))
+        .drop("_dt_pid", "_dt_mono", "_dt_local", "_dt_offset")
+    )
+    return out
+
+
+class DataTable:
+    """Facade: user-visible columns exclude ``_row_id``.
+
+    Reference: data-table class, data-table.lisp:94-98 (slots column-names /
+    column-types / rows → DataFrame schema + hidden order column).
+    """
+
+    def __init__(self, df: DataFrame, config: EngineConfig = DEFAULT_CONFIG,
+                 _has_row_id: bool = False):
+        self._df = df if _has_row_id or ROW_ID in df.columns else with_row_id(df)
+        self.config = config
+
+    # ---------- constructors ----------
+
+    @classmethod
+    def from_df(cls, df: DataFrame, **kw) -> "DataTable":
+        return cls(df, **kw)
+
+    @classmethod
+    def from_records(
+        cls,
+        spark: SparkSession,
+        records: Sequence[dict],
+        keys: Sequence[str] | None = None,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ) -> "DataTable":
+        """alists/plists → table. Keys come from the FIRST record; stray keys
+        in later records are dropped (alists-to-data-table,
+        data-table.lisp:504-521; asserted tests/data-table.lisp:129,143-147).
+        """
+        records = list(records)
+        if keys is None:
+            keys = list(records[0].keys()) if records else []
+        keys = dedupe_names([str(k) for k in keys], config.on_duplicate_column)
+        rows = [tuple(r.get(k) for k in keys) for r in records]
+        if rows:
+            df = spark.createDataFrame(rows, schema=list(keys))
+        else:
+            schema = T.StructType([T.StructField(k, T.StringType()) for k in keys])
+            df = spark.createDataFrame([], schema)
+        return cls(df, config=config)
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        rows: Sequence[Sequence[Any]],
+        column_names: Sequence[str] | None = None,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ) -> "DataTable":
+        """Ragged rows are squared: short rows padded with NULL, names padded
+        with generated ones (fill-in-missing-cells, data-table.lisp:240-264).
+        """
+        rows = [list(r) for r in rows]
+        width = max([len(r) for r in rows] + [len(column_names or [])] or [0])
+        names = list(column_names or [])
+        while len(names) < width:
+            names.append(f"col_{len(names)}")
+        names = dedupe_names([str(n) for n in names], config.on_duplicate_column)
+        padded = [tuple(list(r) + [None] * (width - len(r))) for r in rows]
+        if padded:
+            # all-string ingest mirrors the reference's CSV/string entry
+            str_rows = [
+                tuple(None if v is None else v for v in r) for r in padded
+            ]
+            df = spark.createDataFrame(str_rows, schema=list(names))
+        else:
+            schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+            df = spark.createDataFrame([], schema)
+        return cls(df, config=config)
+
+    # ---------- schema access (R2-R4, R21) ----------
+
+    @property
+    def df(self) -> DataFrame:
+        """User-visible DataFrame (row-id hidden)."""
+        return self._df.drop(ROW_ID)
+
+    @property
+    def ordered_df(self) -> DataFrame:
+        """Internal DataFrame including ``_row_id``."""
+        return self._df
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c for c in self._df.columns if c != ROW_ID]
+
+    @property
+    def column_types(self) -> list[T.DataType]:
+        return [f.dataType for f in self._df.schema.fields if f.name != ROW_ID]
+
+    @property
+    def number_of_columns(self) -> int:
+        return len(self.column_names)
+
+    @property
+    def number_of_rows(self) -> int:
+        return self._df.count()
+
+    def column_index(self, ref: int | str) -> int:
+        """column-index resolution (data-table.lisp:409-414)."""
+        return resolve_column(self.column_names, ref)
+
+    def column_type(self, ref: int | str) -> T.DataType:
+        return self.column_types[self.column_index(ref)]
+
+    def column_name(self, idx: int) -> str:
+        return self.column_names[resolve_column(self.column_names, idx)]
+
+    def rename_column(self, ref: int | str, new_name: str) -> "DataTable":
+        """(setf column-name) (data-table.lisp:426-432)."""
+        old = self.column_names[self.column_index(ref)]
+        return self._rebind(self._df.withColumnRenamed(old, new_name))
+
+    # ---------- name canonicalization (R5, R34, R40) ----------
+
+    def symbolize_column_names(self) -> "DataTable":
+        """"First Name" → ``first-name`` (data-table.lisp:109-117)."""
+        mapping = {c: symbolize_name(c) for c in self.column_names}
+        return self._rename_all(mapping)
+
+    def sql_escape_column_names(self, transform=spark_safe_name) -> "DataTable":
+        """sql-escaped-column-names (clsql-data-table.lisp:21-47)."""
+        mapping = {c: transform(c) for c in self.column_names}
+        return self._rename_all(mapping)
+
+    def _rename_all(self, mapping: dict[str, str]) -> "DataTable":
+        new_names = dedupe_names(
+            [mapping.get(c, c) for c in self.column_names],
+            self.config.on_duplicate_column,
+        )
+        df = self._df
+        for old, new in zip(self.column_names, new_names):
+            if old != new:
+                df = df.withColumnRenamed(old, new)
+        return self._rebind(df)
+
+    # ---------- positional access (R6-R8) ----------
+
+    def value(self, row_idx: int | None = None, col: int | str | None = None):
+        """Cell / whole row / whole column (data-table-value,
+        data-table.lisp:119-129). Column lookup is case-insensitive."""
+        if row_idx is not None and col is not None:
+            name = self.column_names[self.column_index(col)]
+            rows = (
+                self._df.where(F.col(ROW_ID) == row_idx).select(name).collect()
+            )
+            return rows[0][0] if rows else None
+        if col is not None:
+            name = self.column_names[self.column_index(col)]
+            return [
+                r[0]
+                for r in self._df.orderBy(ROW_ID).select(name).collect()
+            ]
+        if row_idx is not None:
+            rows = (
+                self._df.where(F.col(ROW_ID) == row_idx)
+                .select(*self.column_names)
+                .collect()
+            )
+            return list(rows[0]) if rows else None
+        raise ValueError("need row_idx and/or col")
+
+    def set_value(
+        self,
+        value,
+        row_idx: int | None = None,
+        col: int | str | None = None,
+    ) -> "DataTable":
+        """Set a cell, a whole row, or a whole column; auto-extends the table
+        when row_idx is beyond the end ((setf data-table-value) + ensure-rows,
+        data-table.lisp:139-170). Returns a new facade (engine is immutable;
+        use set_value_bang for in-place rebinding)."""
+        if row_idx is not None and col is not None:
+            dt = self._ensure_rows(row_idx + 1)
+            name = dt.column_names[dt.column_index(col)]
+            lit = F.lit(value)
+            df = dt._df.withColumn(
+                name,
+                F.when(F.col(ROW_ID) == row_idx, lit).otherwise(F.col(name)),
+            )
+            return self._rebind(df)
+        if col is not None:
+            # column-set from a value list; shorter lists pad the remaining
+            # rows with NULL (asserted tests/data-table.lisp:42-53)
+            name = self.column_names[self.column_index(col)]
+            values = list(value)
+            spark = self._df.sparkSession
+            vals_df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(values)], schema=[ROW_ID, "_dt_new"]
+            )
+            df = (
+                self._df.join(F.broadcast(vals_df), ROW_ID, "left")
+                .withColumn(name, F.col("_dt_new"))
+                .drop("_dt_new")
+            )
+            return self._rebind(df)
+        if row_idx is not None:
+            dt = self._ensure_rows(row_idx + 1)
+            values = list(value)
+            df = dt._df
+            for name, v in zip(dt.column_names, values):
+                df = df.withColumn(
+                    name,
+                    F.when(F.col(ROW_ID) == row_idx, F.lit(v)).otherwise(F.col(name)),
+                )
+            return self._rebind(df)
+        raise ValueError("need row_idx and/or col")
+
+    def _ensure_rows(self, n: int) -> "DataTable":
+        """Append NULL rows until the table has >= n rows (ensure-rows,
+        data-table.lisp:145-152)."""
+        cur = self.number_of_rows
+        if cur >= n:
+            return self
+        spark = self._df.sparkSession
+        pad_schema = T.StructType(
+            [T.StructField(ROW_ID, T.LongType(), False)]
+        )
+        pad = spark.createDataFrame([(i,) for i in range(cur, n)], pad_schema)
+        for f in self._df.schema.fields:
+            if f.name != ROW_ID:
+                pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return self._rebind(self._df.unionByName(pad))
+
+    # ---------- slicing / projection (R9-R10) ----------
+
+    def sub_table(
+        self,
+        lci: int = 0,
+        uci: int | None = None,
+        lri: int = 0,
+        uri: int | None = None,
+    ) -> "DataTable":
+        """Rectangular slice [lri,uri) × [lci,uci) keeping names/types
+        (make-sub-table, data-table.lisp:172-191). Row ids are re-based to 0."""
+        names = self.column_names
+        uci = len(names) if uci is None else uci
+        cols = names[lci:uci]
+        df = self._df
+        if uri is not None:
+            df = df.where((F.col(ROW_ID) >= lri) & (F.col(ROW_ID) < uri))
+        elif lri:
+            df = df.where(F.col(ROW_ID) >= lri)
+        df = df.select(ROW_ID, *cols).withColumn(
+            ROW_ID, F.col(ROW_ID) - F.lit(lri)
+        )
+        return self._rebind(df)
+
+    def select_columns(self, names: Iterable[int | str]) -> "DataTable":
+        """Projection by name list; errors on missing names; reorders
+        (select-columns, data-table.lisp:193-208)."""
+        resolved = [self.column_names[self.column_index(n)] for n in names]
+        return self._rebind(self._df.select(ROW_ID, *resolved))
+
+    def add_column(
+        self,
+        name: str,
+        default=None,
+        dtype: T.DataType | str | None = None,
+        index: int | None = None,
+    ) -> "DataTable":
+        """Insert a column with a default at an index, or append
+        (add-column, data-table.lisp:494-502)."""
+        col = F.lit(default)
+        if dtype is not None:
+            col = col.cast(dtype)
+        elif default is None:
+            col = col.cast("string")
+        names = self.column_names
+        idx = len(names) if index is None else index
+        new_order = names[:idx] + [name] + names[idx:]
+        df = self._df.withColumn(name, col).select(ROW_ID, *new_order)
+        return self._rebind(df)
+
+    # ---------- composition (R11-R12) ----------
+
+    def compare(self, other: "DataTable") -> bool:
+        """Positional whole-table equality: row-count gate + cell-wise
+        comparison by _row_id (data-table-data-compare,
+        data-table.lisp:210-216). NULL == NULL counts as equal."""
+        if self.number_of_columns != other.number_of_columns:
+            return False
+        a, b = self._df, other._df
+        if a.count() != b.count():
+            return False
+        a_cols, b_cols = self.column_names, other.column_names
+        a2 = a.select(ROW_ID, *[F.col(c).alias(f"_a_{i}") for i, c in enumerate(a_cols)])
+        b2 = b.select(ROW_ID, *[F.col(c).alias(f"_b_{i}") for i, c in enumerate(b_cols)])
+        j = a2.join(b2, ROW_ID, "inner")
+        neq = [
+            ~(
+                F.col(f"_a_{i}").eqNullSafe(
+                    F.col(f"_b_{i}").try_cast(dict(a2.dtypes)[f"_a_{i}"])
+                )
+            )
+            for i in range(len(a_cols))
+        ]
+        cond = neq[0]
+        for e in neq[1:]:
+            cond = cond | e
+        return j.where(cond).limit(1).count() == 0
+
+    def overlay_region(
+        self, new: "DataTable", row_idx: int = 0, col_idx: int = 0
+    ) -> "DataTable":
+        """Paste ``new`` into this table at (row_idx, col_idx), auto-growing
+        columns (as string, NULL-filled) and rows (NULL-filled)
+        (overlay-region, data-table.lisp:218-238; growth at 221-233).
+
+        Implementation: outer join on shifted _row_id + per-column coalesce
+        (new value wins inside the overlay window) — pure DataFrame ops.
+        """
+        base = self
+        need_cols = col_idx + new.number_of_columns
+        while base.number_of_columns < need_cols:
+            base = base.add_column(
+                f"col_{base.number_of_columns}", None, T.StringType()
+            )
+        need_rows = row_idx + new.number_of_rows
+        base = base._ensure_rows(need_rows)
+
+        base_names = base.column_names
+        target_names = base_names[col_idx : col_idx + new.number_of_columns]
+        shifted = new._df.select(
+            (F.col(ROW_ID) + F.lit(row_idx)).alias(ROW_ID),
+            *[
+                F.col(c).alias(f"_ov_{i}")
+                for i, c in enumerate(new.column_names)
+            ],
+        )
+        j = base._df.join(F.broadcast(shifted), ROW_ID, "left")
+        out_cols = [F.col(ROW_ID)]
+        for name in base_names:
+            if name in target_names:
+                i = target_names.index(name)
+                t = dict(base._df.dtypes)[name]
+                out_cols.append(
+                    F.coalesce(
+                        F.col(f"_ov_{i}").try_cast(t), F.col(name)
+                    ).alias(name)
+                )
+            else:
+                out_cols.append(F.col(name))
+        return self._rebind(j.select(*out_cols))
+
+    # ---------- typing (R14-R20) ----------
+
+    def guess_types(self, infer_dates: bool = True) -> dict[str, T.DataType]:
+        return guess_types(
+            self.df, sample_size=self.config.guessing_sample_size,
+            infer_dates=infer_dates,
+        )
+
+    def coerce_types(
+        self,
+        explicit: dict[str, T.DataType] | None = None,
+        on_error: str | None = None,
+        infer_dates: bool = True,
+    ) -> "DataTable":
+        """Infer + strictly coerce (coerce-data-table-of-strings-to-types,
+        data-table.lisp:387-407)."""
+        on_error = on_error or self.config.on_coerce_error
+        types = ensure_column_types(
+            self._df.drop(ROW_ID), explicit,
+            self.config.guessing_sample_size, infer_dates,
+        )
+        df = coerce_table(self._df, types, on_error=on_error)
+        return self._rebind(df)
+
+    # ---------- output (R22-R23, R26) ----------
+
+    def format_for_output(self) -> "DataTable":
+        """null→"", real→%.2f, array→", "-joined (data-table.lisp:437-469)."""
+        ordered = self._df.orderBy(ROW_ID)
+        formatted = format_table_for_output(
+            ordered.select(*self.column_names), self.config.list_delimiter
+        )
+        # formatting drops _row_id; re-attach from the ordered frame
+        return DataTable(formatted, config=self.config)
+
+    def to_records(self) -> list[dict]:
+        """table → list of dicts in row order (data-table-to-alists,
+        data-table.lisp:523-537). Driver-side; small results only."""
+        rows = self._df.orderBy(ROW_ID).select(*self.column_names).collect()
+        return [r.asDict() for r in rows]
+
+    def rows(self) -> list[list]:
+        return [list(r) for r in
+                self._df.orderBy(ROW_ID).select(*self.column_names).collect()]
+
+    # ---------- plumbing ----------
+
+    def _rebind(self, df: DataFrame) -> "DataTable":
+        return DataTable(df, config=self.config, _has_row_id=True)
+
+    def cache(self) -> "DataTable":
+        self._df = self._df.cache()
+        return self
+
+    def __repr__(self) -> str:
+        return f"DataTable({self.number_of_columns} cols: {self.column_names})"

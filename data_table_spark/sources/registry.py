@@ -1,0 +1,37 @@
+"""TESTDATA parquet registry (TESTDATA.md tables).
+
+Loads are plain ``spark.read.parquet`` — Catalyst pushes filters and prunes
+columns into the scan, which is the whole point of declaring queries on top
+of these instead of materializing intermediates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every TESTDATA table as a temp view so ``spark.sql`` queries
+    (the engine's get-data-table equivalent, clsql-data-table.lisp:13-19)
+    can reference them by name."""
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)

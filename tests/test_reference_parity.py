@@ -1,0 +1,230 @@
+"""Ports of the reference's 11 unit tests (tests/data-table.lisp:26-216)
+against the DataTable facade — pins reference-parity semantics (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_table_spark.core import DataTable  # noqa: E402
+from data_table_spark.inference import simplify_type  # noqa: E402
+from data_table_spark.names import dedupe_names, resolve_column  # noqa: E402
+
+# F1 employees fixture — mirror of test-data-table (tests/data-table.lisp:15-24)
+EMPLOYEE_COLS = ["first name", "last name", "job title", "number of hours", "id"]
+EMPLOYEE_ROWS = [
+    ["Russ", "Tyndall", "Software Developer", "26.2", "1"],
+    ["Adam", "Smith", "Economist", "37.5", "2"],
+    ["John", "Doe", "Anonymous Human", "42.1", "3"],
+    ["Chuck", "Darwin", "Natural Philosipher", "17.68", "4"],
+    ["Bill", "Shakespear", "Bard", "12.2", "5"],
+    ["James", "Kirk", "Starship Captain", "13.1", "6"],
+]
+
+
+@pytest.fixture()
+def employees(spark):
+    return DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+
+
+def test_data_table_types(employees):
+    """tests/data-table.lisp:26-40 — inference yields
+    (string string string double-float integer)."""
+    dt = employees.coerce_types()
+    types = dt.column_types
+    assert isinstance(types[0], T.StringType)
+    assert isinstance(types[1], T.StringType)
+    assert isinstance(types[2], T.StringType)
+    assert isinstance(types[3], T.DoubleType)
+    assert isinstance(types[4], T.LongType)
+    # every cell satisfies its column type
+    rows = dt.rows()
+    for r in rows:
+        assert isinstance(r[3], float)
+        assert isinstance(r[4], int)
+    assert rows[0][3] == 26.2 and rows[0][4] == 1
+
+
+def test_data_table_value_manip(employees):
+    """tests/data-table.lisp:42-53 — add-column at index 1; short column-set
+    pads remaining rows with NULL."""
+    dt = employees.add_column("middle name", None, T.StringType(), index=1)
+    assert dt.column_names[1] == "middle name"
+    assert dt.number_of_columns == 6
+    dt2 = dt.set_value(["Q", "R", "S", "T"], col="middle name")
+    col = dt2.value(col="middle name")
+    assert col == ["Q", "R", "S", "T", None, None]
+    # other columns untouched
+    assert dt2.value(col="first name") == [r[0] for r in EMPLOYEE_ROWS]
+
+
+def test_data_table_value_manip2(employees):
+    """tests/data-table.lisp:55-60 — cell set/get; row length invariant."""
+    dt = employees.set_value("Russell", row_idx=0, col="first name")
+    assert dt.value(row_idx=0, col="first name") == "Russell"
+    assert dt.value(row_idx=1, col="first name") == "Adam"
+    row = dt.value(row_idx=0)
+    assert len(row) == 5
+
+
+def test_data_table_value_overlaying(spark):
+    """tests/data-table.lisp:62-100 — 4 overlays onto an empty table
+    auto-grow it to 5×5; row 3 = (1,'2','c','d',2) after typing."""
+    block_ab = DataTable.from_rows(spark, [["a", "b"], ["c", "d"]])
+    block_12 = DataTable.from_rows(spark, [["1", "2"], ["3", "4"]])
+    empty = DataTable.from_rows(spark, [], [])
+    dt = empty.overlay_region(block_ab, 1, 1)
+    dt = dt.overlay_region(block_12, 3, 3)
+    dt = dt.overlay_region(block_ab, 2, 2)
+    dt = dt.overlay_region(block_12, 3, 0)
+    assert dt.number_of_columns == 5
+    assert dt.number_of_rows == 5
+    rows = dt.rows()
+    # expected grid (tests/data-table.lisp:85-89)
+    assert rows[1][1] == "a" and rows[1][2] == "b"
+    assert rows[2][2] == "a" and rows[2][3] == "b"
+    assert rows[3][0] == "1" and rows[3][1] == "2"
+    assert rows[3][2] == "c" and rows[3][3] == "d" and rows[3][4] == "2"
+    assert rows[4][0] == "3" and rows[4][1] == "4"
+    # post-overlay inference (tests/data-table.lisp:96-99):
+    typed = dt.coerce_types(infer_dates=False)
+    tps = typed.column_types
+    assert isinstance(tps[0], T.LongType)
+    assert isinstance(tps[1], T.StringType)
+    assert isinstance(tps[2], T.StringType)
+    assert isinstance(tps[3], T.StringType)
+    assert isinstance(tps[4], T.LongType)
+    assert typed.rows()[3] == [1, "2", "c", "d", 2]
+
+
+def test_data_table_subtables(spark, employees):
+    """tests/data-table.lisp:102-125 — column-range slices keep
+    names/types/data (F3 wide_six fixture)."""
+    wide = DataTable.from_rows(
+        spark,
+        [[1, 2, 3, "a", "b", "c"], [3, 4, 5, "d", "e", "f"], [6, 7, 8, "g", "h", "i"]],
+        ["i", "j", "k", "x", "y", "z"],
+    )
+    left = wide.sub_table(lci=0, uci=3)
+    right = wide.sub_table(lci=3, uci=6)
+    assert left.column_names == ["i", "j", "k"]
+    assert right.column_names == ["x", "y", "z"]
+    assert left.rows() == [[1, 2, 3], [3, 4, 5], [6, 7, 8]]
+    assert right.rows() == [["a", "b", "c"], ["d", "e", "f"], ["g", "h", "i"]]
+    expected = DataTable.from_rows(
+        spark, [[1, 2, 3], [3, 4, 5], [6, 7, 8]], ["i", "j", "k"]
+    )
+    assert left.compare(expected)
+    # row slicing too
+    mid = wide.sub_table(lri=1, uri=3)
+    assert mid.rows() == [[3, 4, 5, "d", "e", "f"], [6, 7, 8, "g", "h", "i"]]
+
+
+def test_data_table_alist(spark):
+    """tests/data-table.lisp:127-147 — records round-trip; keys from first
+    record; stray key 'd' dropped (F4 fixture)."""
+    records = [
+        {"a": 1, "b": 2, "c": 3},
+        {"b": 4, "a": 5, "c": 6, "d": "not-in-data-table"},
+        {"c": 9, "a": 8, "b": 7},
+        {"b": 10, "c": 11, "a": 12},
+    ]
+    dt = DataTable.from_records(spark, records)
+    assert dt.column_names == ["a", "b", "c"]
+    assert dt.value(col="b") == [2, 4, 7, 10]
+    back = dt.to_records()
+    assert back[0] == {"a": 1, "b": 2, "c": 3}
+    assert all(list(r.keys()) == ["a", "b", "c"] for r in back)
+
+
+def test_data_table_plist(spark):
+    """tests/data-table.lisp:149-169 — same semantics from plist-style input."""
+    records = [
+        {"a": 1, "b": 2, "c": 3},
+        {"a": 5, "b": 4, "c": 6, "d": "x"},
+    ]
+    dt = DataTable.from_records(spark, records)
+    assert dt.column_names == ["a", "b", "c"]
+    assert dt.rows() == [[1, 2, 3], [5, 4, 6]]
+
+
+def test_data_table_select_columns(employees):
+    """tests/data-table.lisp:171-189 — projection by name reorders data;
+    case-insensitive resolution."""
+    sel = employees.select_columns(["id", "first name"])
+    assert sel.column_names == ["id", "first name"]
+    assert sel.number_of_rows == 6
+    assert sel.rows()[0] == ["1", "Russ"]
+    sel2 = employees.select_columns(["ID", "First Name"])
+    assert sel2.rows() == sel.rows()
+    with pytest.raises(KeyError):
+        employees.select_columns(["nope"])
+
+
+def test_data_table_sample_rows(employees):
+    """tests/data-table.lisp:191-197 — sample size honored; sampled rows ∈
+    original (our inference samples via limit(n))."""
+    df = employees.df.limit(3)
+    rows = [list(r) for r in df.collect()]
+    assert len(rows) == 3
+    orig = employees.rows()
+    for r in rows:
+        assert r in orig
+
+
+def test_data_table_simplify_types():
+    """tests/data-table.lisp:199-206 — value-type table incl. ±2^63 edges
+    (simplify-types, data-table.lisp:266-280)."""
+    assert simplify_type(1) == "integer"
+    assert simplify_type(2**62) == "integer"
+    assert simplify_type(2**63 - 1) == "integer"
+    assert simplify_type(2**63) == "string"
+    assert simplify_type(2**63 + 1) == "string"
+    assert simplify_type(-(2**63)) == "string"
+    assert simplify_type(1.5) == "double-float"
+    assert simplify_type("x") == "string"
+
+
+def test_data_table_column_index(employees):
+    """tests/data-table.lisp:208-216 — name/symbol/int resolution incl.
+    after symbolize."""
+    cols = employees.column_names
+    assert resolve_column(cols, "first name") == 0
+    assert resolve_column(cols, "First Name") == 0
+    assert resolve_column(cols, "first-name") == 0  # symbol-style
+    assert resolve_column(cols, 4) == 4
+    assert resolve_column(cols, "id") == 4
+    sym = employees.symbolize_column_names()
+    assert sym.column_names == [
+        "first-name", "last-name", "job-title", "number-of-hours", "id",
+    ]
+    assert resolve_column(sym.column_names, "first name") == 0
+
+
+def test_dedupe_columns():
+    """F7 fixture (clsql-data-table.lisp:145-181) — suffix-all policy."""
+    got = dedupe_names(["amount", "amount", "name", "amount", "name"])
+    assert got == ["amount", "amount_1", "name", "amount_2", "name_1"]
+
+
+def test_ragged_rows(spark):
+    """F8 fixture (fill-in-missing-cells, data-table.lisp:240-264) —
+    rows of lengths (2,4,3) with 2 declared names → 3×4 table."""
+    dt = DataTable.from_rows(
+        spark,
+        [["a", "b"], ["c", "d", "e", "f"], ["g", "h", "i"]],
+        ["x", "y"],
+    )
+    assert dt.number_of_columns == 4
+    assert dt.column_names == ["x", "y", "col_2", "col_3"]
+    assert dt.rows() == [
+        ["a", "b", None, None],
+        ["c", "d", "e", "f"],
+        ["g", "h", "i", None],
+    ]
