@@ -1,0 +1,309 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (SURVEY §2.2 G12 / north-star extensions):
+- exact dedup (hash group-by)
+- normalized exact dedup (case/whitespace-insensitive)
+- n-gram Jaccard brute-force pairs (bounded; the correctness oracle)
+- MinHash + LSH banded near-dup pairs (the 100 TB scale path)
+- SimHash per-document signature (pure expression, zero shuffles)
+
+All built from pyspark.sql.functions (JVM, codegen) — no Python UDFs.
+
+Scale design:
+- Exact dedup is a single hash aggregate on the text (or its hash) —
+  identical to the reference's DB-side GROUP BY strategy, but distributed.
+- Brute-force O(n²) pair scoring is bounded to doc_id < PAIR_BOUND; it
+  exists to oracle-check the LSH path, which is the one you run at scale:
+  shingle→minhash(one shuffle)→band-bucket join(shuffle on small keys)→
+  verified pairs. Candidate count ≈ O(near-dup pairs), not O(n²).
+- SimHash needs NO shuffle at all: the 63-bit signature is computed
+  per-row from the token array with higher-order functions; grouping by
+  signature (or banded substrings of it) gives near-dup buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: doc_id bound for the brute-force pair oracle (keeps O(n²) capped at any SF).
+PAIR_BOUND = 300
+
+#: MinHash parameters: 32 hashes = 8 bands × 4 rows (s-curve threshold ≈
+#: (1/8)^(1/4) ≈ 0.60 — good for catching Jaccard ≥ 0.5 pairs).
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(col) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _bigram_shingles(col) -> Column:
+    """Distinct word-bigram shingles of a text column (pure expression)."""
+    t = _tokens(col)
+    # guard: sequence(0, -1) would generate a DESCENDING sequence for
+    # single-token texts — return an empty shingle set instead
+    return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            )
+        )
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one survivor (min doc_id) per distinct text, with the
+    duplicate-group size. Single hash aggregate; at 100 TB group on
+    sha2(text) instead to shrink shuffle keys (same result, shorter keys).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+def dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup on normalized text (lowercase, collapsed whitespace) —
+    catches trivial reformatting duplicates."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard brute force (bounded oracle for the LSH path)
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """All-pairs word-bigram Jaccard ≥ 0.5 over doc_id < PAIR_BOUND.
+
+    O(n²) by construction — bounded so it stays an oracle/verification
+    tool; the unbounded scale path is dedup_minhash_lsh_pairs."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < PAIR_BOUND)
+    sh = d.select(F.col("doc_id"), _bigram_shingles(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    j = _jaccard(F.col("sa"), F.col("sb"))
+    return (
+        pairs.select("a", "b", F.round(j, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<long>[k]) via k independent xxhash64 min-hashes
+    over exploded distinct shingles — ONE shuffle (the groupBy)."""
+    sh = docs.select(
+        "doc_id", F.explode(_bigram_shingles(F.col("text"))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh_pairs(spark, sf_dir, threshold: float = JACCARD_THRESHOLD):
+    """Near-dup pairs via banded MinHash LSH, exact-verified.
+
+    Pipeline: signatures (1 shuffle) → explode bands → self-join on
+    (band, band_hash) → distinct candidate pairs → exact bigram-Jaccard
+    verification on the candidates only. At 100 TB the candidate set is
+    ~O(duplicate pairs); no O(n²) stage exists.
+    """
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sig = minhash_signatures(d)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    left = bands.select(F.col("doc_id").alias("a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
+        .select("a", "b", F.round(_jaccard(F.col("sa"), F.col("sb")), 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 63  # packed into a non-negative signed 64-bit long
+
+
+def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """63-bit SimHash of a text column — pure expression, no shuffle.
+
+    Per token: xxhash64 → bit vector → +1/-1 votes; per doc: elementwise
+    vote sum via aggregate/zip_with; sign → bit; pack to long."""
+    toks = F.array_distinct(_tokens(text))
+    # bit b of token t = parity of an independent hash xxhash64(b, t)
+    # (shiftright/shiftleft need literal shift amounts, so per-bit hashes
+    # are both simpler and statistically cleaner than slicing one hash)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.pmod(F.xxhash64(b, t), F.lit(2)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # pack MSB-first: acc*2 + bit — stays < 2^63, no shifts needed
+    packed = F.aggregate(
+        F.transform(
+            votes,
+            lambda v: F.when(v > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    return packed
+
+
+def dedup_simhash(spark, sf_dir):
+    """(doc_id, simhash) signatures; group identical signatures (or band
+    them like MinHash) for near-dup buckets."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+
+
+def simhash_near_pairs(spark, sf_dir, max_hamming: int = 3):
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
+    4 16-bit band keys for candidate generation (exactly one band must
+    match for hamming ≤ 3 by pigeonhole over 4 bands)."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    left = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+}
+
+DEDUP_ORACLE: dict[str, str] = {
+    "dedup_exact":
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS n_copies "
+        "FROM documents GROUP BY text",
+    "dedup_exact_normalized":
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS n_copies "
+        "FROM documents "
+        "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))",
+    "dedup_ngram_jaccard_pairs":
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+        f"  FROM documents WHERE doc_id < {PAIR_BOUND}"
+        "), sh AS ("
+        "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
+        "  FROM toks"
+        ") "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
+        "      / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
+        f"      / len(list_distinct(list_concat(a.s, b.s))), 4) >= {JACCARD_THRESHOLD}",
+    # dedup_minhash_lsh_pairs / dedup_simhash: hash-function-dependent —
+    # rows-only here; recall vs the brute-force oracle asserted in
+    # tests/test_dedup.py.
+}

@@ -1,0 +1,202 @@
+"""Similarity search over an embedding column (array<float>, 64-dim).
+
+(SURVEY §2.2 G13 / north-star extension.)
+
+- brute-force cosine top-k: the correctness baseline; dot products as
+  higher-order-function expressions (zip_with + aggregate) — JVM codegen,
+  no Python, no UDF.
+- threshold pair search (bounded): oracle-checked against DuckDB's
+  list_cosine_similarity.
+- random-hyperplane LSH top-k: the scale path — deterministic
+  pseudo-random planes derived from xxhash64 so both the signature and
+  the buckets are reproducible without shipping plane matrices around.
+
+Scale design: brute-force top-k is a map-only scan + TakeOrderedAndProject
+(no shuffle beyond the final k-row merge) — it is already the right plan
+for one query vector at 100 TB. The LSH variant exists for query BATCHES:
+bucket both sides once (one shuffle each), then join buckets instead of
+crossing the full corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+QUERY_VEC_ID = 0       # the probe vector used by the top-k demo queries
+TOP_K = 10
+PAIR_BOUND = 200       # bound for the O(n²) threshold-pair oracle
+PAIR_THRESHOLD = 0.25
+
+LSH_PLANES = 32        # hyperplanes per signature
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k for one query vector. The 1-row query side is
+    broadcast; the corpus scan is embarrassingly parallel; orderBy+limit
+    compiles to a partial-top-k merge (no global sort)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def sim_pairs_threshold(spark, sf_dir):
+    """All pairs with cosine ≥ PAIR_THRESHOLD among vec_id < PAIR_BOUND —
+    bounded O(n²) oracle for the LSH path."""
+    e = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < PAIR_BOUND)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= PAIR_THRESHOLD)
+    )
+
+
+def _plane(i: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane i as an array<double> literal
+    expression: component d = (xxhash64(i, d) % 10007) / 10007 - 0.5.
+    Derived on the fly — no plane matrix to broadcast or store."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(i), d), F.lit(10007)).cast("double")
+            / F.lit(10007.0)
+            - F.lit(0.5)
+        ),
+    )
+
+
+def lsh_signature(vec: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i), packed
+    into a long. Pure expression."""
+    bits = [
+        F.when(dot(vec, _plane(i, dim)) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sim_lsh_topk(spark, sf_dir, probe_hamming: int = 10):
+    """ANN top-k: restrict the exact cosine scan to vectors whose LSH
+    signature is within probe_hamming bits of the query's (multi-probe).
+
+    With 32 planes, a true neighbor at angle θ flips each bit with
+    probability θ/π — hamming ≤ 10 keeps cos ≥ ~0.6 neighbors with high
+    probability while pruning ~97% of an unrelated corpus. Recall on
+    confident (cos ≥ 0.9) matches is asserted in tests. At scale the
+    same signature becomes the shuffle key for bucketed batch lookups."""
+    e = load_table(spark, "embeddings", sf_dir)
+    sig = e.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding")).alias("sig")
+    )
+    q = sig.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("sig").alias("qsig")
+    )
+    return (
+        sig.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .where(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming
+        )
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def sim_centroid_per_label(spark, sf_dir):
+    """Per-label centroid norms — elementwise mean via posexplode +
+    re-assembly; demonstrates vector aggregation without UDFs."""
+    e = load_table(spark, "embeddings", sf_dir)
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+    )
+
+
+SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_pairs_threshold": sim_pairs_threshold,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_centroid_per_label": sim_centroid_per_label,
+}
+
+SIMILARITY_ORACLE: dict[str, str] = {
+    "sim_bruteforce_topk":
+        "WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = "
+        f"{QUERY_VEC_ID}) "
+        "SELECT vec_id, ROUND(list_cosine_similarity("
+        "  embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cos_sim "
+        f"FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID} "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}",
+    "sim_pairs_threshold":
+        "SELECT a.vec_id a, b.vec_id b, "
+        "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]), 6) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE a.vec_id < {PAIR_BOUND} AND b.vec_id < {PAIR_BOUND} "
+        "AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+        f"b.embedding::DOUBLE[]), 6) >= {PAIR_THRESHOLD}",
+    "sim_centroid_per_label":
+        "WITH pos AS ("
+        "  SELECT label, u.v, u.pos FROM embeddings, "
+        "  LATERAL (SELECT UNNEST(embedding::DOUBLE[]) v, "
+        "           generate_subscripts(embedding, 1) pos) u"
+        "), cent AS ("
+        "  SELECT label, pos, AVG(v) c FROM pos GROUP BY label, pos"
+        ") "
+        "SELECT label, ROUND(SQRT(SUM(c*c)), 6) AS centroid_norm "
+        "FROM cent GROUP BY label",
+    # sim_lsh_topk: hash-derived buckets — rows-only; recall asserted in
+    # tests/test_similarity.py.
+}

