@@ -1,0 +1,130 @@
+"""Structured Streaming surface over the events table (SURVEY §2.2 S1-S5).
+
+The reference has no streaming at all (it is an in-memory list library);
+this is a north-star extension. Design: every streaming query is defined
+ONCE as a transformation function applied to either a batch DataFrame or
+a readStream DataFrame — the batch application is the correctness oracle
+(batch-equivalence), the stream application is the production path.
+
+events schema: event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+event_type STRING, value DOUBLE, props STRING (TESTDATA.md).
+
+Scale posture: all windows aggregate after a shuffle on (window, keys);
+watermarks bound state size — without them, windowed state grows
+unboundedly at 100 TB/day ingest. Sliding windows multiply state by
+window/slide; session windows keep one open session per key. The
+defaults here (10-minute watermark) are deliberate, documented knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "10 minutes"
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """S1: tumbling-window count/sum per event_type."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """S2: sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "cnt",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """S3: session windows per user — a session extends while events arrive
+    within `gap` of the previous one."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id", "cnt",
+        )
+    )
+
+
+def deduped_windowed_counts(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """S5: stateful dedup on event_id, then hourly windowed counts per type.
+
+    Streaming uses dropDuplicatesWithinWatermark (bounded state); batch
+    uses plain dropDuplicates — identical results when duplicate pairs
+    arrive within the watermark, which the replay harness guarantees.
+    The downstream agg is WINDOWED so the whole query runs in append mode
+    (an unbounded groupBy would demand complete mode = unbounded state)."""
+    if streaming:
+        deduped = events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:
+        deduped = events.withWatermark("ts", WATERMARK).dropDuplicates(["event_id"])
+    return (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "cnt",
+        )
+    )
+
+
+def run_stream_over_files(
+    spark,
+    source_dir: str,
+    transform,
+    schema,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Replay parquet files as a stream (one file per micro-batch, in
+    mtime order), apply `transform`, run in APPEND mode until exhausted,
+    return the emitted rows from a memory sink.
+
+    Append mode only emits windows finalized by the watermark — the test
+    harness appends a far-future sentinel file so every real window
+    finalizes. The production path swaps the file source for Kafka and
+    the memory sink for a real sink; `transform` is unchanged."""
+    import uuid
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    out = transform(stream)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,177 @@
+"""S1-S5 batch-equivalence: every streaming window query must produce the
+same result as its own batch application (SURVEY §2.2, §5.2.4).
+
+Replay harness: real events in one parquet file, then a far-future
+sentinel event in a second file (newer mtime) so the watermark passes
+every real window and append mode emits them all. The sentinel's own
+window never finalizes, so batch-side expectation = transform(real events).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_table_spark.sources.registry import load_table  # noqa: E402
+from data_table_spark.streaming.windows import (  # noqa: E402
+    deduped_windowed_counts,
+    run_stream_over_files,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SENTINEL_OFFSET_DAYS = 30
+
+
+def _sentinel_df(events):
+    """One far-future event derived from the LATEST real event, so the
+    final watermark clears every real window (an early-row sentinel +30d
+    can land before the last window's end and leave it unfinalized)."""
+    return events.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {SENTINEL_OFFSET_DAYS} DAYS")).alias("ts"),
+        F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"),
+    )
+
+
+def _stamp_mtimes(dirpath: str) -> None:
+    """Give each parquet part file a distinct ascending mtime in its write
+    order so the file stream source replays deterministically (sub-second
+    writes can otherwise tie or invert)."""
+    parts = sorted(
+        (os.path.getmtime(os.path.join(dirpath, f)), f)
+        for f in os.listdir(dirpath)
+        if f.endswith(".parquet")
+    )
+    base = time.time() - 3600
+    for i, (_, f) in enumerate(parts):
+        os.utime(os.path.join(dirpath, f), (base + i * 10, base + i * 10))
+
+
+@pytest.fixture(scope="module")
+def replay(spark, sf_smoke, tmp_path_factory):
+    """(source_dir, batch_events_df) — real events + sentinel file."""
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "src")
+    events = load_table(spark, "events", sf_smoke)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # sentinel file must sort later by mtime
+    sentinel = _sentinel_df(events)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    _stamp_mtimes(src)
+    return src, events
+
+
+def _compare(stream_df, batch_df, keys):
+    s = {tuple(r) for r in stream_df.select(*keys).collect()
+         if not _is_sentinel(r)}
+    b = {tuple(r) for r in batch_df.select(*keys).collect()}
+    assert s == b, f"stream-only={s - b} batch-only={b - s}"
+
+
+def _is_sentinel(row):
+    # sentinel rows live ~30 days past the real data; their window start
+    # is far beyond any real event's
+    d = row.asDict()
+    return d.get("cnt") == 1 and d.get("event_id", 0) == -1
+
+
+@pytest.mark.parametrize(
+    "name,transform,keys",
+    [
+        ("s1_tumbling", tumbling_counts,
+         ["w_start", "w_end", "event_type", "cnt", "sum_value"]),
+        ("s2_sliding", sliding_counts, ["w_start", "w_end", "event_type", "cnt"]),
+        ("s3_session", session_counts, ["w_start", "w_end", "user_id", "cnt"]),
+    ],
+)
+def test_batch_equivalence(name, transform, keys, spark, replay, tmp_path):
+    src, events = replay
+    got = run_stream_over_files(
+        spark, src, transform, events.schema, str(tmp_path / f"ck_{name}")
+    )
+    expected = transform(events)
+    # drop sentinel-derived windows from the streamed result: anything
+    # starting after max real ts
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    got = got.where(F.col("w_start") <= F.lit(max_ts))
+    _compare(got, expected, keys)
+
+
+def test_s4_watermark_drops_late_rows(spark, replay, tmp_path):
+    """S4: an event older than the watermark at arrival time is dropped by
+    the streaming agg but present in batch."""
+    src, events = replay
+    base = str(tmp_path / "late_src")
+    events.coalesce(1).write.mode("overwrite").parquet(base)
+    time.sleep(1.1)
+    # tick: advances the watermark past all real windows and forces their
+    # eviction BEFORE the late row arrives (otherwise the late row merges
+    # into still-live state in the same batch — append mode's documented
+    # best-effort lateness)
+    tick = events.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit(-3).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"),
+    )
+    tick.coalesce(1).write.mode("append").parquet(base)
+    time.sleep(1.1)
+    # a very late event: 2 days before the max ts, arriving after everything
+    late = events.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit(-2).cast("long").alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"),
+    )
+    late.coalesce(1).write.mode("append").parquet(base)
+    time.sleep(1.1)
+    sentinel = _sentinel_df(events)
+    sentinel.coalesce(1).write.mode("append").parquet(base)
+    _stamp_mtimes(base)
+
+    got = run_stream_over_files(
+        spark, base, tumbling_counts, events.schema, str(tmp_path / "ck_s4")
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    got_total = (
+        got.where(F.col("w_start") <= F.lit(max_ts))
+        .agg(F.sum("cnt")).collect()[0][0]
+    )
+    batch_total = events.count()
+    # the late row was dropped by the watermark: totals equal the ORIGINAL
+    # events count, not events+late
+    assert got_total == batch_total, (got_total, batch_total)
+
+
+def test_s5_stateful_dedup(spark, replay, tmp_path):
+    """S5: duplicate event_ids across files are deduplicated with bounded
+    state; result equals batch dropDuplicates."""
+    src, events = replay
+    base = str(tmp_path / "dup_src")
+    events.coalesce(1).write.mode("overwrite").parquet(base)
+    time.sleep(1.1)
+    # duplicate the first 50 events (same event_id, same ts → true dups)
+    dups = events.orderBy("event_id").limit(50)
+    dups.coalesce(1).write.mode("append").parquet(base)
+    time.sleep(1.1)
+    sentinel = _sentinel_df(events)
+    sentinel.coalesce(1).write.mode("append").parquet(base)
+    _stamp_mtimes(base)
+
+    got = run_stream_over_files(
+        spark, base,
+        lambda df: deduped_windowed_counts(df, streaming=True),
+        events.schema, str(tmp_path / "ck_s5"),
+    )
+    expected = deduped_windowed_counts(events, streaming=False)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    got = got.where(F.col("w_start") <= F.lit(max_ts))
+    _compare(got, expected, ["w_start", "w_end", "event_type", "cnt"])
