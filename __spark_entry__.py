@@ -42,6 +42,13 @@ try:
     )
 except Exception:  # pragma: no cover
     REFERENCE_QUERIES, REFERENCE_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.multimodal import (
+        MULTIMODAL_ORACLE,
+        MULTIMODAL_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    MULTIMODAL_QUERIES, MULTIMODAL_ORACLE = {}, {}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -56,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SIMILARITY_QUERIES)
     out.update(TEXTSTATS_QUERIES)
     out.update(REFERENCE_QUERIES)
+    out.update(MULTIMODAL_QUERIES)
     return out
 
 
@@ -66,4 +74,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(SIMILARITY_ORACLE)
     out.update(TEXTSTATS_ORACLE)
     out.update(REFERENCE_ORACLE)
+    out.update(MULTIMODAL_ORACLE)
     return out

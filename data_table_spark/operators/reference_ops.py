@@ -1,0 +1,101 @@
+"""Reference data-table facade operators exposed as gate queries
+(SURVEY §2.2 'Reference ops' rows: G1, G5-G10 made oracle-checkable).
+
+Each query drives the DataTable facade (core.py) — not raw DataFrames —
+so the correctness gate exercises the facade's positional/typing
+semantics end-to-end. Positional queries use the `region` table, whose
+parquet file order both engines preserve (single small file).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import DataTable
+from ..sources.registry import load_table
+
+#: F1 employees fixture rows (tests/data-table.lisp:15-24), all strings.
+EMPLOYEE_ROWS = [
+    ["Russ", "Tyndall", "Software Developer", "26.2", "1"],
+    ["Adam", "Smith", "Economist", "37.5", "2"],
+    ["John", "Doe", "Anonymous Human", "42.1", "3"],
+    ["Chuck", "Darwin", "Natural Philosipher", "17.68", "4"],
+    ["Bill", "Shakespear", "Bard", "12.2", "5"],
+    ["James", "Kirk", "Starship Captain", "13.1", "6"],
+]
+EMPLOYEE_COLS = ["first_name", "last_name", "job_title", "number_of_hours", "id"]
+
+
+def ref_select_columns(spark, sf_dir):
+    """R10 select-columns: projection by name with reorder
+    (data-table.lisp:193-208) through the facade."""
+    dt = DataTable(load_table(spark, "region", sf_dir))
+    return dt.select_columns(["r_name", "r_regionkey"]).df
+
+
+def ref_sub_table(spark, sf_dir):
+    """R9 make-sub-table: rows [1,4) of region in ingest order
+    (data-table.lisp:172-191)."""
+    dt = DataTable(load_table(spark, "region", sf_dir))
+    return dt.sub_table(lri=1, uri=4).df
+
+
+def ref_add_column(spark, sf_dir):
+    """R24 add-column with default at tail (data-table.lisp:494-502)."""
+    dt = DataTable(load_table(spark, "region", sf_dir))
+    return dt.add_column("tag", "x", T.StringType()).df
+
+
+def ref_coerce_types(spark, sf_dir):
+    """§1.3 inference end-to-end on the employees fixture: hours→DOUBLE,
+    id→BIGINT, names stay STRING (asserted by the reference at
+    tests/data-table.lisp:26-40)."""
+    dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    return dt.coerce_types(infer_dates=False).df
+
+
+def ref_format_output(spark, sf_dir):
+    """R22-R23 output formatting: doubles → '%.2f' strings, ints → plain,
+    null → '' (data-table.lisp:437-469)."""
+    dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    typed = dt.coerce_types(infer_dates=False)
+    return typed.format_for_output().df.select(
+        "id", "first_name", "number_of_hours"
+    )
+
+
+REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ref_select_columns": ref_select_columns,
+    "ref_sub_table": ref_sub_table,
+    "ref_add_column": ref_add_column,
+    "ref_coerce_types": ref_coerce_types,
+    "ref_format_output": ref_format_output,
+}
+
+_EMP_VALUES = ", ".join(
+    "(" + ", ".join(f"'{v}'" for v in row) + ")" for row in EMPLOYEE_ROWS
+)
+
+REFERENCE_ORACLE: dict[str, str] = {
+    "ref_select_columns":
+        "SELECT r_name, r_regionkey FROM region",
+    "ref_sub_table":
+        "SELECT r_regionkey, r_name FROM region LIMIT 3 OFFSET 1",
+    "ref_add_column":
+        "SELECT r_regionkey, r_name, 'x' AS tag FROM region",
+    "ref_coerce_types":
+        "SELECT first_name, last_name, job_title, "
+        "CAST(number_of_hours AS DOUBLE) number_of_hours, "
+        "CAST(id AS BIGINT) id "
+        f"FROM (VALUES {_EMP_VALUES}) "
+        "t(first_name, last_name, job_title, number_of_hours, id)",
+    "ref_format_output":
+        "SELECT id, first_name, printf('%.2f', number_of_hours) number_of_hours "
+        "FROM (SELECT first_name, CAST(number_of_hours AS DOUBLE) number_of_hours, "
+        f"CAST(id AS VARCHAR) id FROM (VALUES {_EMP_VALUES}) "
+        "t(first_name, last_name, job_title, number_of_hours, id))",
+}

@@ -1,0 +1,177 @@
+"""Data-driven DDL sizing + table round-trip (SURVEY §2.1 R36-R39).
+
+Reference (into /root/reference/):
+- mssql-db-types-for-data-table: varchar sized to next power of two ≥ max
+  observed length, text at ≥ 8000; int vs bigint by observed min/max vs
+  ±2^31 (clsql-data-table.lisp:56-80)
+- ensure-mssql/postgres-table-for-data-table: CREATE TABLE generation with
+  serial PK, excluded columns, dry-run (clsql-data-table.lisp:82-128,
+  183-192)
+- make-row-importer/import-data-table: row-at-a-time INSERT loop
+  (clsql-data-table.lisp:194-239) — replaced by batched writes
+  (saveAsTable / JDBC batchsize), the scale-correct equivalent.
+- exec / has-table? (clsql-data-table.lisp:4-10)
+
+The sizing scan is ONE aggregation job over the table (max(length), min,
+max per column) — same idea as the reference's per-column scans, but a
+single distributed pass instead of N in-memory list traversals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+TEXT_CUTOVER = 8000  # varchar → text (clsql-data-table.lisp:68-70)
+
+
+def next_highest_power_of_two(n: int) -> int:
+    """clsql-data-table.lisp:56-57."""
+    if n <= 1:
+        return 1
+    return 1 << (int(n - 1).bit_length())
+
+
+def column_stats(df: DataFrame) -> dict[str, dict]:
+    """One agg pass: per string column max(length); per integral column
+    min/max. Everything else typed statically."""
+    aggs = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            aggs.append(F.max(F.length(F.col(f.name))).alias(f"len__{f.name}"))
+        elif isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            aggs.append(F.min(F.col(f.name)).alias(f"min__{f.name}"))
+            aggs.append(F.max(F.col(f.name)).alias(f"max__{f.name}"))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0].asDict()
+    out: dict[str, dict] = {}
+    for k, v in row.items():
+        kind, name = k.split("__", 1)
+        out.setdefault(name, {})[kind] = v
+    return out
+
+
+def db_types_for_dataframe(df: DataFrame, dialect: str = "postgres") -> dict[str, str]:
+    """Column → DB type string, sized from the data (R36)."""
+    stats = column_stats(df)
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.StringType):
+            max_len = (stats.get(f.name, {}).get("len") or 0)
+            if max_len >= TEXT_CUTOVER:
+                out[f.name] = "TEXT" if dialect == "postgres" else "VARCHAR(MAX)"
+            else:
+                out[f.name] = f"VARCHAR({next_highest_power_of_two(max_len or 1)})"
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+            lo = stats.get(f.name, {}).get("min")
+            hi = stats.get(f.name, {}).get("max")
+            small = (
+                lo is not None and hi is not None
+                and lo >= INT32_MIN and hi <= INT32_MAX
+            )
+            out[f.name] = "INT" if small else "BIGINT"
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            out[f.name] = "DOUBLE PRECISION" if dialect == "postgres" else "FLOAT"
+        elif isinstance(dt, T.TimestampType):
+            out[f.name] = "TIMESTAMP" if dialect == "postgres" else "DATETIME2"
+        elif isinstance(dt, T.DateType):
+            out[f.name] = "DATE"
+        elif isinstance(dt, T.BooleanType):
+            out[f.name] = "BOOLEAN" if dialect == "postgres" else "BIT"
+        elif isinstance(dt, T.DecimalType):
+            out[f.name] = f"DECIMAL({dt.precision},{dt.scale})"
+        else:
+            out[f.name] = "TEXT" if dialect == "postgres" else "VARCHAR(MAX)"
+    return out
+
+
+def create_table_ddl(
+    df: DataFrame,
+    table_name: str,
+    dialect: str = "postgres",
+    serial_pk: str | None = "id",
+    excluded: tuple[str, ...] = (),
+) -> str:
+    """CREATE TABLE text (R37: serial PK prepended, excluded columns
+    dropped, names assumed pre-escaped via names.english_to_postgres/
+    english_to_mssql)."""
+    types = db_types_for_dataframe(df, dialect)
+    cols = []
+    if serial_pk and serial_pk not in df.columns:
+        pk = (
+            f"{serial_pk} SERIAL PRIMARY KEY"
+            if dialect == "postgres"
+            else f"{serial_pk} INT IDENTITY(1,1) PRIMARY KEY"
+        )
+        cols.append(pk)
+    for f in df.schema.fields:
+        if f.name in excluded:
+            continue
+        cols.append(f"{f.name} {types[f.name]}")
+    body = ",\n  ".join(cols)
+    return f"CREATE TABLE {table_name} (\n  {body}\n)"
+
+
+def has_table(spark: SparkSession, name: str) -> bool:
+    """R39 has-table? → catalog check."""
+    return spark.catalog.tableExists(name)
+
+
+def ensure_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    mode: str = "error",
+) -> None:
+    """Catalog-backed equivalent of ensure-table-for-data-table: create a
+    managed table matching df's schema (Spark owns physical typing for
+    its own catalog; db_types_for_dataframe drives external JDBC DDL)."""
+    if not has_table(spark, name):
+        df.limit(0).write.saveAsTable(name)
+    elif mode == "error":
+        raise ValueError(f"table {name} already exists")
+
+
+def import_dataframe(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    row_filter=None,
+    mode: str = "append",
+) -> int:
+    """R38 import-data-table, batched: optional row_filter (the reference's
+    row-fn hook, clsql-data-table.lisp:224-225) becomes a pre-write
+    filter; the write is a single distributed append, not per-row
+    INSERTs."""
+    out = df.where(row_filter) if row_filter is not None else df
+    out.write.mode(mode).saveAsTable(name)
+    return spark.table(name).count()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10000,
+    dialect: str = "postgres",
+    **props,
+) -> None:
+    """External-DB path: batched JDBC append with data-driven column types
+    (replaces the reference's one-INSERT-per-row loop,
+    clsql-data-table.lisp:229-239). Untestable in this container (no JDBC
+    driver); the DDL-sizing logic it shares with create_table_ddl is
+    covered by tests."""
+    col_types = ", ".join(
+        f"{c} {t}" for c, t in db_types_for_dataframe(df, dialect).items()
+    )
+    (
+        df.write.mode(mode)
+        .option("batchsize", str(batchsize))
+        .option("createTableColumnTypes", col_types)
+        .jdbc(url, table, properties=props)
+    )

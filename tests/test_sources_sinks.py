@@ -1,0 +1,155 @@
+"""CSV inference ingest (G1), catalog round-trip (G3-equivalent), DDL
+sizing (R36-R37), multimodal plumbing, and reference-op gate queries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_table_spark.operators.multimodal import (  # noqa: E402
+    MULTIMODAL_ORACLE,
+    MULTIMODAL_QUERIES,
+    decode_media,
+    documents_as_media,
+)
+from data_table_spark.operators.reference_ops import (  # noqa: E402
+    REFERENCE_ORACLE,
+    REFERENCE_QUERIES,
+)
+from data_table_spark.plans.ddl import (  # noqa: E402
+    create_table_ddl,
+    db_types_for_dataframe,
+    ensure_table,
+    has_table,
+    import_dataframe,
+    next_highest_power_of_two,
+)
+from data_table_spark.sources.csv import read_csv_inferred  # noqa: E402
+from tests.oracle_util import compare_to_oracle, duck_connection  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------- G1: CSV
+
+CSV_TEXT = """first name,last name,number of hours,id,joined
+Russ,Tyndall,"26.2",1,2020-01-01
+Adam,Smith,"$37.50",2,2020-02-01
+John,Doe,42.1,3,2020-03-01
+Empty,Case,nil,4,2020-04-01
+"""
+
+
+def test_csv_inferred(spark, tmp_path):
+    p = tmp_path / "emp.csv"
+    p.write_text(CSV_TEXT)
+    df = read_csv_inferred(spark, str(p))
+    types = dict(df.dtypes)
+    assert types["number of hours"] == "double"     # lenient $-parse
+    assert types["id"] == "bigint"
+    assert types["joined"] == "timestamp"           # date inference (improvement)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["number of hours"] == 37.5       # "$37.50"
+    assert rows[4]["number of hours"] is None       # "nil" → NULL
+
+
+def test_csv_duplicate_headers(spark, tmp_path):
+    p = tmp_path / "dup.csv"
+    p.write_text("a,a,b\n1,2,3\n")
+    df = read_csv_inferred(spark, str(p))
+    assert df.columns == ["a", "a_1", "b"]
+
+
+# ------------------------------------------------------- R36-R37: DDL sizing
+
+def test_next_highest_power_of_two():
+    assert next_highest_power_of_two(1) == 1
+    assert next_highest_power_of_two(2) == 2
+    assert next_highest_power_of_two(3) == 4
+    assert next_highest_power_of_two(17) == 32
+    assert next_highest_power_of_two(4096) == 4096
+
+
+def test_db_types_sizing(spark):
+    df = spark.createDataFrame(
+        [("abcde", 1, 2.5), ("ab", 2**40, 1.0)], ["s", "n", "d"]
+    )
+    types = db_types_for_dataframe(df, "postgres")
+    assert types["s"] == "VARCHAR(8)"       # max len 5 → pow2 = 8
+    assert types["n"] == "BIGINT"           # exceeds int32
+    assert types["d"] == "DOUBLE PRECISION"
+    small = spark.createDataFrame([(1,), (100,)], ["n"])
+    assert db_types_for_dataframe(small, "postgres")["n"] == "INT"
+
+
+def test_create_table_ddl(spark):
+    df = spark.createDataFrame([("x", 1)], ["name", "n"])
+    ddl = create_table_ddl(df, "t1", "postgres")
+    assert ddl.startswith("CREATE TABLE t1")
+    assert "id SERIAL PRIMARY KEY" in ddl
+    assert "name VARCHAR(1)" in ddl
+    assert "n INT" in ddl
+    mssql = create_table_ddl(df, "t1", "mssql", serial_pk="pk")
+    assert "pk INT IDENTITY(1,1) PRIMARY KEY" in mssql
+
+
+def test_catalog_round_trip(spark):
+    """R38-R39: ensure + batched import + existence check through the
+    Spark catalog (the JDBC path shares the sizing logic; no driver jar
+    in this container)."""
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["s", "n"])
+    name = "dt_round_trip_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert not has_table(spark, name)
+    ensure_table(spark, df, name)
+    assert has_table(spark, name)
+    cnt = import_dataframe(spark, df, name, row_filter=F.col("n") > 1)
+    assert cnt == 1  # row-fn hook filtered one row
+    back = spark.table(name).collect()
+    assert [tuple(r) for r in back] == [("b", 2)]
+    spark.sql(f"DROP TABLE {name}")
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_decode_fake(spark, sf_smoke):
+    m = documents_as_media(spark, sf_smoke).limit(5)
+    out = decode_media(m, fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_bytes"] > 0
+        assert len(r["feat"]) == 4
+        assert r["feat"][0] == float(r["n_bytes"])
+
+
+def test_media_decode_stub_raises(spark, sf_smoke):
+    m = documents_as_media(spark, sf_smoke).limit(1)
+    with pytest.raises(Exception) as exc:
+        decode_media(m, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+# ------------------------------------------- oracle gate for new queries
+
+@pytest.mark.parametrize(
+    "name", sorted({**REFERENCE_ORACLE, **MULTIMODAL_ORACLE})
+)
+def test_new_oracles(name, spark, sf_dir, duck):
+    q = {**REFERENCE_QUERIES, **MULTIMODAL_QUERIES}[name]
+    o = {**REFERENCE_ORACLE, **MULTIMODAL_ORACLE}[name]
+    ok, msg = compare_to_oracle(q(spark, sf_dir), duck, o)
+    assert ok, f"{name}: {msg}"
