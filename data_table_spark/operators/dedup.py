@@ -124,7 +124,14 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<long>[k]) via k independent xxhash64 min-hashes
-    over exploded distinct shingles — ONE shuffle (the groupBy)."""
+    over exploded distinct shingles + groupBy(doc_id) with k min() aggs.
+
+    Measured fastest of four strategies (explode+groupBy 5.9s vs
+    per-row array_min-of-transforms 10.7s vs nested-transform 175s —
+    higher-order lambdas fall out of codegen — vs aggregate/zip_with
+    11.7s; sf0.1, local[32]). It is also scale-correct: min() partial-
+    aggregates map-side, so the shuffle carries one (doc_id, k longs)
+    row per doc per partition — O(docs), never the exploded shingles."""
     sh = docs.select(
         "doc_id", F.explode(_bigram_shingles(F.col("text"))).alias("shingle")
     )
