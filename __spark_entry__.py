@@ -43,6 +43,10 @@ try:
 except Exception:  # pragma: no cover
     REFERENCE_QUERIES, REFERENCE_ORACLE = {}, {}
 try:
+    from data_table_spark.operators.udfs import UDF_ORACLE, UDF_QUERIES
+except Exception:  # pragma: no cover
+    UDF_QUERIES, UDF_ORACLE = {}, {}
+try:
     from data_table_spark.operators.multimodal import (
         MULTIMODAL_ORACLE,
         MULTIMODAL_QUERIES,
@@ -64,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TEXTSTATS_QUERIES)
     out.update(REFERENCE_QUERIES)
     out.update(MULTIMODAL_QUERIES)
+    out.update(UDF_QUERIES)
     return out
 
 
@@ -75,4 +80,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXTSTATS_ORACLE)
     out.update(REFERENCE_ORACLE)
     out.update(MULTIMODAL_ORACLE)
+    out.update(UDF_ORACLE)
     return out

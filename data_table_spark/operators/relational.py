@@ -519,3 +519,194 @@ RELATIONAL_ORACLE: dict[str, str] = {
         "COALESCE(o.o_totalprice, 0.0) tp "
         "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey",
 }
+
+
+# --------------------------------------------------------------------------
+# extended coverage: events windowing, sessionization, pivot, scalar breadth
+# --------------------------------------------------------------------------
+
+def q33_events_tumbling(spark, sf_dir):
+    """Batch form of streaming S1: 5-minute tumbling buckets over events
+    (epoch-floor buckets so the oracle is engine-neutral)."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    return e.groupBy(bucket.alias("bucket"), "event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q34_sessionization(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence per user. One window pass for lag, one running sum
+    for session ids, one agg — all shuffles on user_id."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800, 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id",
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q35_pivot(spark, sf_dir):
+    """Pivot l_returnflag values into columns (oracle spells it as
+    conditional aggregation — the portable form of PIVOT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+def q36_string_breadth(spark, sf_dir):
+    """Wider scalar-string coverage: pad/replace/position/initcap-adjacent."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "-").alias("rp"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("pos_a"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.left(F.col("p_type"), F.lit(3)).alias("l3"),
+        F.right(F.col("p_type"), F.lit(3)).alias("r3"),
+    )
+
+
+def q37_date_breadth(spark, sf_dir):
+    """Date arithmetic: diffs, offsets, truncation, parts, last_day."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("dd"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("eom"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )
+
+
+def q38_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    priority, and grand total — via SQL (the DataFrame API spells it
+    rollup/cube only)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q39_string_agg(spark, sf_dir):
+    """Ordered string aggregation: deterministic via sorted collect."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+def q40_conditional_agg(spark, sf_dir):
+    """FILTER-style conditional aggregation + least/greatest."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_nodisc"),
+        F.round(
+            F.sum(F.least(F.col("l_quantity"), F.lit(10.0))), 2
+        ).alias("capped_qty"),
+    )
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "q33_events_tumbling": q33_events_tumbling,
+        "q34_sessionization": q34_sessionization,
+        "q35_pivot": q35_pivot,
+        "q36_string_breadth": q36_string_breadth,
+        "q37_date_breadth": q37_date_breadth,
+        "q38_grouping_sets": q38_grouping_sets,
+        "q39_string_agg": q39_string_agg,
+        "q40_conditional_agg": q40_conditional_agg,
+    }
+)
+
+RELATIONAL_ORACLE.update(
+    {
+        "q33_events_tumbling":
+            "SELECT CAST(FLOOR(epoch(ts)/300) AS BIGINT) bucket, event_type, "
+            "COUNT(*)::BIGINT cnt, ROUND(SUM(value), 2) sum_value "
+            "FROM events GROUP BY 1, 2",
+        "q34_sessionization":
+            "WITH lagged AS ("
+            "  SELECT user_id, ts, event_id, "
+            "  CASE WHEN FLOOR(epoch(ts))::BIGINT - FLOOR(epoch(LAG(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800 "
+            "  THEN 1 ELSE 0 END brk FROM events"
+            "), sess AS ("
+            "  SELECT user_id, ts, "
+            "  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id "
+            "  FROM lagged) "
+            "SELECT user_id, session_id, COUNT(*)::BIGINT n_events, "
+            "CAST(MIN(ts) AS TIMESTAMP) session_start, "
+            "CAST(MAX(ts) AS TIMESTAMP) session_end "
+            "FROM sess GROUP BY user_id, session_id",
+        "q35_pivot":
+            "SELECT l_linestatus, "
+            "ROUND(SUM(CASE WHEN l_returnflag='A' THEN l_quantity END), 2) qty_a, "
+            "ROUND(SUM(CASE WHEN l_returnflag='N' THEN l_quantity END), 2) qty_n, "
+            "ROUND(SUM(CASE WHEN l_returnflag='R' THEN l_quantity END), 2) qty_r "
+            "FROM lineitem GROUP BY l_linestatus",
+        "q36_string_breadth":
+            "SELECT p_partkey, lpad(p_brand, 12, '*') lp, rpad(p_brand, 12, '-') rp, "
+            "replace(p_type, ' ', '_') rep, "
+            "CAST(strpos(p_name, 'a') AS BIGINT) pos_a, reverse(p_brand) rev, "
+            "left(p_type, 3) l3, right(p_type, 3) r3 FROM part",
+        "q37_date_breadth":
+            "SELECT o_orderkey, "
+            "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) dd, "
+            "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) plus30, "
+            "last_day(CAST(o_orderdate AS DATE)) eom, "
+            "CAST(day(o_orderdate) AS BIGINT) dom, "
+            "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) dow, "  # DuckDB Sun=0; Spark Sun=1
+            "CAST(quarter(o_orderdate) AS BIGINT) qtr "
+            "FROM orders",
+        "q38_grouping_sets":
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) cnt FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        "q39_string_agg":
+            "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) nations "
+            "FROM nation GROUP BY n_regionkey",
+        "q40_conditional_agg":
+            "SELECT l_returnflag, "
+            "COUNT(*) FILTER (WHERE l_quantity > 25)::BIGINT n_big, "
+            "COUNT(*) FILTER (WHERE l_discount = 0)::BIGINT n_nodisc, "
+            "ROUND(SUM(LEAST(l_quantity, 10.0)), 2) capped_qty "
+            "FROM lineitem GROUP BY l_returnflag",
+    }
+)

@@ -1,0 +1,110 @@
+"""UDF surface (SURVEY §2.2 G11): scalar pandas UDF, grouped-map
+applyInPandas, and table-function (explode/posexplode) forms.
+
+Policy: UDFs are the SLOW path — every operator elsewhere in this engine
+is built-in expressions. This module exists because the reference's users
+need an escape hatch, and it demonstrates the right way to take it:
+Arrow-batched pandas UDFs (per-batch JVM⇄Python transfer), never
+row-at-a-time Python UDFs. Each demo computes something that also has a
+pure-SQL equivalent so the DuckDB gate can verify the UDF machinery
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.registry import load_table
+
+
+def _net_price_udf():
+    # built lazily: the pandas_udf decorator parses its type against an
+    # active SparkSession, so it cannot run at module import time
+    @pandas_udf(T.DoubleType())
+    def _net_price(ext: pd.Series, disc: pd.Series) -> pd.Series:
+        return ext * (1.0 - disc)
+
+    return _net_price
+
+
+def udf_scalar_net_price(spark, sf_dir):
+    """Scalar pandas UDF over lineitem; Arrow-batched, one Python worker
+    per task. (For production this exact formula should be a built-in
+    expression — the UDF is the point here.)"""
+    li = load_table(spark, "lineitem", sf_dir)
+    net = _net_price_udf()
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        # floor-truncate: price*(1-disc) lands exactly on .xx5 often, where
+        # Spark ROUND (half-up on decimal repr) and DuckDB ROUND (binary)
+        # disagree; floor of identical doubles is engine-independent
+        (F.floor(net("l_extendedprice", "l_discount") * 100) / 100).alias("net"),
+    )
+
+
+GROUP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("max_price", T.DoubleType()),
+    ]
+)
+
+
+def udf_grouped_map_stats(spark, sf_dir):
+    """Grouped-map applyInPandas: per-customer order stats. Each group
+    arrives as ONE pandas DataFrame — the shuffle is on o_custkey, state
+    is bounded by the largest group."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total": [round(pdf["o_totalprice"].sum(), 2)],
+                "max_price": [pdf["o_totalprice"].max()],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(stats, GROUP_STATS_SCHEMA)
+
+
+def udf_table_function_tokens(spark, sf_dir):
+    """Table-function surface: posexplode of the token array (1 row in →
+    N rows out). Bounded to doc_id < 50 to keep the gate result small."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 50)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token")
+    )
+
+
+UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "udf_scalar_net_price": udf_scalar_net_price,
+    "udf_grouped_map_stats": udf_grouped_map_stats,
+    "udf_table_function_tokens": udf_table_function_tokens,
+}
+
+UDF_ORACLE: dict[str, str] = {
+    "udf_scalar_net_price":
+        "SELECT l_orderkey, l_linenumber, "
+        "FLOOR(l_extendedprice * (1 - l_discount) * 100) / 100 net FROM lineitem",
+    "udf_grouped_map_stats":
+        "SELECT o_custkey, COUNT(*)::BIGINT n_orders, "
+        "ROUND(SUM(o_totalprice), 2) total, MAX(o_totalprice) max_price "
+        "FROM orders GROUP BY o_custkey",
+    "udf_table_function_tokens":
+        "SELECT doc_id, u.pos::BIGINT pos, u.token FROM documents, "
+        "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) token, "
+        "generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) pos) u "
+        "WHERE doc_id < 50",
+}
