@@ -1,0 +1,60 @@
+"""Scale utilities: skew-handling salted joins and bucketed co-located
+joins (SURVEY §4, 100 TB posture).
+
+These are the knobs you reach for when AQE's automatic skew splitting
+isn't enough or when a join key is reused across many queries:
+
+- ``salted_join``: explode the skewed (large) side's key with a salt in
+  [0, salt) and replicate the small side once per salt value. Turns one
+  hot partition into ``salt`` even ones. Use when a handful of keys
+  dominate (power-law user_ids, null-heavy keys).
+- ``write_bucketed`` / bucketed reads: pre-shuffle a fact table ONCE into
+  N buckets by join key; every later equi-join or aggregation on that key
+  skips its shuffle entirely (verified by plan inspection in
+  tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with salt-based skew mitigation.
+
+    large gets a random-but-deterministic salt per row (hash of the whole
+    row modulo ``salt`` — no rand(), so plans stay deterministic and
+    retry-safe); small is exploded ``salt``× and the join key becomes
+    (key, salt). Result equals a plain join on ``key``.
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt))
+    l = large.withColumn("_salt", lsalt)
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")),
+    )
+    out = l.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) table: one shuffle now,
+    zero shuffles for every subsequent equi-join/groupBy on ``key``
+    between tables bucketed the same way."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(name)

@@ -1,0 +1,137 @@
+"""Property-based tests (SURVEY §5.2.3): round-trip invariants and
+inference-lattice monotonicity, via hypothesis.
+
+Driver-side generators feed small tables through the real Spark engine —
+sizes stay tiny (Spark job per example is expensive) while hypothesis
+explores the value space.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_table_spark.core import DataTable  # noqa: E402
+from data_table_spark.inference import simplify_type  # noqa: E402
+from data_table_spark.names import dedupe_names, resolve_column  # noqa: E402
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1,
+    max_size=4, unique_by=lambda s: s.lower(),
+)
+cell = st.one_of(st.integers(-1000, 1000), st.text(alphabet="xyz ", max_size=5))
+
+
+@SLOW
+@given(keys=keys, n=st.integers(1, 4), data=st.data())
+def test_records_round_trip(spark, keys, n, data):
+    """records→table→records is identity modulo first-record keys
+    (data-table.lisp:504-537). Columns are homogeneous per key: a Spark
+    column has ONE type, so heterogeneous cells (legal in the reference's
+    Lisp lists) unify — documented model difference, excluded here."""
+    per_key = {
+        k: (
+            st.integers(-1000, 1000)
+            if data.draw(st.booleans(), label=f"int_{k}")
+            else st.text(alphabet="xyz ", max_size=5)
+        )
+        for k in keys
+    }
+    records = [
+        {k: data.draw(per_key[k]) for k in keys} for _ in range(n)
+    ]
+    dt = DataTable.from_records(spark, records)
+    back = dt.to_records()
+    assert len(back) == len(records)
+    for orig, got in zip(records, back):
+        assert got == {k: orig[k] for k in keys}
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-(2**70), 2**70), st.floats(allow_nan=False),
+                  st.text(max_size=6)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_simplify_lattice_monotone(vals):
+    """Adding a string-typed value can only demote a column toward string;
+    the lattice never promotes (data-table.lisp:336-343)."""
+    order = {"integer": 0, "double-float": 1, "string": 2}
+    types = [simplify_type(v) for v in vals]
+    resolved = max(types, key=lambda t: order[t])
+    assert order[resolved] >= max(order[t] for t in types)
+    # 2^63 demotion is absolute
+    for v in vals:
+        if isinstance(v, int) and abs(v) >= 2**63:
+            assert simplify_type(v) == "string"
+
+
+@given(names=st.lists(st.text(alphabet="abAB_", min_size=1, max_size=4),
+                      min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_dedupe_names_properties(names):
+    """dedupe produces case-insensitively unique names and preserves
+    originals' first occurrences (clsql-data-table.lisp:145-181)."""
+    out = dedupe_names(names)
+    assert len(out) == len(names)
+    lowered = [n.lower() for n in out]
+    assert len(set(lowered)) == len(lowered)
+    seen = set()
+    for orig, new in zip(names, out):
+        if orig.lower() not in seen:
+            assert new == orig     # first occurrence untouched
+        seen.add(orig.lower())
+    for n in out:
+        assert resolve_column(out, n) == out.index(n)
+
+
+@SLOW
+@given(
+    lci=st.integers(0, 2), width=st.integers(1, 2),
+    lri=st.integers(0, 2), height=st.integers(1, 2),
+)
+def test_sub_table_composition(spark, lci, width, lri, height):
+    """Slicing twice equals slicing once with composed bounds
+    (make-sub-table, data-table.lisp:172-191)."""
+    rows = [[f"r{r}c{c}" for c in range(5)] for r in range(5)]
+    dt = DataTable.from_rows(spark, rows, [f"col{c}" for c in range(5)])
+    once = dt.sub_table(lci=lci, uci=lci + width, lri=lri, uri=lri + height)
+    twice = (
+        dt.sub_table(lci=lci, uci=5, lri=lri, uri=5)
+        .sub_table(lci=0, uci=width, lri=0, uri=height)
+    )
+    assert once.rows() == twice.rows()
+    assert once.column_names == twice.column_names
+
+
+def test_sql_entry(spark, sf_dir):
+    """R33 get-data-table: SQL-string entry returns a DataTable."""
+    from data_table_spark.sources.sql import get_data_table, open_testdata
+
+    open_testdata(spark, sf_dir)
+    dt = get_data_table(
+        spark, "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    )
+    assert dt.number_of_rows == 5
+    assert dt.column_names == ["r_regionkey", "r_name"]
+    typed = get_data_table(
+        spark,
+        "SELECT * FROM (VALUES ('1','2.5','x'), ('3','4.5','y')) t(a, b, c)",
+        auto_type_result=True,
+    )
+    assert [t.simpleString() for t in typed.column_types] == [
+        "bigint", "double", "string",
+    ]
