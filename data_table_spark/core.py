@@ -453,6 +453,41 @@ class DataTable:
         # formatting drops _row_id; re-attach from the ordered frame
         return DataTable(formatted, config=self.config)
 
+    def render(self, output_type: str = "string") -> str:
+        """Render the whole table in a named format — the engine's version
+        of the reference's ``coerce-value-for-output`` output-type dispatch
+        hook ("intended to be extended … to allow mutating to html / csv",
+        data-table.lisp:441-443). Formats: 'string' (TSV-ish), 'csv',
+        'html'. Driver-side; for report-scale results only (the reference
+        renders whole tables in memory too)."""
+        formatted = self.format_for_output()
+        names = formatted.column_names
+        rows = formatted.rows()
+        if output_type == "csv":
+            import csv as _csv
+            import io
+
+            buf = io.StringIO()
+            w = _csv.writer(buf)
+            w.writerow(names)
+            w.writerows(rows)
+            return buf.getvalue()
+        if output_type == "html":
+            head = "".join(f"<th>{n}</th>" for n in names)
+            body = "".join(
+                "<tr>" + "".join(f"<td>{v}</td>" for v in r) + "</tr>"
+                for r in rows
+            )
+            return (
+                f"<table><thead><tr>{head}</tr></thead>"
+                f"<tbody>{body}</tbody></table>"
+            )
+        if output_type == "string":
+            lines = ["\t".join(names)]
+            lines += ["\t".join(r) for r in rows]
+            return "\n".join(lines)
+        raise ValueError(f"unknown output_type {output_type!r}")
+
     def to_records(self) -> list[dict]:
         """table → list of dicts in row order (data-table-to-alists,
         data-table.lisp:523-537). Driver-side; small results only."""

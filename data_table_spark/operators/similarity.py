@@ -200,3 +200,64 @@ SIMILARITY_ORACLE: dict[str, str] = {
     # sim_lsh_topk: hash-derived buckets — rows-only; recall asserted in
     # tests/test_similarity.py.
 }
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (coarse quantizer + probed partitions)
+# --------------------------------------------------------------------------
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroid vectors via posexplode + elementwise avg —
+    the coarse quantizer's codebook (k = #labels). At scale you'd learn
+    k-means centroids; the probe/search machinery is identical."""
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.array_agg(F.struct("pos", "c")).alias("pc"))
+        .select(
+            "label",
+            F.transform(F.array_sort("pc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+
+def sim_ivf_topk(spark, sf_dir, n_probe: int = 2):
+    """IVF ANN: rank partitions (labels) by query-to-centroid cosine,
+    search exactly within the top n_probe partitions only.
+
+    Scale shape: the codebook is tiny (broadcast); partition ranking is
+    a k-row computation; the exact scan touches ~n_probe/k of the corpus.
+    The result is DETERMINISTIC given the codebook: equals brute force
+    restricted to the probed partitions (asserted in tests)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = _centroids(e)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    ranked = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine(F.col("centroid"), F.col("qv")).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(ranked), "label")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_ivf_topk"] = sim_ivf_topk
+# sim_ivf_topk: probed-partition semantics have no direct SQL oracle;
+# exactness-within-probe is asserted in tests/test_extensions.py.

@@ -105,3 +105,38 @@ def test_lsh_topk_is_subset_semantics(spark, sf_dir):
     rows = SIMILARITY_QUERIES["sim_lsh_topk"](spark, sf_dir).collect()
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_exact_within_probed_partitions(spark, sf_dir):
+    """IVF result must EQUAL brute force restricted to the probed labels
+    (the approximation is the partition pruning, nothing else)."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _centroids,
+        cosine,
+        sim_ivf_topk,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    got = [(r["vec_id"], r["cos_sim"]) for r in sim_ivf_topk(spark, sf_dir).collect()]
+    cents = _centroids(e)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    probed = [
+        r["label"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("label")).limit(2).collect()
+    ]
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in e.where(F.col("label").isin(probed))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K).collect()
+    ]
+    assert got == expected

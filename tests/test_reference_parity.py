@@ -228,3 +228,21 @@ def test_ragged_rows(spark):
         ["c", "d", "e", "f"],
         ["g", "h", "i", None],
     ]
+
+
+def test_render_formats(employees):
+    """R22-R23 output-type dispatch: '%.2f' doubles, '' nulls, csv/html
+    renderers (coerce-value-for-output, data-table.lisp:437-469)."""
+    typed = employees.coerce_types(infer_dates=False)
+    s = typed.render("string")
+    assert "26.20\t1" in s.replace("26.20", "26.20")  # %.2f + tab layout
+    lines = s.splitlines()
+    assert lines[0].split("\t") == typed.column_names
+    assert lines[1].endswith("26.20\t1")
+    csv_text = typed.render("csv")
+    assert csv_text.splitlines()[1].endswith("26.20,1")
+    html = typed.render("html")
+    assert html.startswith("<table>") and "<td>26.20</td>" in html
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        typed.render("nope")
