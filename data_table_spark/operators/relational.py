@@ -710,3 +710,119 @@ RELATIONAL_ORACLE.update(
             "FROM lineitem GROUP BY l_returnflag",
     }
 )
+
+
+def q41_percentiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation — both engines
+    interpolate identically on doubles; 6dp rounding absorbs ulp noise)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+    )
+
+
+def q42_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates it into a join
+    (no per-row re-execution; check the plan for the rewritten agg+join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders_cs o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_cs c
+        """
+    )
+
+
+def q43_range_frame(spark, sf_dir):
+    """RANGE window frame: sum of all orders within ±1000.0 of the current
+    price, per status — value-based frames, not row-based."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rf")
+    # SQL form: the DataFrame API's rangeBetween only takes integer
+    # offsets; RANGE with fractional bounds needs the SQL surface
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+               ) AS BIGINT) AS n_near
+        FROM orders_rf
+        """
+    )
+
+
+def q44_first_last_value(spark, sf_dir):
+    """first_value / last_value / nth_value over a full-partition frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.last_value("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+def q45_case_insensitive_and_regex(spark, sf_dir):
+    """regexp_extract / regexp_count / case-insensitive match — the
+    regex scalar family."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit("a")).cast("long").alias("n_a"),
+        F.col("p_brand").rlike("(?i)brand#1").cast("int").cast("long").alias("is_b1"),
+    )
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "q41_percentiles": q41_percentiles,
+        "q42_correlated_subquery": q42_correlated_subquery,
+        "q43_range_frame": q43_range_frame,
+        "q44_first_last_value": q44_first_last_value,
+        "q45_regex_scalars": q45_case_insensitive_and_regex,
+    }
+)
+
+RELATIONAL_ORACLE.update(
+    {
+        "q41_percentiles":
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_extendedprice, 0.5), 6) p50, "
+            "ROUND(quantile_cont(l_extendedprice, 0.9), 6) p90, "
+            "ROUND(quantile_cont(l_quantity, 0.25), 6) q25 "
+            "FROM lineitem GROUP BY l_returnflag",
+        "q42_correlated_subquery":
+            "SELECT c_custkey, "
+            "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) n_orders "
+            "FROM customer c",
+        "q43_range_frame":
+            "SELECT o_orderkey, CAST(COUNT(*) OVER ("
+            "PARTITION BY o_orderstatus ORDER BY o_totalprice "
+            "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS BIGINT) n_near "
+            "FROM orders",
+        "q44_first_last_value":
+            "SELECT o_custkey, o_orderkey, "
+            "FIRST_VALUE(o_orderkey) OVER w first_ok, "
+            "LAST_VALUE(o_orderkey) OVER w last_ok, "
+            "NTH_VALUE(o_orderkey, 2) OVER w second_ok "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+        "q45_regex_scalars":
+            "SELECT p_partkey, regexp_extract(p_type, '^(\\w+)', 1) first_word, "
+            "CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) n_a, "
+            "CAST(CASE WHEN regexp_matches(p_brand, '(?i)brand#1') THEN 1 ELSE 0 END AS BIGINT) is_b1 "
+            "FROM part",
+    }
+)
