@@ -108,3 +108,35 @@ UDF_ORACLE: dict[str, str] = {
         "generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) pos) u "
         "WHERE doc_id < 50",
 }
+
+
+def udf_python_udtf_words(spark, sf_dir):
+    """A real Python UDTF (PySpark 4 @udtf): one text row in → one row per
+    word out, with the word length. Registered and invoked through the
+    SQL LATERAL surface; bounded to doc_id < 20."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: bigint")
+    class Words:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register("dt_words", Words)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, w.word, w.wlen
+        FROM docs_udtf, LATERAL dt_words(text) w
+        WHERE doc_id < 20
+        """
+    )
+
+
+UDF_QUERIES["udf_python_udtf_words"] = udf_python_udtf_words
+UDF_ORACLE["udf_python_udtf_words"] = (
+    "SELECT doc_id, u.word, CAST(length(u.word) AS BIGINT) wlen "
+    "FROM documents, "
+    "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) word) u "
+    "WHERE doc_id < 20"
+)

