@@ -826,3 +826,29 @@ RELATIONAL_ORACLE.update(
             "FROM part",
     }
 )
+
+
+def q46_array_ops(spark, sf_dir):
+    """G4: array build / join / element access — the reference's list-cell
+    → ", "-joined-string semantics (data-table.lisp:448-451) as native
+    array columns."""
+    n = _t(spark, sf_dir, "nation")
+    arr = F.array("n_name", F.upper("n_name"))
+    return n.select(
+        "n_nationkey",
+        F.concat_ws(", ", arr).alias("joined"),
+        F.element_at(arr, 1).alias("first_el"),
+        F.size(arr).cast("long").alias("n_el"),
+        F.array_contains(arr, F.upper("n_name")).alias("has_upper"),
+    )
+
+
+RELATIONAL_QUERIES["q46_array_ops"] = q46_array_ops
+RELATIONAL_ORACLE["q46_array_ops"] = (
+    "SELECT n_nationkey, "
+    "array_to_string([n_name, upper(n_name)], ', ') joined, "
+    "[n_name, upper(n_name)][1] first_el, "
+    "CAST(len([n_name, upper(n_name)]) AS BIGINT) n_el, "
+    "list_contains([n_name, upper(n_name)], upper(n_name)) has_upper "
+    "FROM nation"
+)
