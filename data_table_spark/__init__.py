@@ -14,11 +14,13 @@ from .config import DEFAULT_CONFIG, EngineConfig
 from .core import DataTable, with_row_id
 from .inference import BadTypeGuess, auto_type, guess_types, simplify_type
 from .session import get_spark
+from .sources.sql import get_data_table
 
 __all__ = [
     "DataTable",
     "with_row_id",
     "get_spark",
+    "get_data_table",
     "EngineConfig",
     "DEFAULT_CONFIG",
     "auto_type",

@@ -852,3 +852,69 @@ RELATIONAL_ORACLE["q46_array_ops"] = (
     "list_contains([n_name, upper(n_name)], upper(n_name)) has_upper "
     "FROM nation"
 )
+
+
+def q47_tpch_q3_shape(spark, sf_dir):
+    """Composite showcase (TPC-H Q3 shape): selective filters pushed to
+    both scans, fact-fact join, aggregation, top-k — Catalyst orders the
+    joins, AQE resizes the shuffle."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q48_tpch_q5_shape(spark, sf_dir):
+    """Composite showcase (TPC-H Q5 shape): 5-way star join with broadcast
+    dims + grouped revenue per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q47_tpch_q3_shape"] = q47_tpch_q3_shape
+RELATIONAL_QUERIES["q48_tpch_q5_shape"] = q48_tpch_q5_shape
+RELATIONAL_ORACLE["q47_tpch_q3_shape"] = (
+    "SELECT l_orderkey, o_orderdate, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+)
+RELATIONAL_ORACLE["q48_tpch_q5_shape"] = (
+    "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) revenue, "
+    "COUNT(*)::BIGINT n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "GROUP BY n_name"
+)
