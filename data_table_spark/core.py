@@ -498,6 +498,34 @@ class DataTable:
         return [list(r) for r in
                 self._df.orderBy(ROW_ID).select(*self.column_names).collect()]
 
+    # ---------- mutating (!) variants ----------
+    # The reference splits copy-vs-mutate APIs (symbolize-column-names!,
+    # sql-escape-column-names!, …, data-table.lisp:114-117 etc.). The
+    # engine stays immutable; the _bang forms rebind THIS facade in place.
+
+    def _mutate(self, other: "DataTable") -> "DataTable":
+        self._df = other._df
+        return self
+
+    def set_value_bang(self, value, row_idx=None, col=None) -> "DataTable":
+        return self._mutate(self.set_value(value, row_idx=row_idx, col=col))
+
+    def symbolize_column_names_bang(self) -> "DataTable":
+        return self._mutate(self.symbolize_column_names())
+
+    def sql_escape_column_names_bang(self, transform=spark_safe_name) -> "DataTable":
+        return self._mutate(self.sql_escape_column_names(transform))
+
+    def coerce_types_bang(self, explicit=None, on_error=None,
+                          infer_dates: bool = True) -> "DataTable":
+        return self._mutate(
+            self.coerce_types(explicit, on_error, infer_dates)
+        )
+
+    def overlay_region_bang(self, new: "DataTable", row_idx: int = 0,
+                            col_idx: int = 0) -> "DataTable":
+        return self._mutate(self.overlay_region(new, row_idx, col_idx))
+
     # ---------- plumbing ----------
 
     def _rebind(self, df: DataFrame) -> "DataTable":

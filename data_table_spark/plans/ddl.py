@@ -152,6 +152,14 @@ def import_dataframe(
     return spark.table(name).count()
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str, **props) -> DataFrame:
+    """R33's external half: read a DB table/query into a DataFrame."""
+    reader = spark.read
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    return reader.jdbc(url, table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -163,15 +171,30 @@ def write_jdbc(
 ) -> None:
     """External-DB path: batched JDBC append with data-driven column types
     (replaces the reference's one-INSERT-per-row loop,
-    clsql-data-table.lisp:229-239). Untestable in this container (no JDBC
-    driver); the DDL-sizing logic it shares with create_table_ddl is
-    covered by tests."""
+    clsql-data-table.lisp:229-239). Tested against embedded Derby (on the
+    Spark classpath); the sizing strings are ANSI enough for Derby and
+    Postgres both."""
+    # createTableColumnTypes must parse as Spark SQL types — normalize the
+    # dialect strings (DOUBLE PRECISION/TEXT are DDL-only spellings)
+    def spark_parsable(t: str) -> str:
+        return {
+            "DOUBLE PRECISION": "DOUBLE",
+            "FLOAT": "DOUBLE",
+            "TEXT": "VARCHAR(32672)",
+            "VARCHAR(MAX)": "VARCHAR(32672)",
+            "DATETIME2": "TIMESTAMP",
+            "BIT": "BOOLEAN",
+        }.get(t, t)
+
     col_types = ", ".join(
-        f"{c} {t}" for c, t in db_types_for_dataframe(df, dialect).items()
+        f"{c} {spark_parsable(t)}"
+        for c, t in db_types_for_dataframe(df, dialect).items()
     )
-    (
+    w = (
         df.write.mode(mode)
         .option("batchsize", str(batchsize))
         .option("createTableColumnTypes", col_types)
-        .jdbc(url, table, properties=props)
     )
+    for k, v in props.items():
+        w = w.option(k, v)
+    w.jdbc(url, table)

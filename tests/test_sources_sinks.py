@@ -153,3 +153,43 @@ def test_new_oracles(name, spark, sf_dir, duck):
     o = {**REFERENCE_ORACLE, **MULTIMODAL_ORACLE}[name]
     ok, msg = compare_to_oracle(q(spark, sf_dir), duck, o)
     assert ok, f"{name}: {msg}"
+
+
+def test_jdbc_round_trip_derby(spark, tmp_path):
+    """G3: REAL JDBC round-trip against embedded Derby (shipped on the
+    Spark classpath) using the data-driven column sizing."""
+    from data_table_spark.plans.ddl import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [("abcde", 1, 2.5), ("ab", 2**40, 1.0)], ["s", "n", "d"]
+    )
+    url = f"jdbc:derby:{tmp_path}/g3db;create=true"
+    write_jdbc(
+        df, url, "t_g3", mode="overwrite",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    back = read_jdbc(spark, url, "t_g3", driver="org.apache.derby.jdbc.EmbeddedDriver")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # the sized VARCHAR stuck: Derby rejects over-length inserts
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    too_long = spark.createDataFrame([("x" * 100, 1, 1.0)], ["s", "n", "d"])
+    with _pytest.raises(Exception):
+        too_long.write.mode("append").option(
+            "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+        ).jdbc(url, "t_g3")
+
+
+def test_bang_variants(spark):
+    """Reference mutate-vs-copy split: _bang methods rebind in place."""
+    from data_table_spark.core import DataTable
+
+    dt = DataTable.from_rows(spark, [["1", "a b"]], ["Num Col", "Txt Col"])
+    out = dt.symbolize_column_names_bang()
+    assert out is dt
+    assert dt.column_names == ["num-col", "txt-col"]
+    dt.coerce_types_bang(infer_dates=False)
+    assert dt.column_types[0].simpleString() == "bigint"
+    dt.set_value_bang(5, row_idx=0, col="num-col")
+    assert dt.value(row_idx=0, col="num-col") == 5
