@@ -106,18 +106,33 @@ def guess_types(
     columns: list[str] | None = None,
     sample_size: int = GUESSING_TYPES_SAMPLE_SIZE,
     infer_dates: bool = True,
+    sample_mode: str = "head",
 ) -> dict[str, T.DataType]:
     """Infer a Spark type per (string) column from a bounded sample.
 
-    One job: limit(sample) → single agg of 4 counters per column.
-    (guess-types-for-data-table, data-table.lisp:331-343)
+    One job: sample → single agg of 4 counters per column
+    (guess-types-for-data-table, data-table.lisp:331-343).
+
+    sample_mode:
+    - 'head' (default): ``limit(n)`` — reads only the first partitions,
+      O(n) regardless of table size; the right default at 100 TB.
+    - 'reservoir': distributed reservoir via ``rdd.takeSample`` — exact
+      parity with the reference's sample-rows (data-table.lisp:295-307),
+      but scans the full table once; opt in when head rows are biased
+      (e.g. a sorted file whose early rows are all-numeric).
     """
     columns = columns or [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     ]
     if not columns:
         return {}
-    sample = df.select(*columns).limit(sample_size)
+    if sample_mode == "reservoir":
+        rows = df.select(*columns).rdd.takeSample(False, sample_size, seed=42)
+        if not rows:
+            return {c: T.StringType() for c in columns}
+        sample = df.sparkSession.createDataFrame(rows, df.select(*columns).schema)
+    else:
+        sample = df.select(*columns).limit(sample_size)
     exprs = [e for c in columns for e in _candidate_exprs(c)]
     row = sample.agg(*exprs).collect()[0].asDict()
     out: dict[str, T.DataType] = {}

@@ -246,3 +246,17 @@ def test_render_formats(employees):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         typed.render("nope")
+
+
+def test_reservoir_sampling_mode(spark):
+    """R15 parity: reservoir mode sees rows beyond the head — a table whose
+    first 1000 rows are integers but later rows are strings infers LONG
+    under head sampling and STRING under reservoir sampling."""
+    from data_table_spark.inference import guess_types
+
+    rows = [(str(i),) for i in range(2000)] + [("not a number",)] * 500
+    df = spark.createDataFrame(rows, ["v"]).coalesce(1)
+    head = guess_types(df, sample_size=1000, sample_mode="head")
+    res = guess_types(df, sample_size=1000, sample_mode="reservoir")
+    assert head["v"].simpleString() == "bigint"     # head-biased
+    assert res["v"].simpleString() == "string"      # reservoir sees the tail
