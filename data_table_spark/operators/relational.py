@@ -918,3 +918,25 @@ RELATIONAL_ORACLE["q48_tpch_q5_shape"] = (
     "JOIN nation ON s_nationkey = n_nationkey "
     "GROUP BY n_name"
 )
+
+
+def q49_json_extract(spark, sf_dir):
+    """JSON scalar family: extract from the events.props JSON strings —
+    both the path-string form (get_json_object) and the typed form
+    (from_json → field access), asserted equal."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    typed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        typed["k"].alias("k_typed"),
+    ).where(F.col("k") == F.col("k_typed"))
+
+
+RELATIONAL_QUERIES["q49_json_extract"] = q49_json_extract
+RELATIONAL_ORACLE["q49_json_extract"] = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) k_typed FROM events"
+)
