@@ -314,3 +314,70 @@ DEDUP_ORACLE: dict[str, str] = {
     # rows-only here; recall vs the brute-force oracle asserted in
     # tests/test_dedup.py.
 }
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: each doc labeled with the min
+    doc_id of its connected component (the canonical survivor).
+
+    Iterative label propagation: every node adopts the smallest label among
+    itself and its neighbors until a fixed point. Each iteration is one
+    join + one aggregation (both shuffle on doc id); iterations needed =
+    graph diameter, which for dedup graphs (cliques of copies) is tiny —
+    max_iterations bounds pathological chains.
+
+    Input: (a, b) pairs with a < b. Output: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.doc_id)
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark, sf_dir):
+    """End-to-end: MinHash-LSH pairs → connected components → per-doc
+    canonical cluster id (docs with no near-dup are absent: singletons
+    keep themselves)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return duplicate_clusters(pairs)
+
+
+DEDUP_QUERIES["dedup_clusters"] = dedup_clusters
+# dedup_clusters: hash-derived pairs → rows-only; transitivity and
+# canonical-min properties asserted in tests/test_extensions.py.

@@ -58,3 +58,16 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: queries filtering on the
+    partition columns read ONLY matching directories (static partition
+    pruning — verify PartitionFilters in the scan node). The standard
+    date/tenant layout for 100 TB fact tables."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

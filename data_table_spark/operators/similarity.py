@@ -261,3 +261,83 @@ def sim_ivf_topk(spark, sf_dir, n_probe: int = 2):
 SIMILARITY_QUERIES["sim_ivf_topk"] = sim_ivf_topk
 # sim_ivf_topk: probed-partition semantics have no direct SQL oracle;
 # exactness-within-probe is asserted in tests/test_extensions.py.
+
+
+# --------------------------------------------------------------------------
+# batched ANN: LSH k-NN join (query BATCH × corpus)
+# --------------------------------------------------------------------------
+
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN JOIN: for every query vector, its top-k corpus
+    neighbors among LSH-band candidates.
+
+    Both sides are signed once (map-only); candidates come from matching
+    any of 4 8-bit signature bands (shuffle on small band keys — never a
+    cross join); exact cosine ranks candidates; a per-query window takes
+    k. This is the batch-lookup shape the single-query operators can't
+    scale to: O(|Q|·bucket) instead of O(|Q|·|corpus|).
+    """
+    from pyspark.sql import Window
+
+    def signed(df, prefix):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            lsh_signature(F.col(vec_col)).alias(f"{prefix}_sig"),
+        )
+
+    def bands(df, prefix):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col(f"{prefix}_sig"), i * 8)
+                            .bitwiseAND(F.lit(0xFF))
+                            .alias("bh"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", "b.band", "b.bh")
+
+    qb = bands(signed(queries, "q"), "q")
+    cb = bands(signed(corpus, "c"), "c")
+    cand = (
+        qb.join(cb, ["band", "bh"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id", "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sim_knn_join(spark, sf_dir):
+    """Gate demo: k-NN join of the first 20 vectors against the corpus."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return lsh_knn_join(e.where(F.col("vec_id") < 20), e, k=3)
+
+
+SIMILARITY_QUERIES["sim_knn_join"] = sim_knn_join
+# sim_knn_join: hash-bucketed candidates — rows-only; self-retrieval and
+# ranking invariants asserted in tests/test_extensions.py.

@@ -140,3 +140,27 @@ def test_ivf_topk_exact_within_probed_partitions(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K).collect()
     ]
     assert got == expected
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Connected components: chains collapse to one cluster labeled with
+    the min id; disjoint components stay apart."""
+    from data_table_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → cluster 1
+         (10, 11),                    # pair → cluster 10
+         (20, 21), (21, 22)],         # chain → cluster 20
+        ["a", "b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_on_fixture(spark, sf_dir):
+    from data_table_spark.operators.dedup import dedup_clusters
+
+    rows = dedup_clusters(spark, sf_dir).collect()
+    assert rows, "expected near-dup clusters in the fixture"
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]

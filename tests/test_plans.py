@@ -101,3 +101,39 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE b_cust")
         spark.sql("DROP TABLE b_ord")
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned writes prune: a day-filtered query reads only that
+    day's directory (PartitionFilters in the scan, not a post-filter)."""
+    from data_table_spark.operators.scale import write_partitioned
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned(e, path, ["day"])
+    back = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    p = _plan(back)
+    assert "PartitionFilters: [isnotnull(day" in p, p
+    n_days = back.select("day").distinct().count()
+    assert n_days == 1
+
+
+def test_lsh_knn_join_invariants(spark, sf_dir):
+    """k-NN join: every query with any candidate gets ≤k ranked neighbors,
+    ranks are dense from 1, and similarities are non-increasing."""
+    from data_table_spark.operators.similarity import SIMILARITY_QUERIES
+
+    rows = SIMILARITY_QUERIES["sim_knn_join"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos_sim"], r["c_id"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        sims = [s for _, s, _ in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert len(lst) <= 3
