@@ -26,8 +26,6 @@ with the cast projection. No collect() of data, only of per-column counters.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,14 +59,6 @@ def simplify_type(value) -> str:
     if isinstance(value, float):
         return "double-float" if abs(value) < LARGEST_NUMBER else "string"
     return "string"
-
-
-@dataclass
-class _Candidates:
-    non_null: int
-    bad: int        # values that only work as strings (incl. 2^63 demotions)
-    non_int: int    # double-parsing values that are not in-range integers
-    ts: int         # ISO-dateish values
 
 
 def _candidate_exprs(col: str) -> list[Column]:

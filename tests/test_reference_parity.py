@@ -260,3 +260,25 @@ def test_reservoir_sampling_mode(spark):
     res = guess_types(df, sample_size=1000, sample_mode="reservoir")
     assert head["v"].simpleString() == "bigint"     # head-biased
     assert res["v"].simpleString() == "string"      # reservoir sees the tail
+
+
+def test_row_id_dense_across_partitions(spark, sf_dir):
+    """with_row_id must produce a dense 0..n-1 sequence even over a
+    multi-partition input (the distributed offsets path)."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import with_row_id
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(16)
+    ids = with_row_id(df)
+    n = df.count()
+    stats = ids.agg(
+        F.count("_row_id").alias("cnt"),
+        F.countDistinct("_row_id").alias("nd"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi"),
+    ).collect()[0]
+    assert stats["cnt"] == n
+    assert stats["nd"] == n          # unique
+    assert stats["lo"] == 0
+    assert stats["hi"] == n - 1      # dense
