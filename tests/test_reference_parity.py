@@ -282,3 +282,33 @@ def test_row_id_dense_across_partitions(spark, sf_dir):
     assert stats["nd"] == n          # unique
     assert stats["lo"] == 0
     assert stats["hi"] == n - 1      # dense
+
+
+def test_sql_defined_functions(spark):
+    """§4.3.5: reference scalars usable from spark.sql text with no
+    Python UDF — SQL-defined functions inline into the Catalyst plan and
+    agree with their Column-expression twins."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions.cleaning import relaxed_double, trim_and_nullify
+    from data_table_spark.functions.sql_functions import register_reference_functions
+
+    names = register_reference_functions(spark)
+    assert set(names) == {
+        "dt_trim_nullify", "dt_relaxed_double", "dt_relaxed_bigint", "dt_fmt2",
+    }
+    got = spark.sql("""
+        SELECT dt_trim_nullify('  a  ') a, dt_trim_nullify('NIL') b,
+               dt_relaxed_double('$1,000.50') c, dt_relaxed_double('abc') d,
+               dt_relaxed_bigint(' 42 ') e, dt_relaxed_bigint('1.5') f,
+               dt_fmt2(26.2) g, dt_fmt2(NULL) h, dt_fmt2(1234.567) i
+    """).collect()[0]
+    assert tuple(got) == ("a", None, 1000.5, None, 42, None, "26.20", "", "1234.57")
+    # equivalence with the Column twins on a sampled column
+    df = spark.createDataFrame([(" 1,5%",), ("nil",), ("$2.50",)], ["s"])
+    df.createOrReplaceTempView("sqlfn_t")
+    via_sql = spark.sql(
+        "SELECT dt_relaxed_double(dt_trim_nullify(s)) v FROM sqlfn_t"
+    ).collect()
+    via_col = df.select(relaxed_double(trim_and_nullify("s")).alias("v")).collect()
+    assert [r["v"] for r in via_sql] == [r["v"] for r in via_col]
