@@ -143,6 +143,36 @@ class DataTable:
             df = spark.createDataFrame([], schema)
         return cls(df, config=config)
 
+    @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        header: bool = True,
+        config: EngineConfig = DEFAULT_CONFIG,
+        **options,
+    ) -> "DataTable":
+        """CSV → typed DataTable via the reference inference pipeline
+        (sources/csv.read_csv_inferred)."""
+        from .sources.csv import read_csv_inferred
+
+        return cls(
+            read_csv_inferred(spark, path, header=header, config=config, **options),
+            config=config,
+        )
+
+    # ---------- sinks ----------
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Persist user-visible columns as parquet (row order is an
+        ingest-time notion; at rest the table is relational)."""
+        self.df.write.mode(mode).parquet(path)
+
+    def save_table(self, name: str, mode: str = "overwrite") -> None:
+        """Persist to the session catalog (replaces the CLSQL import path
+        for Spark-native storage; JDBC path in plans/ddl.py)."""
+        self.df.write.mode(mode).saveAsTable(name)
+
     # ---------- schema access (R2-R4, R21) ----------
 
     @property

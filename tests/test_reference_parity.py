@@ -312,3 +312,18 @@ def test_sql_defined_functions(spark):
     ).collect()
     via_col = df.select(relaxed_double(trim_and_nullify("s")).alias("v")).collect()
     assert [r["v"] for r in via_sql] == [r["v"] for r in via_col]
+
+
+def test_facade_csv_and_sinks(spark, tmp_path):
+    """from_csv → typed facade → parquet round-trip keeps data + types."""
+    from data_table_spark.core import DataTable
+
+    p = tmp_path / "t.csv"
+    p.write_text("name,qty\nax,\"$1,000.50\"\nbx,nil\n")
+    dt = DataTable.from_csv(spark, str(p))
+    assert [t.simpleString() for t in dt.column_types] == ["string", "double"]
+    out = str(tmp_path / "t.parquet")
+    dt.write_parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes) == {"name": "string", "qty": "double"}
+    assert sorted(map(tuple, back.collect())) == [("ax", 1000.5), ("bx", None)]

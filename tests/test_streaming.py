@@ -226,3 +226,54 @@ def test_stateful_running_totals(spark, replay, tmp_path):
     assert len(mismatches) <= 1, mismatches
     for u, (got, exp) in mismatches.items():
         assert got[0] == exp[0] + 1, mismatches
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
+    """Stop/restart resilience: a windowed aggregation checkpointed to
+    disk, fed half the data, stopped, then restarted with the rest +
+    sentinel, must emit every window EXACTLY once to a file sink (state
+    restored from the checkpoint, no reprocessing, no loss)."""
+    import os as _os
+
+    from data_table_spark.sources.registry import load_table
+
+    events = load_table(spark, "events", sf_smoke)
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    events.where(F.col("event_id") <= mid).coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()                      # half the data; most windows not final
+    time.sleep(1.1)
+    events.where(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _sentinel_df(events).coalesce(1).write.mode("append").parquet(src)
+    _stamp_mtimes(src)
+    run_once()                      # restart from checkpoint; finalize all
+
+    got = spark.read.parquet(out)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    got = got.where(F.col("w_start") <= F.lit(max_ts))
+    expected = tumbling_counts(events)
+    keys = ["w_start", "w_end", "event_type", "cnt", "sum_value"]
+    g = sorted(map(tuple, got.select(*keys).collect()))
+    e = sorted(map(tuple, expected.select(*keys).collect()))
+    assert g == e  # each window exactly once with full counts
