@@ -31,6 +31,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # warm the JVM/codegen once so timings reflect steady state, not init
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(qs):

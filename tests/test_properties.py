@@ -135,3 +135,25 @@ def test_sql_entry(spark, sf_dir):
     assert [t.simpleString() for t in typed.column_types] == [
         "bigint", "double", "string",
     ]
+
+
+def test_render_csv_reingest_round_trip(spark, tmp_path):
+    """Coherence: a typed table rendered to CSV and re-ingested through
+    the inference pipeline recovers the same values (doubles at 2dp, the
+    render precision)."""
+    from data_table_spark.core import DataTable
+
+    dt = DataTable.from_rows(
+        spark,
+        [["ax", "1.25", "7"], ["bx", "nil", "8"], ["cx", "3.5", "9"]],
+        ["name", "val", "n"],
+    ).coerce_types(infer_dates=False)
+    csv_text = dt.render("csv")
+    p = tmp_path / "rt.csv"
+    p.write_text(csv_text)
+    back = DataTable.from_csv(spark, str(p))
+    assert back.column_names == dt.column_names
+    assert [t.simpleString() for t in back.column_types] == [
+        t.simpleString() for t in dt.column_types
+    ]
+    assert back.rows() == dt.rows()
