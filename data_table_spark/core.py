@@ -132,15 +132,22 @@ class DataTable:
             names.append(f"col_{len(names)}")
         names = dedupe_names([str(n) for n in names], config.on_duplicate_column)
         padded = [tuple(list(r) + [None] * (width - len(r))) for r in rows]
-        if padded:
-            # all-string ingest mirrors the reference's CSV/string entry
+        # Cells keep their Python types when the column is homogeneous
+        # (the reference's rows hold values as-is); when inference cannot
+        # determine or merge a column's type (mixed cells, all-NULL
+        # column), the whole table demotes to strings — the deterministic
+        # Spark rendering of the reference's untyped-cell model, with
+        # types recoverable via coerce_types().
+        str_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        if not padded:
+            return cls(spark.createDataFrame([], str_schema), config=config)
+        try:
+            df = spark.createDataFrame(padded, schema=list(names))
+        except Exception:
             str_rows = [
-                tuple(None if v is None else v for v in r) for r in padded
+                tuple(None if v is None else str(v) for v in r) for r in padded
             ]
-            df = spark.createDataFrame(str_rows, schema=list(names))
-        else:
-            schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
-            df = spark.createDataFrame([], schema)
+            df = spark.createDataFrame(str_rows, str_schema)
         return cls(df, config=config)
 
     @classmethod
@@ -285,17 +292,30 @@ class DataTable:
             )
             return self._rebind(df)
         if col is not None:
-            # column-set from a value list; shorter lists pad the remaining
-            # rows with NULL (asserted tests/data-table.lisp:42-53)
-            name = self.column_names[self.column_index(col)]
+            # column-set from a value list: the reference iterates exactly
+            # len(values) cell-sets (data-table.lisp:166-170), so rows
+            # BEYOND the list keep their existing values, and a list longer
+            # than the table auto-extends it (each cell-set ensure-rows,
+            # data-table.lisp:145-152)
             values = list(value)
-            spark = self._df.sparkSession
+            n = len(values)
+            dt = self._ensure_rows(n)
+            name = dt.column_names[dt.column_index(col)]
+            spark = dt._df.sparkSession
             vals_df = spark.createDataFrame(
                 [(i, v) for i, v in enumerate(values)], schema=[ROW_ID, "_dt_new"]
             )
+            old_c, new_c = F.col(name), F.col("_dt_new")
+            if dict(dt._df.dtypes)[name] != dict(vals_df.dtypes)["_dt_new"]:
+                # untyped-cell model: mixing value types demotes the column
+                # to string rather than corrupting either side with a cast
+                old_c, new_c = old_c.cast("string"), new_c.cast("string")
             df = (
-                self._df.join(F.broadcast(vals_df), ROW_ID, "left")
-                .withColumn(name, F.col("_dt_new"))
+                dt._df.join(F.broadcast(vals_df), ROW_ID, "left")
+                .withColumn(
+                    name,
+                    F.when(F.col(ROW_ID) < n, new_c).otherwise(old_c),
+                )
                 .drop("_dt_new")
             )
             return self._rebind(df)
@@ -412,8 +432,15 @@ class DataTable:
         columns (as string, NULL-filled) and rows (NULL-filled)
         (overlay-region, data-table.lisp:218-238; growth at 221-233).
 
-        Implementation: outer join on shifted _row_id + per-column coalesce
-        (new value wins inside the overlay window) — pure DataFrame ops.
+        Implementation: left join on shifted _row_id carrying a window
+        marker + per-column CASE gated on the WINDOW, not on value
+        nullness — the reference assigns every overlay cell
+        unconditionally (data-table.lisp:234-238), so an explicit NULL in
+        the overlay block overwrites the old cell. A type mismatch between
+        overlay and base column demotes the column to string (the
+        reference's untyped-cell model) instead of try_cast-ing overlay
+        values into the base type (which silently kept the old cell when
+        the cast failed — round-2 advisor finding).
         """
         base = self
         need_cols = col_idx + new.number_of_columns
@@ -428,21 +455,26 @@ class DataTable:
         target_names = base_names[col_idx : col_idx + new.number_of_columns]
         shifted = new._df.select(
             (F.col(ROW_ID) + F.lit(row_idx)).alias(ROW_ID),
+            F.lit(True).alias("_ov_in"),
             *[
                 F.col(c).alias(f"_ov_{i}")
                 for i, c in enumerate(new.column_names)
             ],
         )
         j = base._df.join(F.broadcast(shifted), ROW_ID, "left")
+        in_window = F.col("_ov_in").eqNullSafe(F.lit(True))
+        base_types = dict(base._df.dtypes)
+        new_types = dict(new._df.dtypes)
         out_cols = [F.col(ROW_ID)]
         for name in base_names:
             if name in target_names:
                 i = target_names.index(name)
-                t = dict(base._df.dtypes)[name]
+                old_c, new_c = F.col(name), F.col(f"_ov_{i}")
+                if base_types[name] != new_types[new.column_names[i]]:
+                    old_c = old_c.cast("string")
+                    new_c = new_c.cast("string")
                 out_cols.append(
-                    F.coalesce(
-                        F.col(f"_ov_{i}").try_cast(t), F.col(name)
-                    ).alias(name)
+                    F.when(in_window, new_c).otherwise(old_c).alias(name)
                 )
             else:
                 out_cols.append(F.col(name))

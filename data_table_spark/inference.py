@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .config import GUESSING_TYPES_SAMPLE_SIZE, LARGEST_NUMBER
-from .functions.cleaning import relaxed_double, trim_and_nullify
+from .functions.cleaning import _NUMERIC_JUNK, relaxed_double, trim_and_nullify
 
 _INT_RE = r"^[+-]?[0-9]+$"
 _TS_RE = r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
@@ -65,7 +65,7 @@ def _candidate_exprs(col: str) -> list[Column]:
     """Counting expressions for one column's candidate types (runs over the
     sample; equivalent of assign-types-to-column, data-table.lisp:309-329)."""
     v = trim_and_nullify(F.col(col))
-    stripped = F.regexp_replace(v, r"[\s $,%]", "")
+    stripped = F.regexp_replace(v, _NUMERIC_JUNK, "")
     is_int_syntax = stripped.rlike(_INT_RE)
     # 2^63 range check on integer syntax without overflow: decimal(38,0)
     # (2^63 itself doesn't fit a Java long, so the literal goes in as a
@@ -166,7 +166,7 @@ def _cast_expr(col: str, dtype: T.DataType) -> Column:
     if isinstance(dtype, T.DoubleType):
         return relaxed_double(v)
     if isinstance(dtype, (T.LongType, T.IntegerType)):
-        stripped = F.regexp_replace(v, r"[\s $,%]", "")
+        stripped = F.regexp_replace(v, _NUMERIC_JUNK, "")
         return F.when(stripped.rlike(_INT_RE), stripped.try_cast(dtype)).otherwise(
             F.lit(None).cast(dtype)
         )

@@ -52,8 +52,9 @@ def test_data_table_types(employees):
 
 
 def test_data_table_value_manip(employees):
-    """tests/data-table.lisp:42-53 — add-column at index 1; short column-set
-    pads remaining rows with NULL."""
+    """tests/data-table.lisp:42-53 — add-column at index 1; a short
+    column-set writes exactly len(values) cells (the just-added column is
+    all-NULL, so trailing rows read NULL)."""
     dt = employees.add_column("middle name", None, T.StringType(), index=1)
     assert dt.column_names[1] == "middle name"
     assert dt.number_of_columns == 6
@@ -62,6 +63,45 @@ def test_data_table_value_manip(employees):
     assert col == ["Q", "R", "S", "T", None, None]
     # other columns untouched
     assert dt2.value(col="first name") == [r[0] for r in EMPLOYEE_ROWS]
+
+
+def test_column_set_keeps_trailing_values_and_extends(employees):
+    """(setf data-table-value) col branch iterates exactly len(values)
+    cell-sets (data-table.lisp:166-170): rows beyond the list KEEP their
+    values; a list longer than the table auto-extends it via ensure-rows
+    (round-2 advisor finding — the old implementation NULLed trailing rows
+    and truncated long lists)."""
+    # shorter list: trailing rows keep their existing first names
+    dt = employees.set_value(["X", "Y"], col="first name")
+    assert dt.value(col="first name") == ["X", "Y", "John", "Chuck", "Bill", "James"]
+    # longer list: table grows, other columns pad with NULL
+    seven = ["A", "B", "C", "D", "E", "F", "G"]
+    dt2 = employees.set_value(seven, col="first name")
+    assert dt2.number_of_rows == 7
+    assert dt2.value(col="first name") == seven
+    assert dt2.value(row_idx=6, col="last name") is None
+
+
+def test_overlay_explicit_null_and_type_conflict(spark):
+    """overlay-region assigns every overlay cell unconditionally
+    (data-table.lisp:234-238): an explicit NULL in the overlay block must
+    overwrite, and pasting strings over a typed column demotes it to
+    string instead of silently keeping old cells (round-2 advisor
+    finding)."""
+    base = DataTable.from_rows(spark, [["a", "b"], ["c", "d"]])
+    block = DataTable.from_rows(spark, [[None, "z"]])
+    out = base.overlay_region(block, 0, 0)
+    rows = out.rows()
+    assert rows[0] == [None, "z"]
+    assert rows[1] == ["c", "d"]
+    # type conflict: string block over long column → column reads back
+    # as strings, values overwritten
+    typed = DataTable.from_records(
+        spark, [{"n": 1, "s": "x"}, {"n": 2, "s": "y"}]
+    )
+    sblock = DataTable.from_rows(spark, [["ten"]])
+    out2 = typed.overlay_region(sblock, 0, 0)
+    assert out2.value(col="n") == ["ten", "2"]
 
 
 def test_data_table_value_manip2(employees):
@@ -260,6 +300,20 @@ def test_reservoir_sampling_mode(spark):
     res = guess_types(df, sample_size=1000, sample_mode="reservoir")
     assert head["v"].simpleString() == "bigint"     # head-biased
     assert res["v"].simpleString() == "string"      # reservoir sees the tail
+
+
+def test_nbsp_grouped_integers_infer_long(spark):
+    """Inference and coercion strip the same junk class as relaxed parsing
+    (_NUMERIC_JUNK, NBSP included): '1\\u00a0000'-style NBSP-grouped
+    integers infer and coerce as LONG, not DOUBLE (round-2 advisor
+    finding — the re-spelled ASCII-only class diverged)."""
+    from data_table_spark.inference import guess_types
+
+    rows = [("1 000",), ("2 500",), ("10 000",)]
+    df = spark.createDataFrame(rows, ["v"])
+    assert guess_types(df)["v"].simpleString() == "bigint"
+    dt = DataTable(df).coerce_types()
+    assert dt.value(col="v") == [1000, 2500, 10000]
 
 
 def test_row_id_dense_across_partitions(spark, sf_dir):
