@@ -921,22 +921,88 @@ RELATIONAL_ORACLE["q48_tpch_q5_shape"] = (
 
 
 def q49_json_extract(spark, sf_dir):
-    """JSON scalar family: extract from the events.props JSON strings —
-    both the path-string form (get_json_object) and the typed form
-    (from_json → field access), asserted equal."""
+    """JSON scalar family: typed extraction from the events.props JSON
+    strings via a single ``from_json`` parse (subexpression-eliminated by
+    codegen, so props is parsed once per row). The alternative path-string
+    form (``get_json_object``) is asserted equal to this one in
+    tests/test_relational.py::test_json_extract_paths_agree — keeping the
+    assertion out of the gated query avoids a null-vs-null filter asymmetry
+    against the oracle (rows whose props lack key 'k' must survive) and
+    halves the per-row parse cost."""
     from ..sources.registry import load_table
 
     e = load_table(spark, "events", sf_dir)
-    typed = F.from_json(F.col("props"), "k BIGINT")
+    typed = F.from_json(F.col("props"), "k BIGINT")["k"]
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-        typed["k"].alias("k_typed"),
-    ).where(F.col("k") == F.col("k_typed"))
+        typed.alias("k"),
+        typed.alias("k_typed"),
+    )
 
 
 RELATIONAL_QUERIES["q49_json_extract"] = q49_json_extract
 RELATIONAL_ORACLE["q49_json_extract"] = (
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k, "
     "CAST(json_extract_string(props, '$.k') AS BIGINT) k_typed FROM events"
+)
+
+
+def q50_right_join(spark, sf_dir):
+    """RIGHT OUTER join (mirror of q06): the reference reaches RIGHT JOIN
+    through its SQL pass-through (get-data-table,
+    /root/reference/clsql-data-table.lisp:13-19). Catalyst plans right outer
+    exactly like left outer with sides swapped; customers without orders
+    survive with NULL o_orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .select("c_custkey", "o_orderkey")
+    )
+
+
+def q51_union_distinct(spark, sf_dir):
+    """UNION (distinct) — union() is bag concat, distinct() dedupes; Spark
+    plans this as a single hash aggregate over the concatenated scans (no
+    extra shuffle vs UNION ALL + GROUP BY)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+def q52_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference keeps duplicate cardinality
+    (customer has ~60 rows per nationkey, supplier ~4; the result keeps the
+    surplus copies, unlike q26's set-semantics EXCEPT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+def q53_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection (min of per-side
+    multiplicities per key)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+RELATIONAL_QUERIES["q50_right_join"] = q50_right_join
+RELATIONAL_QUERIES["q51_union_distinct"] = q51_union_distinct
+RELATIONAL_QUERIES["q52_except_all"] = q52_except_all
+RELATIONAL_QUERIES["q53_intersect_all"] = q53_intersect_all
+RELATIONAL_ORACLE["q50_right_join"] = (
+    "SELECT c_custkey, o_orderkey FROM orders "
+    "RIGHT JOIN customer ON o_custkey = c_custkey"
+)
+RELATIONAL_ORACLE["q51_union_distinct"] = (
+    "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey k FROM supplier"
+)
+RELATIONAL_ORACLE["q52_except_all"] = (
+    "SELECT c_nationkey k FROM customer EXCEPT ALL "
+    "SELECT s_nationkey k FROM supplier"
+)
+RELATIONAL_ORACLE["q53_intersect_all"] = (
+    "SELECT c_nationkey k FROM customer INTERSECT ALL "
+    "SELECT s_nationkey k FROM supplier"
 )

@@ -28,6 +28,28 @@ def test_oracle_match(name, spark, sf_dir, duck):
     assert ok, f"{name}: {msg}"
 
 
+def test_json_extract_paths_agree(spark, sf_dir):
+    """The two JSON extraction paths (path-string get_json_object vs typed
+    from_json field access) must agree on every row — asserted here with
+    null-safe equality so rows whose props lack key 'k' count as agreeing,
+    instead of inside the q49 gate query where a WHERE k == k_typed filter
+    silently dropped them (round-1 finding)."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    disagree = (
+        e.select(
+            F.get_json_object("props", "$.k").cast("long").alias("a"),
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("b"),
+        )
+        .where(~F.col("a").eqNullSafe(F.col("b")))
+        .count()
+    )
+    assert disagree == 0
+
+
 def test_q17_tolerance(spark, sf_dir, duck):
     approx = (
         RELATIONAL_QUERIES["q17_approx_count_distinct"](spark, sf_dir)
