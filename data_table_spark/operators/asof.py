@@ -1,0 +1,160 @@
+"""As-of (temporal nearest) join — a custom operator the reference reaches
+only via its SQL pass-through (get-data-table,
+/root/reference/clsql-data-table.lisp:13-19) when the backing RDBMS happens
+to support it. Spark has no asof primitive, so this implements the classic
+scalable shape: tag both sides, union, and resolve the match with a single
+running window — ONE shuffle on the `by` keys, no range-join explosion, no
+per-row Python.
+
+Why not a range join? ``left JOIN right ON by AND right.ts <= left.ts`` +
+argmax produces O(|left| * matches) intermediate rows — quadratic per key
+on dense keys. The union+window form is O(|left| + |right|) rows through
+one shuffle and stays entirely in whole-stage codegen, which is the shape
+that survives 100 TB. Skew note: a single pathological `by` key serializes
+inside one window partition; pre-bucket by (key, coarse time bucket) with a
+carry-in row if that ever dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+_SIDE = "_asof_side"
+_TS = "_asof_ts"
+_PAY = "_asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the single right row with the largest
+    ``right_on <= left_on`` (direction='backward', inclusive — DuckDB /
+    pandas.merge_asof semantics) or smallest ``right_on >= left_on``
+    ('forward') sharing the ``by`` keys; unmatched left rows keep NULLs
+    (left-outer semantics).
+
+    ``right_cols`` limits the attached payload (default: every non-by,
+    non-ts right column). Attached columns keep their names unless they
+    collide with a left column, in which case ``suffix`` is appended.
+    ``tolerance_seconds`` voids matches farther than the tolerance (the
+    row survives with NULL payload, as in pandas.merge_asof).
+
+    Ties inside the right side (two right rows with identical (by, ts))
+    resolve to the later row in window order — deduplicate the right side
+    first if deterministic tie-break matters.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != right_on]
+    right_cols = list(right_cols)
+
+    # payload struct carries the right ts too, for the tolerance check and
+    # so callers can project the matched timestamp
+    pay_fields = [F.col(right_on).alias("_ts")] + [F.col(c).alias(c) for c in right_cols]
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_on).alias(_TS),
+        F.struct(*pay_fields).alias(_PAY),
+        F.lit(0).alias(_SIDE),
+    )
+    l = left.select(
+        "*",
+        F.col(left_on).alias(_TS),
+        F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),
+        F.lit(1).alias(_SIDE),
+    )
+    unioned = l.unionByName(r.select(*by, _TS, _PAY, _SIDE), allowMissingColumns=True)
+
+    # backward: ascending ts, right rows sort BEFORE left rows at equal ts
+    # (side 0 < 1) so an equal-ts right row is visible — inclusive match.
+    # forward: descending ts, same tie order.
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    out = matched.where(F.col(_SIDE) == 1)
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(_TS).cast("double") - F.col(_PAY)["_ts"].cast("double")
+        )
+        out = out.withColumn(
+            _PAY, F.when(gap <= float(tolerance_seconds), F.col(_PAY))
+        )
+
+    pay = F.col(_PAY)
+    taken = set(left.columns)
+    proj = [F.col(c) for c in left.columns]
+    matched_ts_name = right_on if right_on not in taken else right_on + suffix
+    proj.append(pay["_ts"].alias(matched_ts_name))
+    for c in right_cols:
+        name = c if c not in taken else c + suffix
+        proj.append(pay[c].alias(name))
+    return out.select(*proj)
+
+
+def asof_join_events(spark, sf_dir):
+    """Gate query: for every purchase event, the most recent click by the
+    same user at or before the purchase (classic attribution as-of). The
+    click side is pre-deduplicated to one row per (user_id, ts) so the
+    match is deterministic and the DuckDB ASOF JOIN oracle agrees
+    bit-for-bit."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols=["click_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value_r"),
+        F.col("ts_right").alias("click_ts"),
+        "click_id",
+    )
+
+
+ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_join_events": asof_join_events,
+}
+
+ASOF_ORACLE: dict[str, str] = {
+    "asof_join_events":
+        "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, MAX(event_id) click_id FROM events "
+        "      WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, ROUND(p.value, 2) value_r, "
+        "c.ts click_ts, c.click_id "
+        "FROM p ASOF LEFT JOIN c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts",
+}
