@@ -75,23 +75,27 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 def dedup_exact(spark, sf_dir):
     """Exact dedup: one survivor (min doc_id) per distinct text, with the
-    duplicate-group size. Single hash aggregate; at 100 TB group on
-    sha2(text) instead to shrink shuffle keys (same result, shorter keys).
-    """
+    duplicate-group size. Single hash aggregate keyed on sha2(text, 256):
+    the shuffle key is a fixed 64-char digest instead of the full document
+    (at 100 TB that is the difference between shuffling 32 bytes/doc and
+    shuffling the corpus). Same groups as grouping on text itself —
+    SHA-256 collisions are below any practical corpus size."""
     d = load_table(spark, "documents", sf_dir)
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
-    ).select("doc_id", "n_copies")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
 
 
 def dedup_exact_normalized(spark, sf_dir):
     """Exact dedup on normalized text (lowercase, collapsed whitespace) —
-    catches trivial reformatting duplicates."""
+    catches trivial reformatting duplicates. sha2-keyed like dedup_exact."""
     d = load_table(spark, "documents", sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
         d.select("doc_id", norm.alias("norm"))
-        .groupBy("norm")
+        .groupBy(F.sha2(F.col("norm"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
         .select("doc_id", "n_copies")
     )
@@ -145,16 +149,22 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh_pairs(spark, sf_dir, threshold: float = JACCARD_THRESHOLD):
-    """Near-dup pairs via banded MinHash LSH, exact-verified.
+#: buckets larger than this are dropped before the candidate self-join —
+#: the standard frequent-band mitigation. A band bucket shared by k docs
+#: yields k²/2 candidates; boilerplate (license headers, templates) can
+#: put k in the thousands and melt the join. Dropped buckets lose only
+#: pairs that agree on ONE band's boilerplate signature — true near-dups
+#: still collide on the other LSH_BANDS-1 bands, and EXACT duplicates are
+#: dedup_exact's job, not the near-dup path's.
+HOT_BUCKET_CAP = 1000
 
-    Pipeline: signatures (1 shuffle) → explode bands → self-join on
-    (band, band_hash) → distinct candidate pairs → exact bigram-Jaccard
-    verification on the candidates only. At 100 TB the candidate set is
-    ~O(duplicate pairs); no O(n²) stage exists.
-    """
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sig = minhash_signatures(d)
+
+def minhash_band_candidates(
+    docs: DataFrame, hot_bucket_cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs from banded MinHash signatures,
+    with buckets above hot_bucket_cap dropped (see HOT_BUCKET_CAP)."""
+    sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -175,14 +185,37 @@ def dedup_minhash_lsh_pairs(spark, sf_dir, threshold: float = JACCARD_THRESHOLD)
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    # hot-bucket guard: one count() window over the same (band, bh) key the
+    # self-join shuffles on — the join below reuses the partitioning
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    bands = (
+        bands.withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= hot_bucket_cap)
+        .drop("_bn")
+    )
     left = bands.select(F.col("doc_id").alias("a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bh")
-    cand = (
+    return (
         left.join(right, ["band", "bh"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+
+
+def dedup_minhash_lsh_pairs(spark, sf_dir, threshold: float = JACCARD_THRESHOLD):
+    """Near-dup pairs via banded MinHash LSH, exact-verified.
+
+    Pipeline: signatures (1 shuffle) → explode bands → hot-bucket guard →
+    self-join on (band, band_hash) → distinct candidate pairs → exact
+    bigram-Jaccard verification on the candidates only. At 100 TB the
+    candidate set is ~O(duplicate pairs); no O(n²) stage exists, and the
+    hot-bucket cap bounds the worst single bucket.
+    """
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cand = minhash_band_candidates(d)
     sh = d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
@@ -312,7 +345,7 @@ DEDUP_ORACLE: dict[str, str] = {
         f"      / len(list_distinct(list_concat(a.s, b.s))), 4) >= {JACCARD_THRESHOLD}",
     # dedup_minhash_lsh_pairs / dedup_simhash: hash-function-dependent —
     # rows-only here; recall vs the brute-force oracle asserted in
-    # tests/test_dedup.py.
+    # tests/test_extensions.py::test_minhash_recall.
 }
 
 

@@ -62,6 +62,26 @@ def test_minhash_recall(spark, sf_dir):
     assert recall >= 0.9, (recall, truth - got)
 
 
+def test_minhash_hot_bucket_guard(spark):
+    """A planted 5000-copy boilerplate doc must NOT explode the candidate
+    join (without the guard its band buckets alone would emit ~12.5M
+    pairs per band). Genuine near-dups in normal-size buckets must still
+    come through; the dropped exact copies are dedup_exact's job."""
+    from data_table_spark.operators.dedup import minhash_band_candidates
+
+    boiler = "all rights reserved this document is provided as is without warranty"
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bend"
+    rows = [(i, boiler) for i in range(5000)]
+    rows += [(9001, near_a), (9002, near_b)]
+    rows += [(9100 + i, f"unique filler text number {i} with distinct words {i*7}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = minhash_band_candidates(docs).collect()
+    assert len(cand) < 1000, len(cand)
+    assert (9001, 9002) in {(r["a"], r["b"]) for r in cand}
+
+
 def test_simhash_identical_text_same_hash(spark, sf_dir):
     sig = DEDUP_QUERIES["dedup_simhash"](spark, sf_dir)
     rows = sig.limit(5).collect()
