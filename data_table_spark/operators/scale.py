@@ -32,8 +32,20 @@ def salted_join(
     large gets a random-but-deterministic salt per row (hash of the whole
     row modulo ``salt`` — no rand(), so plans stay deterministic and
     retry-safe); small is exploded ``salt``× and the join key becomes
-    (key, salt). Result equals a plain join on ``key``.
+    (key, salt). Result equals a plain join on ``key`` for the supported
+    ``how`` values: inner / left / left_semi / left_anti. Right and full
+    outer are rejected — each UNMATCHED small-side row would surface once
+    per salt replica, so the salted form is not equivalent there (use AQE
+    skew-join for outer joins instead).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "unmatched small-side rows would be duplicated once per salt "
+            "replica under right/full outer"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt))
     l = large.withColumn("_salt", lsalt)
     s = small.withColumn(
