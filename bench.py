@@ -44,17 +44,70 @@ def main() -> None:
             timings[name] = None
             print(f"# bench error in {name}: {e}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # regression budget vs the newest committed BENCH_r*.json: per-query
+    # delta ratio (this/prev), flagging anything >20% slower so the next
+    # round has a real "vs last round" signal. stderr only — the stdout
+    # contract stays one JSON line.
+    prev = _latest_bench(os.path.dirname(os.path.abspath(__file__)))
+    if prev and prev.get("sf") == out["sf"]:
+        prev_q = prev.get("queries") or {}
+        deltas = {
+            n: round(timings[n] / prev_q[n], 2)
+            for n in timings
+            if timings.get(n) and prev_q.get(n)
+        }
+        out["delta_vs_prev"] = deltas
+        slow = {n: r for n, r in deltas.items() if r > 1.2}
+        if slow:
+            print(f"# bench regressions >20% vs prev: {slow}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+def _latest_bench(repo_dir: str) -> dict | None:
+    """Newest committed BENCH_r*.json, normalized to {'queries': {...}}.
+
+    The driver wraps bench stdout as {n, rc, cpus, sf, tail, parsed} where
+    'parsed' may be null and 'tail' a front-truncated copy of the JSON
+    line — per-query timings are recovered from the tail by regex in that
+    case."""
+    import glob
+    import re
+
+    files = glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(files, key=round_no, reverse=True):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        if isinstance(d.get("queries"), dict):      # raw bench.py output
+            return d
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            parsed.setdefault("sf", d.get("sf"))
+            return parsed
+        tail = d.get("tail")
+        if isinstance(tail, str):
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+            qs = {
+                k: float(v) for k, v in pairs
+                if k not in ("value", "sf") and not k.startswith("delta")
             }
-        )
-    )
+            if qs:
+                return {"queries": qs, "sf": d.get("sf")}
+    return None
 
 
 if __name__ == "__main__":

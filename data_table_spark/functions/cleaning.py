@@ -50,9 +50,9 @@ def relaxed_long(col: Column | str) -> Column:
     ``parse-integer`` strictness, data-table.lisp:322)."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, _NUMERIC_JUNK, "")
-    # cast('long') truncates "1.5" → NULL? No: Spark casts "1.5" to NULL for
-    # long from string only in ANSI mode; non-ANSI returns NULL too for
-    # non-integral strings. Guard explicitly with a regex to be version-proof.
+    # invariant: only strings matching an integer literal parse; the regex
+    # guard makes that explicit rather than relying on string→long cast
+    # behavior, which differs across Spark versions and ANSI modes.
     is_int = stripped.rlike(r"^[+-]?\d+$")
     return F.when(is_int, stripped.cast("long")).otherwise(F.lit(None).cast("long"))
 

@@ -136,5 +136,5 @@ MULTIMODAL_ORACLE: dict[str, str] = {
         "SELECT doc_id, octet_length(encode(text))::BIGINT n_bytes, "
         "sha256(text) sha256 FROM documents",
     # media_decode_features: pandas-UDF path — rows-only; the fake decode
-    # is pinned by tests/test_multimodal.py golden assertions instead.
+    # is pinned by tests/test_sources_sinks.py golden assertions instead.
 }

@@ -141,13 +141,20 @@ def import_dataframe(
     df: DataFrame,
     name: str,
     row_filter=None,
+    row_transform=None,
     mode: str = "append",
 ) -> int:
-    """R38 import-data-table, batched: optional row_filter (the reference's
-    row-fn hook, clsql-data-table.lisp:224-225) becomes a pre-write
-    filter; the write is a single distributed append, not per-row
+    """R38 import-data-table, batched: the reference's row-fn hook
+    (clsql-data-table.lisp:224-225) can both VETO a row (returning nil)
+    and REWRITE it (returning a modified row) before insert — that splits
+    into ``row_filter`` (a boolean Column, pre-write filter) and
+    ``row_transform`` (DataFrame -> DataFrame, applied after the filter).
+    Both stay declarative so Catalyst fuses them into the write's scan;
+    the write itself is a single distributed append, not per-row
     INSERTs."""
     out = df.where(row_filter) if row_filter is not None else df
+    if row_transform is not None:
+        out = row_transform(out)
     out.write.mode(mode).saveAsTable(name)
     return spark.table(name).count()
 

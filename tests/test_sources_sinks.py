@@ -122,6 +122,25 @@ def test_catalog_round_trip(spark):
     spark.sql(f"DROP TABLE {name}")
 
 
+def test_import_row_transform_rewrites(spark):
+    """R38: the reference's row-fn can REWRITE a row, not just veto it
+    (clsql-data-table.lisp:224-225) — the row_transform hook applies a
+    DataFrame→DataFrame rewrite between filter and write."""
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["s", "n"])
+    name = "dt_row_transform_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ensure_table(spark, df, name)
+    cnt = import_dataframe(
+        spark, df, name,
+        row_filter=F.col("n") > 1,
+        row_transform=lambda d: d.withColumn("s", F.upper("s")),
+    )
+    assert cnt == 2
+    back = sorted(tuple(r) for r in spark.table(name).collect())
+    assert back == [("B", 2), ("C", 3)]
+    spark.sql(f"DROP TABLE {name}")
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_media_decode_fake(spark, sf_smoke):
