@@ -85,7 +85,7 @@ _PRIORITY = [
     "q01_scan_project", "q02_filter", "q04_inner_join", "q05_multiway_join",
     "q06_left_join", "q50_right_join", "q07_full_outer", "q08_semi_join",
     "q09_anti_join", "q11_theta_join", "q12_group_agg", "q13_count_distinct",
-    "q15_rollup", "q16_cube", "q18_row_number", "q19_rank", "q20_lag_lead",
+    "q16_cube", "q18_row_number", "q19_rank", "q20_lag_lead",
     "q21_running_sum", "q23_top_k", "q28_trim_nullify", "q29_relaxed_parse",
     "q33_events_tumbling", "q34_sessionization",
     # changed or new this round
@@ -96,7 +96,8 @@ _PRIORITY = [
     "ref_coerce_types", "ref_format_output",
     # LLM-pipeline families
     "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_clusters",
+    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_embedding_pairs",
+    "dedup_clusters",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_knn_join",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "udf_scalar_net_price", "udf_table_function_tokens",

@@ -1,13 +1,15 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five families (SURVEY §2.2 G12 / north-star extensions):
-- exact dedup (hash group-by)
+Six families (SURVEY §2.2 G12 / north-star extensions):
+- exact dedup (hash group-by on sha2 digests)
 - normalized exact dedup (case/whitespace-insensitive)
 - n-gram Jaccard brute-force pairs (bounded; the correctness oracle)
 - MinHash + LSH banded near-dup pairs (the 100 TB scale path)
 - SimHash per-document signature (pure expression, zero shuffles)
+- embedding-cosine near-dup pairs (semantic dedup; LSH-bucketed)
 
-All built from pyspark.sql.functions (JVM, codegen) — no Python UDFs.
+All built from pyspark.sql.functions (JVM, codegen) — no Python UDFs
+(the embedding path's signature is one deliberate Arrow-batched matmul).
 
 Scale design:
 - Exact dedup is a single hash aggregate on the text (or its hash) —
@@ -313,12 +315,89 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 3):
     )
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (semantic dedup over the embeddings table)
+# --------------------------------------------------------------------------
+
+#: cosine threshold for semantic near-duplicates. 0.95 is the usual
+#: "same content, different wording" band for normalized sentence
+#: embeddings; at that similarity the hyperplane collision probability
+#: per plane is 1 - acos(0.95)/pi ≈ 0.90, so hamming-1 multi-probed
+#: 16-bit bands recover pairs reliably (see recall test).
+EMBED_DUP_THRESHOLD = 0.95
+
+
+def embedding_near_pairs(
+    vectors: DataFrame,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-band candidates → exact cosine
+    verify. The semantic complement to MinHash (which sees token overlap,
+    not meaning): two documents embedded close together are duplicates
+    even with zero shared n-grams.
+
+    Scale shape: both the candidate stage (self-join on 16-bit band keys,
+    multi-probed — shared with lsh_knn_join) and the verify stage touch
+    ~O(near-dup pairs) rows, never O(n²). The brute-force truth for small
+    inputs is sim_pairs_threshold (operators/similarity.py), which also
+    anchors the recall test."""
+    from .similarity import cosine, knn_join_candidates
+
+    cand = knn_join_candidates(
+        vectors, vectors, id_col=id_col, vec_col=vec_col
+    )
+    # self-join emits each unordered pair in both directions — keep a < b
+    return (
+        cand.where(F.col("q_id") < F.col("c_id"))
+        .select(
+            F.col("q_id").alias("a"),
+            F.col("c_id").alias("b"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+#: vec_id offset for the gate query's planted twins.
+TWIN_OFFSET = 10_000_000
+
+
+def dedup_embedding_pairs(spark, sf_dir, threshold: float = EMBED_DUP_THRESHOLD):
+    """Gate query: semantic near-dup pairs over the embeddings table.
+
+    The sf fixtures' random embeddings contain NO semantic near-dups (max
+    pairwise cosine ≈ 0.51 at sf0.01), so the gate plants them
+    deterministically: every vector gets a rescaled twin (0.5·v,
+    vec_id + TWIN_OFFSET). Rescaling preserves direction (cosine 1) and
+    every hyperplane sign, so the twin lands in the SAME LSH bucket on
+    every band — recall through the banded path is exactly 1, not
+    probabilistic, which is what makes a hash oracle possible for an LSH
+    operator: the result is precisely one (v, twin) pair per vector.
+    Probabilistic near-miss recall (perturbed vectors) is asserted in
+    tests/test_extensions.py::test_embedding_near_pairs_recall instead.
+    cos_sim is dropped from the output (it is 1.0 up to float rounding;
+    keeping it would hash engine fp noise, not semantics)."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    twins = e.select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_near_pairs(
+        e.unionByName(twins), threshold=threshold
+    ).select("a", "b")
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
 DEDUP_ORACLE: dict[str, str] = {
@@ -346,6 +425,11 @@ DEDUP_ORACLE: dict[str, str] = {
     # dedup_minhash_lsh_pairs / dedup_simhash: hash-function-dependent —
     # rows-only here; recall vs the brute-force oracle asserted in
     # tests/test_extensions.py::test_minhash_recall.
+    "dedup_embedding_pairs":
+        # exact oracle despite LSH: the planted rescaled twins collide on
+        # every band deterministically (see the gate docstring), and the
+        # random fixture vectors never reach cosine 0.95 (max ≈ 0.51)
+        f"SELECT vec_id AS a, vec_id + {TWIN_OFFSET} AS b FROM embeddings",
 }
 
 

@@ -82,6 +82,36 @@ def test_minhash_hot_bucket_guard(spark):
     assert (9001, 9002) in {(r["a"], r["b"]) for r in cand}
 
 
+def test_embedding_near_pairs_recall(spark):
+    """Semantic near-dup: planted high-cosine pairs must be found by the
+    LSH-bucketed path, verified pairs must actually clear the threshold,
+    and unrelated random vectors must not flood the output."""
+    import random
+
+    from data_table_spark.operators.dedup import embedding_near_pairs
+
+    rng = random.Random(23)
+    rows = []
+    planted = set()
+    for q in range(10):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((q, base))
+        # ~1% perturbation keeps cosine ≈ 0.999 — a true semantic dup
+        rows.append((1000 + q, [v * (1 + rng.uniform(-0.02, 0.02)) for v in base]))
+        planted.add((q, 1000 + q))
+    for i in range(100, 500):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_near_pairs(df, threshold=0.95).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    hits = len(planted & pairs)
+    assert hits >= 9, (hits, planted - pairs)
+    assert all(r["cos_sim"] >= 0.95 for r in got)
+    # 64-dim random vectors essentially never reach cos 0.95 — the output
+    # should be (close to) exactly the planted pairs, not a candidate dump
+    assert len(pairs) <= len(planted) + 2, len(pairs)
+
+
 def test_simhash_identical_text_same_hash(spark, sf_dir):
     sig = DEDUP_QUERIES["dedup_simhash"](spark, sf_dir)
     rows = sig.limit(5).collect()
