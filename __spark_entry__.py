@@ -62,6 +62,13 @@ try:
     from data_table_spark.operators.asof import ASOF_ORACLE, ASOF_QUERIES
 except Exception:  # pragma: no cover
     ASOF_QUERIES, ASOF_ORACLE = {}, {}
+try:
+    from data_table_spark.streaming.stateful import (
+        STATEFUL_ORACLE,
+        STATEFUL_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    STATEFUL_QUERIES, STATEFUL_ORACLE = {}, {}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -87,7 +94,7 @@ _PRIORITY = [
     "q09_anti_join", "q11_theta_join", "q12_group_agg", "q13_count_distinct",
     "q16_cube", "q18_row_number", "q19_rank", "q20_lag_lead",
     "q21_running_sum", "q23_top_k", "q28_trim_nullify", "q29_relaxed_parse",
-    "q33_events_tumbling", "q34_sessionization",
+    "q33_events_tumbling", "stream_user_milestones",
     # changed or new this round
     "q49_json_extract", "q51_union_distinct", "q52_except_all",
     "q53_intersect_all", "asof_join_events",
@@ -121,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MULTIMODAL_QUERIES)
     out.update(UDF_QUERIES)
     out.update(ASOF_QUERIES)
+    out.update(STATEFUL_QUERIES)
     return _ordered(out)
 
 
@@ -134,4 +142,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(MULTIMODAL_ORACLE)
     out.update(UDF_ORACLE)
     out.update(ASOF_ORACLE)
+    out.update(STATEFUL_ORACLE)
     return _ordered(out)

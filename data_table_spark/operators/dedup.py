@@ -187,16 +187,19 @@ def minhash_band_candidates(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
-    # hot-bucket guard: one count() window over the same (band, bh) key the
-    # self-join shuffles on — the join below reuses the partitioning
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bh")
-    bands = (
-        bands.withColumn("_bn", F.count("*").over(w))
-        .where(F.col("_bn") <= hot_bucket_cap)
-        .drop("_bn")
+    # hot-bucket guard via aggregate + broadcast anti-join, NOT a window:
+    # a count() window over (band, bh) would funnel the entire hot bucket
+    # into one partition before filtering — the exact skew it exists to
+    # prevent. The aggregate's map-side combine reduces each hot key to
+    # ~1 row per input partition before any shuffle, and the hot-key list
+    # (a handful of boilerplate buckets) broadcasts for a map-side anti.
+    hot = (
+        bands.groupBy("band", "bh")
+        .count()
+        .where(F.col("count") > hot_bucket_cap)
+        .select("band", "bh")
     )
+    bands = bands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     left = bands.select(F.col("doc_id").alias("a"), "band", "bh")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bh")
     return (

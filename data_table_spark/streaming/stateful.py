@@ -1,11 +1,25 @@
-"""Custom stateful streaming operator via applyInPandasWithState
+"""Custom stateful streaming operators via applyInPandasWithState
 (SURVEY §2.2 'custom stateful operators' — the escape hatch when built-in
 windows/dedup can't express the semantics).
 
-Demo operator: per-user running totals — every micro-batch updates each
-active user's (n_events, total_value) state and emits the new totals.
+Two operators:
+
+- per-user running totals (update mode): every micro-batch updates each
+  active user's (n_events, total_value) state and emits the new totals.
+- per-user milestone emitter (append mode): fires one row each time a
+  user's cumulative event count crosses a multiple of ``stride`` —
+  exactly once, regardless of how events are split across micro-batches.
+  Milestones are a function of the running COUNT (order-insensitive), so
+  the streaming run over an arbitrarily-chunked file replay is provably
+  equal to the batch form — count per user, explode the milestone
+  sequence — which in turn has a plain DuckDB oracle. That makes
+  ``stream_user_milestones`` a hash-checkable gate for an operator whose
+  streaming implementation is pure Python state logic.
+
 State lives in the state store keyed by user_id; memory is bounded by
-#active users, not stream length.
+#active users (one long, or long+double, per user — the smallest
+possible state shape), not stream length. At 100 TB with an unbounded
+key space, add a state TTL (GroupStateTimeout) so cold keys expire.
 """
 
 from __future__ import annotations
@@ -67,3 +81,100 @@ def user_running_totals_batch(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# S6: milestone emitter (append-mode, exactly-once emission)
+# --------------------------------------------------------------------------
+
+#: emit a milestone row at every multiple of this many events per user.
+MILESTONE_STRIDE = 5
+
+_MILESTONE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("milestone", T.LongType()),
+    ]
+)
+_MILESTONE_STATE = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def _milestone_batch(events: DataFrame, stride: int) -> DataFrame:
+    """Batch form (the correctness oracle): total count per user, then the
+    crossed milestones stride, 2*stride, ..., <= n. The when() guard keeps
+    Spark's sequence() from throwing on n < stride (DuckDB's
+    generate_series returns empty there; Spark errors on inverted
+    bounds)."""
+    n = F.col("n")
+    seq = F.when(
+        n >= stride,
+        F.sequence(F.lit(stride).cast("long"), n, F.lit(stride).cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.explode(seq).alias("milestone"))
+    )
+
+
+def user_milestones(
+    events: DataFrame, streaming: bool = False, stride: int = MILESTONE_STRIDE
+) -> DataFrame:
+    """Emit (user_id, milestone) once each time a user's cumulative event
+    count reaches a multiple of ``stride``.
+
+    streaming=True runs applyInPandasWithState with a one-long running
+    count per user: each micro-batch emits exactly the milestones crossed
+    by that batch's events (state carries the cumulative count across
+    batches, so a milestone can never fire twice). streaming=False is the
+    equivalent batch aggregation (used as the oracle and the driver gate).
+    """
+    if not streaming:
+        return _milestone_batch(events, stride)
+
+    def emit_milestones(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cnt = state.get[0] if state.exists else 0
+        start = cnt
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        first = (start // stride + 1) * stride
+        crossed = list(range(first, cnt + 1, stride))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(crossed), dtype="int64"),
+                "milestone": pd.Series(crossed, dtype="int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        emit_milestones,
+        outputStructType=_MILESTONE_OUT,
+        stateStructType=_MILESTONE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_user_milestones(spark, sf_dir):
+    """Gate query (batch form of S6): milestone rows for the events table.
+    The streaming form is asserted equal in
+    tests/test_streaming.py::test_s6_stateful_milestones_match_batch."""
+    from ..sources.registry import load_table
+
+    return user_milestones(load_table(spark, "events", sf_dir), streaming=False)
+
+
+STATEFUL_QUERIES = {"stream_user_milestones": stream_user_milestones}
+
+STATEFUL_ORACLE = {
+    "stream_user_milestones":
+        f"SELECT user_id, UNNEST(generate_series({MILESTONE_STRIDE}, n, "
+        f"{MILESTONE_STRIDE})) AS milestone "
+        "FROM (SELECT user_id, COUNT(*) n FROM events GROUP BY user_id) t",
+}

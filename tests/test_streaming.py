@@ -177,6 +177,46 @@ def test_s5_stateful_dedup(spark, replay, tmp_path):
     _compare(got, expected, ["w_start", "w_end", "event_type", "cnt"])
 
 
+def test_s6_stateful_milestones_match_batch(spark, sf_smoke, tmp_path):
+    """S6: the append-mode milestone emitter fires each (user, milestone)
+    EXACTLY once even when a user's events are split across micro-batches,
+    and the full emitted set equals the batch form (which is also the
+    driver gate's DuckDB-oracled query)."""
+    from data_table_spark.streaming.stateful import user_milestones
+
+    events = load_table(spark, "events", sf_smoke)
+    base = str(tmp_path / "ms_src")
+    # three files → three micro-batches; each user's count accumulates
+    # across batches, so milestones genuinely cross batch boundaries
+    bounds = events.approxQuantile("event_id", [0.33, 0.66], 0.01)
+    splits = [
+        events.where(F.col("event_id") <= bounds[0]),
+        events.where(
+            (F.col("event_id") > bounds[0]) & (F.col("event_id") <= bounds[1])
+        ),
+        events.where(F.col("event_id") > bounds[1]),
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(base)
+        time.sleep(1.1)
+    _stamp_mtimes(base)
+
+    got = run_stream_over_files(
+        spark, base,
+        lambda df: user_milestones(df, streaming=True),
+        events.schema, str(tmp_path / "ck_s6"),
+    ).collect()
+    emitted = [(r["user_id"], r["milestone"]) for r in got]
+    assert len(emitted) == len(set(emitted)), "milestone emitted twice"
+    expected = {
+        (r["user_id"], r["milestone"])
+        for r in user_milestones(events, streaming=False).collect()
+    }
+    assert set(emitted) == expected, (
+        set(emitted) - expected, expected - set(emitted)
+    )
+
+
 def test_stateful_running_totals(spark, replay, tmp_path):
     """applyInPandasWithState: the LAST emitted totals per user (update
     semantics across micro-batches) equal the batch aggregation."""
