@@ -1006,3 +1006,32 @@ RELATIONAL_ORACLE["q53_intersect_all"] = (
     "SELECT c_nationkey k FROM customer INTERSECT ALL "
     "SELECT s_nationkey k FROM supplier"
 )
+
+
+def q54_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of q35's pivot: wide per-part pricing
+    columns back to (part, metric, value) long form. Spark's unpivot is a
+    zero-shuffle generate (each input row fans out to len(metrics) rows
+    map-side)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        (F.col("p_retailprice") * 0.9).alias("discounted"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retail", "discounted"],
+        variableColumnName="metric",
+        valueColumnName="price_raw",
+    ).select(
+        "p_partkey", "metric", F.round("price_raw", 2).alias("price")
+    )
+
+
+RELATIONAL_QUERIES["q54_unpivot"] = q54_unpivot
+RELATIONAL_ORACLE["q54_unpivot"] = (
+    "SELECT p_partkey, metric, ROUND(price_raw, 2) AS price FROM ("
+    "  SELECT p_partkey, p_retailprice AS retail, "
+    "         p_retailprice * 0.9 AS discounted FROM part"
+    ") UNPIVOT (price_raw FOR metric IN (retail, discounted))"
+)

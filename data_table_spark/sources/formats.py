@@ -1,0 +1,79 @@
+"""Additional source/sink formats beyond CSV/parquet/JDBC: JSON lines
+and ORC.
+
+The reference's IO surface is CSV-ish strings plus a SQL round-trip; a
+Spark-native engine gets the columnar formats for free and SHOULD use
+them — ORC ships in vanilla Spark (no extra jars), JSON lines is the
+interchange format every event pipeline emits. Both readers can route
+through the engine's reference-semantics inference (read all-string →
+lenient parse lattice) or Spark's native schema handling.
+
+Scale posture: both readers are ordinary FileSourceScanExec scans —
+partition pruning, predicate pushdown (ORC), and column pruning all
+apply. JSON gets schema enforcement rather than a second inference scan
+when a schema is supplied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..inference import auto_type
+
+#: Spark's JSON default timestamp format keeps milliseconds only; the
+#: engine round-trips microseconds (parquet precision) by default.
+TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    infer_reference_types: bool = False,
+    **options,
+) -> DataFrame:
+    """Read newline-delimited JSON.
+
+    - schema given: enforced single-pass read (the 100 TB path — Spark's
+      sampling inference pass over a schemaless lake is a full extra scan).
+    - infer_reference_types: read every leaf as string, then run the
+      engine's lenient inference lattice (the reference's ingest
+      semantics, §1.3) — for JSON that arrived stringly-typed.
+    - neither: Spark's native JSON inference (sampling scan).
+    """
+    options.setdefault("timestampFormat", TS_FORMAT)
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    if infer_reference_types:
+        df = reader.json(path)
+        str_df = df.select(
+            *[F.col(c).cast("string").alias(c) for c in df.columns]
+        )
+        return auto_type(str_df)
+    return reader.json(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("timestampFormat", TS_FORMAT).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — same pushdown/pruning machinery as parquet."""
+    return spark.read.options(
+        **{k: str(v) for k, v in options.items()}
+    ).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

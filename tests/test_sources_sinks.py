@@ -143,6 +143,57 @@ def test_import_row_transform_rewrites(spark):
 
 # ------------------------------------------------------------- multimodal
 
+def test_json_lines_round_trip(spark, sf_smoke, tmp_path):
+    """JSON-lines sink → schema-enforced source round-trips losslessly
+    (timestamps go through ISO strings, hence the cast-back)."""
+    from data_table_spark.sources.formats import read_json_lines, write_json_lines
+    from data_table_spark.sources.registry import load_table
+
+    events = load_table(spark, "events", sf_smoke).limit(200)
+    path = str(tmp_path / "ev_json")
+    write_json_lines(events, path)
+    back = read_json_lines(spark, path, schema=events.schema)
+    assert back.schema == events.schema
+    a = sorted(map(tuple, events.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_json_reference_inference(spark, tmp_path):
+    """infer_reference_types routes stringly JSON through the lenient
+    lattice: '$1,000.50' parses, 'nil' nullifies."""
+    from data_table_spark.sources.formats import read_json_lines
+
+    path = str(tmp_path / "raw_json")
+    spark.createDataFrame(
+        [('{"amt": "$1,000.50", "note": "nil"}',), ('{"amt": "2", "note": "x"}',)],
+        ["value"],
+    ).coalesce(1).write.mode("overwrite").text(path)
+    df = read_json_lines(spark, path, infer_reference_types=True)
+    rows = {r["amt"]: r["note"] for r in df.collect()}
+    assert rows == {1000.5: None, 2.0: "x"}
+    assert dict(df.dtypes)["amt"] == "double"
+
+
+def test_orc_round_trip_pushdown(spark, sf_smoke, tmp_path):
+    """ORC sink → source round-trip, with predicate pushdown visible in
+    the scan node (same machinery as parquet)."""
+    from data_table_spark.sources.formats import read_orc, write_orc
+    from data_table_spark.sources.registry import load_table
+
+    orders = load_table(spark, "orders", sf_smoke)
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    plan = (
+        back.where(F.col("o_orderkey") == 1)
+        .select("o_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan, plan
+
+
 def test_media_decode_fake(spark, sf_smoke):
     m = documents_as_media(spark, sf_smoke).limit(5)
     out = decode_media(m, fake=True).collect()
