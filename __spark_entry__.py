@@ -69,6 +69,13 @@ try:
     )
 except Exception:  # pragma: no cover
     STATEFUL_QUERIES, STATEFUL_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.pipeline import (
+        PIPELINE_ORACLE,
+        PIPELINE_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    PIPELINE_QUERIES, PIPELINE_ORACLE = {}, {}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -129,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(UDF_QUERIES)
     out.update(ASOF_QUERIES)
     out.update(STATEFUL_QUERIES)
+    out.update(PIPELINE_QUERIES)
     return _ordered(out)
 
 
@@ -143,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(UDF_ORACLE)
     out.update(ASOF_ORACLE)
     out.update(STATEFUL_ORACLE)
+    out.update(PIPELINE_ORACLE)
     return _ordered(out)

@@ -1,0 +1,324 @@
+"""Training-corpus pipeline operators: deterministic splits, stratified
+sampling, source mixing, document chunking, and train/eval contamination.
+
+These are the corpus-management steps that sit between raw documents and
+a training run. The common primitive is a **deterministic, engine-portable
+hash bucket** (md5 → first 8 hex chars → integer): the same row lands in
+the same split/sample on every run, on any cluster size, with no RNG
+state — which is what makes 100 TB corpus builds reproducible and lets
+DuckDB compute an exact oracle for every operator here.
+
+Everything is a pure Column expression (md5 / conv / slice / sequence /
+explode) — JVM-side, codegen-friendly, no Python on the hot path. The
+shuffle story per operator is in its docstring.
+
+The reference has no corpus tooling (it is a ~776-LoC tabular facade,
+data-table.lisp:94-537); these extend the engine per the north-star
+brief, in the same spirit as operators/dedup.py and textstats.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: bucket space for hash-based splitting/sampling. 1e6 buckets give
+#: fraction resolution of 1e-6 — fine enough for "hold out 0.01 %".
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from any key column.
+
+    md5(utf8(key)) → first 8 hex chars → int — identical in Spark
+    (``conv(substr(md5(k),1,8),16,10)``) and DuckDB
+    (``('0x'||substr(md5(k),1,8))::BIGINT``), unlike the engines' native
+    ``hash()``/``xxhash64`` which differ by seed and algorithm. 32 bits
+    of md5 are uniform; cost is one digest per row, map-side only.
+    """
+    hex8 = F.substring(F.md5(key.cast("string")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("bigint") % buckets
+
+
+def _bucket_sql(key_sql: str, buckets: int = HASH_BUCKETS) -> str:
+    """DuckDB rendering of :func:`hash_bucket` for the oracles."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+# --------------------------------------------------------------------------
+# train/val/test split
+# --------------------------------------------------------------------------
+
+#: default corpus split. Keys on the document id, so re-running the
+#: pipeline after appending new documents never reassigns an old one.
+DEFAULT_SPLIT = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions=DEFAULT_SPLIT,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Assign each row a split label by hash bucket of ``key_col``.
+
+    Map-side only — zero shuffle, and the assignment is a pure function
+    of the key: stable under reruns, repartitioning, and corpus growth
+    (properties a random ``df.randomSplit`` does not have). Fractions
+    are cumulative thresholds over the bucket space; they must sum to
+    ≤ 1 (the remainder, if any, falls into the last named split).
+    """
+    b = hash_bucket(F.col(key_col))
+    if bucket_col:
+        df = df.withColumn(bucket_col, b)
+        b = F.col(bucket_col)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cond = b < int(acc * HASH_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def pipe_split_assign(spark, sf_dir):
+    """Gate: 80/10/10 split of documents keyed on doc_id."""
+    d = load_table(spark, "documents", sf_dir)
+    return split_assign(d, "doc_id").select("doc_id", "split")
+
+
+# --------------------------------------------------------------------------
+# stratified sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], fraction: float, key_col: str
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff the hash bucket of
+    (strata ‖ key) falls under ``fraction``. Every stratum is sampled at
+    the same rate regardless of its size, and the decision is per-row
+    map-side (no shuffle, no per-group state) — unlike
+    ``df.sampleBy``, which needs a fraction dict per observed stratum
+    value and draws from an RNG stream that depends on partitioning.
+
+    Salting the bucket with the strata keeps a row's fate independent
+    across different stratifications of the same corpus.
+    """
+    key = F.concat_ws("␟", *[F.col(c) for c in strata_cols], F.col(key_col))
+    return df.where(hash_bucket(key) < int(fraction * HASH_BUCKETS))
+
+
+def pipe_stratified_sample(spark, sf_dir):
+    """Gate: 30 % per-language sample of documents."""
+    d = load_table(spark, "documents", sf_dir)
+    return stratified_sample(d, ["lang"], 0.3, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+# --------------------------------------------------------------------------
+# source mixing (domain weights)
+# --------------------------------------------------------------------------
+
+def source_mix(
+    df: DataFrame, group_col: str, keep: dict[str, float], key_col: str
+) -> DataFrame:
+    """Down-sample each source/domain to its configured keep-rate — the
+    standard corpus-mixing step ("keep 10 % of crawl, all of books").
+    Groups absent from ``keep`` are dropped. Same zero-shuffle
+    hash-bucket mechanics as :func:`stratified_sample`, with a per-group
+    threshold instead of a global one.
+    """
+    thresh = None
+    for name, frac in keep.items():
+        cond = F.col(group_col) == name
+        val = int(frac * HASH_BUCKETS)
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = thresh.otherwise(0)
+    key = F.concat_ws("␟", F.col(group_col), F.col(key_col))
+    return df.where(hash_bucket(key) < thresh)
+
+
+#: gate keep-rates per synthetic source.
+MIX_KEEP = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def pipe_source_mix(spark, sf_dir):
+    """Gate: mix documents sources at 100/50/25 % keep-rates."""
+    d = load_table(spark, "documents", sf_dir)
+    return source_mix(d, "source", MIX_KEEP, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# document chunking
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    context-window prep step for training/embedding pipelines.
+
+    Chunk *i* covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the tail chunk may be short. Pure
+    expressions: tokenize once, ``sequence`` of chunk starts,
+    ``posexplode`` → ``slice``. Map-side only (the explode multiplies
+    rows ~n_tokens/stride ×, but never shuffles); at 100 TB the output
+    is written partitioned, not aggregated.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts)
+    )
+    chunk = F.slice(F.col("_toks"), F.col("col") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def pipe_chunk_documents(spark, sf_dir):
+    """Gate: 32-token chunks with 8-token overlap over documents."""
+    d = load_table(spark, "documents", sf_dir)
+    return chunk_documents(d)
+
+
+# --------------------------------------------------------------------------
+# train/eval contamination
+# --------------------------------------------------------------------------
+
+def contamination_check(
+    train: DataFrame, eval_: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-eval-document contamination: the fraction of its distinct
+    word-bigram shingles that also occur anywhere in the training corpus
+    (the standard n-gram-overlap eval-leakage check).
+
+    Shape at scale: explode both sides to (shingle) / (doc, shingle)
+    rows, distinct the train side (map-side partial agg first), then one
+    equi-join on the shingle string and a per-doc count. The join key
+    could be sha2-shortened like dedup_exact if shingles were long; for
+    word bigrams the string itself is already short. No O(n²) stage.
+    """
+    from .dedup import _bigram_shingles
+
+    train_sh = (
+        train.select(F.explode(_bigram_shingles(F.col(text_col))).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = eval_.select(
+        F.col(id_col), F.explode(_bigram_shingles(F.col(text_col))).alias("s")
+    )
+    joined = eval_sh.join(train_sh, "s", "left")
+    n_sh = F.count("*")
+    n_hit = F.count("hit")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_hit"),
+            # floor-truncate, not ROUND: engine-independent on identical
+            # IEEE doubles (see textstats.text_quality)
+            (F.floor(n_hit.cast("double") / n_sh * 10000) / 10000).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def pipe_contamination(spark, sf_dir):
+    """Gate: contamination of the doc_id%10==0 eval slice against the
+    rest of the corpus as training set."""
+    d = load_table(spark, "documents", sf_dir)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    eval_ = d.where(F.col("doc_id") % 10 == 0)
+    return contamination_check(train, eval_)
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipe_split_assign": pipe_split_assign,
+    "pipe_stratified_sample": pipe_stratified_sample,
+    "pipe_source_mix": pipe_source_mix,
+    "pipe_chunk_documents": pipe_chunk_documents,
+    "pipe_contamination": pipe_contamination,
+}
+
+_SPLIT_B = _bucket_sql("doc_id")
+_STRAT_B = _bucket_sql("lang || chr(9247) || CAST(doc_id AS VARCHAR)")
+_MIX_B = _bucket_sql("source || chr(9247) || CAST(doc_id AS VARCHAR)")
+_MIX_CASE = " ".join(
+    f"WHEN source = '{k}' THEN {int(v * HASH_BUCKETS)}"
+    for k, v in MIX_KEEP.items()
+)
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+PIPELINE_ORACLE: dict[str, str] = {
+    "pipe_split_assign":
+        "SELECT doc_id, CASE "
+        f"WHEN {_SPLIT_B} < {int(0.8 * HASH_BUCKETS)} THEN 'train' "
+        f"WHEN {_SPLIT_B} < {int(0.9 * HASH_BUCKETS)} THEN 'val' "
+        "ELSE 'test' END AS split FROM documents",
+    "pipe_stratified_sample":
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE {_STRAT_B} < {int(0.3 * HASH_BUCKETS)}",
+    "pipe_source_mix":
+        "SELECT doc_id, source FROM documents "
+        f"WHERE {_MIX_B} < (CASE {_MIX_CASE} ELSE 0 END)",
+    "pipe_chunk_documents":
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split_regex(trim(text), '\\s+') t "
+        "  FROM documents"
+        "), st AS ("
+        f"  SELECT doc_id, t, unnest(range(0, len(t), {_STRIDE})) s "
+        "  FROM toks"
+        ") "
+        f"SELECT doc_id, (s // {_STRIDE})::BIGINT AS chunk_id, "
+        f"len(list_slice(t, s + 1, s + {CHUNK_TOKENS}))::BIGINT AS n_chunk_tokens, "
+        f"array_to_string(list_slice(t, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk_text "
+        "FROM st",
+    "pipe_contamination":
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+        "  FROM documents"
+        "), sh AS ("
+        "  SELECT doc_id, unnest(list_distinct("
+        "    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) s "
+        "  FROM toks WHERE len(t) >= 2"
+        "), train AS ("
+        "  SELECT DISTINCT s FROM sh WHERE doc_id % 10 != 0"
+        "), ev AS ("
+        "  SELECT * FROM sh WHERE doc_id % 10 = 0"
+        ") "
+        "SELECT ev.doc_id, COUNT(*)::BIGINT AS n_shingles, "
+        "COUNT(train.s)::BIGINT AS n_hit, "
+        "FLOOR(COUNT(train.s)::DOUBLE / COUNT(*) * 10000) / 10000 "
+        "AS contamination "
+        "FROM ev LEFT JOIN train ON ev.s = train.s GROUP BY ev.doc_id",
+}

@@ -1,0 +1,115 @@
+"""Training-corpus pipeline operators (operators/pipeline.py): DuckDB
+oracle parity for every gate plus behavioral invariants (determinism,
+split totality, chunk coverage, sampling rates)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_table_spark.operators.pipeline import (  # noqa: E402
+    PIPELINE_ORACLE,
+    PIPELINE_QUERIES,
+    chunk_documents,
+    split_assign,
+    stratified_sample,
+)
+from tests.oracle_util import compare_to_oracle, duck_connection  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_ORACLE))
+def test_pipeline_oracle(name, spark, sf_dir, duck):
+    df = PIPELINE_QUERIES[name](spark, sf_dir)
+    ok, msg = compare_to_oracle(df, duck, PIPELINE_ORACLE[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_split_total_and_deterministic(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = split_assign(d, "doc_id").select("doc_id", "split")
+    # every row gets exactly one label; rerun is identical
+    assert s1.where(F.col("split").isNull()).count() == 0
+    assert s1.count() == d.count()
+    s2 = split_assign(d.repartition(7), "doc_id").select("doc_id", "split")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # fractions are roughly honored (hash uniformity; 500 docs → loose)
+    frac = {
+        r["split"]: r["n"]
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert 0.7 < frac.get("train", 0) / n < 0.9
+
+
+def test_stratified_sample_rate_and_subset(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(d, ["lang"], 0.3, "doc_id")
+    # a sample is a subset, and each stratum is sampled near the rate
+    assert s.exceptAll(d).count() == 0
+    rates = (
+        d.groupBy("lang").agg(F.count("*").alias("tot"))
+        .join(s.groupBy("lang").agg(F.count("*").alias("kept")), "lang")
+        .select((F.col("kept") / F.col("tot")).alias("r"))
+        .collect()
+    )
+    for r in rates:
+        assert 0.1 < r["r"] < 0.5
+
+
+def test_chunk_coverage_and_overlap(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    chunks = chunk_documents(d, chunk_tokens=10, overlap=3)
+    # reassembling chunk tokens with the overlap removed yields the doc
+    stride = 7
+    rebuilt = (
+        chunks.withColumn("toks", F.split(F.col("chunk_text"), " "))
+        .withColumn(
+            "part",
+            F.when(F.col("chunk_id") == 0, F.col("toks")).otherwise(
+                F.slice(
+                    F.col("toks"),
+                    10 - stride + 1,
+                    F.greatest(
+                        F.size(F.col("toks")) - (10 - stride), F.lit(0)
+                    ),
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.flatten(F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "part"))
+                ).part)
+            ).alias("re")
+        )
+    )
+    orig = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    bad = rebuilt.join(orig, "doc_id").where(F.col("re") != F.col("t"))
+    assert bad.count() == 0
+    # no chunk exceeds the window; only the tail chunk may be short
+    assert chunks.where(F.col("n_chunk_tokens") > 10).count() == 0
+
+
+def test_contamination_bounds(spark, sf_dir):
+    df = PIPELINE_QUERIES["pipe_contamination"](spark, sf_dir)
+    out = df.agg(
+        F.min("contamination").alias("lo"), F.max("contamination").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= out["lo"] and out["hi"] <= 1.0
