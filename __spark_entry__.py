@@ -76,6 +76,13 @@ try:
     )
 except Exception:  # pragma: no cover
     PIPELINE_QUERIES, PIPELINE_ORACLE = {}, {}
+try:
+    from data_table_spark.streaming.windows import (
+        STREAMJOIN_ORACLE,
+        STREAMJOIN_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    STREAMJOIN_QUERIES, STREAMJOIN_ORACLE = {}, {}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -137,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ASOF_QUERIES)
     out.update(STATEFUL_QUERIES)
     out.update(PIPELINE_QUERIES)
+    out.update(STREAMJOIN_QUERIES)
     return _ordered(out)
 
 
@@ -152,4 +160,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ASOF_ORACLE)
     out.update(STATEFUL_ORACLE)
     out.update(PIPELINE_ORACLE)
+    out.update(STREAMJOIN_ORACLE)
     return _ordered(out)

@@ -94,6 +94,40 @@ def deduped_windowed_counts(events: DataFrame, streaming: bool = False) -> DataF
     )
 
 
+def attribution_join(events: DataFrame, lookback: str = "30 minutes") -> DataFrame:
+    """S7: stream-stream interval join — attribute each purchase to the
+    click(s) by the same user within `lookback` before it (ad-attribution
+    shape).
+
+    Both sides carry a watermark and the join condition constrains BOTH
+    event-time columns, so Structured Streaming can bound join state:
+    a buffered click is dropped once the purchase-side watermark passes
+    click_ts + lookback. Without the time bound the state grows without
+    limit at 100 TB/day. Works identically on a batch DataFrame (the
+    batch-equivalence oracle) — watermarks are no-ops in batch.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_over_files(
     spark,
     source_dir: str,
@@ -128,3 +162,26 @@ def run_stream_over_files(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_attribution(spark, sf_dir):
+    """Gate: batch form of the S7 stream-stream attribution join (the
+    streaming application is batch-equivalence-tested in
+    tests/test_streaming.py::test_s7_attribution_join)."""
+    from ..sources.registry import load_table
+
+    return attribution_join(load_table(spark, "events", sf_dir))
+
+
+STREAMJOIN_QUERIES = {"stream_attribution": stream_attribution}
+
+STREAMJOIN_ORACLE = {
+    "stream_attribution":
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, "
+        "p.value AS purchase_value "
+        "FROM events p JOIN events c "
+        "ON p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND c.user_id = p.user_id "
+        "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts",
+}

@@ -317,3 +317,21 @@ def test_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
     g = sorted(map(tuple, got.select(*keys).collect()))
     e = sorted(map(tuple, expected.select(*keys).collect()))
     assert g == e  # each window exactly once with full counts
+
+
+def test_s7_attribution_join(spark, replay, tmp_path):
+    """S7: stream-stream interval join equals its batch application.
+    Inner-join matches emit as found (no window finalization needed);
+    the sentinel can't pair — it sits 30 days past every real event,
+    far outside the lookback interval."""
+    from data_table_spark.streaming.windows import attribution_join
+
+    src, events = replay
+    got = run_stream_over_files(
+        spark, src, attribution_join, events.schema, str(tmp_path / "ck_s7")
+    )
+    keys = ["purchase_id", "click_id", "user_id", "purchase_ts",
+            "click_ts", "purchase_value"]
+    g = sorted(map(tuple, got.select(*keys).collect()))
+    e = sorted(map(tuple, attribution_join(events).select(*keys).collect()))
+    assert g and g == e
