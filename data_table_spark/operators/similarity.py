@@ -430,3 +430,118 @@ def sim_knn_join(spark, sf_dir):
 SIMILARITY_QUERIES["sim_knn_join"] = sim_knn_join
 # sim_knn_join: hash-bucketed candidates — rows-only; self-retrieval and
 # ranking invariants asserted in tests/test_extensions.py.
+
+
+# --------------------------------------------------------------------------
+# learned-codebook IVF (distributed k-means quantizer)
+# --------------------------------------------------------------------------
+
+#: codebook training-sample bound. Quantizer training on a bounded
+#: sample is the standard IVF recipe (and echoes the reference's own
+#: sampling-bounded type inference, data-table.lisp:292-293): clustering
+#: quality depends on sample geometry, not corpus size.
+KMEANS_SAMPLE = 10_000
+
+
+def kmeans_codebook(
+    e: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = KMEANS_SAMPLE,
+) -> tuple[DataFrame, DataFrame]:
+    """Learned IVF codebook: Lloyd k-means trained driver-side on a
+    deterministic hash-ordered sample, then ONE distributed Arrow-batched
+    assignment pass over the full corpus. Returns (assignments
+    [id, cluster], centroids [cluster, centroid]).
+
+    This is the scale path sim_ivf_topk's docstring promises: per-label
+    partitions assume labels exist and balance; k-means learns balanced
+    partitions from geometry. Design notes, both measured:
+
+    - Training distributes badly at gate scale and needs only a sample
+      at any scale (k·dim doubles of state; FAISS trains IVF coarse
+      quantizers on bounded samples for 10⁹-vector corpora). A
+      driver-side numpy Lloyd loop on ≤ sample_size vectors is exact,
+      deterministic, and free of per-iteration job overhead
+      (pyspark.ml.KMeans: 10-20 s for the 500-vector gate; expression-
+      literal centers: recompiles a 512-term codegen expression per
+      iteration; this: < 0.1 s).
+    - Assignment must distribute and does: one pandas_udf matmul pass
+      (Arrow-batched numpy, the deliberate vectorized-UDF slow-path
+      escape hatch) — O(corpus) with no shuffle.
+
+    Deterministic throughout: hash-ordered sample/init, fixed iteration
+    count, argmin lowest-index tie-break.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    v = e.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    sample = (
+        v.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)  # TakeOrdered: O(n log sample) scan, no full sort
+        .select("_v")
+        .collect()
+    )
+    X = np.array([r["_v"] for r in sample])
+    centers = X[:k].copy()  # first k in hash order: deterministic spread
+    for _ in range(max_iter):
+        d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        lab = d.argmin(axis=1)
+        for j in range(k):
+            m = lab == j
+            if m.any():  # empty clusters keep their previous center
+                centers[j] = X[m].mean(axis=0)
+
+    cn = (centers * centers).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(s: pd.Series) -> pd.Series:
+        Y = np.vstack(s.to_numpy())
+        return pd.Series((cn[None, :] - 2.0 * (Y @ centers.T)).argmin(axis=1))
+
+    assign = v.select(F.col(id_col), nearest("_v").alias("cluster"))
+    cents = e.sparkSession.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    )
+    return assign, cents
+
+
+def sim_ivf_kmeans_topk(spark, sf_dir, k_clusters: int = 8, n_probe: int = 2):
+    """IVF ANN over a LEARNED k-means codebook: rank clusters by
+    query-to-centroid cosine, exact-search the top n_probe clusters.
+
+    Same probe machinery as sim_ivf_topk (broadcast codebook, scan
+    touches ~n_probe/k of the corpus) with the quantizer learned from
+    vector geometry instead of borrowed from the label column."""
+    e = load_table(spark, "embeddings", sf_dir)
+    assign, cents = kmeans_codebook(e, k=k_clusters)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    ranked = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cluster", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cluster"))
+        .limit(n_probe)
+        .select("cluster")
+    )
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(ranked), "cluster")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_ivf_kmeans_topk"] = sim_ivf_kmeans_topk
+# sim_ivf_kmeans_topk: learned quantizer — rows-only for the driver;
+# exactness-within-probed-clusters asserted in tests/test_extensions.py.

@@ -214,3 +214,54 @@ def test_dedup_clusters_on_fixture(spark, sf_dir):
     assert rows, "expected near-dup clusters in the fixture"
     for r in rows:
         assert r["cluster_id"] <= r["doc_id"]
+
+
+def test_ivf_kmeans_exact_within_probed_clusters(spark, sf_dir):
+    """Learned-codebook IVF must EQUAL brute force restricted to the
+    probed k-means clusters, and rerunning must be deterministic."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        cosine,
+        kmeans_codebook,
+        sim_ivf_kmeans_topk,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim_ivf_kmeans_topk(spark, sf_dir).collect()
+    ]
+    assert got == [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim_ivf_kmeans_topk(spark, sf_dir).collect()
+    ], "codebook training is not deterministic"
+
+    assign, cents = kmeans_codebook(e)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    probed = [
+        r["cluster"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select("cluster", cosine(F.col("centroid"), F.col("qv")).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("cluster")).limit(2).collect()
+    ]
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in e.join(assign, "vec_id")
+        .where(F.col("cluster").isin(probed))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K).collect()
+    ]
+    assert got == expected
+    # the quantizer actually partitions: >1 non-empty cluster
+    assert assign.select("cluster").distinct().count() > 1
