@@ -1035,3 +1035,37 @@ RELATIONAL_ORACLE["q54_unpivot"] = (
     "         p_retailprice * 0.9 AS discounted FROM part"
     ") UNPIVOT (price_raw FOR metric IN (retail, discounted))"
 )
+
+
+def q55_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: one pass computes the
+    events rollup at BOTH hour and day granularity via GROUPING SETS over
+    date_trunc buckets (one shuffle; each input row expands to its two
+    grouping sets map-side — how a timeseries store backfills multi-level
+    rollups without rescanning per level)."""
+    from ..sources.registry import load_table
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events_tr")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(h, d) AS bucket,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT date_trunc('hour', ts) h, date_trunc('day', ts) d, value
+              FROM events_tr)
+        GROUP BY GROUPING SETS ((d, h), (d))
+        """
+    )
+
+
+RELATIONAL_QUERIES["q55_time_rollup"] = q55_time_rollup
+RELATIONAL_ORACLE["q55_time_rollup"] = (
+    # DuckDB date_trunc('day') yields DATE — cast both buckets to TIMESTAMP
+    "SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain, "
+    "COALESCE(h, d) AS bucket, COUNT(*)::BIGINT AS cnt, "
+    "ROUND(SUM(value), 2) AS sum_value FROM ("
+    "  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) h, "
+    "         CAST(date_trunc('day', ts) AS TIMESTAMP) d, value FROM events"
+    ") GROUP BY GROUPING SETS ((d, h), (d))"
+)
