@@ -99,3 +99,76 @@ REFERENCE_ORACLE: dict[str, str] = {
         f"CAST(id AS VARCHAR) id FROM (VALUES {_EMP_VALUES}) "
         "t(first_name, last_name, job_title, number_of_hours, id))",
 }
+
+
+def ref_overlay_region(spark, sf_dir):
+    """R12 overlay-region (data-table.lisp:218-238): paste a 2×2 block —
+    including an explicit NULL, which must OVERWRITE the old cell — at
+    (row 1, col 2) of the employees fixture."""
+    dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    block = DataTable.from_rows(spark, [["X1", "X2"], [None, "Y2"]], ["a", "b"])
+    return dt.overlay_region(block, row_idx=1, col_idx=2).df
+
+
+def ref_cell_ops(spark, sf_dir):
+    """R6/R7 cell + column set ((setf data-table-value),
+    data-table.lisp:139-170): set one cell, then a 3-value column list —
+    rows beyond the list must KEEP their existing values."""
+    dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    dt = dt.set_value("Captain", row_idx=2, col="job_title")
+    dt = dt.set_value(["1.0", "2.0", "3.0"], col="number_of_hours")
+    return dt.df
+
+
+def ref_compare(spark, sf_dir):
+    """R11 data-table-data-compare (data-table.lisp:210-216): positional
+    equality verdicts surfaced as a 1-row DataFrame (the compare itself
+    is a driver-side boolean by reference design)."""
+    dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    same = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
+    diff = dt.set_value("Bard of Avon", row_idx=4, col="job_title")
+    return spark.createDataFrame(
+        [(dt.compare(same), dt.compare(diff))],
+        "eq_same boolean, eq_diff boolean",
+    )
+
+
+REFERENCE_QUERIES.update(
+    {
+        "ref_overlay_region": ref_overlay_region,
+        "ref_cell_ops": ref_cell_ops,
+        "ref_compare": ref_compare,
+    }
+)
+
+#: hand-derived expected outputs (the reference semantics applied on
+#: paper to EMPLOYEE_ROWS) as literal VALUES — the oracle is independent
+#: of every engine code path it checks.
+_OVERLAY_VALUES = (
+    "('Russ', 'Tyndall', 'Software Developer', '26.2', '1'), "
+    "('Adam', 'Smith', 'X1', 'X2', '2'), "
+    "('John', 'Doe', NULL, 'Y2', '3'), "
+    "('Chuck', 'Darwin', 'Natural Philosipher', '17.68', '4'), "
+    "('Bill', 'Shakespear', 'Bard', '12.2', '5'), "
+    "('James', 'Kirk', 'Starship Captain', '13.1', '6')"
+)
+_CELL_OPS_VALUES = (
+    "('Russ', 'Tyndall', 'Software Developer', '1.0', '1'), "
+    "('Adam', 'Smith', 'Economist', '2.0', '2'), "
+    "('John', 'Doe', 'Captain', '3.0', '3'), "
+    "('Chuck', 'Darwin', 'Natural Philosipher', '17.68', '4'), "
+    "('Bill', 'Shakespear', 'Bard', '12.2', '5'), "
+    "('James', 'Kirk', 'Starship Captain', '13.1', '6')"
+)
+_EMP_COLS_SQL = "t(first_name, last_name, job_title, number_of_hours, id)"
+
+REFERENCE_ORACLE.update(
+    {
+        "ref_overlay_region":
+            f"SELECT * FROM (VALUES {_OVERLAY_VALUES}) {_EMP_COLS_SQL}",
+        "ref_cell_ops":
+            f"SELECT * FROM (VALUES {_CELL_OPS_VALUES}) {_EMP_COLS_SQL}",
+        "ref_compare":
+            "SELECT TRUE AS eq_same, FALSE AS eq_diff",
+    }
+)
