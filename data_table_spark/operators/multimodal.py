@@ -138,3 +138,38 @@ MULTIMODAL_ORACLE: dict[str, str] = {
     # media_decode_features: pandas-UDF path — rows-only; the fake decode
     # is pinned by tests/test_sources_sinks.py golden assertions instead.
 }
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    modality: str = "image",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Ingest a directory of media files as (media_path, media, meta)
+    via Spark's built-in ``binaryFile`` source — the canonical blob
+    ingest path: distributed file listing, per-file content as one
+    BINARY cell, pushdown-able path/mtime/length filters. Feeds the same
+    decode/feature pipeline as documents_as_media.
+
+    At 100 TB: binaryFile caps per-task bytes via
+    spark.sql.files.maxPartitionBytes; millions-of-tiny-files corpora
+    should be compacted into parquet with a binary column first (one
+    pass through THIS reader, written with write_partitioned)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("path").alias("media_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("media"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

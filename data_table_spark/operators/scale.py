@@ -83,3 +83,29 @@ def write_partitioned(
     pruning — verify PartitionFilters in the scan node). The standard
     date/tenant layout for 100 TB fact tables."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def skew_report(
+    df, key_cols: list[str], top: int = 10, sample_fraction: float | None = None
+):
+    """Pre-shuffle skew diagnostic: the top-N heaviest key groups with
+    their share of all rows — the number that predicts whether a
+    groupBy/join on ``key_cols`` will straggle (a key holding >1/partitions
+    of the rows WILL, absent AQE skew splitting or salting).
+
+    One aggregation job (map-side combined); ``sample_fraction`` bounds
+    cost on very large inputs (skew estimation does not need exact
+    counts). Returns (key…, n_rows, share) ordered heaviest first.
+    """
+    from pyspark.sql import functions as F
+
+    src = df.sample(sample_fraction) if sample_fraction else df
+    counts = src.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = src.count()
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n_rows") / F.lit(total), 6)
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top)
+    )

@@ -186,3 +186,19 @@ def test_knn_join_candidates_subquadratic(spark):
     n_q, n_c = q.count(), e.count()
     cand = knn_join_candidates(q, e).count()
     assert cand < 0.05 * n_q * n_c, (cand, n_q * n_c)
+
+
+def test_skew_report_orders(spark, sf_dir):
+    """skew_report surfaces the heaviest keys with shares summing ≤ 1."""
+    from data_table_spark.operators.scale import skew_report
+    from data_table_spark.sources.registry import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    rows = skew_report(o, ["o_orderstatus"], top=5).collect()
+    assert 0 < len(rows) <= 5
+    shares = [r["share"] for r in rows]
+    assert shares == sorted(shares, reverse=True) or len(set(shares)) < len(shares)
+    assert sum(shares) <= 1.0 + 1e-6
+    # shares reflect true counts
+    true = o.groupBy("o_orderstatus").count().orderBy("count", ascending=False).collect()
+    assert rows[0]["n_rows"] == true[0]["count"]

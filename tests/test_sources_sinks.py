@@ -263,3 +263,21 @@ def test_bang_variants(spark):
     assert dt.column_types[0].simpleString() == "bigint"
     dt.set_value_bang(5, row_idx=0, col="num-col")
     assert dt.value(row_idx=0, col="num-col") == 5
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingest: per-file binary content + metadata struct, glob
+    filtering, byte-exact content."""
+    from data_table_spark.operators.multimodal import read_media_dir
+
+    payloads = {f"m{i}.bin": bytes([i]) * (50 + i) for i in range(3)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_media_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r["media_path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(rows[name]["media"]) == data
+        assert rows[name]["n_bytes"] == len(data)
+        assert rows[name]["meta"]["modality"] == "image"
