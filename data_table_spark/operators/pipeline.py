@@ -322,3 +322,92 @@ PIPELINE_ORACLE: dict[str, str] = {
         "AS contamination "
         "FROM ev LEFT JOIN train ON ev.s = train.s GROUP BY ev.doc_id",
 }
+
+
+# --------------------------------------------------------------------------
+# end-to-end corpus filter (compose: quality × langid × exact dedup)
+# --------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5
+MIN_TOKENS = 5
+
+
+def filter_corpus(spark, sf_dir) -> DataFrame:
+    """The composed keep-set a training corpus build actually runs:
+    English docs (langid), quality ≥ QUALITY_MIN, ≥ MIN_TOKENS tokens,
+    AND the canonical survivor of their normalized-exact-dup group.
+
+    Composition is where declarative pays off: the three inputs are
+    independent single-shuffle queries over the same scan, and Catalyst
+    plans the conjunction as one pipeline with shared pruning — no
+    materialized intermediates between 'steps' like an imperative
+    pipeline would ship at 100 TB.
+    """
+    from .textstats import text_langid, text_quality
+
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score", "n_tokens")
+    lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    survivors = (
+        d.select("doc_id", F.sha2(norm, 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .where(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= MIN_TOKENS)
+        )
+        .select("doc_id")
+    )
+
+
+def pipe_filter_corpus(spark, sf_dir):
+    """Gate: the composed corpus keep-set."""
+    return filter_corpus(spark, sf_dir)
+
+
+PIPELINE_QUERIES["pipe_filter_corpus"] = pipe_filter_corpus
+
+
+def _filter_corpus_oracle() -> str:
+    from .textstats import _EN, _STOP_PAT
+
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "  len(string_split_regex(trim(text), '\\s+')) n_tokens, "
+        "  length(text) n_chars, "
+        "  len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) n_punct, "
+        f"  len(regexp_extract_all(lower(text), '{_STOP_PAT}')) n_stop, "
+        f"  len(regexp_extract_all(lower(text), '{_EN}')) en_hits, "
+        "  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) cjk, "
+        "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) norm_h "
+        "FROM documents), "
+        "scored AS (SELECT doc_id, n_tokens, en_hits, cjk, norm_h, "
+        "  CASE WHEN n_tokens < 5 THEN 0.0 ELSE "
+        "  FLOOR(((1.0 - LEAST(FLOOR(n_punct::DOUBLE / n_chars * 10000) / 10000 * 4, 1.0)) * 0.5 "
+        "  + LEAST(FLOOR(n_stop::DOUBLE / n_tokens * 10000) / 10000 * 5, 1.0) * 0.5) "
+        "  * 10000) / 10000 END AS quality_score "
+        "FROM s), "
+        "surv AS (SELECT MIN(doc_id) doc_id FROM s GROUP BY norm_h) "
+        "SELECT sc.doc_id FROM scored sc JOIN surv ON sc.doc_id = surv.doc_id "
+        f"WHERE sc.quality_score >= {QUALITY_MIN} AND sc.n_tokens >= {MIN_TOKENS} "
+        "AND sc.cjk = 0 AND sc.en_hits > 0 "
+        # pred_lang = 'en' in the engine's tie order: en wins any tie it
+        # participates in, so 'en' ⇔ en_hits = max(hits) and max > 0;
+        # spelled with explicit GREATEST to mirror text_langid
+        "AND sc.en_hits = (SELECT GREATEST(len(regexp_extract_all(lower(d2.text), "
+        f"'{_EN}')), "
+        "len(regexp_extract_all(lower(d2.text), '\\b(der|die|das|und)\\b')), "
+        "len(regexp_extract_all(lower(d2.text), '\\b(le|la|les|et)\\b')), "
+        "len(regexp_extract_all(lower(d2.text), '\\b(el|los|las|y)\\b'))) "
+        "FROM documents d2 WHERE d2.doc_id = sc.doc_id)"
+    )
+
+
+PIPELINE_ORACLE["pipe_filter_corpus"] = _filter_corpus_oracle()
