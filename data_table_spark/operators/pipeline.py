@@ -411,3 +411,69 @@ def _filter_corpus_oracle() -> str:
 
 
 PIPELINE_ORACLE["pipe_filter_corpus"] = _filter_corpus_oracle()
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 64
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = PACK_BUDGET,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    len_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Assign consecutive chunks to fixed-token-budget packs (the
+    sequence-packing step that fills training context windows):
+    pack_id = floor(tokens_laid_out_before_this_chunk / budget).
+
+    Packing here is PER DOCUMENT (window partitioned by doc → parallel,
+    deterministic, exactly oracle-able). Cross-document packing at scale
+    is the same expression with the partition key swapped for a hash
+    bucket of bounded size — a global sequential layout would be a
+    single-reducer window, which is exactly what not to ship at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(len_col).over(w), F.lit(0))
+    return chunks.select(
+        id_col,
+        order_col,
+        len_col,
+        F.floor(before / budget).cast("long").alias("pack_id"),
+    )
+
+
+def pipe_pack_sequences(spark, sf_dir):
+    """Gate: pack the standard document chunks into 64-token budgets."""
+    return pack_sequences(chunk_documents(load_table(spark, "documents", sf_dir)))
+
+
+PIPELINE_QUERIES["pipe_pack_sequences"] = pipe_pack_sequences
+
+PIPELINE_ORACLE["pipe_pack_sequences"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents"
+    "), st AS ("
+    f"  SELECT doc_id, t, unnest(range(0, len(t), {_STRIDE})) s FROM toks"
+    "), ch AS ("
+    f"  SELECT doc_id, (s // {_STRIDE})::BIGINT AS chunk_id, "
+    f"  len(list_slice(t, s + 1, s + {CHUNK_TOKENS}))::BIGINT AS n_chunk_tokens "
+    "  FROM st"
+    ") "
+    "SELECT doc_id, chunk_id, n_chunk_tokens, "
+    "CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER ("
+    "  PARTITION BY doc_id ORDER BY chunk_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"/ {PACK_BUDGET}) AS BIGINT) AS pack_id "
+    "FROM ch"
+)

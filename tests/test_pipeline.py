@@ -113,3 +113,27 @@ def test_contamination_bounds(spark, sf_dir):
         F.min("contamination").alias("lo"), F.max("contamination").alias("hi")
     ).collect()[0]
     assert 0.0 <= out["lo"] and out["hi"] <= 1.0
+
+
+def test_pack_sequences_budget_and_continuity(spark, sf_dir):
+    """Packs fill in chunk order: pack ids are non-decreasing, start at
+    0, and no pack's pre-assignment offset jumps a budget boundary."""
+    from data_table_spark.operators.pipeline import (
+        PACK_BUDGET,
+        chunk_documents,
+        pack_sequences,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    packed = pack_sequences(chunk_documents(d)).collect()
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+        total = 0
+        for r in rows:
+            assert r["pack_id"] == total // PACK_BUDGET
+            total += r["n_chunk_tokens"]
+        ids = [r["pack_id"] for r in rows]
+        assert ids == sorted(ids) and ids[0] == 0
