@@ -173,3 +173,94 @@ def read_media_dir(
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("raster", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize via mapInPandas — same Arrow-batch plumbing a real
+    PIL/torchvision resize would use (binary in → fixed-size binary out).
+
+    fake=True emits a deterministic width×height pseudo-raster (the
+    media bytes cycled/truncated to exactly w·h bytes) so shape, schema
+    and batch behavior are pinned by tests; fake=False raises at the
+    codec plug-in point."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        size = width * height
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires an image codec (PIL/torchvision) "
+                    "not present in this environment; plug it in here"
+                )
+            rasters = [
+                bytes((b * ((size // max(len(b), 1)) + 1))[:size])
+                for b in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "raster": rasters,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, duration_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling: one media row in → n_frames rows out (the 1→N
+    generator shape of a video pipeline), via mapInPandas so the fan-out
+    happens inside the Arrow batch, never per-row.
+
+    fake=True slices the blob into n_frames contiguous segments with
+    evenly spaced fake timestamps; fake=False raises at the demuxer
+    plug-in point (pyav). Frames inherit the row's partition — no
+    shuffle; at 100 TB follow with write_partitioned, not a groupBy."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires a demuxer (pyav/ffmpeg) "
+                    "not present in this environment; plug it in here"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                step = max(len(blob) // n_frames, 1)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * duration_ms // n_frames)
+                    out["frame"].append(bytes(blob[i * step:(i + 1) * step]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -281,3 +281,43 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
         assert bytes(rows[name]["media"]) == data
         assert rows[name]["n_bytes"] == len(data)
         assert rows[name]["meta"]["modality"] == "image"
+
+
+def test_resize_media_shape_and_determinism(spark, sf_dir):
+    from data_table_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    m = documents_as_media(spark, sf_dir).limit(20)
+    r1 = {r["doc_id"]: r for r in resize_media(m, 8, 8).collect()}
+    assert all(len(r["raster"]) == 64 for r in r1.values())
+    r2 = {r["doc_id"]: r for r in resize_media(m, 8, 8).collect()}
+    assert all(bytes(r1[k]["raster"]) == bytes(r2[k]["raster"]) for k in r1)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(m, 8, 8, fake=False).collect()
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    m = documents_as_media(spark, sf_dir).limit(10)
+    fr = sample_frames(m, n_frames=4).collect()
+    assert len(fr) == 40  # 1 → n_frames fan-out
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    orig = {r["doc_id"]: bytes(r["media"]) for r in m.collect()}
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_ts_ms"] for r in rows] == [0, 250, 500, 750]
+        # frames are contiguous slices of the source blob in order
+        joined = b"".join(bytes(r["frame"]) for r in rows)
+        assert orig[doc].startswith(joined)
