@@ -406,13 +406,26 @@ class DataTable:
         if self.number_of_columns != other.number_of_columns:
             return False
         a, b = self._df, other._df
-        if a.count() != b.count():
-            return False
         a_cols, b_cols = self.column_names, other.column_names
-        a2 = a.select(ROW_ID, *[F.col(c).alias(f"_a_{i}") for i, c in enumerate(a_cols)])
-        b2 = b.select(ROW_ID, *[F.col(c).alias(f"_b_{i}") for i, c in enumerate(b_cols)])
-        j = a2.join(b2, ROW_ID, "inner")
+        # ONE action: full outer join on _row_id — a row missing on either
+        # side (row-count mismatch) surfaces as a NULL presence marker, so
+        # the separate count() jobs (and their plan compiles) are avoided
+        a2 = a.select(
+            ROW_ID,
+            F.lit(True).alias("_a_present"),
+            *[F.col(c).alias(f"_a_{i}") for i, c in enumerate(a_cols)],
+        )
+        b2 = b.select(
+            ROW_ID,
+            F.lit(True).alias("_b_present"),
+            *[F.col(c).alias(f"_b_{i}") for i, c in enumerate(b_cols)],
+        )
+        j = a2.join(b2, ROW_ID, "full")
         neq = [
+            F.col("_a_present").isNull(),
+            F.col("_b_present").isNull(),
+        ]
+        neq += [
             ~(
                 F.col(f"_a_{i}").eqNullSafe(
                     F.col(f"_b_{i}").try_cast(dict(a2.dtypes)[f"_a_{i}"])
