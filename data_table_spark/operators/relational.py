@@ -1069,3 +1069,52 @@ RELATIONAL_ORACLE["q55_time_rollup"] = (
     "         CAST(date_trunc('day', ts) AS TIMESTAMP) d, value FROM events"
     ") GROUP BY GROUPING SETS ((d, h), (d))"
 )
+
+
+def q56_map_entries(spark, sf_dir):
+    """MAP-typed column surface: parse props into map<string,string>,
+    explode to (key, value) entry rows — from_json + explode are both
+    map-side generates, no shuffle."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return e.select("event_id", F.explode(m).alias("key", "value")).orderBy(
+        "event_id", "key"
+    )
+
+
+RELATIONAL_QUERIES["q56_map_entries"] = q56_map_entries
+RELATIONAL_ORACLE["q56_map_entries"] = (
+    # the fixture's props objects all have the single key 'k'
+    # (json_structure is uniform); DuckDB has no json_each, so the oracle
+    # extracts that key directly
+    "SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS value "
+    "FROM events"
+)
+
+
+def q57_rank_ratios(spark, sf_dir):
+    """percent_rank / cume_dist — relative-position window functions
+    (the remaining rank family members beyond q19/q22)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+RELATIONAL_QUERIES["q57_rank_ratios"] = q57_rank_ratios
+RELATIONAL_ORACLE["q57_rank_ratios"] = (
+    "SELECT o_orderkey, o_orderstatus, "
+    "ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_totalprice, o_orderkey), 6) pr, "
+    "ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_totalprice, o_orderkey), 6) cd "
+    "FROM orders"
+)
