@@ -202,3 +202,28 @@ def test_skew_report_orders(spark, sf_dir):
     # shares reflect true counts
     true = o.groupBy("o_orderstatus").count().orderBy("count", ascending=False).collect()
     assert rows[0]["n_rows"] == true[0]["count"]
+
+
+def test_corpus_ops_zero_shuffle(spark, sf_dir):
+    """Hash split / stratified sample / source mix / chunking must stay
+    map-side — any Exchange in these plans is a scale regression."""
+    from data_table_spark.operators.pipeline import PIPELINE_QUERIES
+
+    for name in (
+        "pipe_split_assign",
+        "pipe_stratified_sample",
+        "pipe_source_mix",
+        "pipe_chunk_documents",
+    ):
+        p = _plan(PIPELINE_QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in p, f"{name} gained a shuffle:\n{p[:500]}"
+
+
+def test_attribution_join_is_hash_join(spark, sf_dir):
+    """The S7 batch form must plan as an equi hash/merge join on user_id
+    with the interval as residual — not a nested-loop cross product."""
+    from data_table_spark.streaming.windows import STREAMJOIN_QUERIES
+
+    p = _plan(STREAMJOIN_QUERIES["stream_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
