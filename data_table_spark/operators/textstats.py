@@ -186,3 +186,48 @@ TEXTSTATS_ORACLE: dict[str, str] = {
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint "
         "FROM documents",
 }
+
+
+# --------------------------------------------------------------------------
+# scrubbing (URL / email masking + whitespace normalization)
+# --------------------------------------------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(col: Column) -> Column:
+    """Mask URLs and emails, collapse whitespace — the standard pre-train
+    scrub pass. Order matters: URLs first (an URL may contain an
+    @-segment), then emails, then whitespace. Pure regexp_replace chain —
+    map-side, codegen, identical regex dialect in DuckDB (oracle)."""
+    c = F.regexp_replace(col, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def text_scrub(spark, sf_dir):
+    """Gate: scrubbed text + a changed flag (the fixture corpus has no
+    URLs, so the flag also PINS that masking never fires spuriously)."""
+    d = load_table(spark, "documents", sf_dir)
+    s = scrub_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(s).alias("scrubbed_md5"),
+        (s != F.col("text")).alias("changed"),
+    )
+
+
+TEXTSTATS_QUERIES["text_scrub"] = text_scrub
+TEXTSTATS_ORACLE["text_scrub"] = (
+    "SELECT doc_id, "
+    "md5(trim(regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{URL_RE}', '<URL>', 'g'), "
+    f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+    "'\\s+', ' ', 'g'))) AS scrubbed_md5, "
+    "trim(regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{URL_RE}', '<URL>', 'g'), "
+    f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+    "'\\s+', ' ', 'g')) != text AS changed "
+    "FROM documents"
+)
