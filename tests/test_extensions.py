@@ -27,10 +27,24 @@ from data_table_spark.operators.textstats import (  # noqa: E402
     TEXTSTATS_ORACLE,
     TEXTSTATS_QUERIES,
 )
+from data_table_spark.streaming.stateful import (  # noqa: E402
+    STATEFUL_ORACLE,
+    STATEFUL_QUERIES,
+)
+from data_table_spark.streaming.windows import (  # noqa: E402
+    STREAMJOIN_ORACLE,
+    STREAMJOIN_QUERIES,
+)
 from tests.oracle_util import compare_to_oracle, duck_connection  # noqa: E402
 
-ALL_QUERIES = {**DEDUP_QUERIES, **SIMILARITY_QUERIES, **TEXTSTATS_QUERIES}
-ALL_ORACLE = {**DEDUP_ORACLE, **SIMILARITY_ORACLE, **TEXTSTATS_ORACLE}
+ALL_QUERIES = {
+    **DEDUP_QUERIES, **SIMILARITY_QUERIES, **TEXTSTATS_QUERIES,
+    **STATEFUL_QUERIES, **STREAMJOIN_QUERIES,
+}
+ALL_ORACLE = {
+    **DEDUP_ORACLE, **SIMILARITY_ORACLE, **TEXTSTATS_ORACLE,
+    **STATEFUL_ORACLE, **STREAMJOIN_ORACLE,
+}
 
 
 @pytest.fixture(scope="module")
