@@ -109,3 +109,22 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)
     )
+
+
+def heavy_hitters_approx(
+    df,
+    key_col: str,
+    support: float = 0.01,
+):
+    """Approximate heavy hitters via Spark's built-in single-pass
+    frequent-items sketch (`df.stat.freqItems`, Karp-Shenker-Papadimitriou):
+    ONE scan, fixed memory ~1/support counters per partition, mergeable —
+    the sketch-family answer when exact groupBy counts of a
+    high-cardinality key would shuffle the world.
+
+    Guarantee: every key with frequency > support·n is returned; false
+    positives are possible (verify candidates with a bounded exact count
+    when it matters — the test does exactly that).
+    """
+    row = df.stat.freqItems([key_col], support=support).collect()[0]
+    return sorted(row[f"{key_col}_freqItems"])

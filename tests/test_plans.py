@@ -227,3 +227,23 @@ def test_attribution_join_is_hash_join(spark, sf_dir):
     p = _plan(STREAMJOIN_QUERIES["stream_attribution"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_heavy_hitters_sketch_completeness(spark, sf_dir):
+    """freqItems must contain every key with true frequency > support·n
+    (the KSP guarantee); false positives are pruned by an exact check."""
+    from data_table_spark.operators.scale import heavy_hitters_approx
+    from data_table_spark.sources.registry import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    n = o.count()
+    exact = {
+        r["o_orderpriority"]: r["count"]
+        for r in o.groupBy("o_orderpriority").count().collect()
+    }
+    support = 0.05
+    got = set(heavy_hitters_approx(o, "o_orderpriority", support=support))
+    truly_frequent = {k for k, c in exact.items() if c > support * n}
+    assert truly_frequent <= got
+    # candidate set stays bounded (sketch, not a full distinct)
+    assert len(got) <= int(1 / support) + 1
