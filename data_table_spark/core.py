@@ -106,13 +106,21 @@ class DataTable:
         if keys is None:
             keys = list(records[0].keys()) if records else []
         keys = dedupe_names([str(k) for k in keys], config.on_duplicate_column)
-        rows = [tuple(r.get(k) for k in keys) for r in records]
+        # driver-side rows carry their ingest index, so the row id is
+        # stamped at creation — no distributed zipWithIndex lineage (whose
+        # window+join plan dominates small-facade query compile time)
+        rows = [
+            tuple([i] + [r.get(k) for k in keys]) for i, r in enumerate(records)
+        ]
         if rows:
-            df = spark.createDataFrame(rows, schema=list(keys))
+            df = spark.createDataFrame(rows, schema=[ROW_ID, *keys])
         else:
-            schema = T.StructType([T.StructField(k, T.StringType()) for k in keys])
+            schema = T.StructType(
+                [T.StructField(ROW_ID, T.LongType())]
+                + [T.StructField(k, T.StringType()) for k in keys]
+            )
             df = spark.createDataFrame([], schema)
-        return cls(df, config=config)
+        return cls(df, config=config, _has_row_id=True)
 
     @classmethod
     def from_rows(
@@ -131,24 +139,39 @@ class DataTable:
         while len(names) < width:
             names.append(f"col_{len(names)}")
         names = dedupe_names([str(n) for n in names], config.on_duplicate_column)
-        padded = [tuple(list(r) + [None] * (width - len(r))) for r in rows]
+        # ingest index stamped driver-side (see from_records)
+        padded = [
+            tuple([i] + list(r) + [None] * (width - len(r)))
+            for i, r in enumerate(rows)
+        ]
+        names = [ROW_ID, *names]
         # Cells keep their Python types when the column is homogeneous
         # (the reference's rows hold values as-is); when inference cannot
         # determine or merge a column's type (mixed cells, all-NULL
         # column), the whole table demotes to strings — the deterministic
         # Spark rendering of the reference's untyped-cell model, with
         # types recoverable via coerce_types().
-        str_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        str_schema = T.StructType(
+            [T.StructField(ROW_ID, T.LongType())]
+            + [T.StructField(n, T.StringType()) for n in names[1:]]
+        )
         if not padded:
-            return cls(spark.createDataFrame([], str_schema), config=config)
+            return cls(
+                spark.createDataFrame([], str_schema),
+                config=config,
+                _has_row_id=True,
+            )
         try:
             df = spark.createDataFrame(padded, schema=list(names))
         except Exception:
             str_rows = [
-                tuple(None if v is None else str(v) for v in r) for r in padded
+                tuple(
+                    [r[0]] + [None if v is None else str(v) for v in r[1:]]
+                )
+                for r in padded
             ]
             df = spark.createDataFrame(str_rows, str_schema)
-        return cls(df, config=config)
+        return cls(df, config=config, _has_row_id=True)
 
     @classmethod
     def from_csv(
