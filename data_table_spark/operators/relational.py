@@ -1118,3 +1118,35 @@ RELATIONAL_ORACLE["q57_rank_ratios"] = (
     "ORDER BY o_totalprice, o_orderkey), 6) cd "
     "FROM orders"
 )
+
+
+def q58_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape: revenue from returned items per customer, top 20.
+    Two-join star with the filter pushed below both joins and the
+    aggregate before the top-k (TakeOrderedAndProject)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        # floor-truncate: a sum of price*(1-disc) products lands on the
+        # ROUND half-up boundary often enough to flap between engines
+        .agg((F.floor(rev * 100) / 100).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q58_tpch_q10_shape"] = q58_tpch_q10_shape
+RELATIONAL_ORACLE["q58_tpch_q10_shape"] = (
+    "SELECT c_custkey, c_name, "
+    "FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
