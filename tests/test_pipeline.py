@@ -137,3 +137,26 @@ def test_pack_sequences_budget_and_continuity(spark, sf_dir):
             total += r["n_chunk_tokens"]
         ids = [r["pack_id"] for r in rows]
         assert ids == sorted(ids) and ids[0] == 0
+
+
+def test_chunk_edge_cases(spark):
+    """Empty text, single token, and exact-multiple lengths chunk sanely."""
+    from data_table_spark.operators.pipeline import chunk_documents
+
+    rows = [
+        (1, ""),                         # empty → one ''-token chunk
+        (2, "solo"),                     # single token
+        (3, " ".join(["w"] * 10)),       # exact chunk size
+        (4, " ".join(["w"] * 17)),       # crosses one stride boundary
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=10, overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert len(got[1]) == 1 and got[1][0]["n_chunk_tokens"] == 1
+    assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "solo"
+    # 10 tokens, stride 7: chunks at 0 (10 toks) and 7 (3 toks)
+    assert sorted(r["n_chunk_tokens"] for r in got[3]) == [3, 10]
+    # 17 tokens: starts 0, 7, 14 → sizes 10, 10, 3
+    assert sorted(r["n_chunk_tokens"] for r in got[4]) == [3, 10, 10]
