@@ -344,7 +344,24 @@ def knn_join_candidates(
         raise ValueError(f"n_bands*band_bits must fit a long, got {planes}")
     mask = (1 << band_bits) - 1
 
+    # self-join fast path: sign the shared side ONCE and alias per side —
+    # the signature pass (per-vector hyperplane signs) is the map-side
+    # cost, and without this both join sides recompute it
+    shared = None
+    if queries is corpus:
+        shared = queries.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            lsh_signature(F.col(vec_col), planes=planes).alias("_sig"),
+        ).localCheckpoint()
+
     def signed(df, prefix):
+        if shared is not None:
+            return shared.select(
+                F.col("_id").alias(f"{prefix}_id"),
+                F.col("_vec").alias(f"{prefix}_vec"),
+                F.col("_sig").alias(f"{prefix}_sig"),
+            )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
