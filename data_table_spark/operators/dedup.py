@@ -231,15 +231,46 @@ def dedup_minhash_lsh_pairs(spark, sf_dir, threshold: float = JACCARD_THRESHOLD)
     hot-bucket cap bounds the worst single bucket.
     """
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return minhash_verified_pairs(d, threshold)
+
+
+def minhash_verified_pairs(
+    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Banded-MinHash candidates over (doc_id, text) rows, exact-verified
+    by bigram Jaccard — the shared core of the full and bounded gates."""
     cand = minhash_band_candidates(d)
     sh = d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
-    verified = (
+    return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
         .select("a", "b", F.round(_jaccard(F.col("sa"), F.col("sb")), 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+
+
+def dedup_minhash_pairs_bounded(spark, sf_dir):
+    """Deterministic-oracle gate for the MinHash-LSH path: the identical
+    signature → bands → hot-bucket guard → candidate join → exact-verify
+    pipeline, restricted to doc_id < PAIR_BOUND so DuckDB can afford the
+    brute-force truth.
+
+    The oracle is EXACT, not statistical: banded xxhash64 MinHash is
+    deterministic, and on this slice banding recall is verified to be
+    1.0 (every brute-force Jaccard ≥ 0.5 pair collides on at least one
+    band — measured at sf0.01: 7/7 truth pairs found, zero missed; the
+    exact-verify stage then removes any sub-threshold candidates), so
+    output ≡ bounded brute force, forever, for a fixed fixture. Recall
+    1.0 on the slice is also pinned by
+    tests/test_extensions.py::test_minhash_bounded_recall_exact.
+    The UNBOUNDED operator stays dedup_minhash_lsh_pairs (rows-only by
+    nature, recall asserted statistically in tests)."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .select("doc_id", "text")
+    )
+    return minhash_verified_pairs(d)
 
 
 # --------------------------------------------------------------------------
@@ -294,13 +325,30 @@ def dedup_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
 
 
-def simhash_near_pairs(spark, sf_dir, max_hamming: int = 3):
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
-    4 16-bit band keys for candidate generation (exactly one band must
-    match for hamming ≤ 3 by pigeonhole over 4 bands)."""
-    sig = dedup_simhash(spark, sf_dir)
+def simhash_pairs_df(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming over
+    (doc_id, text) rows, using 4 16-bit band keys for candidate
+    generation (exactly one band must match for hamming ≤ 3 by
+    pigeonhole over 4 bands).
+
+    The band self-join gets the SAME hot-bucket guard as the MinHash
+    path (aggregate + broadcast anti-join — see HOT_BUCKET_CAP for why
+    not a window): round-2 review flagged that k identical/boilerplate
+    docs share every band value and would melt the join with k²
+    candidates. A dropped bucket only loses pairs whose OTHER three
+    bands all disagree (hamming ≥ 3 concentrated outside the hot band)
+    or that are exact copies (dedup_exact's job) — the standard
+    frequent-band trade. The join is skinny (id + band keys; signatures
+    re-attached after distinct) for the same shuffle-bytes reason as
+    knn_join_candidates."""
+    sig = docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+    sig = sig.localCheckpoint()  # feeds hot-agg, both join sides, re-attach
     bands = sig.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(
             F.array(
                 *[
@@ -314,18 +362,71 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 3):
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band", "b.bh")
-    left = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "bh")
-    right = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "bh")
-    return (
+    ).select("doc_id", "b.band", "b.bh")
+    hot = (
+        bands.groupBy("band", "bh")
+        .count()
+        .where(F.col("count") > hot_bucket_cap)
+        .select("band", "bh")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    left = bands.select(F.col("doc_id").alias("a"), "band", "bh")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "bh")
+    cand = (
         left.join(right, ["band", "bh"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
+        .join(sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
         .select(
             "a", "b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(spark, sf_dir, max_hamming: int = 3):
+    """Near-dup pairs by SimHash over the documents table (see
+    simhash_pairs_df for the guarded band-join machinery)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return simhash_pairs_df(d, max_hamming=max_hamming)
+
+
+#: doc_id offset for dedup_simhash_planted_pairs' exact copies.
+SIMHASH_COPY_OFFSET = 1_000_000
+
+
+def dedup_simhash_planted_pairs(spark, sf_dir):
+    """Deterministic-oracle gate for the SimHash near-dup machinery:
+    plant an EXACT text copy (doc_id + SIMHASH_COPY_OFFSET) of every
+    doc in the bounded slice, run the full banded hamming-≤-0 pipeline,
+    and keep only the planted (a, a+offset) pairs.
+
+    Identical text ⇒ identical token set ⇒ identical SimHash ⇒ hamming
+    0 and collision on ALL four bands — the copy pair is found
+    deterministically, independent of hash values. The b−a == offset
+    filter excludes NATURAL hamming-0 pairs, which on this fixture are
+    plentiful but hash-dependent (the synthetic docs draw from a ~30
+    word vocabulary, so distinct-token-set collisions abound — measured
+    1068 hamming-0 pairs among 600 docs at sf0.01, 108 of them with
+    UNEQUAL token sets) — exactly the ADVICE-r2 pattern of asserting
+    the planted structure instead of fixture luck. Natural-pair
+    behavior stays pytest-covered (tests/test_extensions.py)."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .select("doc_id", "text")
+    )
+    copies = d.select(
+        (F.col("doc_id") + SIMHASH_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return (
+        simhash_pairs_df(d.unionByName(copies), max_hamming=0)
+        .where(F.col("b") - F.col("a") == SIMHASH_COPY_OFFSET)
     )
 
 
@@ -400,9 +501,18 @@ def dedup_embedding_pairs(spark, sf_dir, threshold: float = EMBED_DUP_THRESHOLD)
             "embedding", lambda x: (x * F.lit(0.5)).cast("float")
         ).alias("embedding"),
     )
-    return embedding_near_pairs(
-        e.unionByName(twins), threshold=threshold
-    ).select("a", "b")
+    # ADVICE-r2: assert the planted structure instead of fixture luck.
+    # The oracle is one (v, twin) pair per vector, which additionally
+    # relies on no RANDOM pair crossing the threshold (max random
+    # cosine ≈ 0.51 at sf0.01 « 0.95). The b−a filter pins the gate to
+    # the planted pairs so a fixture regrow or larger sf can't flip it;
+    # the no-natural-pairs property itself is separately asserted in
+    # tests/test_extensions.py::test_embedding_fixture_has_no_natural_dups.
+    return (
+        embedding_near_pairs(e.unionByName(twins), threshold=threshold)
+        .where(F.col("b") - F.col("a") == TWIN_OFFSET)
+        .select("a", "b")
+    )
 
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -410,9 +520,30 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_minhash_pairs_bounded": dedup_minhash_pairs_bounded,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_planted_pairs": dedup_simhash_planted_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
 }
+
+#: shared brute-force bigram-Jaccard SQL over the bounded slice — the
+#: oracle for BOTH the brute-force gate and (recall 1.0 on the slice,
+#: see dedup_minhash_pairs_bounded) the banded MinHash gate.
+_BOUNDED_JACCARD_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    f"  FROM documents WHERE doc_id < {PAIR_BOUND}"
+    "), sh AS ("
+    "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
+    "  FROM toks"
+    ") "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
+    "      / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    f"WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
+    f"      / len(list_distinct(list_concat(a.s, b.s))), 4) >= {JACCARD_THRESHOLD}"
+)
 
 DEDUP_ORACLE: dict[str, str] = {
     "dedup_exact":
@@ -422,23 +553,20 @@ DEDUP_ORACLE: dict[str, str] = {
         "SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS n_copies "
         "FROM documents "
         "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))",
-    "dedup_ngram_jaccard_pairs":
-        "WITH toks AS ("
-        "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
-        f"  FROM documents WHERE doc_id < {PAIR_BOUND}"
-        "), sh AS ("
-        "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
-        "  FROM toks"
-        ") "
-        "SELECT a.doc_id AS a, b.doc_id AS b, "
-        "ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
-        "      / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard "
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-        f"WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
-        f"      / len(list_distinct(list_concat(a.s, b.s))), 4) >= {JACCARD_THRESHOLD}",
-    # dedup_minhash_lsh_pairs / dedup_simhash: hash-function-dependent —
-    # rows-only here; recall vs the brute-force oracle asserted in
+    "dedup_ngram_jaccard_pairs": _BOUNDED_JACCARD_SQL,
+    # dedup_minhash_pairs_bounded: same truth as the brute-force gate —
+    # banding recall on the slice is 1.0 (measured + pytest-pinned), and
+    # the exact-verify stage removes sub-threshold candidates, so the
+    # banded pipeline's output EQUALS bounded brute force.
+    "dedup_minhash_pairs_bounded": _BOUNDED_JACCARD_SQL,
+    # dedup_minhash_lsh_pairs / dedup_simhash (unbounded, natural):
+    # hash-function-dependent — rows-only, kept OUT of the driver
+    # window; recall vs the brute-force oracle asserted in
     # tests/test_extensions.py::test_minhash_recall.
+    "dedup_simhash_planted_pairs":
+        f"SELECT doc_id AS a, doc_id + {SIMHASH_COPY_OFFSET} AS b, "
+        "0::INTEGER AS hamming "
+        f"FROM documents WHERE doc_id < {PAIR_BOUND}",
     "dedup_embedding_pairs":
         # exact oracle despite LSH: the planted rescaled twins collide on
         # every band deterministically (see the gate docstring), and the
@@ -517,5 +645,45 @@ def dedup_clusters(spark, sf_dir):
 
 
 DEDUP_QUERIES["dedup_clusters"] = dedup_clusters
-# dedup_clusters: hash-derived pairs → rows-only; transitivity and
-# canonical-min properties asserted in tests/test_extensions.py.
+# dedup_clusters (unbounded): hash-derived pairs → rows-only, kept OUT
+# of the driver window; transitivity and canonical-min properties
+# asserted in tests/test_extensions.py. The deterministic-oracle form
+# is dedup_clusters_bounded below.
+
+
+def dedup_clusters_bounded(spark, sf_dir):
+    """Deterministic-oracle gate for the connected-components machinery:
+    label propagation over the BOUNDED MinHash pair set (whose own
+    oracle is exact — see dedup_minhash_pairs_bounded), checked against
+    a DuckDB recursive-CTE min-label closure over the same pairs."""
+    pairs = dedup_minhash_pairs_bounded(spark, sf_dir)
+    return duplicate_clusters(pairs)
+
+
+DEDUP_QUERIES["dedup_clusters_bounded"] = dedup_clusters_bounded
+# connected components in SQL: walk(x, lab) enumerates, for every node,
+# every node id reachable from it (UNION dedups across iterations, so
+# the closure terminates); MIN(lab) per node is then the component's
+# canonical (smallest) id — the same fixed point label propagation
+# converges to.
+DEDUP_ORACLE["dedup_clusters_bounded"] = (
+    "WITH RECURSIVE toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    f"  FROM documents WHERE doc_id < {PAIR_BOUND}"
+    "), sh AS ("
+    "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
+    "  FROM toks"
+    "), pairs AS ("
+    "  SELECT a.doc_id AS a, b.doc_id AS b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE "
+    f"        / len(list_distinct(list_concat(a.s, b.s))), 4) >= {JACCARD_THRESHOLD}"
+    "), edges AS ("
+    "  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs"
+    "), walk(x, lab) AS ("
+    "  SELECT DISTINCT x, x FROM edges"
+    "  UNION"
+    "  SELECT e.x, w.lab FROM edges e JOIN walk w ON e.y = w.x"
+    ") "
+    "SELECT x AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY x"
+)

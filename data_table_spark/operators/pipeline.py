@@ -112,9 +112,19 @@ def stratified_sample(
 
     Salting the bucket with the strata keeps a row's fate independent
     across different stratifications of the same corpus.
+
+    Rows with a NULL in any strata/key component are EXCLUDED (advisor
+    r2: concat_ws silently skips NULL inputs, which both folded
+    NULL-strata rows into a sibling bucket and disagreed with the
+    oracle's ``||``, which propagates NULL). Surfacing them is the
+    caller's filter; silently bucketing them is wrong either way.
     """
-    key = F.concat_ws("␟", *[F.col(c) for c in strata_cols], F.col(key_col))
-    return df.where(hash_bucket(key) < int(fraction * HASH_BUCKETS))
+    cols = [*strata_cols, key_col]
+    key = F.concat_ws("␟", *[F.col(c) for c in cols])
+    not_null = F.lit(True)
+    for c in cols:
+        not_null = not_null & F.col(c).isNotNull()
+    return df.where(not_null & (hash_bucket(key) < int(fraction * HASH_BUCKETS)))
 
 
 def pipe_stratified_sample(spark, sf_dir):
@@ -145,7 +155,13 @@ def source_mix(
         thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
     thresh = thresh.otherwise(0)
     key = F.concat_ws("␟", F.col(group_col), F.col(key_col))
-    return df.where(hash_bucket(key) < thresh)
+    # NULL group/key rows are excluded, matching the oracle's
+    # NULL-propagating `||` (see stratified_sample)
+    return df.where(
+        F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & (hash_bucket(key) < thresh)
+    )
 
 
 #: gate keep-rates per synthetic source.
@@ -460,7 +476,8 @@ def pipe_pack_sequences(spark, sf_dir):
 
 PIPELINE_QUERIES["pipe_pack_sequences"] = pipe_pack_sequences
 
-PIPELINE_ORACLE["pipe_pack_sequences"] = (
+#: shared chunk CTEs for the packing oracles.
+_CHUNK_CTE = (
     "WITH toks AS ("
     "  SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents"
     "), st AS ("
@@ -470,10 +487,95 @@ PIPELINE_ORACLE["pipe_pack_sequences"] = (
     f"  len(list_slice(t, s + 1, s + {CHUNK_TOKENS}))::BIGINT AS n_chunk_tokens "
     "  FROM st"
     ") "
-    "SELECT doc_id, chunk_id, n_chunk_tokens, "
+)
+
+PIPELINE_ORACLE["pipe_pack_sequences"] = (
+    _CHUNK_CTE
+    + "SELECT doc_id, chunk_id, n_chunk_tokens, "
     "CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER ("
     "  PARTITION BY doc_id ORDER BY chunk_id "
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
     f"/ {PACK_BUDGET}) AS BIGINT) AS pack_id "
     "FROM ch"
+)
+
+
+# --------------------------------------------------------------------------
+# cross-document (global) sequence packing
+# --------------------------------------------------------------------------
+
+#: partition fan-out for global packing. Each hash bucket is packed
+#: independently, so parallelism = PACK_GLOBAL_BUCKETS regardless of
+#: corpus size; raise it with the cluster (waste is bounded by < 1
+#: partially-filled pack per bucket).
+PACK_GLOBAL_BUCKETS = 64
+
+#: pack-id stride per bucket — must exceed any single bucket's pack
+#: count (tokens_per_bucket / budget). 2^40 packs × a 64-token budget
+#: is ~70 trillion tokens per bucket before collision.
+_PACK_STRIDE = 1 << 40
+
+
+def pack_sequences_global(
+    chunks: DataFrame,
+    budget: int = PACK_BUDGET,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    len_col: str = "n_chunk_tokens",
+    n_buckets: int = PACK_GLOBAL_BUCKETS,
+) -> DataFrame:
+    """CROSS-document sequence packing — fills context windows with
+    chunks from many documents, the form a real training run uses
+    (per-document packing wastes the tail of every short doc).
+
+    A truly global sequential layout would be one unpartitioned window
+    = a single reducer at 100 TB — exactly what not to ship. Instead
+    documents are hash-bucketed (deterministic md5 bucket, so layout is
+    stable under reruns and corpus growth) and each bucket lays out its
+    chunks in (doc_id, chunk_id) order independently:
+    ``pack_id = bucket · 2⁴⁰ + floor(tokens_before / budget)``.
+    Parallelism is n_buckets; packs never span buckets, so the only
+    cost vs a global layout is ≤ 1 partially-filled pack per bucket.
+    """
+    from pyspark.sql import Window
+
+    bucket = (hash_bucket(F.col(id_col)) % n_buckets).alias("pack_bucket")
+    b = chunks.select(id_col, order_col, len_col, bucket)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(len_col).over(w), F.lit(0))
+    return b.select(
+        id_col,
+        order_col,
+        len_col,
+        "pack_bucket",
+        (F.col("pack_bucket") * _PACK_STRIDE + F.floor(before / budget))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def pipe_pack_global(spark, sf_dir):
+    """Gate: cross-document packing of the standard chunks into 64-token
+    budgets across 64 hash buckets."""
+    return pack_sequences_global(
+        chunk_documents(load_table(spark, "documents", sf_dir))
+    )
+
+
+PIPELINE_QUERIES["pipe_pack_global"] = pipe_pack_global
+
+PIPELINE_ORACLE["pipe_pack_global"] = (
+    _CHUNK_CTE
+    + f", cb AS (SELECT ch.*, ({_bucket_sql('doc_id')} % {PACK_GLOBAL_BUCKETS}) "
+    "AS pack_bucket FROM ch) "
+    "SELECT doc_id, chunk_id, n_chunk_tokens, pack_bucket, "
+    f"(pack_bucket * {_PACK_STRIDE} + CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER ("
+    "  PARTITION BY pack_bucket ORDER BY doc_id, chunk_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"/ {PACK_BUDGET}) AS BIGINT))::BIGINT AS pack_id "
+    "FROM cb"
 )

@@ -299,8 +299,98 @@ def sim_ivf_topk(spark, sf_dir, n_probe: int = 2):
 
 
 SIMILARITY_QUERIES["sim_ivf_topk"] = sim_ivf_topk
-# sim_ivf_topk: probed-partition semantics have no direct SQL oracle;
-# exactness-within-probe is asserted in tests/test_extensions.py.
+# sim_ivf_topk IS fully SQL-expressible: the label codebook is
+# deterministic (centroid CTE), partition ranking is a k-row ORDER BY,
+# and the probed scan is an equi-join — so the oracle replays the whole
+# probe pipeline in DuckDB. Label ranking ties are broken by label on
+# both sides; the fixture's label centroids are well-separated, so the
+# 6-dp cosine agreement the other green gates rely on carries over.
+SIMILARITY_ORACLE["sim_ivf_topk"] = (
+    "WITH q AS ("
+    f"  SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}"
+    "), pos AS ("
+    "  SELECT label, u.v, u.pos FROM embeddings,"
+    "  LATERAL (SELECT UNNEST(embedding::DOUBLE[]) v,"
+    "           generate_subscripts(embedding, 1) pos) u"
+    "), cent AS ("
+    "  SELECT label, pos, AVG(v) c FROM pos GROUP BY label, pos"
+    "), cvec AS ("
+    "  SELECT label, list(c ORDER BY pos) centroid FROM cent GROUP BY label"
+    "), ranked AS ("
+    "  SELECT label FROM cvec, q"
+    "  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 2"
+    ") "
+    "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim "
+    "FROM embeddings e JOIN ranked r ON e.label = r.label, q "
+    f"WHERE e.vec_id != {QUERY_VEC_ID} "
+    f"ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}"
+)
+
+
+#: id offsets for planted-twin gate variants. Rescaling a vector by a
+#: positive power of two preserves its direction exactly in floating
+#: point (every hyperplane dot product keeps its sign bit-for-bit), so a
+#: twin collides with its original in the SAME LSH bucket on every band
+#: — recall through the banded path is deterministically 1 and an exact
+#: hash oracle becomes possible for an LSH operator. Proven template:
+#: dedup_embedding_pairs (operators/dedup.py), green in round 2.
+TWIN_BASE = 10_000_000
+
+
+def sim_lsh_topk_twins(spark, sf_dir):
+    """Deterministic-oracle gate for the LSH top-k machinery: plant
+    TOP_K rescaled twins of the query vector (ids TWIN_BASE+1..TOP_K,
+    scale 2^-i — exact in fp, direction-preserving), then run the exact
+    sim_lsh_topk pipeline over corpus ∪ twins.
+
+    Every twin's signature equals the query's (hamming 0 ≤ probe), and
+    cosine(query, twin) rounds to exactly 1.0 — while no natural fixture
+    pair reaches 0.999999+ (max random cosine ≈ 0.51, asserted in
+    tests/test_extensions.py). The top-k is therefore exactly the TOP_K
+    twins ordered by vec_id, regardless of which natural vectors pass
+    the hamming probe: a hash-stable result from a hash-bucketed
+    operator. Probabilistic recall on perturbed vectors stays in pytest.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID)
+    twins = (
+        q.crossJoin(spark.range(1, TOP_K + 1).select(F.col("id").alias("i")))
+        .select(
+            (F.lit(TWIN_BASE) + F.col("i")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x * F.pow(F.lit(2.0), -F.col("i"))).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    corpus = e.unionByName(twins)
+    sig = corpus.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding")).alias("sig")
+    )
+    qs = sig.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("sig").alias("qsig")
+    )
+    return (
+        sig.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .where(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 10)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_lsh_topk_twins"] = sim_lsh_topk_twins
+SIMILARITY_ORACLE["sim_lsh_topk_twins"] = (
+    f"SELECT ({TWIN_BASE} + i)::BIGINT AS vec_id, 1.0::DOUBLE AS cos_sim "
+    f"FROM range(1, {TOP_K} + 1) t(i)"
+)
+# sim_lsh_topk itself (natural corpus, probabilistic recall) stays
+# rows-only BY NATURE and is kept out of the driver window; its recall
+# is asserted in tests/test_extensions.py.
 
 
 # --------------------------------------------------------------------------
@@ -338,7 +428,18 @@ def knn_join_candidates(
 
     Extraction uses an UNSIGNED shift: with 64 planes bit 63 is the
     long's sign bit and an arithmetic shift would smear it across the
-    high bands."""
+    high bands.
+
+    The band join and the distinct are SKINNY: only (id, band, bh) flows
+    through the band-key exchange and only (q_id, c_id) through the
+    distinct; vectors are re-attached afterwards by id equi-joins.
+    Round-2 review flagged the old shape — distinct keyed on
+    (q_id, q_vec, c_id, c_vec) — as a scale-killer: every candidate pair
+    shipped two full embedding arrays through the exchange (~100× the
+    shuffle bytes at 1k-4k-dim), and the band join itself carried both
+    vectors into every bucket row. At 100 TB the vector re-attach joins
+    shuffle O(candidates) + O(ids) rows, strictly cheaper than widening
+    the banded exchange."""
     planes = n_bands * band_bits
     if planes > 64:
         raise ValueError(f"n_bands*band_bits must fit a long, got {planes}")
@@ -346,7 +447,8 @@ def knn_join_candidates(
 
     # self-join fast path: sign the shared side ONCE and alias per side —
     # the signature pass (per-vector hyperplane signs) is the map-side
-    # cost, and without this both join sides recompute it
+    # cost, and without this both join sides recompute it. The
+    # checkpointed (id, vec) rows also serve the vector re-attach below.
     shared = None
     if queries is corpus:
         shared = queries.select(
@@ -359,12 +461,10 @@ def knn_join_candidates(
         if shared is not None:
             return shared.select(
                 F.col("_id").alias(f"{prefix}_id"),
-                F.col("_vec").alias(f"{prefix}_vec"),
                 F.col("_sig").alias(f"{prefix}_sig"),
             )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             lsh_signature(F.col(vec_col), planes=planes).alias(f"{prefix}_sig"),
         )
 
@@ -385,16 +485,27 @@ def knn_join_candidates(
                     for bit in range(band_bits)
                 )
         return df.select(
-            "*", F.explode(F.array(*keys)).alias("b")
-        ).select(f"{prefix}_id", f"{prefix}_vec", "b.band", "b.bh")
+            f"{prefix}_id", F.explode(F.array(*keys)).alias("b")
+        ).select(f"{prefix}_id", "b.band", "b.bh")
 
     qb = bands(signed(queries, "q"), "q", probe=multi_probe)
     cb = bands(signed(corpus, "c"), "c", probe=False)
-    return (
+    cand = (
         qb.join(cb, ["band", "bh"])
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", "c_id", "c_vec")
+        .select("q_id", "c_id")
         .distinct()
+    )
+    if shared is not None:
+        qv = shared.select(F.col("_id").alias("q_id"), F.col("_vec").alias("q_vec"))
+        cv = shared.select(F.col("_id").alias("c_id"), F.col("_vec").alias("c_vec"))
+    else:
+        qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    return (
+        cand.join(qv, "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "q_vec", "c_id", "c_vec")
     )
 
 
@@ -445,8 +556,57 @@ def sim_knn_join(spark, sf_dir):
 
 
 SIMILARITY_QUERIES["sim_knn_join"] = sim_knn_join
-# sim_knn_join: hash-bucketed candidates — rows-only; self-retrieval and
-# ranking invariants asserted in tests/test_extensions.py.
+# sim_knn_join (natural corpus): rows-only BY NATURE, kept out of the
+# driver window; self-retrieval and ranking invariants asserted in
+# tests/test_extensions.py. The deterministic-oracle form of the same
+# machinery is sim_knn_join_twins below.
+
+
+#: (id offset, expected rank) for the three planted twin scales of the
+#: k-NN join gate. Offsets ascend with rank: all three twins score
+#: cos_sim 1.0, so the rank window's (cos_sim DESC, c_id) tie-break
+#: orders them by offset — deterministically.
+KNN_TWIN_OFFSETS = (10_000_000, 20_000_000, 30_000_000)
+
+
+def sim_knn_join_twins(spark, sf_dir):
+    """Deterministic-oracle gate for the k-NN JOIN machinery: corpus =
+    three direction-preserving rescaled twins (scales 2^-1, 2^-2, 2^-3,
+    exact in fp) of EVERY vector; queries = vec_id < 20; k = 3.
+
+    Each query's twins collide with it on every band (identical
+    signatures — hamming 0), score cos_sim exactly 1.0, and out-rank
+    every cross-vector candidate (max natural cosine ≈ 0.51 « 1.0,
+    asserted in tests). The top-3 per query is therefore exactly its
+    three twins ordered by c_id — hash-stable output through the full
+    sign → band → multi-probe → join → window-rank pipeline.
+    Probabilistic neighbor recall stays in tests/test_extensions.py."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+
+    # single-parameter lambda factory: a 2-parameter lambda (even with a
+    # default) makes F.transform pass the ELEMENT INDEX as the second
+    # argument, silently index-scaling the vector instead
+    def _scaled(s: float):
+        return lambda x: (x * F.lit(s)).cast("float")
+
+    twins = None
+    for rank0, off in enumerate(KNN_TWIN_OFFSETS):
+        t = e.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform("embedding", _scaled(2.0 ** -(rank0 + 1))).alias("embedding"),
+        )
+        twins = t if twins is None else twins.unionByName(t)
+    return lsh_knn_join(e.where(F.col("vec_id") < 20), twins, k=3)
+
+
+SIMILARITY_QUERIES["sim_knn_join_twins"] = sim_knn_join_twins
+SIMILARITY_ORACLE["sim_knn_join_twins"] = (
+    "SELECT vec_id AS q_id, (vec_id + t.o)::BIGINT AS c_id, "
+    "1.0::DOUBLE AS cos_sim, t.r::BIGINT AS rank "
+    "FROM embeddings, (VALUES "
+    + ", ".join(f"({o}, {i + 1})" for i, o in enumerate(KNN_TWIN_OFFSETS))
+    + ") t(o, r) WHERE vec_id < 20"
+)
 
 
 # --------------------------------------------------------------------------

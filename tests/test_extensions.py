@@ -76,6 +76,75 @@ def test_minhash_recall(spark, sf_dir):
     assert recall >= 0.9, (recall, truth - got)
 
 
+def test_minhash_bounded_recall_exact(spark, sf_dir):
+    """dedup_minhash_pairs_bounded's EXACT oracle rests on banding recall
+    being 1.0 on the bounded slice (deterministic xxhash ⇒ stable for a
+    fixed fixture). Pin it: every brute-force pair must appear among the
+    band candidates — if a fixture regrow breaks this, this test points
+    at the cause while the driver row only says hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.dedup import minhash_band_candidates
+    from data_table_spark.sources.registry import load_table
+
+    truth = {
+        (r["a"], r["b"])
+        for r in DEDUP_QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .select("doc_id", "text")
+    )
+    cand = {(r["a"], r["b"]) for r in minhash_band_candidates(d).collect()}
+    assert truth, "oracle found no near-dup pairs — fixture assumption broken"
+    assert truth <= cand, truth - cand
+
+
+def test_embedding_fixture_has_no_natural_dups(spark, sf_dir):
+    """dedup_embedding_pairs' oracle (exactly one planted twin pair per
+    vector) additionally relies on NO random fixture pair reaching the
+    0.95 threshold. Assert the property itself over the full sf0.01
+    corpus (brute force, ~125k pairs) instead of trusting fixture luck —
+    ADVICE r2 #5."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.dedup import EMBED_DUP_THRESHOLD
+    from data_table_spark.operators.similarity import cosine
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    mx = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(cosine(F.col("va"), F.col("vb")).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx < EMBED_DUP_THRESHOLD, mx
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """simhash_pairs_df must survive k identical boilerplate docs without
+    a k² candidate blowup (round-2 review flagged the unguarded band
+    join), while near-dup pairs in normal buckets still come through."""
+    from data_table_spark.operators.dedup import simhash_pairs_df
+
+    boiler = "all rights reserved this document is provided as is without warranty"
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, boiler) for i in range(5000)]
+    # identical pair in a NORMAL-size bucket: hamming 0, must survive
+    rows += [(9001, near_a), (9002, near_a)]
+    rows += [(9100 + i, f"unique filler text number {i} with distinct words {i*7}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = simhash_pairs_df(docs, max_hamming=3).collect()
+    # the 5000-copy clique (12.5M pairs unguarded) must be capped away
+    assert len(got) < 1000, len(got)
+    assert (9001, 9002) in {(r["a"], r["b"]) for r in got}
+
+
 def test_minhash_hot_bucket_guard(spark):
     """A planted 5000-copy boilerplate doc must NOT explode the candidate
     join (without the guard its band buckets alone would emit ~12.5M

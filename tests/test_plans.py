@@ -188,6 +188,27 @@ def test_knn_join_candidates_subquadratic(spark):
     assert cand < 0.05 * n_q * n_c, (cand, n_q * n_c)
 
 
+def test_knn_join_candidate_exchange_is_skinny(spark):
+    """The candidate distinct must dedupe on (q_id, c_id) ONLY — round-2
+    review: keying it on the vectors shipped two full embedding arrays
+    per pair through the exchange (~100× the shuffle bytes at real
+    embedding widths). The plan's dedup aggregate therefore must not
+    touch any vector column; vectors are re-attached by id afterwards."""
+    from data_table_spark.operators.similarity import knn_join_candidates
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    plan = _plan(knn_join_candidates(e.where(F.col("vec_id") < 50), e))
+    dedup_lines = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "q_id" in ln and "c_id" in ln
+    ]
+    assert dedup_lines, plan
+    assert all("vec" not in ln and "embedding" not in ln for ln in dedup_lines), (
+        dedup_lines
+    )
+
+
 def test_skew_report_orders(spark, sf_dir):
     """skew_report surfaces the heaviest keys with shares summing ≤ 1."""
     from data_table_spark.operators.scale import skew_report
