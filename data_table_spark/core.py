@@ -308,10 +308,8 @@ class DataTable:
         if row_idx is not None and col is not None:
             dt = self._ensure_rows(row_idx + 1)
             name = dt.column_names[dt.column_index(col)]
-            lit = F.lit(value)
             df = dt._df.withColumn(
-                name,
-                F.when(F.col(ROW_ID) == row_idx, lit).otherwise(F.col(name)),
+                name, dt._cell_set_expr(name, row_idx, value)
             )
             return self._rebind(df)
         if col is not None:
@@ -347,12 +345,36 @@ class DataTable:
             values = list(value)
             df = dt._df
             for name, v in zip(dt.column_names, values):
-                df = df.withColumn(
-                    name,
-                    F.when(F.col(ROW_ID) == row_idx, F.lit(v)).otherwise(F.col(name)),
-                )
+                df = df.withColumn(name, dt._cell_set_expr(name, row_idx, v, df))
             return self._rebind(df)
         raise ValueError("need row_idx and/or col")
+
+    def _cell_set_expr(self, name: str, row_idx: int, value, df=None):
+        """when/otherwise expression assigning ``value`` at ``row_idx``,
+        with the untyped-cell demotion the column-list and overlay paths
+        already apply (round-2 advisor: the cell/row paths instead raised
+        AnalysisException on e.g. a string into a bigint column).
+
+        Decided at the TYPE level, not by probing execution: under ANSI
+        mode Spark happily ANALYZES string-vs-bigint when/otherwise by
+        coercing to bigint, then throws CAST_INVALID_INPUT at runtime —
+        so same-type and numeric↔numeric (widening) assignments stay
+        native, everything else demotes. NULL keeps the column type."""
+        df = self._df if df is None else df
+        natural = F.when(F.col(ROW_ID) == row_idx, F.lit(value)).otherwise(
+            F.col(name)
+        )
+        if value is None:
+            return natural
+        lit_t = df.select(F.lit(value)).schema[0].dataType  # analysis only
+        col_t = df.schema[name].dataType
+        if lit_t == col_t or (
+            isinstance(lit_t, T.NumericType) and isinstance(col_t, T.NumericType)
+        ):
+            return natural
+        return F.when(
+            F.col(ROW_ID) == row_idx, F.lit(value).cast("string")
+        ).otherwise(F.col(name).cast("string"))
 
     def _ensure_rows(self, n: int) -> "DataTable":
         """Append NULL rows until the table has >= n rows (ensure-rows,

@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import truncate_lineage
 from ..sources.registry import load_table
 
 #: doc_id bound for the brute-force pair oracle (keeps O(n²) capped at any SF).
@@ -175,9 +176,9 @@ def minhash_band_candidates(
     # hot-bucket aggregate and both sides of the band self-join), and the
     # signature job (shingle explode + k min-aggs) is the expensive stage
     # — without truncation each consumer recomputes it (measured 11.9 s →
-    # 7.2 s at sf0.1). At 100 TB: persist(DISK_ONLY) or a reliable
-    # checkpoint instead of localCheckpoint.
-    sig = minhash_signatures(docs).localCheckpoint()
+    # 7.2 s at sf0.1). On a cluster, set SPARK_GRAFT_CHECKPOINT_DIR to
+    # flip every truncation site to a reliable checkpoint (lineage.py).
+    sig = truncate_lineage(minhash_signatures(docs))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -346,7 +347,7 @@ def simhash_pairs_df(
     re-attached after distinct) for the same shuffle-bytes reason as
     knn_join_candidates."""
     sig = docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
-    sig = sig.localCheckpoint()  # feeds hot-agg, both join sides, re-attach
+    sig = truncate_lineage(sig)  # feeds hot-agg, both join sides, re-attach
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -592,20 +593,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     Input: (a, b) pairs with a < b. Output: (doc_id, cluster_id).
     """
     # iterative algorithm hygiene: cache the (possibly expensive) pair
-    # lineage once, and truncate each iteration's plan with localCheckpoint
-    # — otherwise every join/action re-derives the full upstream pipeline
-    # (measured 33s → ~5s on the sf0.1 minhash pairs)
-    edges = (
+    # lineage once, and truncate each iteration's plan — otherwise every
+    # join/action re-derives the full upstream pipeline (measured 33s →
+    # ~5s on the sf0.1 minhash pairs). truncate_lineage switches to a
+    # reliable checkpoint on clusters (SPARK_GRAFT_CHECKPOINT_DIR).
+    edges = truncate_lineage(
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = truncate_lineage(
         edges.select(F.col("x").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -613,7 +613,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             .groupBy("x")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
             .select(
                 "doc_id",
@@ -621,7 +621,6 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import truncate_lineage
 from ..sources.registry import load_table
 
 QUERY_VEC_ID = 0       # the probe vector used by the top-k demo queries
@@ -451,11 +452,13 @@ def knn_join_candidates(
     # checkpointed (id, vec) rows also serve the vector re-attach below.
     shared = None
     if queries is corpus:
-        shared = queries.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_vec"),
-            lsh_signature(F.col(vec_col), planes=planes).alias("_sig"),
-        ).localCheckpoint()
+        shared = truncate_lineage(
+            queries.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                lsh_signature(F.col(vec_col), planes=planes).alias("_sig"),
+            )
+        )
 
     def signed(df, prefix):
         if shared is not None:

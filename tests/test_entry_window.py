@@ -1,0 +1,83 @@
+"""Driver-contract window policy (no Spark needed — pure registry checks).
+
+The round driver grades the FIRST 50 queries() entries against
+oracle_sql() and records the result in CORRECTNESS_r{N}.json. These
+tests pin the rotation policy documented in __spark_entry__._PRIORITY:
+no window slot may be wasted on a gate the driver cannot hash-grade,
+and every oracle-backed gate that has never earned a green row must be
+inside the window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: gates whose output is tolerance-checked or hash-dependent BY NATURE —
+#: they can never hash-match an oracle and must stay out of the window
+#: (each has a deterministic-oracle sibling or recall/golden pytest).
+ROWS_ONLY_BY_NATURE = {
+    "q17_approx_count_distinct",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_clusters",
+    "sim_lsh_topk",
+    "sim_knn_join",
+    "sim_ivf_kmeans_topk",
+    "media_decode_features",
+}
+
+
+def _window():
+    return list(entry.queries())[:50]
+
+
+def test_priority_entries_all_resolve():
+    qs = entry.queries()
+    missing = [p for p in entry._PRIORITY if p not in qs]
+    assert not missing, missing
+    assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+
+
+def test_window_is_fully_oracle_backed():
+    oracles = entry.oracle_sql()
+    unhashable = [k for k in _window() if k not in oracles]
+    assert not unhashable, f"window slots the driver cannot grade: {unhashable}"
+    in_window = ROWS_ONLY_BY_NATURE & set(_window())
+    assert not in_window, f"rows-only gates burning window slots: {in_window}"
+
+
+def test_every_never_green_oracle_gate_is_in_window():
+    """A gate with an oracle but no green row in any committed
+    CORRECTNESS file is exactly what the window exists to prove."""
+    green = set()
+    for n in range(1, 50):
+        p = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for k, v in json.load(f).items():
+                if v.get("hash_match"):
+                    green.add(k)
+    oracles = entry.oracle_sql()
+    never_green = {k for k in entry.queries() if k in oracles} - green
+    out = never_green - set(_window())
+    assert not out, f"never-green oracle-backed gates outside the window: {out}"
+
+
+def test_rows_only_set_matches_registry():
+    """Every registered query lacking an oracle must be in the documented
+    rows-only list — a new gate without an oracle is either an oversight
+    or needs adding to ROWS_ONLY_BY_NATURE with a written justification."""
+    oracles = entry.oracle_sql()
+    no_oracle = {k for k in entry.queries() if k not in oracles}
+    assert no_oracle == ROWS_ONLY_BY_NATURE, (
+        no_oracle ^ ROWS_ONLY_BY_NATURE
+    )

@@ -209,6 +209,27 @@ def test_knn_join_candidate_exchange_is_skinny(spark):
     )
 
 
+def test_truncate_lineage_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR must flip lineage truncation from
+    executor-local blocks to a RELIABLE checkpoint in that directory
+    (the cluster-correct mode: localCheckpoint blocks die with their
+    executor). Default stays localCheckpoint (no files written)."""
+    from data_table_spark.lineage import CHECKPOINT_DIR_ENV, truncate_lineage
+
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    local = truncate_lineage(df)
+    assert local.count() == 10
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, str(ckpt))
+    reliable = truncate_lineage(df)
+    assert reliable.count() == 10
+    written = [p for p in ckpt.rglob("*") if p.is_file()]
+    assert written, "reliable checkpoint wrote no files"
+
+
 def test_skew_report_orders(spark, sf_dir):
     """skew_report surfaces the heaviest keys with shares summing ≤ 1."""
     from data_table_spark.operators.scale import skew_report

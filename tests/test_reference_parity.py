@@ -104,6 +104,28 @@ def test_overlay_explicit_null_and_type_conflict(spark):
     assert out2.value(col="n") == ["ten", "2"]
 
 
+def test_cell_and_row_set_type_demotion(spark):
+    """Single-cell and whole-row set_value must demote a type-mismatched
+    column to string (the untyped-cell model) instead of raising — the
+    same semantics the column-list and overlay paths already have
+    (round-2 advisor finding). Numeric-into-numeric stays numeric."""
+    t = DataTable.from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    # string into bigint cell: demote, both cells readable
+    t2 = t.set_value("oops", row_idx=1, col="a")
+    assert t2.value(col="a") == ["1", "oops"]
+    # whole-row set with a mismatched first column
+    t3 = t.set_value(["zz", 7], row_idx=0)
+    assert t3.value(row_idx=0) == ["zz", "7"]
+    # numeric widening keeps a numeric column
+    t4 = t.set_value(2.5, row_idx=0, col="a")
+    assert t4.value(col="a") == [2.5, 2.0]
+    assert "string" not in str(t4.column_types[t4.column_index("a")]).lower()
+    # NULL assignment never demotes
+    t5 = t.set_value(None, row_idx=0, col="a")
+    assert t5.value(0, "a") is None
+    assert "string" not in str(t5.column_types[t5.column_index("a")]).lower()
+
+
 def test_data_table_value_manip2(employees):
     """tests/data-table.lisp:55-60 — cell set/get; row length invariant."""
     dt = employees.set_value("Russell", row_idx=0, col="first name")
