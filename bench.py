@@ -94,13 +94,19 @@ def main() -> None:
     # persist the full JSON to a committed file: the driver's BENCH_r*.json
     # keeps only the last 2000 chars of stdout, which truncates away the
     # headline and most per-query timings (round-2 judge had to reconstruct
-    # them). BENCH_LOCAL.json is the durable artifact.
-    try:
-        with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as e:  # read-only checkout: stdout line still stands
-        print(f"# bench could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
+    # them). BENCH_LOCAL.json is the durable artifact — written ONLY for
+    # the canonical sf0.1 run so smoke runs at other SFs (verify step 3
+    # uses sf0.001) cannot clobber the cross-round baseline.
+    if out["sf"] == 0.1:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:  # read-only checkout: stdout line still stands
+            print(f"# bench could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
+    else:
+        print(f"# bench sf={out['sf']}: BENCH_LOCAL.json not updated "
+              "(canonical baseline is sf0.1)", file=sys.stderr)
     print(json.dumps(out))
 
 

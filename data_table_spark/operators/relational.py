@@ -1150,3 +1150,37 @@ RELATIONAL_ORACLE["q58_tpch_q10_shape"] = (
     "GROUP BY c_custkey, c_name "
     "ORDER BY revenue DESC, c_custkey LIMIT 20"
 )
+
+
+def q59_latest_per_key(spark, sf_dir):
+    """Latest-record-per-key compaction (the CDC/upsert-log dedup every
+    warehouse ingest runs): keep each customer's most recent order.
+
+    row_number over (key, recency desc) then rank=1 — at scale this is
+    ONE shuffle on the key; Spark pushes the rank-1 predicate into the
+    window sort as a per-partition top-1 (WindowGroupLimit), so the
+    shuffle carries the full input but state per key is O(1), never the
+    group. The tie-break on o_orderkey makes the survivor deterministic
+    for same-timestamp updates — an upsert log without a total order is
+    a correctness bug, not a perf knob."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+RELATIONAL_QUERIES["q59_latest_per_key"] = q59_latest_per_key
+RELATIONAL_ORACLE["q59_latest_per_key"] = (
+    "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ("
+    "  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders"
+    ") WHERE rn = 1"
+)

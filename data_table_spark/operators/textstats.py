@@ -231,3 +231,100 @@ TEXTSTATS_ORACLE["text_scrub"] = (
     "'\\s+', ' ', 'g')) != text AS changed "
     "FROM documents"
 )
+
+
+# --------------------------------------------------------------------------
+# repetition detection (Gopher-style quality rule)
+# --------------------------------------------------------------------------
+
+def _word_trigrams(col: Column) -> Column:
+    """Word trigram list (WITH duplicates — counts matter here), built
+    from three shifted slices (zip_with composition, never per-index
+    element_at inside a lambda — see PERF_NOTES expression traps)."""
+    t = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(t)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, n - 2),
+            F.zip_with(
+                F.slice(t, 2, n - 2),
+                F.slice(t, 3, n - 2),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        )
+    )
+
+
+def text_repetition(spark, sf_dir):
+    """Repeated-trigram quality signals per document — the "fraction of
+    text inside the most common n-gram" family of corpus filters that
+    catches boilerplate, keyword stuffing, and degenerate generations.
+
+    top_share = count of the most frequent trigram / total trigrams;
+    dup_share = 1 − distinct/total. Both computed as PURE expressions,
+    zero shuffle: the max frequency is the longest run of equal adjacent
+    elements in the SORTED trigram array (one aggregate fold per row) —
+    no explode + two-level groupBy, so the operator stays map-side at
+    100 TB where the exploded form would shuffle ~n_tokens rows/doc.
+    Documents with fewer than 3 tokens have no trigrams and are omitted
+    (matching the oracle's WHERE len >= 3)."""
+    d = load_table(spark, "documents", sf_dir)
+    tri = _word_trigrams(F.col("text"))
+    sorted_tri = F.array_sort(tri)
+    run = F.aggregate(
+        sorted_tri,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    total = F.size(tri)
+    distinct = F.size(F.array_distinct(tri))
+    return (
+        d.select(
+            "doc_id",
+            run.cast("long").alias("max_trigram_count"),
+            total.cast("long").alias("n_trigrams"),
+            distinct.cast("long").alias("n_distinct"),
+        )
+        .where(F.col("n_trigrams") > 0)
+        .select(
+            "doc_id",
+            "max_trigram_count",
+            "n_trigrams",
+            (F.floor(F.col("max_trigram_count") / F.col("n_trigrams") * 10000) / 10000)
+            .alias("top_share"),
+            (F.floor((1 - F.col("n_distinct") / F.col("n_trigrams")) * 10000) / 10000)
+            .alias("dup_share"),
+        )
+    )
+
+
+TEXTSTATS_QUERIES["text_repetition"] = text_repetition
+TEXTSTATS_ORACLE["text_repetition"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents"
+    "), tri AS ("
+    "  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "  FOR i IN range(1, len(t) - 1)]) g FROM toks WHERE len(t) >= 3"
+    "), cnt AS ("
+    "  SELECT doc_id, g, COUNT(*) c FROM tri GROUP BY doc_id, g"
+    ") "
+    "SELECT doc_id, MAX(c)::BIGINT AS max_trigram_count, "
+    "SUM(c)::BIGINT AS n_trigrams, "
+    "FLOOR(MAX(c)::DOUBLE / SUM(c) * 10000) / 10000 AS top_share, "
+    "FLOOR((1 - COUNT(*)::DOUBLE / SUM(c)) * 10000) / 10000 AS dup_share "
+    "FROM cnt GROUP BY doc_id"
+)

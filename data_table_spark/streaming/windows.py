@@ -173,7 +173,34 @@ def stream_attribution(spark, sf_dir):
     return attribution_join(load_table(spark, "events", sf_dir))
 
 
-STREAMJOIN_QUERIES = {"stream_attribution": stream_attribution}
+def stream_dedup_counts(spark, sf_dir):
+    """Gate: batch form of S5 (stateful dedup on event_id → hourly
+    windowed counts). The streaming application
+    (dropDuplicatesWithinWatermark) is batch-equivalence-tested in
+    tests/test_streaming.py; this gate hash-proves the shared transform.
+
+    Window bounds are projected as epoch seconds so the oracle is
+    engine-neutral (F.window aligns 1-hour windows to the epoch hour).
+    The fixture's event_id is unique at every sf (verified 0.001-0.1),
+    so the oracle's per-event_id MIN() collapse is deterministic AND
+    equal to what any dedup survivor policy would produce."""
+    from ..sources.registry import load_table
+
+    out = deduped_windowed_counts(
+        load_table(spark, "events", sf_dir), streaming=False
+    )
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        F.unix_timestamp("w_end").cast("long").alias("w_end_epoch"),
+        "event_type",
+        "cnt",
+    )
+
+
+STREAMJOIN_QUERIES = {
+    "stream_attribution": stream_attribution,
+    "stream_dedup_counts": stream_dedup_counts,
+}
 
 STREAMJOIN_ORACLE = {
     "stream_attribution":
@@ -184,4 +211,13 @@ STREAMJOIN_ORACLE = {
         "ON p.event_type = 'purchase' AND c.event_type = 'click' "
         "AND c.user_id = p.user_id "
         "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts",
+    "stream_dedup_counts":
+        "WITH d AS ("
+        "  SELECT event_id, MIN(ts) ts, MIN(event_type) event_type "
+        "  FROM events GROUP BY event_id"
+        ") "
+        "SELECT (FLOOR(epoch(ts) / 3600) * 3600)::BIGINT AS w_start_epoch, "
+        "(FLOOR(epoch(ts) / 3600) * 3600 + 3600)::BIGINT AS w_end_epoch, "
+        "event_type, COUNT(*)::BIGINT AS cnt "
+        "FROM d GROUP BY 1, 2, 3",
 }

@@ -209,6 +209,15 @@ def test_knn_join_candidate_exchange_is_skinny(spark):
     )
 
 
+def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
+    """q59's rank-1 filter must compile to WindowGroupLimit (map-side
+    AND reduce-side top-1 per key): the compaction then shuffles the
+    input once and keeps O(1) state per key instead of buffering whole
+    groups — the property that makes CDC-log compaction survive 100 TB."""
+    p = _plan(RELATIONAL_QUERIES["q59_latest_per_key"](spark, sf_dir))
+    assert p.count("WindowGroupLimit") >= 2, p
+
+
 def test_truncate_lineage_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_CHECKPOINT_DIR must flip lineage truncation from
     executor-local blocks to a RELIABLE checkpoint in that directory
