@@ -112,17 +112,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-3 window: the 27 never-green oracle-backed gates (q54-q59,
-# text_scrub/repetition, ref_compare, sim_pairs_threshold/centroid,
-# udf_grouped_map/udtf, all 7 pipe_*, stream_dedup_counts, and the 7 new
-# deterministic ANN oracles) + dedup_embedding_pairs (impl changed: twin
-# filter, skinny candidates) + 22 family re-proofs.
+# Round-3 window: the 29 never-green oracle-backed gates (q54-q59,
+# text_scrub/repetition/tfidf, ref_compare, sim_pairs_threshold/centroid/
+# quantize, udf_grouped_map/udtf, all 8 pipe_*, stream_dedup_counts, and
+# the 6 new deterministic ANN oracles) + dedup_embedding_pairs (impl
+# changed: twin filter, skinny candidates) + 20 family re-proofs.
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
     "q54_unpivot", "q55_time_rollup", "q56_map_entries",
     "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
-    "text_scrub", "text_repetition", "ref_compare",
-    "sim_pairs_threshold", "sim_centroid_per_label",
+    "text_scrub", "text_repetition", "text_tfidf_top_terms",
+    "ref_compare",
+    "sim_pairs_threshold", "sim_centroid_per_label", "sim_quantize_int8",
     "udf_grouped_map_stats", "udf_python_udtf_words",
     "pipe_split_assign", "pipe_stratified_sample", "pipe_source_mix",
     "pipe_chunk_documents", "pipe_contamination", "pipe_filter_corpus",
@@ -135,10 +136,10 @@ _PRIORITY = [
     # --- changed this round (priority rule 2) ---
     "dedup_embedding_pairs",  # twin-structure filter + skinny candidates
     # --- family re-proofs, byte-unchanged green gates (rule 3) ---
-    "q01_scan_project", "q02_filter",            # scan/filter
+    "q02_filter",                                # scan/filter (pushdown)
     "q05_multiway_join",                         # joins (broadcast star)
     "q12_group_agg",                             # aggregation
-    "q18_row_number", "q23_top_k",               # windows / top-k
+    "q18_row_number",                            # windows
     "q28_trim_nullify",                          # cleaning scalars
     "q46_array_ops", "q49_json_extract",         # arrays / JSON
     "q51_union_distinct",                        # set ops

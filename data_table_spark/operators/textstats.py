@@ -328,3 +328,84 @@ TEXTSTATS_ORACLE["text_repetition"] = (
     "FLOOR((1 - COUNT(*)::DOUBLE / SUM(c)) * 10000) / 10000 AS dup_share "
     "FROM cnt GROUP BY doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def text_tfidf_top_terms(spark, sf_dir, k: int = TFIDF_TOP_K):
+    """Top-k most characteristic terms per document by term-frequency ×
+    inverse-document-frequency — the classic corpus keyword extractor.
+
+    Score = tf · (N / df), the RATIO form of idf rather than ln(N/df):
+    every operation (integer counts, one division, one multiplication)
+    is IEEE-exact-rounded and therefore bit-identical between Spark and
+    DuckDB, where ln() is a libm call with no cross-engine ulp guarantee
+    — a 1-ulp ln difference under a rank or a floor flips a hash gate.
+    The ratio form ranks identically to idf for fixed tf and
+    monotonically rewards rarity; the ln form's different tf/idf
+    *weighting* is a modeling choice, not a correctness property.
+
+    Scale shape: explode → (doc, term) count [1 shuffle, map-side
+    partial agg] → df by term [shuffle on term] → broadcast N → window
+    top-k per doc. At 100 TB the df table is vocabulary-sized (≪ corpus)
+    and broadcastable; nothing is quadratic. Ties break on term asc."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            # parenthesization mirrored exactly in the oracle: one
+            # division, one multiplication, both IEEE-deterministic
+            (F.col("tf") * (F.col("n").cast("double") / F.col("df"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.floor(F.col("s") * 10000) / 10000).alias("tfidf_ratio"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+TEXTSTATS_QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
+TEXTSTATS_ORACLE["text_tfidf_top_terms"] = (
+    "WITH tok AS ("
+    "  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) term "
+    "  FROM documents"
+    "), tf AS ("
+    "  SELECT doc_id, term, COUNT(*)::BIGINT tf FROM tok "
+    "  WHERE term != '' GROUP BY doc_id, term"
+    "), df AS ("
+    "  SELECT term, COUNT(*)::BIGINT df FROM tf GROUP BY term"
+    "), n AS (SELECT COUNT(DISTINCT doc_id) n FROM documents), "
+    "scored AS ("
+    "  SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+    "  (tf.tf * (n.n::DOUBLE / df.df)) s "
+    "  FROM tf JOIN df USING (term), n"
+    ") "
+    "SELECT doc_id, term, tf, df, "
+    "FLOOR(s * 10000) / 10000 AS tfidf_ratio, rank FROM ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY s DESC, term)::BIGINT rank "
+    "  FROM scored"
+    f") WHERE rank <= {TFIDF_TOP_K}"
+)

@@ -195,6 +195,43 @@ def test_embedding_near_pairs_recall(spark):
     assert len(pairs) <= len(planted) + 2, len(pairs)
 
 
+def test_quantize_int8_roundtrip_fidelity(spark, sf_dir):
+    """Dequantized int8 vectors must preserve cosine similarity to ~3
+    decimals (the fidelity claim in quantize_int8's docstring): compare
+    cosine(q0, v) exact vs dequantized for 50 vectors."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.similarity import cosine, quantize_int8
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 50)
+    q = quantize_int8(e)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: (x.cast("double") + 0.5) * F.col("scale_t")
+        ).alias("dv"),
+    )
+    j = (
+        e.select("vec_id", "embedding").join(deq, "vec_id")
+        .crossJoin(
+            F.broadcast(
+                e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+            )
+        )
+        .where(F.col("vec_id") != 0)
+        .select(
+            (F.abs(
+                cosine(F.col("embedding"), F.col("qv"))
+                - cosine(F.col("dv"), F.col("qv"))
+            )).alias("err"),
+        )
+        .agg(F.max("err").alias("mx"))
+        .collect()
+    )
+    assert j[0]["mx"] < 0.01, j[0]["mx"]
+
+
 def test_simhash_identical_text_same_hash(spark, sf_dir):
     sig = DEDUP_QUERIES["dedup_simhash"](spark, sf_dir)
     rows = sig.limit(5).collect()
