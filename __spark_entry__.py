@@ -112,43 +112,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-3 window: the 29 never-green oracle-backed gates (q54-q59,
-# text_scrub/repetition/tfidf, ref_compare, sim_pairs_threshold/centroid/
-# quantize, udf_grouped_map/udtf, all 8 pipe_*, stream_dedup_counts, and
-# the 6 new deterministic ANN oracles) + dedup_embedding_pairs (impl
-# changed: twin filter, skinny candidates) + 20 family re-proofs.
+# Round-3 window: the 34 never-green oracle-backed gates (q54-q59,
+# text_scrub/repetition/tfidf/vocab/oov, ref_compare,
+# sim_pairs_threshold/centroid/quantize, udf_grouped_map/udtf, all 9
+# pipe_* incl. quality_sample, stream_dedup_counts, the 6 deterministic
+# ANN oracles, and dedup_clusters_star_bounded) + 2 changed gates
+# (dedup_embedding_pairs: twin filter + skinny candidates; text_quality:
+# score expression factored out for quality-weighted sampling) + 14
+# family re-proofs. Re-proofs for dedup/similarity/text/UDF/JSON ceded
+# their slots to the new gates — each of those families is represented
+# by ≥1 never-green sibling inside the window, and the ceded gates'
+# r1/r2 green rows stand (byte-unchanged; see COVERAGE.md provenance).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
     "q54_unpivot", "q55_time_rollup", "q56_map_entries",
     "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
     "text_scrub", "text_repetition", "text_tfidf_top_terms",
+    "text_vocab", "text_oov_rate",
     "ref_compare",
     "sim_pairs_threshold", "sim_centroid_per_label", "sim_quantize_int8",
     "udf_grouped_map_stats", "udf_python_udtf_words",
-    "pipe_split_assign", "pipe_stratified_sample", "pipe_source_mix",
+    "pipe_split_assign", "pipe_stratified_sample", "pipe_quality_sample",
+    "pipe_source_mix",
     "pipe_chunk_documents", "pipe_contamination", "pipe_filter_corpus",
     "pipe_pack_sequences", "pipe_pack_global",
     "stream_dedup_counts",  # S5 batch form (hourly windowed dedup counts)
-    # new deterministic oracles for the ANN/LSH family (round-3 item 1)
+    # deterministic oracles for the ANN/LSH family (round-3 item 1)
     "sim_ivf_topk", "sim_lsh_topk_twins", "sim_knn_join_twins",
     "dedup_minhash_pairs_bounded", "dedup_simhash_planted_pairs",
     "dedup_clusters_bounded",
+    "dedup_clusters_star_bounded",  # large/small-star CC, same fixpoint
     # --- changed this round (priority rule 2) ---
     "dedup_embedding_pairs",  # twin-structure filter + skinny candidates
+    "text_quality",           # score expr factored for quality sampling
     # --- family re-proofs, byte-unchanged green gates (rule 3) ---
     "q02_filter",                                # scan/filter (pushdown)
     "q05_multiway_join",                         # joins (broadcast star)
     "q12_group_agg",                             # aggregation
     "q18_row_number",                            # windows
     "q28_trim_nullify",                          # cleaning scalars
-    "q46_array_ops", "q49_json_extract",         # arrays / JSON
+    "q46_array_ops",                             # arrays
     "q51_union_distinct",                        # set ops
     "q33_events_tumbling", "stream_user_milestones",
     "stream_attribution",                        # streaming S1/S6/S7
     "asof_join_events",                          # as-of join
     "ref_cell_ops", "ref_overlay_region",        # reference facade
-    "dedup_exact", "sim_bruteforce_topk",        # dedup / similarity
-    "text_token_stats", "udf_scalar_net_price",  # text / UDF
     "media_byte_stats",                          # multimodal
 ]
 

@@ -149,8 +149,13 @@ def ensure_column_types(
 ) -> dict[str, T.DataType]:
     """Merge explicitly-provided types over inferred ones; only guess where
     needed (ensure-column-data-types, data-table.lisp:371-385: keeps any
-    explicit non-string types, guesses the rest)."""
-    explicit = dict(explicit or {})
+    explicit non-string types, guesses the rest). DDL-string specs are
+    normalized to DataType so downstream isinstance dispatch (relaxed
+    double / junk-stripping int paths) still applies."""
+    explicit = {
+        c: (T.DataType.fromDDL(t) if isinstance(t, str) else t)
+        for c, t in (explicit or {}).items()
+    }
     need = [
         f.name
         for f in df.schema.fields
@@ -191,7 +196,15 @@ def coerce_table(
     ``'string'`` reproduces the assume-column-is-string restart (the whole
     column stays string). ``'null'`` keeps the nulls (lenient mode, not in
     the reference).
+
+    Type specs may be DataType instances or DDL strings ("bigint",
+    "decimal(10,2)") — strings are normalized up front so the
+    StringType short-circuit and error paths see real types.
     """
+    types = {
+        c: (T.DataType.fromDDL(t) if isinstance(t, str) else t)
+        for c, t in types.items()
+    }
     targets = {
         c: t
         for c, t in types.items()

@@ -659,7 +659,103 @@ def dedup_clusters_bounded(spark, sf_dir):
     return duplicate_clusters(pairs)
 
 
+# --------------------------------------------------------------------------
+# connected components, star-contraction form (the 100 TB path)
+# --------------------------------------------------------------------------
+
+def duplicate_clusters_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Same output contract as :func:`duplicate_clusters`:
+    (doc_id, cluster_id) with cluster_id = the component's min doc id.
+
+    Why a second algorithm: min-label propagation needs graph-DIAMETER
+    rounds and re-shuffles the full edge set every round. Star
+    contraction converges in O(log² n) rounds worst-case and every round
+    rewires edges toward component minima, so long near-dup chains
+    (overlapping boilerplate A~B~C~…~Z, diameter = chain length) resolve
+    in ~log rounds instead of chain-length rounds. On clique-shaped dedup
+    graphs both finish in 2-3 rounds; the star form is the one that
+    survives adversarial chain/mesh graphs at 100 TB. Per round: two
+    groupBy min-aggregations + two node-keyed joins + distinct — every
+    shuffle keyed on a single node id, never on payload.
+
+    large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u}).
+    small-star(u): orient edges toward smaller ids, attach u and its
+    smaller neighbors to their minimum. Fixed point = each component a
+    star rooted at its min id.
+
+    Convergence probe: (count, xor of xxhash64(u,v)) signature of the
+    edge set — two cheap aggregates in ONE action, no full-set compare.
+    XOR cannot overflow (sum under ANSI mode could), and the fixpoint is
+    absorbing, so signature equality is a sound stop.
+    """
+    # orient (bigger, smaller); dedup before iterating
+    edges = truncate_lineage(
+        pairs.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        ).distinct()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: both orientations grouped on u; every strictly
+        # larger neighbor re-attaches to the neighborhood minimum
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        edges = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges already (bigger u, smaller v); every smaller
+        # neighbor except the min, plus u itself, attaches to the min
+        mins2 = edges.groupBy("u").agg(F.min("v").alias("m"))
+        joined = edges.join(mins2, "u")
+        edges = truncate_lineage(
+            joined.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        sig = (sig["n"], sig["x"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: edges are (child, root) stars — children map to their
+    # root, roots map to themselves
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters_star_bounded(spark, sf_dir):
+    """Gate: star-contraction connected components over the BOUNDED
+    MinHash pair set (exact-oracled — see dedup_minhash_pairs_bounded),
+    checked against the same DuckDB recursive-CTE closure as
+    dedup_clusters_bounded. Proves the scale-path algorithm computes the
+    identical fixed point as label propagation."""
+    pairs = dedup_minhash_pairs_bounded(spark, sf_dir)
+    return duplicate_clusters_star(pairs)
+
+
 DEDUP_QUERIES["dedup_clusters_bounded"] = dedup_clusters_bounded
+DEDUP_QUERIES["dedup_clusters_star_bounded"] = dedup_clusters_star_bounded
 # connected components in SQL: walk(x, lab) enumerates, for every node,
 # every node id reachable from it (UNION dedups across iterations, so
 # the closure terminates); MIN(lab) per node is then the component's
@@ -686,3 +782,6 @@ DEDUP_ORACLE["dedup_clusters_bounded"] = (
     ") "
     "SELECT x AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY x"
 )
+# the star-contraction gate computes the same fixed point over the same
+# bounded pair set — identical oracle
+DEDUP_ORACLE["dedup_clusters_star_bounded"] = DEDUP_ORACLE["dedup_clusters_bounded"]

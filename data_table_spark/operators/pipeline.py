@@ -136,6 +136,43 @@ def pipe_stratified_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# quality-weighted sampling
+# --------------------------------------------------------------------------
+
+def quality_weighted_sample(
+    df: DataFrame, key_col: str, score_col: str
+) -> DataFrame:
+    """Keep each row with probability equal to its 0-1 ``score_col``,
+    deterministically: accept iff hash_bucket(key) < floor(score ·
+    HASH_BUCKETS). The corpus-mixing step that keeps high-quality
+    documents at full rate and down-samples low-quality ones
+    proportionally (FineWeb/DataComp-style quality-weighted retention),
+    with the same reproducibility properties as split_assign: map-side
+    only, zero shuffle, stable under reruns and corpus growth.
+
+    The floor(score · 1e6) threshold is engine-exact when the score is:
+    identical IEEE doubles multiply and floor identically in Spark and
+    DuckDB (same contract as the _trunc4 ratios the score is built from).
+    """
+    thresh = F.floor(F.col(score_col) * HASH_BUCKETS)
+    return df.where(
+        F.col(key_col).isNotNull() & (hash_bucket(F.col(key_col)) < thresh)
+    )
+
+
+def pipe_quality_sample(spark, sf_dir):
+    """Gate: quality-proportional document sample — survival probability
+    = the deterministic text_quality score."""
+    from .textstats import quality_score
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.withColumn("quality_score", quality_score(F.col("text")))
+    return quality_weighted_sample(scored, "doc_id", "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
+# --------------------------------------------------------------------------
 # source mixing (domain weights)
 # --------------------------------------------------------------------------
 
@@ -281,10 +318,13 @@ def pipe_contamination(spark, sf_dir):
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_assign": pipe_split_assign,
     "pipe_stratified_sample": pipe_stratified_sample,
+    "pipe_quality_sample": pipe_quality_sample,
     "pipe_source_mix": pipe_source_mix,
     "pipe_chunk_documents": pipe_chunk_documents,
     "pipe_contamination": pipe_contamination,
 }
+
+from .textstats import QUALITY_SCORE_SUBQUERY as _QUALITY_SCORE_SUBQUERY  # noqa: E402
 
 _SPLIT_B = _bucket_sql("doc_id")
 _STRAT_B = _bucket_sql("lang || chr(9247) || CAST(doc_id AS VARCHAR)")
@@ -304,6 +344,12 @@ PIPELINE_ORACLE: dict[str, str] = {
     "pipe_stratified_sample":
         "SELECT doc_id, lang FROM documents "
         f"WHERE {_STRAT_B} < {int(0.3 * HASH_BUCKETS)}",
+    "pipe_quality_sample":
+        "WITH scored AS ({qsub}) "
+        "SELECT doc_id, quality_score FROM scored "
+        "WHERE {b} < CAST(FLOOR(quality_score * {n}) AS BIGINT)".format(
+            qsub=_QUALITY_SCORE_SUBQUERY, b=_SPLIT_B, n=HASH_BUCKETS
+        ),
     "pipe_source_mix":
         "SELECT doc_id, source FROM documents "
         f"WHERE {_MIX_B} < (CASE {_MIX_CASE} ELSE 0 END)",

@@ -61,34 +61,47 @@ def text_token_stats(spark, sf_dir):
     )
 
 
-def text_quality(spark, sf_dir):
-    """Quality signals + a deterministic 0-1 score: penalize very short
-    docs, high punctuation density, zero stopwords."""
-    d = load_table(spark, "documents", sf_dir)
-    t = F.col("text")
+def _trunc4(c: Column) -> Column:
+    """Truncate (floor) instead of round: ROUND(double, n) disagrees
+    between engines at the …5 boundary (Spark rounds the shortest decimal
+    repr HALF_UP, DuckDB rounds the binary value); floor of identical
+    IEEE doubles is engine-independent."""
+    return F.floor(c * 10000).cast("double") / 10000
+
+
+def quality_parts(t: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, punct_ratio, stop_ratio, quality_score) for a text
+    column — the deterministic 0-1 score shared by the text_quality gate
+    and quality-weighted sampling (operators/pipeline.py). Every ratio is
+    floor-truncated to 4 decimals (see _trunc4) so both engines agree."""
     n_chars = F.length(t)
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_punct = _count_re(t, r"[^\sA-Za-z0-9]")
     n_stop = _word_count(t, STOPWORDS)
-
-    # truncate (floor) instead of round: ROUND(double, n) disagrees between
-    # engines at the …5 boundary (Spark rounds the shortest decimal repr
-    # HALF_UP, DuckDB rounds the binary value); floor of identical IEEE
-    # doubles is engine-independent
-    def trunc4(c: Column) -> Column:
-        return F.floor(c * 10000).cast("double") / 10000
-
-    punct_ratio = trunc4(n_punct.cast("double") / n_chars)
-    stop_ratio = trunc4(n_stop.cast("double") / n_tokens)
+    punct_ratio = _trunc4(n_punct.cast("double") / n_chars)
+    stop_ratio = _trunc4(n_stop.cast("double") / n_tokens)
     score = (
         F.when(n_tokens < 5, 0.0)
         .otherwise(
-            trunc4(
+            _trunc4(
                 (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.5
                 + F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
             )
         )
     )
+    return n_tokens, punct_ratio, stop_ratio, score
+
+
+def quality_score(t: Column) -> Column:
+    """The 0-1 quality score alone (see quality_parts)."""
+    return quality_parts(t)[3]
+
+
+def text_quality(spark, sf_dir):
+    """Quality signals + a deterministic 0-1 score: penalize very short
+    docs, high punctuation density, zero stopwords."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens, punct_ratio, stop_ratio, score = quality_parts(F.col("text"))
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -141,6 +154,21 @@ _EN = r"\b(" + "|".join(LANG_PACKS["en"]) + r")\b"
 _DE = r"\b(" + "|".join(LANG_PACKS["de"]) + r")\b"
 _FR = r"\b(" + "|".join(LANG_PACKS["fr"]) + r")\b"
 _ES = r"\b(" + "|".join(LANG_PACKS["es"]) + r")\b"
+
+# DuckDB rendering of quality_parts' score — a subquery yielding
+# (doc_id, quality_score), shared by the text_quality oracle's shape and
+# the pipe_quality_sample oracle (operators/pipeline.py)
+QUALITY_SCORE_SUBQUERY = (
+    "SELECT doc_id, CASE WHEN n_tokens < 5 THEN 0.0 ELSE "
+    "FLOOR(((1.0 - LEAST(FLOOR(n_punct::DOUBLE / n_chars * 10000) / 10000 * 4, 1.0)) * 0.5 "
+    "+ LEAST(FLOOR(n_stop::DOUBLE / n_tokens * 10000) / 10000 * 5, 1.0) * 0.5) "
+    "* 10000) / 10000 END AS quality_score FROM "
+    "(SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) n_tokens, "
+    "length(text) n_chars, "
+    "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) n_punct, "
+    f"len(regexp_extract_all(lower(text), '{_STOP_PAT}')) n_stop "
+    "FROM documents) _qparts"
+)
 
 TEXTSTATS_ORACLE: dict[str, str] = {
     "text_token_stats":
@@ -408,4 +436,113 @@ TEXTSTATS_ORACLE["text_tfidf_top_terms"] = (
     "    PARTITION BY doc_id ORDER BY s DESC, term)::BIGINT rank "
     "  FROM scored"
     f") WHERE rank <= {TFIDF_TOP_K}"
+)
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary + out-of-vocabulary coverage (tokenizer-prep shapes)
+# --------------------------------------------------------------------------
+
+#: vocabulary cut for the gate. The synthetic corpus draws from a ~31-word
+#: list at every sf, so 20 guarantees the cut actually excludes terms (a
+#: vocab ≥ corpus-distinct-terms would make oov_rate identically 0 and the
+#: gate vacuous). Real corpora pass vocab_size=32k-256k.
+VOCAB_SIZE = 20
+
+
+def corpus_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Corpus-level vocabulary: top-``vocab_size`` terms by total count
+    with document frequency — the first pass of tokenizer training /
+    coverage analysis over a corpus.
+
+    Scale shape: explode → (term) count with map-side partial agg [1
+    shuffle on term — the ONLY shuffle; its cardinality is the distinct
+    vocabulary, ≪ corpus size] → global top-k via TakeOrderedAndProject
+    (k is vocab-sized, never corpus-sized). Ties break (count desc,
+    term asc) so the cut is deterministic.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.col("doc_id"),
+    ).where(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count("*").alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= vocab_size)
+        .select("term", "tf_total", "df", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def text_vocab(spark, sf_dir):
+    """Gate: the corpus top-VOCAB_SIZE vocabulary with counts."""
+    return corpus_vocab(load_table(spark, "documents", sf_dir))
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Per-document out-of-vocabulary token share against the corpus
+    top-``vocab_size`` vocabulary — the coverage report that decides
+    whether a tokenizer/vocab is big enough for a corpus.
+
+    The vocab is computed once (vocabulary-sized) and BROADCAST to the
+    token stream: the per-doc aggregation shuffles only (doc_id, two
+    longs). oov_rate is floor-truncated (engine-exact, see _trunc4).
+    """
+    vocab = corpus_vocab(docs, vocab_size).select("term")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        _trunc4(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("oov_rate"),
+    )
+
+
+def text_oov_rate(spark, sf_dir):
+    """Gate: per-doc OOV share vs the corpus top-VOCAB_SIZE vocabulary."""
+    return oov_rate(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_vocab"] = text_vocab
+TEXTSTATS_QUERIES["text_oov_rate"] = text_oov_rate
+
+_VOCAB_CTE = (
+    "tok AS ("
+    "  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) term "
+    "  FROM documents"
+    "), counts AS ("
+    "  SELECT term, COUNT(*)::BIGINT tf_total, COUNT(DISTINCT doc_id)::BIGINT df "
+    "  FROM tok WHERE term != '' GROUP BY term"
+    "), vocab AS ("
+    "  SELECT * FROM ("
+    "    SELECT *, ROW_NUMBER() OVER (ORDER BY tf_total DESC, term)::BIGINT rank "
+    "    FROM counts"
+    f"  ) WHERE rank <= {VOCAB_SIZE}"
+    ")"
+)
+
+TEXTSTATS_ORACLE["text_vocab"] = (
+    f"WITH {_VOCAB_CTE} SELECT term, tf_total, df, rank FROM vocab"
+)
+TEXTSTATS_ORACLE["text_oov_rate"] = (
+    f"WITH {_VOCAB_CTE} "
+    "SELECT tok.doc_id, COUNT(*)::BIGINT n_tokens, "
+    "SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::BIGINT n_oov, "
+    "FLOOR(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)::DOUBLE "
+    "      / COUNT(*) * 10000) / 10000 oov_rate "
+    "FROM tok LEFT JOIN vocab ON tok.term = vocab.term "
+    "WHERE tok.term != '' GROUP BY tok.doc_id"
 )

@@ -327,6 +327,63 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_vocab_and_oov_invariants(spark, sf_dir):
+    """The vocab cut is real on the fixture (corpus distinct terms >
+    VOCAB_SIZE): exactly VOCAB_SIZE contiguous ranks, and the resulting
+    OOV shares are nonzero somewhere and bounded in [0, 1]."""
+    from data_table_spark.operators.textstats import (
+        VOCAB_SIZE,
+        text_oov_rate,
+        text_vocab,
+    )
+
+    v = text_vocab(spark, sf_dir).collect()
+    assert len(v) == VOCAB_SIZE
+    assert sorted(r["rank"] for r in v) == list(range(1, VOCAB_SIZE + 1))
+    oov = text_oov_rate(spark, sf_dir).collect()
+    assert all(0.0 <= r["oov_rate"] <= 1.0 for r in oov)
+    assert sum(r["n_oov"] for r in oov) > 0, "vocab cut excluded nothing"
+
+
+def test_star_clusters_match_label_propagation(spark):
+    """Star contraction computes the identical fixed point as label
+    propagation on the mixed chain/pair fixture."""
+    from data_table_spark.operators.dedup import duplicate_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["a", "b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_clusters_long_chain(spark):
+    """A 100-node chain (diameter 99) — the adversarial case for label
+    propagation (would need 99 rounds) — resolves in ≤ max_rounds star
+    rounds to the single min-rooted component."""
+    from data_table_spark.operators.dedup import duplicate_clusters_star
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)], ["a", "b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters_star(pairs, max_rounds=10).collect()}
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_star_clusters_match_on_fixture(spark, sf_dir):
+    """Both CC algorithms agree on the real bounded MinHash pair set."""
+    from data_table_spark.operators.dedup import (
+        dedup_clusters_bounded,
+        dedup_clusters_star_bounded,
+    )
+
+    lp = {(r["doc_id"], r["cluster_id"])
+          for r in dedup_clusters_bounded(spark, sf_dir).collect()}
+    star = {(r["doc_id"], r["cluster_id"])
+            for r in dedup_clusters_star_bounded(spark, sf_dir).collect()}
+    assert lp == star and lp
+
+
 def test_dedup_clusters_on_fixture(spark, sf_dir):
     from data_table_spark.operators.dedup import dedup_clusters
 

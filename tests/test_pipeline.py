@@ -54,6 +54,37 @@ def test_split_total_and_deterministic(spark, sf_dir):
     assert 0.7 < frac.get("train", 0) / n < 0.9
 
 
+def test_quality_sample_proportional_and_deterministic(spark, sf_dir):
+    """Survival is proportional to the score: score-1.0 docs ALL survive,
+    score-0.0 docs never do, and the kept fraction tracks the mean score.
+    Rerun under a different partitioning is identical (hash, not RNG)."""
+    from data_table_spark.operators.pipeline import (
+        pipe_quality_sample,
+        quality_weighted_sample,
+    )
+    from data_table_spark.operators.textstats import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.withColumn("q", quality_score(F.col("text")))
+    kept = quality_weighted_sample(scored, "doc_id", "q")
+    assert kept.where(F.col("q") == 1.0).count() == scored.where(
+        F.col("q") == 1.0
+    ).count()
+    assert kept.where(F.col("q") == 0.0).count() == 0
+    mean_q = scored.agg(F.avg("q")).collect()[0][0]
+    rate = kept.count() / scored.count()
+    assert abs(rate - mean_q) < 0.1, (rate, mean_q)
+    # deterministic under repartitioning
+    k1 = {r["doc_id"] for r in pipe_quality_sample(spark, sf_dir).collect()}
+    k2 = {
+        r["doc_id"]
+        for r in quality_weighted_sample(
+            scored.repartition(7), "doc_id", "q"
+        ).select("doc_id").collect()
+    }
+    assert k1 == k2
+
+
 def test_stratified_sample_rate_and_subset(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     s = stratified_sample(d, ["lang"], 0.3, "doc_id")

@@ -338,6 +338,27 @@ def test_nbsp_grouped_integers_infer_long(spark):
     assert dt.value(col="v") == [1000, 2500, 10000]
 
 
+def test_coerce_accepts_ddl_string_specs(spark):
+    """Explicit type specs given as DDL strings ("bigint") behave
+    identically to DataType instances on every path — including the
+    on_error='raise' path, which previously crashed formatting the
+    BadTypeGuess message (str has no .simpleString)."""
+    import pytest
+
+    from data_table_spark.inference import BadTypeGuess
+
+    df = spark.createDataFrame([("12",), ("oops",)], ["v"])
+    dt = DataTable(df)
+    with pytest.raises(BadTypeGuess):
+        dt.coerce_types(explicit={"v": "bigint"}, on_error="raise")
+    fallback = dt.coerce_types(explicit={"v": "bigint"}, on_error="string")
+    assert fallback.column_type("v").simpleString() == "string"
+    clean = DataTable(spark.createDataFrame([("1 000",), ("2",)], ["v"]))
+    typed = clean.coerce_types(explicit={"v": "bigint"}, on_error="raise")
+    assert typed.column_type("v").simpleString() == "bigint"
+    assert typed.value(col="v") == [1000, 2]
+
+
 def test_row_id_dense_across_partitions(spark, sf_dir):
     """with_row_id must produce a dense 0..n-1 sequence even over a
     multi-partition input (the distributed offsets path)."""
