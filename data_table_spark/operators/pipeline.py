@@ -136,6 +136,59 @@ def pipe_stratified_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# exact-k per-stratum sampling (fixed-size eval sets)
+# --------------------------------------------------------------------------
+
+def topk_per_stratum(
+    df: DataFrame, strata_cols: list[str], k: int, key_col: str
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum, chosen
+    deterministically: rank rows inside each stratum by (hash bucket of
+    (strata ‖ key), key) and keep rank ≤ k. The fixed-size counterpart
+    of :func:`stratified_sample` — rate-based sampling cannot build a
+    "500 docs per language" eval set; this does, reproducibly, and a
+    member stays selected under corpus growth unless a new row hashes
+    below it (no RNG, no partitioning sensitivity).
+
+    Shuffle story: ONE shuffle on the strata key for the window. A
+    mega-stratum funnels into one partition — for small k at 100 TB,
+    pre-filter map-side on the same bucket (keep bucket < c·k·BUCKETS/n̂
+    for a population estimate n̂, then window the survivors; the hash
+    order makes the pre-filter sound as long as ≥ k rows survive, which
+    a count-audit can verify cheaply). NULL strata/key rows are excluded
+    for the same reason as stratified_sample.
+    """
+    from pyspark.sql import Window
+
+    cols = [*strata_cols, key_col]
+    salted = F.concat_ws("␟", *[F.col(c) for c in cols])
+    not_null = F.lit(True)
+    for c in cols:
+        not_null = not_null & F.col(c).isNotNull()
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(salted), F.col(key_col)
+    )
+    return (
+        df.where(not_null)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+#: per-language eval-set size for the gate (small enough that every
+#: lang stratum in the sf0.01 fixture exceeds it, so the cut is real)
+TOPK_PER_STRATUM_K = 30
+
+
+def pipe_topk_per_stratum(spark, sf_dir):
+    """Gate: a fixed TOPK_PER_STRATUM_K-docs-per-language eval set."""
+    d = load_table(spark, "documents", sf_dir)
+    return topk_per_stratum(
+        d, ["lang"], TOPK_PER_STRATUM_K, "doc_id"
+    ).select("doc_id", "lang", "sample_rank")
+
+
+# --------------------------------------------------------------------------
 # quality-weighted sampling
 # --------------------------------------------------------------------------
 
@@ -318,6 +371,7 @@ def pipe_contamination(spark, sf_dir):
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe_split_assign": pipe_split_assign,
     "pipe_stratified_sample": pipe_stratified_sample,
+    "pipe_topk_per_stratum": pipe_topk_per_stratum,
     "pipe_quality_sample": pipe_quality_sample,
     "pipe_source_mix": pipe_source_mix,
     "pipe_chunk_documents": pipe_chunk_documents,
@@ -344,6 +398,13 @@ PIPELINE_ORACLE: dict[str, str] = {
     "pipe_stratified_sample":
         "SELECT doc_id, lang FROM documents "
         f"WHERE {_STRAT_B} < {int(0.3 * HASH_BUCKETS)}",
+    "pipe_topk_per_stratum":
+        "SELECT doc_id, lang, sample_rank FROM ("
+        "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        f"    PARTITION BY lang ORDER BY {_STRAT_B}, doc_id"
+        "  )::BIGINT AS sample_rank FROM documents "
+        "  WHERE lang IS NOT NULL AND doc_id IS NOT NULL"
+        f") WHERE sample_rank <= {TOPK_PER_STRATUM_K}",
     "pipe_quality_sample":
         "WITH scored AS ({qsub}) "
         "SELECT doc_id, quality_score FROM scored "
