@@ -760,9 +760,21 @@ def quantize_int8(
 
 
 def sim_quantize_int8(spark, sf_dir):
-    """Gate: int8-quantize the embeddings table."""
+    """Gate: int8-quantize the embeddings table.
+
+    The gate emits the quantized vector as a comma-joined STRING
+    (`qvec_csv`), not the array itself: the driver's canonicalizer sorts
+    the result frame with pandas, and a list-valued column is unhashable
+    there (round-3 red row). The library function `quantize_int8` keeps
+    the real array<int> type; this is a gate-level encoding only, and
+    the CSV is a lossless rendering of the int array."""
     e = load_table(spark, "embeddings", sf_dir)
-    return quantize_int8(e)
+    q = quantize_int8(e)
+    return q.select(
+        "vec_id",
+        "scale_t",
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+    )
 
 
 SIMILARITY_QUERIES["sim_quantize_int8"] = sim_quantize_int8
@@ -773,7 +785,8 @@ SIMILARITY_ORACLE["sim_quantize_int8"] = (
     "  FROM embeddings"
     ") "
     "SELECT vec_id, FLOOR(mx / 127 * 1000000) / 1000000 AS scale_t, "
-    "CASE WHEN mx = 0 THEN list_transform(v, x -> 0::INTEGER) "
-    "ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::INTEGER) END AS qvec "
+    "array_to_string(CASE WHEN mx = 0 THEN list_transform(v, x -> 0::INTEGER) "
+    "ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::INTEGER) END, ',') "
+    "AS qvec_csv "
     "FROM m"
 )
