@@ -785,3 +785,41 @@ DEDUP_ORACLE["dedup_clusters_bounded"] = (
 # the star-contraction gate computes the same fixed point over the same
 # bounded pair set — identical oracle
 DEDUP_ORACLE["dedup_clusters_star_bounded"] = DEDUP_ORACLE["dedup_clusters_bounded"]
+
+
+def dedup_clusters_recursive_sql(spark, sf_dir):
+    """Connected components via Spark 4's RECURSIVE CTE over the bounded
+    MinHash pair set — the same min-label closure the DuckDB oracle runs,
+    executed by Spark's own recursion operator (UnionLoop). Third
+    independent algorithm for the same fixed point (after label
+    propagation and star contraction), which pins the semantics: all
+    three gates share one oracle.
+
+    Spark 4.1 recursion only supports UNION ALL (UNION errors with
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the walk enumerates PATHS,
+    not a growing distinct set — on a cyclic edge set that never drains.
+    Termination is a depth bound instead: paths stop at _RC_DEPTH hops,
+    which must be ≥ the largest bounded-component diameter for MIN(lab)
+    to reach everywhere (asserted by the shared oracle). Path counts are
+    degree^depth, fine on the bounded slice only — the 100 TB path stays
+    duplicate_clusters_star (O(log² n) rounds, distinct state)."""
+    pairs = dedup_minhash_pairs_bounded(spark, sf_dir)
+    pairs.createOrReplaceTempView("_rc_pairs")
+    return spark.sql(
+        "WITH RECURSIVE walk(x, lab, d) AS ("
+        "  SELECT DISTINCT x, x AS lab, 0 AS d FROM ("
+        "    SELECT a AS x FROM _rc_pairs UNION ALL SELECT b FROM _rc_pairs"
+        "  )"
+        "  UNION ALL"
+        "  SELECT e.x, w.lab, w.d + 1 FROM ("
+        "    SELECT a AS x, b AS y FROM _rc_pairs "
+        "    UNION ALL SELECT b, a FROM _rc_pairs"
+        "  ) e JOIN walk w ON e.y = w.x WHERE w.d < 12"
+        ") "
+        "SELECT x AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY x"
+    )
+
+
+DEDUP_QUERIES["dedup_clusters_recursive_sql"] = dedup_clusters_recursive_sql
+# same bounded pair set, same fixed point — identical oracle
+DEDUP_ORACLE["dedup_clusters_recursive_sql"] = DEDUP_ORACLE["dedup_clusters_bounded"]

@@ -686,3 +686,84 @@ PIPELINE_ORACLE["pipe_pack_global"] = (
     f"/ {PACK_BUDGET}) AS BIGINT))::BIGINT AS pack_id "
     "FROM cb"
 )
+
+
+# --------------------------------------------------------------------------
+# weighted source upsampling (epoch mixing with fractional repeat factors)
+# --------------------------------------------------------------------------
+
+#: per-source repeat weights for the gate. Fractional weights exercise the
+#: probabilistic extra copy; a sub-1.0 weight exercises downsampling
+#: through the SAME formula (floor(w)=0 ⇒ keep with probability w).
+UPSAMPLE_WEIGHTS = {"src1": 2.3, "src7": 1.5, "src3": 0.4}
+
+
+def upsample_weighted(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Replicate rows by per-source repeat factor w: every row gets
+    floor(w) copies plus one more iff its hash bucket falls under
+    frac(w) — so E[copies] = w exactly, per row, deterministically.
+    This is how LLM corpus mixes realize "2.3 epochs of wiki, 0.4 of
+    crawl" (GPT-3/Llama-style sampling weights) without RNG state:
+    re-running the build, growing the corpus, or changing partitioning
+    never flips a row's copy count.
+
+    Output one row per (row, copy_idx 1..n_copies); n_copies = 0 rows
+    (downsampled out) vanish. Map-side only — explode(sequence) with a
+    bounded factor, zero shuffle; the hash is salted with 'up' so a
+    row's upsample fate is independent of its split/sample fate."""
+    w = None
+    for s, wt in weights.items():
+        cond = F.col(source_col) == s
+        w = F.when(cond, F.lit(float(wt))) if w is None else w.when(cond, F.lit(float(wt)))
+    w = F.lit(1.0) if w is None else w.otherwise(F.lit(1.0))
+    frac = w - F.floor(w)
+    extra = (
+        hash_bucket(F.concat(F.lit("up␟"), F.col(key_col).cast("string")))
+        < (frac * HASH_BUCKETS).cast("bigint")
+    ).cast("bigint")
+    n_copies = F.floor(w).cast("bigint") + extra
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
+def pipe_upsample_sources(spark, sf_dir):
+    """Gate: weighted source upsampling of documents (2.3 / 1.5 / 0.4 /
+    default 1.0 epochs)."""
+    d = load_table(spark, "documents", sf_dir)
+    return upsample_weighted(d, UPSAMPLE_WEIGHTS).select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+PIPELINE_QUERIES["pipe_upsample_sources"] = pipe_upsample_sources
+
+def _upsample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in UPSAMPLE_WEIGHTS.items()
+    )
+    bucket = _bucket_sql("'up␟' || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH w AS ("
+        f"  SELECT doc_id, source, CASE source {cases} ELSE 1.0 END wt "
+        "  FROM documents"
+        "), n AS ("
+        "  SELECT doc_id, source, CAST(FLOOR(wt) AS BIGINT) + "
+        f"  (CASE WHEN {bucket} < CAST((wt - FLOOR(wt)) * {HASH_BUCKETS} AS BIGINT) "
+        "   THEN 1 ELSE 0 END) nc "
+        "  FROM w"
+        ") "
+        "SELECT doc_id, source, unnest(range(1, nc + 1))::BIGINT copy_idx "
+        "FROM n WHERE nc > 0"
+    )
+
+
+PIPELINE_ORACLE["pipe_upsample_sources"] = _upsample_oracle()

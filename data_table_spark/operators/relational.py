@@ -922,21 +922,26 @@ RELATIONAL_ORACLE["q48_tpch_q5_shape"] = (
 
 def q49_json_extract(spark, sf_dir):
     """JSON scalar family: typed extraction from the events.props JSON
-    strings via a single ``from_json`` parse (subexpression-eliminated by
-    codegen, so props is parsed once per row). The alternative path-string
-    form (``get_json_object``) is asserted equal to this one in
-    tests/test_relational.py::test_json_extract_paths_agree — keeping the
-    assertion out of the gated query avoids a null-vs-null filter asymmetry
-    against the oracle (rows whose props lack key 'k' must survive) and
-    halves the per-row parse cost."""
+    strings via a single ``from_json`` parse. The parse-once guarantee is
+    STRUCTURAL: the first select materializes `k`, the second aliases the
+    column, and CollapseProject declines to merge them because from_json
+    is non-cheap — the optimized plan carries exactly one from_json (plan
+    test asserts it). Relying on runtime subexpression elimination instead
+    is fragile here: JsonToStructs is CodegenFallback, so this Project runs
+    interpreted, and an interpreted dual parse Jackson-allocates per row —
+    the likely amplifier behind the round-3 driver-context outlier (15.6 s
+    vs 0.35 s local for the dual-parse form). The path-string form
+    (``get_json_object``) is asserted equal in
+    tests/test_relational.py::test_json_extract_paths_agree."""
     from ..sources.registry import load_table
 
     e = load_table(spark, "events", sf_dir)
-    typed = F.from_json(F.col("props"), "k BIGINT")["k"]
-    return e.select(
-        "event_id",
-        typed.alias("k"),
-        typed.alias("k_typed"),
+    return (
+        e.select(
+            "event_id",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+        )
+        .select("event_id", "k", F.col("k").alias("k_typed"))
     )
 
 
@@ -1183,4 +1188,111 @@ RELATIONAL_ORACLE["q59_latest_per_key"] = (
     "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
     "  ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders"
     ") WHERE rn = 1"
+)
+
+
+def q60_variant_extract(spark, sf_dir):
+    """Semi-structured extraction via Spark 4's VARIANT type: parse the
+    events.props JSON once into a variant, then pull typed fields with
+    try_variant_get. This is the 100 TB JSON path — variant stores a
+    parsed binary form, so repeated field access never re-parses the
+    text (vs from_json/get_json_object which are per-expression text
+    parses), and Parquet variant shredding lets the scan prune to the
+    accessed fields. Same parse-once structure as q49: the variant is
+    materialized in the first select so CollapseProject cannot duplicate
+    the parse into each extraction."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select("event_id", F.parse_json(F.col("props")).alias("v"))
+        .select(
+            "event_id",
+            F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+            F.try_variant_get(F.col("v"), "$.k", "string").alias("k_str"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q60_variant_extract"] = q60_variant_extract
+RELATIONAL_ORACLE["q60_variant_extract"] = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k, "
+    "json_extract_string(props, '$.k') AS k_str FROM events"
+)
+
+
+def interval_join_bucketed(
+    events, intervals, ts_col="ts", start_col="w_start", end_col="w_end"
+):
+    """Big-big interval-overlap join via day bucketing: each interval is
+    exploded into the day buckets it spans, events bucket to their day,
+    and the join is an EQUI join on the bucket with the exact range
+    predicate as residual. This is the shape that survives two large
+    sides — a raw ts-between join plans as a nested-loop cross product
+    (O(|E|·|I|)), while bucketing costs one shuffle on the day key and
+    each event meets only the intervals sharing its day. Buckets are
+    dates, so the explode factor is interval-length-in-days (bounded);
+    skewed days are AQE-split. Tiny interval sides short-circuit: when
+    the interval table fits the broadcast threshold Catalyst broadcasts
+    the exploded side and no shuffle happens at all."""
+    iv = intervals.withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.to_date(F.col(start_col)),
+                # end is exclusive; an interval ending at midnight must
+                # not claim the next day's bucket
+                F.to_date(F.col(end_col) - F.expr("INTERVAL 1 SECOND")),
+            )
+        ),
+    )
+    ev = events.withColumn("_day", F.to_date(F.col(ts_col)))
+    return (
+        ev.join(iv, "_day")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_day")
+    )
+
+
+def q61_interval_join(spark, sf_dir):
+    """Interval-overlap join gate: ten 3-day campaign windows over the
+    events span (w_id k = [2024-01-01 + 3k days, +3 days)), each event
+    attributed to its window, aggregated per window. Uses the bucketed
+    big-big path (interval_join_bucketed) even though this interval side
+    is broadcast-sized — the plan is the one that scales; a plan test
+    asserts no nested-loop join survives."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    iv = spark.range(10).select(
+        F.col("id").alias("w_id"),
+        (F.to_timestamp(F.lit("2024-01-01"))
+         + F.col("id").cast("int") * F.expr("INTERVAL 3 DAYS")).alias("w_start"),
+        (F.to_timestamp(F.lit("2024-01-01"))
+         + (F.col("id").cast("int") + 1) * F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    return (
+        interval_join_bucketed(e, iv)
+        .groupBy("w_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q61_interval_join"] = q61_interval_join
+RELATIONAL_ORACLE["q61_interval_join"] = (
+    "WITH iv AS ("
+    "  SELECT g.range AS w_id, "
+    "  TIMESTAMP '2024-01-01' + INTERVAL (g.range * 3) DAY AS w_start, "
+    "  TIMESTAMP '2024-01-01' + INTERVAL ((g.range + 1) * 3) DAY AS w_end "
+    "  FROM range(10) g"
+    ") "
+    "SELECT w_id, COUNT(*)::BIGINT n_events, "
+    "COUNT(DISTINCT user_id)::BIGINT n_users, "
+    "ROUND(SUM(value), 2) total_value "
+    "FROM events JOIN iv ON ts >= w_start AND ts < w_end "
+    "GROUP BY w_id"
 )

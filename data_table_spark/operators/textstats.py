@@ -546,3 +546,77 @@ TEXTSTATS_ORACLE["text_oov_rate"] = (
     "FROM tok LEFT JOIN vocab ON tok.term = vocab.term "
     "WHERE tok.term != '' GROUP BY tok.doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# unigram LM scoring (corpus-level language-model quality signal)
+# --------------------------------------------------------------------------
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document unigram surprisal against the corpus's own unigram
+    distribution — the classic cheap LM quality filter (a doc of rare
+    tokens scores low/negative-heavy; boilerplate of corpus-common tokens
+    scores high). Output: (doc_id, n_tokens, surprisal_micro) where
+    surprisal_micro = Σ_tokens floor(ln(p(term)) · 1e6) as BIGINT.
+
+    Engine-exactness: per-token log-probs are floor-quantized to integer
+    micro-nats BEFORE summing, so the document sum is exact 64-bit
+    integer arithmetic — no float-accumulation-order divergence between
+    Spark and the oracle. (A raw double Σ ln p differs across engines by
+    summation order; floor(ln(p)·1e6) can only differ if the engines' ln
+    disagrees within 1e-9 of an integer boundary — ~1e-9 probability per
+    distinct term.)
+
+    Scale shape: token explode → term count (1 shuffle, vocab-sized
+    output) → total via single-row cross join → model BROADCAST to the
+    token stream → per-doc agg (1 shuffle carrying (doc_id, long, long)).
+    The model is vocabulary-sized, never corpus-sized."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * 1_000_000
+            ).cast("bigint").alias("logp_micro"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp_micro").alias("surprisal_micro"),
+        )
+    )
+
+
+def text_lm_score(spark, sf_dir):
+    """Gate: per-doc unigram surprisal in integer micro-nats."""
+    return unigram_lm_score(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_lm_score"] = text_lm_score
+TEXTSTATS_ORACLE["text_lm_score"] = (
+    "WITH tok AS ("
+    "  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) term "
+    "  FROM documents"
+    "), t2 AS ("
+    "  SELECT doc_id, term FROM tok WHERE term != ''"
+    "), counts AS ("
+    "  SELECT term, COUNT(*)::BIGINT cnt FROM t2 GROUP BY term"
+    "), model AS ("
+    "  SELECT term, CAST(FLOOR(ln(cnt::DOUBLE / "
+    "    (SELECT SUM(cnt)::DOUBLE FROM counts)) * 1000000) AS BIGINT) logp_micro "
+    "  FROM counts"
+    ") "
+    "SELECT t2.doc_id, COUNT(*)::BIGINT n_tokens, "
+    "SUM(logp_micro)::BIGINT surprisal_micro "
+    "FROM t2 JOIN model ON t2.term = model.term GROUP BY t2.doc_id"
+)

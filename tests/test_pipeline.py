@@ -191,3 +191,38 @@ def test_chunk_edge_cases(spark):
     assert sorted(r["n_chunk_tokens"] for r in got[3]) == [3, 10]
     # 17 tokens: starts 0, 7, 14 → sizes 10, 10, 3
     assert sorted(r["n_chunk_tokens"] for r in got[4]) == [3, 10, 10]
+
+
+def test_upsample_expected_copies(spark, sf_dir):
+    """Per-source realized copy rate must track the configured weight
+    (hash buckets are uniform; at corpus sizes the rate lands within a
+    loose band), and the assignment must be bit-deterministic across
+    independent builds of the plan."""
+    from data_table_spark.operators.pipeline import (
+        UPSAMPLE_WEIGHTS,
+        pipe_upsample_sources,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    base = {
+        r["source"]: r["count"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("source").count().collect()
+    }
+    up = {
+        r["source"]: r["count"]
+        for r in pipe_upsample_sources(spark, sf_dir)
+        .groupBy("source").count().collect()
+    }
+    for s, n in base.items():
+        w = UPSAMPLE_WEIGHTS.get(s, 1.0)
+        rate = up.get(s, 0) / n
+        # integer-part copies are exact; the fractional part is a
+        # hash-uniform coin, so allow sampling noise around frac(w)
+        assert abs(rate - w) <= 0.5 / (n ** 0.5) + 0.15, (s, w, rate, n)
+    again = {
+        r["source"]: r["count"]
+        for r in pipe_upsample_sources(spark, sf_dir)
+        .groupBy("source").count().collect()
+    }
+    assert up == again

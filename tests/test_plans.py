@@ -298,3 +298,35 @@ def test_heavy_hitters_sketch_completeness(spark, sf_dir):
     assert truly_frequent <= got
     # candidate set stays bounded (sketch, not a full distinct)
     assert len(got) <= int(1 / support) + 1
+
+
+def test_json_extract_parses_once(spark, sf_dir):
+    """q49/q60 parse the JSON text exactly once per row. JsonToStructs /
+    ParseJson are CodegenFallback (the Project runs interpreted), so a
+    duplicated parse is a real 2x per-row Jackson cost that runtime
+    subexpression elimination may or may not remove — the parse-once
+    guarantee must be structural in the optimized plan."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    p49 = (
+        RELATIONAL_QUERIES["q49_json_extract"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert p49.count("from_json") == 1, p49
+    p60 = (
+        RELATIONAL_QUERIES["q60_variant_extract"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # optimizer renders the parse as static_invoke(...parseJson(...))
+    assert p60.count("parseJson") == 1, p60
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as an equi join on the day
+    bucket (hash or sort-merge; broadcast-hash when the interval side is
+    tiny) — never a nested-loop/cartesian range join."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    p = _plan(RELATIONAL_QUERIES["q61_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
