@@ -112,52 +112,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-3 window: the 34 never-green oracle-backed gates (q54-q59,
-# text_scrub/repetition/tfidf/vocab/oov, ref_compare,
-# sim_pairs_threshold/centroid/quantize, udf_grouped_map/udtf, all 9
-# pipe_* incl. quality_sample, stream_dedup_counts, the 6 deterministic
-# ANN oracles, and dedup_clusters_star_bounded) + 2 changed gates
-# (dedup_embedding_pairs: twin filter + skinny candidates; text_quality:
-# score expression factored out for quality-weighted sampling) + 14
-# family re-proofs. Re-proofs for dedup/similarity/text/UDF/JSON ceded
-# their slots to the new gates — each of those families is represented
-# by ≥1 never-green sibling inside the window, and the ceded gates'
-# r1/r2 green rows stand (byte-unchanged; see COVERAGE.md provenance).
+# Round-4 window: 7 never-green oracle-backed gates (sim_quantize_int8 —
+# round-3 red row, result now scalar-encoded for the driver's pandas
+# canonicalizer; pipe_topk_per_stratum — added after the r3 window
+# froze; and the 5 new round-4 gates q60/q61/recursive-CC/lm-score/
+# upsample) + 1 changed gate (q49_json_extract: structurally parse-once)
+# + 42 family re-proofs drawn from the STALEST green rows — all from
+# round 1, two rounds old. Six r1 gates ceded their slot to the new
+# gates; each has a same-family sibling inside the window and its r1
+# green row stands byte-unchanged (q36/q37 breadth → q27/q30; q38
+# grouping sets → q15/q16; q40 conditional agg → q12/q14; q43 range
+# frame → q21; q44 first/last → q20). Every r2/r3-proven gate keeps its
+# newer green row (see COVERAGE.md provenance).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
-    "q54_unpivot", "q55_time_rollup", "q56_map_entries",
-    "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
-    "text_scrub", "text_repetition", "text_tfidf_top_terms",
-    "text_vocab", "text_oov_rate",
-    "ref_compare",
-    "sim_pairs_threshold", "sim_centroid_per_label", "sim_quantize_int8",
-    "udf_grouped_map_stats", "udf_python_udtf_words",
-    "pipe_split_assign", "pipe_stratified_sample", "pipe_quality_sample",
-    "pipe_source_mix",
-    "pipe_chunk_documents", "pipe_contamination", "pipe_filter_corpus",
-    "pipe_pack_sequences", "pipe_pack_global",
-    "stream_dedup_counts",  # S5 batch form (hourly windowed dedup counts)
-    # deterministic oracles for the ANN/LSH family (round-3 item 1)
-    "sim_ivf_topk", "sim_lsh_topk_twins", "sim_knn_join_twins",
-    "dedup_minhash_pairs_bounded", "dedup_simhash_planted_pairs",
-    "dedup_clusters_bounded",
-    "dedup_clusters_star_bounded",  # large/small-star CC, same fixpoint
+    "sim_quantize_int8",          # r3 red: list column → now qvec_csv
+    "pipe_topk_per_stratum",      # landed after the r3 window froze
+    "q60_variant_extract",        # new: Spark 4 VARIANT JSON path
+    "q61_interval_join",          # new: bucketed interval-overlap join
+    "dedup_clusters_recursive_sql",  # new: RECURSIVE CTE CC, 3rd algo
+    "text_lm_score",              # new: integer-exact unigram surprisal
+    "pipe_upsample_sources",      # new: fractional-epoch source mixing
     # --- changed this round (priority rule 2) ---
-    "dedup_embedding_pairs",  # twin-structure filter + skinny candidates
-    "text_quality",           # score expr factored for quality sampling
-    # --- family re-proofs, byte-unchanged green gates (rule 3) ---
-    "q02_filter",                                # scan/filter (pushdown)
-    "q05_multiway_join",                         # joins (broadcast star)
-    "q12_group_agg",                             # aggregation
-    "q18_row_number",                            # windows
-    "q28_trim_nullify",                          # cleaning scalars
-    "q46_array_ops",                             # arrays
-    "q51_union_distinct",                        # set ops
-    "q33_events_tumbling", "stream_user_milestones",
-    "stream_attribution",                        # streaming S1/S6/S7
-    "asof_join_events",                          # as-of join
-    "ref_cell_ops", "ref_overlay_region",        # reference facade
-    "media_byte_stats",                          # multimodal
+    "q49_json_extract",           # parse-once restructure (r3 perf outlier)
+    # --- family re-proofs: ALL remaining round-1-proven gates (rule 3;
+    # --- stalest first — every other family was re-proven in r2/r3) ---
+    "q01_scan_project", "q02_filter", "q03_in_between_like",
+    "q04_inner_join", "q05_multiway_join", "q06_left_join",
+    "q07_full_outer", "q08_semi_join", "q09_anti_join",
+    "q10_cross_join", "q11_theta_join", "q12_group_agg",
+    "q13_count_distinct", "q14_having", "q15_rollup", "q16_cube",
+    "q18_row_number", "q19_rank", "q20_lag_lead", "q21_running_sum",
+    "q22_ntile", "q23_top_k", "q24_union_all", "q25_intersect",
+    "q26_except", "q27_strings", "q28_trim_nullify",
+    "q29_relaxed_parse", "q30_dates", "q31_math", "q32_conditionals",
+    "q33_events_tumbling", "q34_sessionization", "q35_pivot",
+    "q39_string_agg", "q41_percentiles", "q42_correlated_subquery",
+    "q45_regex_scalars", "q46_array_ops", "q47_tpch_q3_shape",
+    "q48_tpch_q5_shape", "dedup_exact",
 ]
 
 
