@@ -24,7 +24,12 @@ from ..inference import auto_type
 
 #: Spark's JSON default timestamp format keeps milliseconds only; the
 #: engine round-trips microseconds (parquet precision) by default.
+#: TIMESTAMP and TIMESTAMP_NTZ columns are configured by DIFFERENT
+#: option names (timestampFormat vs timestampNTZFormat) — setting only
+#: the first silently ms-truncates NTZ columns (events.ts is NTZ: the
+#: testdata parquet stores local-semantics timestamps).
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def read_json_lines(
@@ -44,6 +49,7 @@ def read_json_lines(
     - neither: Spark's native JSON inference (sampling scan).
     """
     options.setdefault("timestampFormat", TS_FORMAT)
+    options.setdefault("timestampNTZFormat", TS_NTZ_FORMAT)
     reader = spark.read.options(**{k: str(v) for k, v in options.items()})
     if schema is not None:
         return reader.schema(schema).json(path)
@@ -57,7 +63,12 @@ def read_json_lines(
 
 
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).option("timestampFormat", TS_FORMAT).json(path)
+    (
+        df.write.mode(mode)
+        .option("timestampFormat", TS_FORMAT)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
+        .json(path)
+    )
 
 
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:

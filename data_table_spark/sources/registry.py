@@ -24,18 +24,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which the
-        # Spark reader rejects; read nanos as long and convert to a
-        # microsecond timestamp (expression-only, no data pass)
+        # events.ts has shipped in two physical encodings across testdata
+        # generations: parquet TIMESTAMP(NANOS) (which the Spark reader
+        # rejects without nanosAsLong — read as long, integer-divide to
+        # micros) and plain µs TIMESTAMP_NTZ. Normalize BOTH to a
+        # session-zone TIMESTAMP (LTZ): event-time watermarks require
+        # TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ),
+        # and the engine's streaming surface keys on this column. All
+        # conversions are expression-only — no data pass. The NTZ→LTZ
+        # cast reinterprets wall-clock in the session timezone (UTC in
+        # the session factory), which preserves values byte-for-byte for
+        # UTC-generated fixtures.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: ts/1000 in double would round at ~1.7e18 ns
             # (beyond double's 2^53 integer precision) and shift values by
             # a microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
