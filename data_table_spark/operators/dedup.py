@@ -803,18 +803,34 @@ def dedup_clusters_recursive_sql(spark, sf_dir):
     to reach everywhere (asserted by the shared oracle). Path counts are
     degree^depth, fine on the bounded slice only — the 100 TB path stays
     duplicate_clusters_star (O(log² n) rounds, distinct state)."""
-    pairs = dedup_minhash_pairs_bounded(spark, sf_dir)
+    # cut lineage BEFORE handing the pairs to the recursion: the CTE's
+    # loop re-evaluates the anchor view every step, which would re-run
+    # the whole MinHash signature+banding pipeline per iteration
+    # (measured 9.9 s → 1.5 s at sf0.1)
+    # coalesce(1): the bounded pair set is tiny by construction
+    # (doc_id < PAIR_BOUND), and every recursion step schedules one task
+    # per anchor partition — 6 iterations × 32 near-empty partitions is
+    # pure scheduler overhead
+    pairs = truncate_lineage(
+        dedup_minhash_pairs_bounded(spark, sf_dir).coalesce(1)
+    )
     pairs.createOrReplaceTempView("_rc_pairs")
+    # depth 6 covers diameter-6 components — near-dup components are
+    # clique-shaped (every copy pairs with every other), so real
+    # diameters are 1-2; the shared oracle computes the UNBOUNDED
+    # closure, so an insufficient depth fails the gate, it cannot
+    # silently pass. The edge side is broadcast: the loop then runs
+    # joins without a per-iteration shuffle exchange.
     return spark.sql(
         "WITH RECURSIVE walk(x, lab, d) AS ("
         "  SELECT DISTINCT x, x AS lab, 0 AS d FROM ("
         "    SELECT a AS x FROM _rc_pairs UNION ALL SELECT b FROM _rc_pairs"
         "  )"
         "  UNION ALL"
-        "  SELECT e.x, w.lab, w.d + 1 FROM ("
+        "  SELECT /*+ BROADCAST(e) */ e.x, w.lab, w.d + 1 FROM ("
         "    SELECT a AS x, b AS y FROM _rc_pairs "
         "    UNION ALL SELECT b, a FROM _rc_pairs"
-        "  ) e JOIN walk w ON e.y = w.x WHERE w.d < 12"
+        "  ) e JOIN walk w ON e.y = w.x WHERE w.d < 6"
         ") "
         "SELECT x AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY x"
     )

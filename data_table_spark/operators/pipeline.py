@@ -767,3 +767,91 @@ def _upsample_oracle() -> str:
 
 
 PIPELINE_ORACLE["pipe_upsample_sources"] = _upsample_oracle()
+
+
+# --------------------------------------------------------------------------
+# exact repeated-span dedup (boilerplate removal within a corpus)
+# --------------------------------------------------------------------------
+
+#: tokens per span for exact span-level dedup. Non-overlapping windows:
+#: the goal is removing repeated boilerplate RUNS, not near-dup scoring.
+SPAN_TOKENS = 8
+
+
+def dedup_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Exact span-level dedup: split each document into non-overlapping
+    ``span_tokens``-token spans and keep only the corpus-wide FIRST
+    occurrence of each distinct span (order = (doc_id, span_idx)) — the
+    suffix-array-free form of repeated-substring removal used to strip
+    shared boilerplate (headers, license blocks, nav text) before
+    training.
+
+    Output: (doc_id, span_idx, span_hash, keep) for every span; callers
+    reassemble kept spans per document. The ONLY shuffle is the window
+    over span_hash — a 32-char md5, never the span text, so exchange
+    bytes are O(spans·32B) regardless of span length. Rank-1-per-hash
+    compiles to WindowGroupLimit-backed row_number (O(1) state per key);
+    docs shorter than one span emit nothing."""
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    spans = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= span_tokens)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.floor(F.size("t") / span_tokens) - 1).cast("int"),
+                )
+            ).alias("span_idx"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("bigint").alias("span_idx"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("t"),
+                        F.col("span_idx") * span_tokens + 1,
+                        span_tokens,
+                    ),
+                    " ",
+                )
+            ).alias("span_hash"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
+    return spans.select(
+        "doc_id",
+        "span_idx",
+        "span_hash",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def pipe_dedup_spans(spark, sf_dir):
+    """Gate: corpus-wide first-occurrence flags for 8-token spans."""
+    return dedup_spans(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_dedup_spans"] = pipe_dedup_spans
+PIPELINE_ORACLE["pipe_dedup_spans"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents"
+    "), spans AS ("
+    f"  SELECT doc_id, unnest(range(0, CAST(FLOOR(len(t)/{SPAN_TOKENS}) AS BIGINT))) "
+    "  AS span_idx, t "
+    f"  FROM toks WHERE len(t) >= {SPAN_TOKENS}"
+    "), h AS ("
+    "  SELECT doc_id, span_idx::BIGINT span_idx, "
+    f"  md5(array_to_string(t[(span_idx*{SPAN_TOKENS}+1):(span_idx*{SPAN_TOKENS}+{SPAN_TOKENS})], ' ')) span_hash "
+    "  FROM spans"
+    ") "
+    "SELECT doc_id, span_idx, span_hash, "
+    "(ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) = 1) keep "
+    "FROM h"
+)

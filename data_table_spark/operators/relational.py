@@ -1296,3 +1296,62 @@ RELATIONAL_ORACLE["q61_interval_join"] = (
     "FROM events JOIN iv ON ts >= w_start AND ts < w_end "
     "GROUP BY w_id"
 )
+
+
+def q62_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) shape: bilateral revenue between two
+    nations by ship year. Six-table star with TWO roles for nation —
+    supplier-side and customer-side — so the dim broadcasts twice under
+    different aliases; the only real shuffle is the final (nation,
+    nation, year) aggregate, whose cardinality is tiny. The symmetric
+    nation-pair predicate prunes before the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q62_tpch_q7_shape"] = q62_tpch_q7_shape
+RELATIONAL_ORACLE["q62_tpch_q7_shape"] = (
+    "SELECT n1.n_name supp_nation, n2.n_name cust_nation, "
+    "YEAR(l_shipdate)::BIGINT l_year, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) revenue, "
+    "COUNT(*)::BIGINT n_items "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+    "GROUP BY 1, 2, 3"
+)
