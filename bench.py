@@ -9,12 +9,23 @@ driver-side collect) — measures the engine, not the result transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# a 124-query session accumulates weak-referenced JVM state (local-
+# checkpoint blocks, torrent broadcasts, generated classes) that Spark's
+# ContextCleaner only reclaims after a JVM GC — and its own periodic GC
+# fires every 30 MINUTES, longer than the whole bench. On the default-8g
+# driver heap the later queries degrade 1.5-3x and allocation-heavy
+# interpreted projections (JSON parse) intermittently stall ~30 s in
+# GC storms. Give the bench session a roomier heap (must be set before
+# the JVM launches; the env override still wins).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 from data_table_spark.session import get_spark  # noqa: E402
 
@@ -35,7 +46,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
         t0 = time.perf_counter()
         try:
             materialize(qs[name](spark, sf_dir))
@@ -51,6 +62,13 @@ def main() -> None:
         except Exception as e:  # a failing query gets a null, not a crash
             timings[name] = None
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # release py4j handles every query (lets the ContextCleaner see
+        # dead plans) and force a JVM GC every 20 so weakly-referenced
+        # checkpoint/broadcast blocks actually get reclaimed mid-run —
+        # the in-session substitute for Spark's 30-minute periodic GC
+        gc.collect()
+        if i % 20 == 19:
+            spark.sparkContext._jvm.System.gc()
     # headline = sum of per-query best timings (NOT wall time, which now
     # includes the stabilizing reruns); t_all kept for the log line
     total = round(sum(v for v in timings.values() if v is not None), 3)
