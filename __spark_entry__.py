@@ -112,16 +112,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-4 window: 9 never-green oracle-backed gates (sim_quantize_int8 —
+# Round-4 window: 11 never-green oracle-backed gates (sim_quantize_int8 —
 # round-3 red row, result now scalar-encoded for the driver's pandas
 # canonicalizer; pipe_topk_per_stratum — added after the r3 window
 # froze; and the 7 new round-4 gates q60/q61/q62/recursive-CC/lm-score/
-# upsample/span-dedup) + 1 changed gate (q49_json_extract: structurally
-# parse-once) + 40 family re-proofs drawn from the STALEST green rows —
-# all from round 1, two rounds old. Eight r1 gates ceded their slot to
+# upsample/span-dedup plus sim_quantized_topk and stream_topk_trending)
+# + 1 changed gate (q49_json_extract: structurally parse-once) + 38
+# family re-proofs drawn from the STALEST green rows —
+# all from round 1, two rounds old. Ten r1 gates ceded their slot to
 # the new gates; each has a same-family sibling inside the window and
-# its r1 green row stands byte-unchanged (q36/q37 breadth + q31/q32
-# math/conditional → q27-q30/q45; q38 grouping sets → q15/q16; q40
+# its r1 green row stands byte-unchanged (q36/q37 breadth + q28/q30/
+# q31/q32 scalar siblings → q27/q29/q45; q38 grouping sets → q15/q16; q40
 # conditional agg → q12/q14; q43 range frame → q21; q44 first/last →
 # q20). Every r2/r3-proven gate keeps its newer green row (see
 # COVERAGE.md provenance).
@@ -136,6 +137,8 @@ _PRIORITY = [
     "pipe_upsample_sources",      # new: fractional-epoch source mixing
     "q62_tpch_q7_shape",          # new: bilateral volume-shipping shape
     "pipe_dedup_spans",           # new: exact repeated-span dedup
+    "sim_quantized_topk",         # new: int8 serving-path top-k
+    "stream_topk_trending",       # new: hourly trending top-3
     # --- changed this round (priority rule 2) ---
     "q49_json_extract",           # parse-once restructure (r3 perf outlier)
     # --- family re-proofs: ALL remaining round-1-proven gates (rule 3;
@@ -147,8 +150,8 @@ _PRIORITY = [
     "q13_count_distinct", "q14_having", "q15_rollup", "q16_cube",
     "q18_row_number", "q19_rank", "q20_lag_lead", "q21_running_sum",
     "q22_ntile", "q23_top_k", "q24_union_all", "q25_intersect",
-    "q26_except", "q27_strings", "q28_trim_nullify",
-    "q29_relaxed_parse", "q30_dates",
+    "q26_except", "q27_strings",
+    "q29_relaxed_parse",
     "q33_events_tumbling", "q34_sessionization", "q35_pivot",
     "q39_string_agg", "q41_percentiles", "q42_correlated_subquery",
     "q45_regex_scalars", "q46_array_ops", "q47_tpch_q3_shape",

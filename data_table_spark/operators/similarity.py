@@ -790,3 +790,68 @@ SIMILARITY_ORACLE["sim_quantize_int8"] = (
     "AS qvec_csv "
     "FROM m"
 )
+
+
+def sim_quantized_topk(spark, sf_dir):
+    """Serving-path gate: exact cosine top-k computed ON the int8-
+    quantized vectors — the end-to-end proof that the 4× storage cut
+    (quantize_int8) still ranks. Per-vector scale factors CANCEL in
+    cosine (cos(s_q·q, s_c·c) = cos(q, c)), so the whole score is
+    integer arithmetic: int64 dot + int64 norms (products ≤ 127²·dim,
+    exact in 64-bit), one sqrt and one division on identical doubles in
+    both engines — hash-exact without any tolerance. Map-only corpus
+    scan + broadcast 1-row query + TakeOrderedAndProject, same plan
+    shape as sim_bruteforce_topk. Zero-norm vectors (all-zero docs)
+    cannot rank and are filtered on both sides."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q8 = quantize_int8(e)
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    qv = q8.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qvec").alias("qq")
+    )
+    cand = q8.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
+    dotqc = idot(F.col("qvec"), F.col("qq"))
+    nq = idot(F.col("qq"), F.col("qq"))
+    nc = idot(F.col("qvec"), F.col("qvec"))
+    return (
+        cand.where((nq > 0) & (nc > 0))
+        .select(
+            "vec_id",
+            F.round(
+                dotqc.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+                6,
+            ).alias("q_cos_sim"),
+        )
+        .orderBy(F.col("q_cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_quantized_topk"] = sim_quantized_topk
+SIMILARITY_ORACLE["sim_quantized_topk"] = (
+    "WITH m AS ("
+    "  SELECT vec_id, embedding::DOUBLE[] v, "
+    "  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) mx "
+    "  FROM embeddings"
+    "), q8 AS ("
+    "  SELECT vec_id, "
+    "  CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT) "
+    "  ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::BIGINT) END qv "
+    "  FROM m"
+    "), qq AS ("
+    "  SELECT qv AS q FROM q8 WHERE vec_id = 0"
+    "), scored AS ("
+    "  SELECT c.vec_id, "
+    "  list_dot_product(c.qv, qq.q) AS d, "
+    "  list_sum(list_transform(qq.q, x -> x * x))::DOUBLE AS nq, "
+    "  list_sum(list_transform(c.qv, x -> x * x))::DOUBLE AS nc "
+    "  FROM q8 c, qq WHERE c.vec_id != 0"
+    ") "
+    "SELECT vec_id, ROUND(d / (SQRT(nq) * SQRT(nc)), 6) AS q_cos_sim "
+    "FROM scored WHERE nq > 0 AND nc > 0 "
+    "ORDER BY q_cos_sim DESC, vec_id LIMIT 10"
+)

@@ -221,3 +221,58 @@ STREAMJOIN_ORACLE = {
         "event_type, COUNT(*)::BIGINT AS cnt "
         "FROM d GROUP BY 1, 2, 3",
 }
+
+
+def trending_topk(events, k: int = 3, streaming: bool = False):
+    """Top-k event types per hourly tumbling window ("trending now").
+    The windowed count is a streaming-native aggregate (watermark +
+    F.window); the per-window rank runs on CLOSED windows — in a live
+    pipeline it sits in foreachBatch over the append-mode sink, which
+    is why the shared transform is written against a plain DataFrame
+    and batch-proved here. Shuffle story: one shuffle for (window,
+    event_type) counts (map-side partial agg), one for the per-window
+    rank whose key cardinality is windows — both tiny relative to the
+    input."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.col("n_events").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= k)
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("w_start_epoch"),
+            "event_type",
+            "n_events",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def stream_topk_trending(spark, sf_dir):
+    """Gate: batch form of the hourly trending-top-3 transform."""
+    from ..sources.registry import load_table
+
+    return trending_topk(load_table(spark, "events", sf_dir))
+
+
+STREAMJOIN_QUERIES["stream_topk_trending"] = stream_topk_trending
+STREAMJOIN_ORACLE["stream_topk_trending"] = (
+    "WITH c AS ("
+    "  SELECT (FLOOR(epoch(ts) / 3600) * 3600)::BIGINT w_start_epoch, "
+    "  event_type, COUNT(*)::BIGINT n_events "
+    "  FROM events GROUP BY 1, 2"
+    ") "
+    "SELECT w_start_epoch, event_type, n_events, rnk FROM ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY w_start_epoch ORDER BY n_events DESC, event_type"
+    "  )::BIGINT rnk FROM c"
+    ") WHERE rnk <= 3"
+)

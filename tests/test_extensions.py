@@ -442,3 +442,22 @@ def test_ivf_kmeans_exact_within_probed_clusters(spark, sf_dir):
     assert got == expected
     # the quantizer actually partitions: >1 non-empty cluster
     assert assign.select("cluster").distinct().count() > 1
+
+
+def test_quantized_topk_fidelity(spark, sf_dir):
+    """int8-quantized ranking must closely track full-precision ranking:
+    ≥8 of the top-10 overlap, and every quantized cosine is within 0.02
+    of the full-precision score for the same vector."""
+    from data_table_spark.operators.similarity import SIMILARITY_QUERIES
+
+    full = {
+        r["vec_id"]: r["cos_sim"]
+        for r in SIMILARITY_QUERIES["sim_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    quant = {
+        r["vec_id"]: r["q_cos_sim"]
+        for r in SIMILARITY_QUERIES["sim_quantized_topk"](spark, sf_dir).collect()
+    }
+    assert len(set(full) & set(quant)) >= 8, (full, quant)
+    for vid in set(full) & set(quant):
+        assert abs(full[vid] - quant[vid]) < 0.02, (vid, full[vid], quant[vid])
