@@ -787,13 +787,20 @@ def dedup_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     training.
 
     Output: (doc_id, span_idx, span_hash, keep) for every span; callers
-    reassemble kept spans per document. The ONLY shuffle is the window
-    over span_hash — a 32-char md5, never the span text, so exchange
-    bytes are O(spans·32B) regardless of span length. Rank-1-per-hash
-    compiles to WindowGroupLimit-backed row_number (O(1) state per key);
-    docs shorter than one span emit nothing."""
+    reassemble kept spans per document (see reassemble_spans). The ONLY
+    shuffle is the window over span_hash — a 32-char md5, never the span
+    text, so exchange bytes are O(spans·32B) regardless of span length.
+    Rank-1-per-hash compiles to WindowGroupLimit-backed row_number
+    (O(1) state per key); docs shorter than one span emit nothing."""
+    return _span_keep_flags(docs, span_tokens).select(
+        "doc_id", "span_idx", "span_hash", "keep"
+    )
+
+
+def _doc_spans(docs: DataFrame, span_tokens: int) -> DataFrame:
+    """(doc_id, span_idx, span_text): non-overlapping token windows."""
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    spans = (
+    return (
         docs.select("doc_id", t.alias("t"))
         .where(F.size("t") >= span_tokens)
         .select(
@@ -809,27 +816,28 @@ def dedup_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
         .select(
             "doc_id",
             F.col("span_idx").cast("bigint").alias("span_idx"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        F.col("t"),
-                        F.col("span_idx") * span_tokens + 1,
-                        span_tokens,
-                    ),
-                    " ",
-                )
-            ).alias("span_hash"),
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    F.col("span_idx") * span_tokens + 1,
+                    span_tokens,
+                ),
+                " ",
+            ).alias("span_text"),
         )
     )
+
+
+def _span_keep_flags(docs: DataFrame, span_tokens: int) -> DataFrame:
+    """Spans + corpus-wide first-occurrence flag (shared by the flag
+    gate and the reassembly)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
-    return spans.select(
-        "doc_id",
-        "span_idx",
-        "span_hash",
-        (F.row_number().over(w) == 1).alias("keep"),
+    spans = _doc_spans(docs, span_tokens).withColumn(
+        "span_hash", F.md5(F.col("span_text"))
     )
+    w = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
+    return spans.withColumn("keep", F.row_number().over(w) == 1)
 
 
 def pipe_dedup_spans(spark, sf_dir):
@@ -854,4 +862,59 @@ PIPELINE_ORACLE["pipe_dedup_spans"] = (
     "SELECT doc_id, span_idx, span_hash, "
     "(ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) = 1) keep "
     "FROM h"
+)
+
+
+def reassemble_spans(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Rebuild each document from its KEPT spans (dedup_spans flags) —
+    the second half of boilerplate removal: documents come back with
+    corpus-repeated runs excised, first occurrence preserved. Output:
+    (doc_id, n_spans_kept, clean_text). The per-doc concat is a single
+    groupBy on doc_id; span order is restored by sorting the collected
+    (span_idx, text) structs in-memory per doc — array_sort on a struct
+    array orders by the leading field, so no second window is needed."""
+    kept = _span_keep_flags(docs, span_tokens).where(F.col("keep"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span_text"))
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def pipe_reassemble_spans(spark, sf_dir):
+    """Gate: documents rebuilt from first-occurrence spans."""
+    return reassemble_spans(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_reassemble_spans"] = pipe_reassemble_spans
+PIPELINE_ORACLE["pipe_reassemble_spans"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents"
+    "), spans AS ("
+    f"  SELECT doc_id, unnest(range(0, CAST(FLOOR(len(t)/{SPAN_TOKENS}) AS BIGINT))) "
+    "  AS span_idx, t "
+    f"  FROM toks WHERE len(t) >= {SPAN_TOKENS}"
+    "), h AS ("
+    "  SELECT doc_id, span_idx::BIGINT span_idx, "
+    f"  array_to_string(t[(span_idx*{SPAN_TOKENS}+1):(span_idx*{SPAN_TOKENS}+{SPAN_TOKENS})], ' ') span_text "
+    "  FROM spans"
+    "), k AS ("
+    "  SELECT *, (ROW_NUMBER() OVER ("
+    "    PARTITION BY md5(span_text) ORDER BY doc_id, span_idx) = 1) keep "
+    "  FROM h"
+    ") "
+    "SELECT doc_id, COUNT(*)::BIGINT n_spans_kept, "
+    "string_agg(span_text, ' ' ORDER BY span_idx) clean_text "
+    "FROM k WHERE keep GROUP BY doc_id"
 )

@@ -1355,3 +1355,97 @@ RELATIONAL_ORACLE["q62_tpch_q7_shape"] = (
     "   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
     "GROUP BY 1, 2, 3"
 )
+
+
+def q63_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: signup → first
+    click AFTER signup → first purchase AFTER that click, per user, then
+    stage-level distinct-user counts. The ordering constraint is what
+    makes this a funnel rather than three independent filters — each
+    stage's candidate events are bounded by the previous stage's
+    timestamp via an equi-join on user_id with the time bound as
+    residual. Scale: every shuffle keys on user_id (the natural
+    co-partitioning key for event analytics); stage outputs are
+    one-row-per-user aggregates, monotonically shrinking."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.select(F.lit("1_signup").alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q64_retention_cohorts(spark, sf_dir):
+    """Day-cohort retention triangle: users grouped by first-seen day,
+    activity counted per day offset from that cohort day — the standard
+    growth-analytics rollup. Two shuffles: first-seen per user (user_id
+    key), then the (cohort_day, offset) count whose cardinality is
+    days². The first-seen aggregate is broadcast back onto the event
+    stream when it fits (cohort tables are users-sized, tiny next to
+    events at 100 TB — but broadcastability is data-dependent, so the
+    join is left unhinted for AQE to decide)."""
+    from ..sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+RELATIONAL_QUERIES["q63_funnel"] = q63_funnel
+RELATIONAL_QUERIES["q64_retention_cohorts"] = q64_retention_cohorts
+RELATIONAL_ORACLE["q63_funnel"] = (
+    "WITH s1 AS ("
+    "  SELECT user_id, MIN(ts) t1 FROM events "
+    "  WHERE event_type = 'signup' GROUP BY user_id"
+    "), s2 AS ("
+    "  SELECT e.user_id, MIN(e.ts) t2 FROM events e "
+    "  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+    "  WHERE e.event_type = 'click' GROUP BY e.user_id"
+    "), s3 AS ("
+    "  SELECT e.user_id, MIN(e.ts) t3 FROM events e "
+    "  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+    "  WHERE e.event_type = 'purchase' GROUP BY e.user_id"
+    ") "
+    "SELECT stage, COUNT(DISTINCT user_id)::BIGINT n_users FROM ("
+    "  SELECT '1_signup' stage, user_id FROM s1 "
+    "  UNION ALL SELECT '2_click', user_id FROM s2 "
+    "  UNION ALL SELECT '3_purchase', user_id FROM s3"
+    ") GROUP BY stage"
+)
+RELATIONAL_ORACLE["q64_retention_cohorts"] = (
+    "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS dd FROM events), "
+    "fs AS (SELECT user_id, MIN(dd) cohort_day FROM d GROUP BY user_id) "
+    "SELECT fs.cohort_day, (d.dd - fs.cohort_day)::BIGINT day_offset, "
+    "COUNT(DISTINCT d.user_id)::BIGINT n_active "
+    "FROM d JOIN fs ON d.user_id = fs.user_id "
+    "GROUP BY 1, 2"
+)

@@ -855,3 +855,61 @@ SIMILARITY_ORACLE["sim_quantized_topk"] = (
     "FROM scored WHERE nq > 0 AND nc > 0 "
     "ORDER BY q_cos_sim DESC, vec_id LIMIT 10"
 )
+
+
+BATCH_QUERIES = 10     # query-side size for the batched exact top-k gate
+BATCH_K = 3
+
+
+def sim_bruteforce_topk_batch(spark, sf_dir):
+    """Batched exact top-k: every query vector (vec_id < BATCH_QUERIES)
+    ranked against the whole corpus in ONE pass — the serving shape for
+    query batches, and the exact baseline the LSH k-NN join (sim_knn_
+    join) approximates. The query block is broadcast; per-candidate
+    scores are map-side; the only shuffle is the per-query rank, keyed
+    on q_id. With few hot q_ids that key is skewed by construction —
+    AQE's skew-join/partition splitting handles it at gate scale, and
+    at cluster scale the per-partition partial top-k (TakeOrdered per
+    q_id chunk, then merge) is the documented alternative."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    )
+    return (
+        scored.withColumn("rank", rnk)
+        .where(F.col("rank") <= BATCH_K)
+        .select("q_id", "c_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+SIMILARITY_QUERIES["sim_bruteforce_topk_batch"] = sim_bruteforce_topk_batch
+SIMILARITY_ORACLE["sim_bruteforce_topk_batch"] = (
+    "WITH q AS ("
+    f"  SELECT vec_id q_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < {BATCH_QUERIES}"
+    "), scored AS ("
+    "  SELECT q.q_id, e.vec_id c_id, "
+    "  ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "  (SQRT(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x))) * "
+    "   SQRT(list_sum(list_transform(q.qv, x -> x*x)))), 6) cos_sim "
+    "  FROM embeddings e, q WHERE e.vec_id != q.q_id"
+    ") "
+    "SELECT q_id, c_id, cos_sim, rank FROM ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY q_id ORDER BY cos_sim DESC, c_id)::BIGINT rank "
+    "  FROM scored"
+    f") WHERE rank <= {BATCH_K}"
+)
