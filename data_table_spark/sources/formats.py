@@ -88,3 +88,23 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Plain-text source: one row per line (``value`` string column), or
+    one row per FILE with wholetext — the raw-corpus ingest shape (every
+    crawl dump starts as text files). Plain FileSourceScanExec: partition
+    pruning and parallel splits apply; a 100 TB text lake reads with the
+    same scan machinery as parquet, just without column pruning."""
+    return spark.read.option("wholetext", str(whole_file).lower()).text(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: single string column per row. Rejecting multi-column
+    frames here (Spark would too, deeper in the writer) keeps the error
+    at the API boundary."""
+    if len(df.columns) != 1:
+        raise ValueError(
+            f"text sink needs exactly one string column, got {df.columns}"
+        )
+    df.write.mode(mode).text(path)

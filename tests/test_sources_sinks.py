@@ -321,3 +321,26 @@ def test_sample_frames_fanout(spark, sf_dir):
         # frames are contiguous slices of the source blob in order
         joined = b"".join(bytes(r["frame"]) for r in rows)
         assert orig[doc].startswith(joined)
+
+
+def test_text_lines_round_trip(spark, sf_smoke, tmp_path):
+    """Text source/sink round-trips document bodies line-for-line and
+    the multi-column misuse fails at the API boundary."""
+    import pytest as _pytest
+
+    from data_table_spark.sources.formats import read_text_lines, write_text_lines
+    from data_table_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_smoke).select("text").limit(100)
+    path = str(tmp_path / "corpus_txt")
+    write_text_lines(docs, path)
+    back = read_text_lines(spark, path)
+    assert back.columns == ["value"]
+    a = sorted(r["text"] for r in docs.collect())
+    b = sorted(r["value"] for r in back.collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        write_text_lines(
+            load_table(spark, "documents", sf_smoke).select("doc_id", "text"),
+            path,
+        )
