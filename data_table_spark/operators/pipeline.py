@@ -715,24 +715,49 @@ def upsample_weighted(
     Output one row per (row, copy_idx 1..n_copies); n_copies = 0 rows
     (downsampled out) vanish. Map-side only — explode(sequence) with a
     bounded factor, zero shuffle; the hash is salted with 'up' so a
-    row's upsample fate is independent of its split/sample fate."""
-    w = None
-    for s, wt in weights.items():
+    row's upsample fate is independent of its split/sample fate.
+
+    Engine parity: the integer (floor, threshold) pair per source is
+    precomputed HERE and the same literals feed both the Column
+    expression and the oracle SQL — computing frac(w)·1e6 inside each
+    engine diverges on the truncation of the binary fraction (0.3 as a
+    double is 0.2999…, so Spark's cast truncated to 299999 while
+    DuckDB's DECIMAL arithmetic yielded 300000 — a latent off-by-one
+    red row on whichever doc hashes to the disputed bucket). NULL-key
+    rows are EXCLUDED on both sides, same contract (and reason) as
+    stratified_sample."""
+    pieces = _upsample_pieces(weights)
+    fl = None
+    th = None
+    for s, (fl_i, th_i) in pieces.items():
         cond = F.col(source_col) == s
-        w = F.when(cond, F.lit(float(wt))) if w is None else w.when(cond, F.lit(float(wt)))
-    w = F.lit(1.0) if w is None else w.otherwise(F.lit(1.0))
-    frac = w - F.floor(w)
+        fl = F.when(cond, fl_i) if fl is None else fl.when(cond, fl_i)
+        th = F.when(cond, th_i) if th is None else th.when(cond, th_i)
+    fl = F.lit(1) if fl is None else fl.otherwise(F.lit(1))
+    th = F.lit(0) if th is None else th.otherwise(F.lit(0))
     extra = (
         hash_bucket(F.concat(F.lit("up␟"), F.col(key_col).cast("string")))
-        < (frac * HASH_BUCKETS).cast("bigint")
+        < th.cast("bigint")
     ).cast("bigint")
-    n_copies = F.floor(w).cast("bigint") + extra
+    n_copies = fl.cast("bigint") + extra
     return (
-        df.withColumn("_n_copies", n_copies)
+        df.where(F.col(key_col).isNotNull() & F.col(source_col).isNotNull())
+        .withColumn("_n_copies", n_copies)
         .where(F.col("_n_copies") > 0)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
         .drop("_n_copies")
     )
+
+
+def _upsample_pieces(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
+    """Per-source (floor(w), round(frac(w)·HASH_BUCKETS)) as exact ints."""
+    import math
+
+    out = {}
+    for s, wt in weights.items():
+        fl = int(math.floor(wt))
+        out[s] = (fl, int(round((wt - fl) * HASH_BUCKETS)))
+    return out
 
 
 def pipe_upsample_sources(spark, sf_dir):
@@ -747,18 +772,18 @@ def pipe_upsample_sources(spark, sf_dir):
 PIPELINE_QUERIES["pipe_upsample_sources"] = pipe_upsample_sources
 
 def _upsample_oracle() -> str:
-    cases = " ".join(
-        f"WHEN '{s}' THEN {w}" for s, w in UPSAMPLE_WEIGHTS.items()
-    )
+    pieces = _upsample_pieces(UPSAMPLE_WEIGHTS)
+    fl_cases = " ".join(f"WHEN '{s}' THEN {fl}" for s, (fl, _) in pieces.items())
+    th_cases = " ".join(f"WHEN '{s}' THEN {th}" for s, (_, th) in pieces.items())
     bucket = _bucket_sql("'up␟' || CAST(doc_id AS VARCHAR)")
     return (
         "WITH w AS ("
-        f"  SELECT doc_id, source, CASE source {cases} ELSE 1.0 END wt "
-        "  FROM documents"
+        f"  SELECT doc_id, source, CASE source {fl_cases} ELSE 1 END fl, "
+        f"  CASE source {th_cases} ELSE 0 END th "
+        "  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL"
         "), n AS ("
-        "  SELECT doc_id, source, CAST(FLOOR(wt) AS BIGINT) + "
-        f"  (CASE WHEN {bucket} < CAST((wt - FLOOR(wt)) * {HASH_BUCKETS} AS BIGINT) "
-        "   THEN 1 ELSE 0 END) nc "
+        "  SELECT doc_id, source, fl::BIGINT + "
+        f"  (CASE WHEN {bucket} < th THEN 1 ELSE 0 END) nc "
         "  FROM w"
         ") "
         "SELECT doc_id, source, unnest(range(1, nc + 1))::BIGINT copy_idx "

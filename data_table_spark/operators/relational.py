@@ -1241,8 +1241,11 @@ def interval_join_bucketed(
             F.sequence(
                 F.to_date(F.col(start_col)),
                 # end is exclusive; an interval ending at midnight must
-                # not claim the next day's bucket
-                F.to_date(F.col(end_col) - F.expr("INTERVAL 1 SECOND")),
+                # not claim the next day's bucket. Back off one
+                # MICROSECOND (Spark timestamp precision) — a 1-second
+                # backoff would drop the last day of any interval ending
+                # within the first second past midnight (review finding)
+                F.to_date(F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")),
             )
         ),
     )

@@ -810,12 +810,16 @@ def sim_quantized_topk(spark, sf_dir):
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # query self-norm computed ONCE on the 1-row broadcast side — as an
+    # expression over the candidate rows it would re-run a dim-length
+    # aggregate per corpus row just to rebuild the same scalar
     qv = q8.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("qvec").alias("qq")
+        F.col("qvec").alias("qq"),
+        idot(F.col("qvec"), F.col("qvec")).alias("nq"),
     )
     cand = q8.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
     dotqc = idot(F.col("qvec"), F.col("qq"))
-    nq = idot(F.col("qq"), F.col("qq"))
+    nq = F.col("nq")
     nc = idot(F.col("qvec"), F.col("qvec"))
     return (
         cand.where((nq > 0) & (nc > 0))
@@ -843,17 +847,17 @@ SIMILARITY_ORACLE["sim_quantized_topk"] = (
     "  ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::BIGINT) END qv "
     "  FROM m"
     "), qq AS ("
-    "  SELECT qv AS q FROM q8 WHERE vec_id = 0"
+    f"  SELECT qv AS q FROM q8 WHERE vec_id = {QUERY_VEC_ID}"
     "), scored AS ("
     "  SELECT c.vec_id, "
     "  list_dot_product(c.qv, qq.q) AS d, "
     "  list_sum(list_transform(qq.q, x -> x * x))::DOUBLE AS nq, "
     "  list_sum(list_transform(c.qv, x -> x * x))::DOUBLE AS nc "
-    "  FROM q8 c, qq WHERE c.vec_id != 0"
+    f"  FROM q8 c, qq WHERE c.vec_id != {QUERY_VEC_ID}"
     ") "
     "SELECT vec_id, ROUND(d / (SQRT(nq) * SQRT(nc)), 6) AS q_cos_sim "
     "FROM scored WHERE nq > 0 AND nc > 0 "
-    "ORDER BY q_cos_sim DESC, vec_id LIMIT 10"
+    f"ORDER BY q_cos_sim DESC, vec_id LIMIT {TOP_K}"
 )
 
 

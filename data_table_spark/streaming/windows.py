@@ -225,16 +225,19 @@ STREAMJOIN_ORACLE = {
 
 def trending_topk(events, k: int = 3, streaming: bool = False):
     """Top-k event types per hourly tumbling window ("trending now").
-    The windowed count is a streaming-native aggregate (watermark +
-    F.window); the per-window rank runs on CLOSED windows — in a live
-    pipeline it sits in foreachBatch over the append-mode sink, which
-    is why the shared transform is written against a plain DataFrame
-    and batch-proved here. Shuffle story: one shuffle for (window,
-    event_type) counts (map-side partial agg), one for the per-window
-    rank whose key cardinality is windows — both tiny relative to the
-    input."""
+    The windowed count is a streaming-native aggregate (``streaming=True``
+    adds the watermark so it runs in append mode, same convention as
+    deduped_windowed_counts); the per-window rank runs on CLOSED
+    windows — in a live pipeline it sits in foreachBatch over the
+    append-mode sink, which is why the shared transform is written
+    against a plain DataFrame and batch-proved here. Shuffle story: one
+    shuffle for (window, event_type) counts (map-side partial agg), one
+    for the per-window rank whose key cardinality is windows — both
+    tiny relative to the input."""
     from pyspark.sql import Window as W
 
+    if streaming:
+        events = events.withWatermark("ts", "10 minutes")
     counts = (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
