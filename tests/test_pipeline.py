@@ -226,3 +226,17 @@ def test_upsample_expected_copies(spark, sf_dir):
         .groupBy("source").count().collect()
     }
     assert up == again
+
+
+def test_upsample_thresholds_exact():
+    """The (floor, threshold) pair per weight must be the exact decimal
+    intent, not the truncated binary fraction — 2.3 means threshold
+    300000, not 299999 (review finding: Spark's in-engine
+    (frac*1e6).cast('bigint') truncated to 299999 while DuckDB's
+    decimal arithmetic gave 300000, a latent cross-engine off-by-one)."""
+    from data_table_spark.operators.pipeline import _upsample_pieces
+
+    assert _upsample_pieces({"a": 2.3}) == {"a": (2, 300000)}
+    assert _upsample_pieces({"a": 1.5}) == {"a": (1, 500000)}
+    assert _upsample_pieces({"a": 0.4}) == {"a": (0, 400000)}
+    assert _upsample_pieces({"a": 3.0}) == {"a": (3, 0)}
