@@ -112,20 +112,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-4 window: 15 never-green oracle-backed gates (sim_quantize_int8 —
+# Round-4 window: 16 never-green oracle-backed gates (sim_quantize_int8 —
 # round-3 red row, result now scalar-encoded for the driver's pandas
 # canonicalizer; pipe_topk_per_stratum — added after the r3 window
 # froze; and the 7 new round-4 gates q60/q61/q62/recursive-CC/lm-score/
 # upsample/span-dedup plus sim_quantized_topk, stream_topk_trending,
-# q63 funnel, q64 retention, batched exact top-k, and span reassembly)
-# + 1 changed gate (q49_json_extract: structurally parse-once) + 34
+# q63 funnel, q64 retention, batched exact top-k, span reassembly,
+# and the Q18 large-volume shape)
+# + 1 changed gate (q49_json_extract: structurally parse-once) + 33
 # family re-proofs drawn from the STALEST green rows —
 # all from round 1, two rounds old. Fourteen r1 gates ceded their slot to
 # the new gates; each has a same-family sibling inside the window and
 # its r1 green row stands byte-unchanged (q36/q37 breadth + q28/q30/
 # q31/q32 scalar siblings → q27/q29/q45; q38 grouping sets → q15/q16;
 # q40 conditional agg → q12/q14; q43 range frame → q21; q44 first/last
-# → q20; q19/q22 rank/ntile → q18/q21; q25/q26 intersect/except → q24
+# → q20; q19/q20/q22 rank/lag/ntile → q18/q21; q25/q26 → q24
 # + r2-green q51-q53). Every r2/r3-proven gate keeps its newer green row (see
 # COVERAGE.md provenance).
 _PRIORITY = [
@@ -145,6 +146,7 @@ _PRIORITY = [
     "q64_retention_cohorts",      # new: day-cohort retention triangle
     "sim_bruteforce_topk_batch",  # new: batched exact top-k (q_id rank)
     "pipe_reassemble_spans",      # new: rebuild docs from kept spans
+    "q65_tpch_q18_shape",         # new: large-volume-customer shape
     # --- changed this round (priority rule 2) ---
     "q49_json_extract",           # parse-once restructure (r3 perf outlier)
     # --- family re-proofs: ALL remaining round-1-proven gates (rule 3;
@@ -154,7 +156,7 @@ _PRIORITY = [
     "q07_full_outer", "q08_semi_join", "q09_anti_join",
     "q10_cross_join", "q11_theta_join", "q12_group_agg",
     "q13_count_distinct", "q14_having", "q15_rollup", "q16_cube",
-    "q18_row_number", "q20_lag_lead", "q21_running_sum",
+    "q18_row_number", "q21_running_sum",
     "q23_top_k", "q24_union_all",
     "q27_strings",
     "q29_relaxed_parse",

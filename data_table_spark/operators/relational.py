@@ -1452,3 +1452,50 @@ RELATIONAL_ORACLE["q64_retention_cohorts"] = (
     "FROM d JOIN fs ON d.user_id = fs.user_id "
     "GROUP BY 1, 2"
 )
+
+
+#: minimum total quantity for the Q18 "large volume" cut (≈ p99 of
+#: per-order quantity sums at every testdata sf)
+Q18_MIN_QTY = 250
+
+
+def q65_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer) shape: orders whose total line
+    quantity exceeds Q18_MIN_QTY, joined back to customer detail, top-20
+    by price. The HAVING subquery is a self-aggregation of lineitem —
+    planned as an aggregate + LEFT SEMI join on l_orderkey, NOT a
+    correlated per-row subquery; both lineitem passes shuffle on the
+    same key so the semi join co-partitions. Top-20 compiles to
+    TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q65_tpch_q18_shape"] = q65_tpch_q18_shape
+RELATIONAL_ORACLE["q65_tpch_q18_shape"] = (
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "ROUND(SUM(l_quantity), 2) sum_qty "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE l_orderkey IN ("
+    f"  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_MIN_QTY}"
+    ") "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+)
