@@ -791,6 +791,14 @@ DEDUP_ORACLE["dedup_clusters_bounded"] = (
 DEDUP_ORACLE["dedup_clusters_star_bounded"] = DEDUP_ORACLE["dedup_clusters_bounded"]
 
 
+#: recursion depth for the CTE walk — must be ≥ the largest bounded-
+#: component DIAMETER (near-dup components are clique-shaped, real
+#: diameters 1-2; testdata max eccentricity is 1). The shared oracle
+#: computes the UNBOUNDED closure, so an insufficient depth turns the
+#: gate red rather than silently passing.
+RC_DEPTH = 6
+
+
 def dedup_clusters_recursive_sql(spark, sf_dir):
     """Connected components via Spark 4's RECURSIVE CTE over the bounded
     MinHash pair set — the same min-label closure the DuckDB oracle runs,
@@ -819,12 +827,8 @@ def dedup_clusters_recursive_sql(spark, sf_dir):
         dedup_minhash_pairs_bounded(spark, sf_dir).coalesce(1)
     )
     pairs.createOrReplaceTempView("_rc_pairs")
-    # depth 6 covers diameter-6 components — near-dup components are
-    # clique-shaped (every copy pairs with every other), so real
-    # diameters are 1-2; the shared oracle computes the UNBOUNDED
-    # closure, so an insufficient depth fails the gate, it cannot
-    # silently pass. The edge side is broadcast: the loop then runs
-    # joins without a per-iteration shuffle exchange.
+    # the edge side is broadcast: the loop then runs joins without a
+    # per-iteration shuffle exchange (see RC_DEPTH for the bound).
     return spark.sql(
         "WITH RECURSIVE walk(x, lab, d) AS ("
         "  SELECT DISTINCT x, x AS lab, 0 AS d FROM ("
@@ -834,7 +838,7 @@ def dedup_clusters_recursive_sql(spark, sf_dir):
         "  SELECT /*+ BROADCAST(e) */ e.x, w.lab, w.d + 1 FROM ("
         "    SELECT a AS x, b AS y FROM _rc_pairs "
         "    UNION ALL SELECT b, a FROM _rc_pairs"
-        "  ) e JOIN walk w ON e.y = w.x WHERE w.d < 6"
+        f"  ) e JOIN walk w ON e.y = w.x WHERE w.d < {RC_DEPTH}"
         ") "
         "SELECT x AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY x"
     )

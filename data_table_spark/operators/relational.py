@@ -1235,7 +1235,11 @@ def interval_join_bucketed(
     skewed days are AQE-split. Tiny interval sides short-circuit: when
     the interval table fits the broadcast threshold Catalyst broadcasts
     the exploded side and no shuffle happens at all."""
-    iv = intervals.withColumn(
+    # degenerate intervals (end <= start) must produce ZERO buckets —
+    # without the guard, sequence() auto-selects step -1 when start >
+    # stop and counts DOWN across the whole inverted span, joining (and
+    # then discarding) every event on those days (review finding)
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_day",
         F.explode(
             F.sequence(

@@ -223,27 +223,34 @@ STREAMJOIN_ORACLE = {
 }
 
 
-def trending_topk(events, k: int = 3, streaming: bool = False):
-    """Top-k event types per hourly tumbling window ("trending now").
-    The windowed count is a streaming-native aggregate (``streaming=True``
-    adds the watermark so it runs in append mode, same convention as
-    deduped_windowed_counts); the per-window rank runs on CLOSED
-    windows — in a live pipeline it sits in foreachBatch over the
-    append-mode sink, which is why the shared transform is written
-    against a plain DataFrame and batch-proved here. Shuffle story: one
-    shuffle for (window, event_type) counts (map-side partial agg), one
-    for the per-window rank whose key cardinality is windows — both
-    tiny relative to the input."""
-    from pyspark.sql import Window as W
+#: per-window rank cut for the trending gate (interpolated into the
+#: oracle SQL — changing it cannot desynchronize gate and oracle)
+TRENDING_K = 3
 
+
+def trending_counts(events, streaming: bool = False):
+    """Hourly (window, event_type) counts — the streaming-native half of
+    "trending now". ``streaming=True`` adds the watermark so the result
+    runs in append mode; the per-window RANK is deliberately NOT applied
+    here because Spark's streaming planner rejects row_number over a
+    streaming aggregate (NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING) —
+    rank closed windows with :func:`rank_trending` inside foreachBatch."""
     if streaming:
         events = events.withWatermark("ts", "10 minutes")
-    counts = (
+    return (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
         )
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def rank_trending(counts, k: int = TRENDING_K):
+    """Per-window top-k over a CLOSED-window counts frame (the
+    foreachBatch half). One shuffle, keyed on the window — cardinality
+    is windows, tiny relative to the event input."""
+    from pyspark.sql import Window as W
+
     rnk = F.row_number().over(
         W.partitionBy("w").orderBy(F.col("n_events").desc(), "event_type")
     )
@@ -259,8 +266,13 @@ def trending_topk(events, k: int = 3, streaming: bool = False):
     )
 
 
+def trending_topk(events, k: int = TRENDING_K):
+    """Batch composition of both halves (counts → rank)."""
+    return rank_trending(trending_counts(events), k)
+
+
 def stream_topk_trending(spark, sf_dir):
-    """Gate: batch form of the hourly trending-top-3 transform."""
+    """Gate: batch form of the hourly trending-top-TRENDING_K transform."""
     from ..sources.registry import load_table
 
     return trending_topk(load_table(spark, "events", sf_dir))
@@ -277,5 +289,5 @@ STREAMJOIN_ORACLE["stream_topk_trending"] = (
     "  SELECT *, ROW_NUMBER() OVER ("
     "    PARTITION BY w_start_epoch ORDER BY n_events DESC, event_type"
     "  )::BIGINT rnk FROM c"
-    ") WHERE rnk <= 3"
+    f") WHERE rnk <= {TRENDING_K}"
 )

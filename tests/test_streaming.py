@@ -335,3 +335,30 @@ def test_s7_attribution_join(spark, replay, tmp_path):
     g = sorted(map(tuple, got.select(*keys).collect()))
     e = sorted(map(tuple, attribution_join(events).select(*keys).collect()))
     assert g and g == e
+
+
+def test_trending_counts_streams(spark, replay, tmp_path):
+    """trending_counts(streaming=True) must actually run in append mode
+    (the rank half is foreachBatch-only — review found the combined form
+    was rejected by the streaming planner), and ranking the emitted
+    closed windows must equal the batch transform on real events."""
+    from data_table_spark.streaming.windows import (
+        rank_trending,
+        trending_counts,
+        trending_topk,
+    )
+
+    src, events = replay
+    got = run_stream_over_files(
+        spark, src,
+        lambda s: trending_counts(s, streaming=True),
+        events.schema,
+        checkpoint_dir=str(tmp_path / "ckpt_trend"),
+    )
+    # drop the sentinel's (never-finalized windows are absent; its own
+    # emitted window, if any, is beyond the real range)
+    ranked = rank_trending(got)
+    expect = trending_topk(events)
+    a = sorted(map(tuple, ranked.collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b
