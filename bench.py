@@ -24,8 +24,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # driver heap the later queries degrade 1.5-3x and allocation-heavy
 # interpreted projections (JSON parse) intermittently stall ~30 s in
 # GC storms. Give the bench session a roomier heap (must be set before
-# the JVM launches; the env override still wins).
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+# the JVM launches; the env override still wins) — but clamp to ~half of
+# physical RAM so a smaller host degrades to a smaller heap instead of
+# swapping or getting OOM-killed mid-bench. Heap bump landed in round 4;
+# round-1..3 BENCH files ran on the 8g default.
+def _default_heap_gb() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return max(2, min(24, int(total_gb // 2)))
+    except OSError:
+        pass
+    return 8
+
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{_default_heap_gb()}g")
 
 from data_table_spark.session import get_spark  # noqa: E402
 

@@ -1200,12 +1200,14 @@ def q60_variant_extract(spark, sf_dir):
     parses), and Parquet variant shredding lets the scan prune to the
     accessed fields. Same parse-once structure as q49: the variant is
     materialized in the first select so CollapseProject cannot duplicate
-    the parse into each extraction."""
+    the parse into each extraction. try_parse_json (not parse_json) so a
+    malformed props row degrades to NULL exactly like the oracle's
+    TRY_CAST path instead of failing the whole job."""
     from ..sources.registry import load_table
 
     e = load_table(spark, "events", sf_dir)
     return (
-        e.select("event_id", F.parse_json(F.col("props")).alias("v"))
+        e.select("event_id", F.try_parse_json(F.col("props")).alias("v"))
         .select(
             "event_id",
             F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
@@ -1216,7 +1218,7 @@ def q60_variant_extract(spark, sf_dir):
 
 RELATIONAL_QUERIES["q60_variant_extract"] = q60_variant_extract
 RELATIONAL_ORACLE["q60_variant_extract"] = (
-    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) k, "
+    "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) k, "
     "json_extract_string(props, '$.k') AS k_str FROM events"
 )
 

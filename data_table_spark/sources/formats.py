@@ -100,7 +100,15 @@ def read_text_lines(spark: SparkSession, path: str, whole_file: bool = False) ->
 
 
 def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Text sink: single string column per row. Rejecting multi-column
+    """Text sink: single string column per row.
+
+    CONTRACT: one LINE per row. A value containing '\\n' is written as
+    multiple physical lines and read_text_lines will return it as
+    multiple rows — the round-trip is lossy for embedded newlines by the
+    nature of the format (same as every line-oriented sink). Callers
+    with multi-line documents should escape first (e.g.
+    ``F.regexp_replace(c, '\\n', '\\\\n')``) or use the JSON-lines /
+    parquet sinks, which are newline-safe. Rejecting multi-column
     frames here (Spark would too, deeper in the writer) keeps the error
     at the API boundary."""
     if len(df.columns) != 1:
