@@ -112,58 +112,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-4 window: 16 never-green oracle-backed gates (sim_quantize_int8 —
-# round-3 red row, result now scalar-encoded for the driver's pandas
-# canonicalizer; pipe_topk_per_stratum — added after the r3 window
-# froze; and the 7 new round-4 gates q60/q61/q62/recursive-CC/lm-score/
-# upsample/span-dedup plus sim_quantized_topk, stream_topk_trending,
-# q63 funnel, q64 retention, batched exact top-k, span reassembly,
-# and the Q18 large-volume shape)
-# + 1 changed gate (q49_json_extract: structurally parse-once) + 33
-# family re-proofs drawn from the STALEST green rows —
-# all from round 1, two rounds old. Fourteen r1 gates ceded their slot to
-# the new gates; each has a same-family sibling inside the window and
-# its r1 green row stands byte-unchanged (q36/q37 breadth + q28/q30/
-# q31/q32 scalar siblings → q27/q29/q45; q38 grouping sets → q15/q16;
-# q40 conditional agg → q12/q14; q43 range frame → q21; q44 first/last
-# → q20; q19/q20/q22 rank/lag/ntile → q18/q21; q25/q26 → q24
-# + r2-green q51-q53). Every r2/r3-proven gate keeps its newer green row (see
-# COVERAGE.md provenance).
+# Round-5 window: 3 never-green oracle-backed gates (the two new
+# pinned-codebook IVF gates proving the k-means serving path, and
+# media_decode_features, which GAINED a DuckDB oracle this round — the
+# fake-decode features are pure byte arithmetic and the ASCII fixture
+# makes per-char ord() replay them exactly; both were round-4 judge
+# items) + 2 gates changed this round (q60: try_parse_json/TRY_CAST
+# null-safety; recursive-CTE CC: dominated-label + simple-path pruning)
+# + 45 re-proofs ordered STALEST FIRST: the 15 r1-proven gates that
+# ceded their slots to round-4's new gates and are now three rounds old
+# (the round-4 judge's top item), then the full r2-proven cohort (24),
+# then 6 r3-proven fills. Every r4-proven gate keeps its fresh green
+# row and cedes its slot (see COVERAGE.md provenance).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
-    "sim_quantize_int8",          # r3 red: list column → now qvec_csv
-    "pipe_topk_per_stratum",      # landed after the r3 window froze
-    "q60_variant_extract",        # new: Spark 4 VARIANT JSON path
-    "q61_interval_join",          # new: bucketed interval-overlap join
-    "dedup_clusters_recursive_sql",  # new: RECURSIVE CTE CC, 3rd algo
-    "text_lm_score",              # new: integer-exact unigram surprisal
-    "pipe_upsample_sources",      # new: fractional-epoch source mixing
-    "q62_tpch_q7_shape",          # new: bilateral volume-shipping shape
-    "pipe_dedup_spans",           # new: exact repeated-span dedup
-    "sim_quantized_topk",         # new: int8 serving-path top-k
-    "stream_topk_trending",       # new: hourly trending top-3
-    "q63_funnel",                 # new: ordered conversion funnel
-    "q64_retention_cohorts",      # new: day-cohort retention triangle
-    "sim_bruteforce_topk_batch",  # new: batched exact top-k (q_id rank)
-    "pipe_reassemble_spans",      # new: rebuild docs from kept spans
-    "q65_tpch_q18_shape",         # new: large-volume-customer shape
+    "sim_ivf_pinned_assign",      # new: IVF Arrow-assignment, exact oracle
+    "sim_ivf_pinned_topk",        # new: full IVF probe path, exact oracle
+    "media_decode_features",      # oracle added: byte-arith decode replay
     # --- changed this round (priority rule 2) ---
-    "q49_json_extract",           # parse-once restructure (r3 perf outlier)
-    # --- family re-proofs: ALL remaining round-1-proven gates (rule 3;
-    # --- stalest first — every other family was re-proven in r2/r3) ---
-    "q01_scan_project", "q02_filter", "q03_in_between_like",
-    "q04_inner_join", "q05_multiway_join", "q06_left_join",
-    "q07_full_outer", "q08_semi_join", "q09_anti_join",
-    "q10_cross_join", "q11_theta_join", "q12_group_agg",
-    "q13_count_distinct", "q14_having", "q15_rollup", "q16_cube",
-    "q18_row_number", "q21_running_sum",
-    "q23_top_k", "q24_union_all",
-    "q27_strings",
-    "q29_relaxed_parse",
-    "q33_events_tumbling", "q34_sessionization", "q35_pivot",
-    "q39_string_agg", "q41_percentiles", "q42_correlated_subquery",
-    "q45_regex_scalars", "q46_array_ops", "q47_tpch_q3_shape",
-    "q48_tpch_q5_shape", "dedup_exact",
+    "q60_variant_extract",        # try_parse_json + TRY_CAST null parity
+    "dedup_clusters_recursive_sql",  # walk pruning (dominated/simple-path)
+    # --- rule 3 re-proofs, stalest first: the 15 r1-proven gates that
+    # --- sat out rounds 3-4 (judge item 1) ---
+    "q19_rank", "q20_lag_lead", "q22_ntile", "q25_intersect",
+    "q26_except", "q28_trim_nullify", "q30_dates", "q31_math",
+    "q32_conditionals", "q36_string_breadth", "q37_date_breadth",
+    "q38_grouping_sets", "q40_conditional_agg", "q43_range_frame",
+    "q44_first_last_value",
+    # --- then the r2-proven cohort (all two rounds old) ---
+    "q50_right_join", "q51_union_distinct", "q52_except_all",
+    "q53_intersect_all", "asof_join_events", "stream_user_milestones",
+    "stream_attribution", "ref_select_columns", "ref_sub_table",
+    "ref_add_column", "ref_coerce_types", "ref_format_output",
+    "ref_overlay_region", "ref_cell_ops", "dedup_exact_normalized",
+    "dedup_ngram_jaccard_pairs", "sim_bruteforce_topk",
+    "text_token_stats", "text_langid", "text_fingerprint",
+    "udf_scalar_net_price", "udf_table_function_tokens",
+    "media_byte_stats", "pipe_split_assign",
+    # --- r3-proven fills to complete the 50 ---
+    "q54_unpivot", "q55_time_rollup", "q57_rank_ratios",
+    "q58_tpch_q10_shape", "text_scrub", "udf_grouped_map_stats",
 ]
 
 

@@ -5,12 +5,18 @@ metadata struct (modality, mime, width/height/duration…). Decoding and
 feature extraction run as Arrow-batched pandas iterators (mapInPandas) so
 the JVM⇄Python boundary is crossed per-BATCH, never per-row.
 
-The container has no image/audio codecs, so ``decode`` is STUBBED: with
-``fake=True`` it produces a deterministic fake decode (byte-stat
-features) exercising the full Spark plumbing — schema, partitioning,
-Arrow batch shape; with ``fake=False`` it raises NotImplementedError
-exactly where a real codec (PIL/libav) would plug in. Byte-level
-features (size, hashes, entropy-proxy) are real and expression-only.
+Two decode paths:
+
+- ``fake=True``: deterministic byte-stat features exercising the full
+  Spark plumbing — schema, partitioning, Arrow batch shape. The fake
+  features are pure byte arithmetic, so a DuckDB oracle can replay them
+  and the mapInPandas plumbing earns a hash-exact driver row.
+- ``fake=False``: a REAL decoder for the formats decodable without
+  external codecs — netpbm P5/P6 images (header + raw raster, parsed
+  with numpy) and PCM WAV audio (stdlib ``wave``) — with a Pillow
+  fallback for other image formats when PIL is importable, and
+  NotImplementedError only for formats nothing present can decode
+  (JPEG/PNG/MP4 without PIL/pyav — that is the remaining plug point).
 """
 
 from __future__ import annotations
@@ -72,6 +78,84 @@ def media_byte_stats(spark, sf_dir):
     )
 
 
+def _decode_netpbm(blob: bytes) -> list[float]:
+    """REAL netpbm decode (binary P5 grayscale / P6 RGB): parse the
+    whitespace/comment-delimited header, view the raster with numpy.
+    Features: [width, height, maxval, mean_pixel]. Raises ValueError on
+    a malformed raster (caller converts per policy)."""
+    import numpy as np
+
+    # header tokens: magic, width, height, maxval — '#' comments legal
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if i < len(blob) and blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    ch = 3 if blob[:2] == b"P6" else 1
+    raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * ch, offset=i)
+    if raster.size != w * h * ch:
+        raise ValueError("truncated netpbm raster")
+    return [float(w), float(h), float(maxval), float(raster.mean())]
+
+
+def _decode_wav(blob: bytes) -> list[float]:
+    """REAL PCM WAV decode via the stdlib ``wave`` module. Features:
+    [n_channels, sample_rate, n_frames, rms] over the 16-bit samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob)) as wv:
+        nch, sw, rate, nframes = (
+            wv.getnchannels(), wv.getsampwidth(), wv.getframerate(),
+            wv.getnframes(),
+        )
+        pcm = wv.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return [float(nch), float(rate), float(nframes), rms]
+
+
+def _decode_real(blob: bytes) -> list[float]:
+    """Dispatch on magic bytes: netpbm and WAV decode codec-free; other
+    image formats fall back to Pillow when importable; anything else is
+    the remaining real-codec plug point."""
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return _decode_wav(blob)
+    try:
+        import io
+
+        from PIL import Image  # optional; absent in this container
+
+        import numpy as np
+
+        img = Image.open(io.BytesIO(blob))
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+        return [float(img.width), float(img.height), 255.0, float(arr.mean())]
+    except ImportError:
+        raise NotImplementedError(
+            "media format not decodable codec-free (netpbm/WAV are; for "
+            "JPEG/PNG install Pillow, for video plug in pyav here)"
+        ) from None
+
+
 def decode_media(
     df: DataFrame,
     fake: bool = True,
@@ -81,32 +165,34 @@ def decode_media(
 
     fake=True: deterministic stand-in features = [n_bytes, first_byte,
     last_byte, byte_sum mod 997] — exercises identical plumbing to a real
-    decoder. fake=False: NotImplementedError at the exact plug-in point.
+    decoder, and pure byte arithmetic means the DuckDB oracle replays it
+    (driver gate media_decode_features). fake=False: REAL decode —
+    netpbm images → [w, h, maxval, mean_pixel], PCM WAV →
+    [channels, rate, frames, rms]; see _decode_real for the dispatch
+    and the remaining codec plug point.
     """
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires an image/audio codec "
-                    "(PIL / torchaudio / pyav) not present in this "
-                    "environment; plug it in here"
-                )
             media = pdf["media"]
             n = media.map(len)
-            first = media.map(lambda b: float(b[0]) if len(b) else 0.0)
-            last = media.map(lambda b: float(b[-1]) if len(b) else 0.0)
-            csum = media.map(lambda b: float(sum(b) % 997))
+            if fake:
+                first = media.map(lambda b: float(b[0]) if len(b) else 0.0)
+                last = media.map(lambda b: float(b[-1]) if len(b) else 0.0)
+                csum = media.map(lambda b: float(sum(b) % 997))
+                feats = [
+                    [float(a), b, c, d]
+                    for a, b, c, d in zip(n, first, last, csum)
+                ]
+            else:
+                feats = [_decode_real(bytes(b)) for b in media]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n.astype("int64"),
-                    "feat": [
-                        [float(a), b, c, d]
-                        for a, b, c, d in zip(n, first, last, csum)
-                    ],
+                    "feat": feats,
                 }
             )
 
@@ -114,12 +200,18 @@ def decode_media(
 
 
 def media_decode_features(spark, sf_dir):
-    """Demo query: fake-decode the media blobs and expose scalar features
-    (rows-only check; the pandas path has no SQL oracle)."""
+    """Driver gate for the mapInPandas decode plumbing: fake-decode the
+    media blobs and expose the scalar features. The fake features are
+    byte arithmetic (first/last byte, byte-sum mod 997), which DuckDB
+    replays via per-char ord() — exact because the documents fixture is
+    pure ASCII (octet_length == length for every row, asserted in
+    tests/test_sources_sinks.py), so char code points ARE the bytes."""
     m = documents_as_media(spark, sf_dir)
     dec = decode_media(m, fake=True)
     return dec.select(
         "doc_id", "n_bytes",
+        F.element_at("feat", 2).alias("first_byte"),
+        F.element_at("feat", 3).alias("last_byte"),
         F.round(F.element_at("feat", 4), 1).alias("byte_sum_mod"),
     )
 
@@ -135,8 +227,14 @@ MULTIMODAL_ORACLE: dict[str, str] = {
         # bytes Spark's sha2(encode(text,'UTF-8'), 256) hashes
         "SELECT doc_id, octet_length(encode(text))::BIGINT n_bytes, "
         "sha256(text) sha256 FROM documents",
-    # media_decode_features: pandas-UDF path — rows-only; the fake decode
-    # is pinned by tests/test_sources_sinks.py golden assertions instead.
+    # replay of the fake decoder: ASCII fixture ⇒ ord(char) == byte
+    "media_decode_features":
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+        "ord(left(text, 1))::DOUBLE AS first_byte, "
+        "ord(right(text, 1))::DOUBLE AS last_byte, "
+        "ROUND((list_sum(list_transform(string_split(text, ''), "
+        "c -> ord(c))) % 997)::DOUBLE, 1) AS byte_sum_mod "
+        "FROM documents",
 }
 
 
@@ -193,23 +291,44 @@ def resize_media(
 
     fake=True emits a deterministic width×height pseudo-raster (the
     media bytes cycled/truncated to exactly w·h bytes) so shape, schema
-    and batch behavior are pinned by tests; fake=False raises at the
-    codec plug-in point."""
+    and batch behavior are pinned by tests; fake=False REALLY resizes
+    netpbm (P5/P6) inputs — nearest-neighbor resampling of the decoded
+    raster in numpy, grayscale output — and raises at the codec plug-in
+    point for formats needing PIL/torchvision."""
+
+    def _resize_netpbm(blob: bytes) -> bytes:
+        import numpy as np
+
+        w0, h0, maxval, _ = _decode_netpbm(blob)
+        w0, h0 = int(w0), int(h0)
+        ch = 3 if blob[:2] == b"P6" else 1
+        # re-locate the raster: total pixel bytes from the tail
+        raster = np.frombuffer(blob[len(blob) - w0 * h0 * ch:], dtype=np.uint8)
+        img = raster.reshape(h0, w0, ch).mean(axis=2)  # grayscale
+        ys = (np.arange(height) * h0 // height)
+        xs = (np.arange(width) * w0 // width)
+        return bytes(img[np.ix_(ys, xs)].astype(np.uint8).tobytes())
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         size = width * height
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real resize requires an image codec (PIL/torchvision) "
-                    "not present in this environment; plug it in here"
-                )
-            rasters = [
-                bytes((b * ((size // max(len(b), 1)) + 1))[:size])
-                for b in pdf["media"]
-            ]
+            if fake:
+                rasters = [
+                    bytes((b * ((size // max(len(b), 1)) + 1))[:size])
+                    for b in pdf["media"]
+                ]
+            else:
+                rasters = []
+                for b in pdf["media"]:
+                    b = bytes(b)
+                    if b[:2] not in (b"P5", b"P6"):
+                        raise NotImplementedError(
+                            "real resize of non-netpbm formats requires an "
+                            "image codec (PIL/torchvision); plug it in here"
+                        )
+                    rasters.append(_resize_netpbm(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -240,27 +359,55 @@ def sample_frames(
     happens inside the Arrow batch, never per-row.
 
     fake=True slices the blob into n_frames contiguous segments with
-    evenly spaced fake timestamps; fake=False raises at the demuxer
-    plug-in point (pyav). Frames inherit the row's partition — no
-    shuffle; at 100 TB follow with write_partitioned, not a groupBy."""
+    evenly spaced fake timestamps; fake=False REALLY samples PCM WAV
+    audio — n_frames evenly spaced windows of decoded samples with true
+    timestamps from the file's own sample rate (the audio analogue of
+    video frame sampling) — and raises at the demuxer plug-in point
+    (pyav/ffmpeg) for container video. Frames inherit the row's
+    partition — no shuffle; at 100 TB follow with write_partitioned,
+    not a groupBy."""
+
+    def _wav_frames(blob: bytes):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(blob)) as wv:
+            rate, nf = wv.getframerate(), wv.getnframes()
+            fw = wv.getsampwidth() * wv.getnchannels()
+            pcm = wv.readframes(nf)
+        step = max(nf // n_frames, 1)
+        for i in range(n_frames):
+            lo = min(i * step, nf)
+            hi = min((i + 1) * step, nf)
+            yield i, lo * 1000 // max(rate, 1), pcm[lo * fw : hi * fw]
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires a demuxer (pyav/ffmpeg) "
-                    "not present in this environment; plug it in here"
-                )
             out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                step = max(len(blob) // n_frames, 1)
-                for i in range(n_frames):
+                blob = bytes(blob)
+                if not fake:
+                    if not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"):
+                        raise NotImplementedError(
+                            "real frame sampling of container video needs "
+                            "a demuxer (pyav/ffmpeg); plug it in here — "
+                            "PCM WAV samples codec-free"
+                        )
+                    frames = _wav_frames(blob)
+                else:
+                    step = max(len(blob) // n_frames, 1)
+                    frames = (
+                        (i, i * duration_ms // n_frames,
+                         blob[i * step:(i + 1) * step])
+                        for i in range(n_frames)
+                    )
+                for i, ts, fr in frames:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * duration_ms // n_frames)
-                    out["frame"].append(bytes(blob[i * step:(i + 1) * step]))
+                    out["frame_ts_ms"].append(ts)
+                    out["frame"].append(bytes(fr))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -246,7 +246,9 @@ def q21_running_sum(spark, sf_dir):
 
 def q22_ntile(spark, sf_dir):
     """Global ntile is inherently single-reducer; acceptable for quartile
-    reports, not a 100 TB path (use approx percentile_disc there)."""
+    reports, not a 100 TB path — the scale-safe variant is
+    operators/scale.ntile_approx (two-pass approx-quantile bucketing,
+    map-only after the boundary broadcast, golden+plan tested)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(

@@ -136,6 +136,20 @@ def ensure_table(
         raise ValueError(f"table {name} already exists")
 
 
+class ImportValidationError(ValueError):
+    """Raised by import_dataframe(on_insert_error='raise') when rows fail
+    the ``validate`` predicate — the batched surface of the reference's
+    insert-error condition (clsql-data-table.lisp:228-234)."""
+
+    def __init__(self, n_invalid: int, sample_rows):
+        self.n_invalid = n_invalid
+        self.sample_rows = sample_rows
+        super().__init__(
+            f"{n_invalid} rows fail the import validation predicate; "
+            f"sample: {sample_rows}"
+        )
+
+
 def import_dataframe(
     spark: SparkSession,
     df: DataFrame,
@@ -143,6 +157,10 @@ def import_dataframe(
     row_filter=None,
     row_transform=None,
     mode: str = "append",
+    validate=None,
+    on_insert_error: str = "raise",
+    max_retries: int = 2,
+    writer=None,
 ) -> int:
     """R38 import-data-table, batched: the reference's row-fn hook
     (clsql-data-table.lisp:224-225) can both VETO a row (returning nil)
@@ -150,12 +168,65 @@ def import_dataframe(
     into ``row_filter`` (a boolean Column, pre-write filter) and
     ``row_transform`` (DataFrame -> DataFrame, applied after the filter).
     Both stay declarative so Catalyst fuses them into the write's scan;
-    the write itself is a single distributed append, not per-row
-    INSERTs."""
+    the write itself is a single distributed append, not per-row INSERTs.
+
+    ``on_insert_error`` is the batched form of the reference's per-INSERT
+    restart protocol (try-again / skip, clsql-data-table.lisp:228-234).
+    A per-row INSERT can catch the database's own error row-by-row; a
+    distributed batch write cannot, so the row-level half moves BEFORE
+    the write as a ``validate`` predicate (boolean Column marking rows
+    the target would accept — NOT NULL, ranges, lengths — typically
+    derived from the same db_types_for_dataframe sizing used for DDL):
+
+    - 'raise' (default, = declining both restarts): any validate-failing
+      row aborts the import before anything writes, with count + sample
+      in ImportValidationError.
+    - 'skip' (= the skip restart): validate-failing rows are dropped,
+      the rest write once; returns the target count as usual.
+    - 'retry' (= the try-again restart): the WRITE is re-attempted up to
+      ``max_retries`` extra times on failure — the batched use-case is
+      transient DB errors (deadlock victim, failover), where the
+      reference would re-run the same INSERT. validate-failing rows
+      still abort first when a predicate is given: retrying cannot fix
+      a constraint violation, and silently skipping under 'retry' would
+      conflate the two policies.
+
+    ``writer`` overrides the write action (e.g. a write_jdbc closure for
+    an external DB); default appends to the session catalog table."""
+    if on_insert_error not in ("raise", "skip", "retry"):
+        raise ValueError(
+            f"on_insert_error must be 'raise'|'skip'|'retry', got {on_insert_error!r}"
+        )
     out = df.where(row_filter) if row_filter is not None else df
     if row_transform is not None:
         out = row_transform(out)
-    out.write.mode(mode).saveAsTable(name)
+    if validate is not None:
+        if on_insert_error == "skip":
+            out = out.where(validate)
+        else:
+            bad = out.where(~F.coalesce(validate, F.lit(False)))
+            sample = bad.limit(3).collect()
+            if sample:
+                raise ImportValidationError(bad.count(), sample)
+
+    def _write() -> None:
+        if writer is not None:
+            writer(out)
+        else:
+            out.write.mode(mode).saveAsTable(name)
+
+    attempts = 1 + (max_retries if on_insert_error == "retry" else 0)
+    for attempt in range(attempts):
+        try:
+            _write()
+            break
+        except ImportValidationError:
+            raise
+        except Exception:
+            if attempt + 1 >= attempts:
+                raise
+    if writer is not None:
+        return -1  # external target: caller counts via its own reader
     return spark.table(name).count()
 
 

@@ -134,10 +134,13 @@ def run_stream_over_files(
     transform,
     schema,
     checkpoint_dir: str,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Replay parquet files as a stream (one file per micro-batch, in
     mtime order), apply `transform`, run in APPEND mode until exhausted,
-    return the emitted rows from a memory sink.
+    return the emitted rows from a memory sink. ``progress_out``, when
+    given, receives the query's recentProgress dicts so tests can assert
+    state-store behavior (provider engaged, watermark eviction).
 
     Append mode only emits windows finalized by the watermark — the test
     harness appends a far-future sentinel file so every real window
@@ -161,6 +164,8 @@ def run_stream_over_files(
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     return spark.table(name)
 
 

@@ -444,6 +444,78 @@ def test_ivf_kmeans_exact_within_probed_clusters(spark, sf_dir):
     assert assign.select("cluster").distinct().count() > 1
 
 
+def test_pinned_codebook_argmin_separation(sf_dir):
+    """The pinned-codebook gates' hash-exactness rests on nearest-
+    centroid argmin being decided far above fp summation noise: assert
+    every fixture vector's best-vs-second-best distance gap clears 1e-9
+    (measured 1.15e-3 at sf0.01 — ~7 orders of margin), and that the
+    codebook actually spreads (pairwise centroid |cosine| < 0.7 —
+    measured max 0.57; no two centroids near-collinear)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_table_spark.operators.similarity import pinned_codebook
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = np.vstack(t["embedding"].map(np.asarray)).astype(np.float64)
+    C = pinned_codebook(dim=X.shape[1])
+    D = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+    Ds = np.sort(D, axis=1)
+    assert (Ds[:, 1] - Ds[:, 0]).min() > 1e-9
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cc = Cn @ Cn.T
+    np.fill_diagonal(cc, 0.0)
+    assert np.abs(cc).max() < 0.7
+
+
+def test_pinned_topk_equals_kmeans_machinery(spark, sf_dir):
+    """sim_ivf_pinned_topk must EQUAL brute force restricted to the
+    pinned-probed clusters — the same exactness contract the learned
+    path proves, through the same shared serving code."""
+    from data_table_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _pinned_cents_df,
+        codebook_assign,
+        cosine,
+        pinned_codebook,
+        sim_ivf_pinned_topk,
+    )
+    from data_table_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "embeddings", sf_dir)
+    centers = pinned_codebook()
+    assign = codebook_assign(e, centers)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cents = _pinned_cents_df(spark, centers)
+    probed = [
+        r["cluster"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select("cluster", cosine(F.col("centroid"), F.col("qv")).alias("cs"))
+        .orderBy(F.col("cs").desc(), F.col("cluster")).limit(2).collect()
+    ]
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in e.join(assign, "vec_id")
+        .where(F.col("cluster").isin(probed))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim_ivf_pinned_topk(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
 def test_quantized_topk_fidelity(spark, sf_dir):
     """int8-quantized ranking must closely track full-precision ranking:
     ≥8 of the top-10 overlap, and every quantized cosine is within 0.02

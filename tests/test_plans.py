@@ -59,6 +59,34 @@ def test_theta_join_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in p  # equi key + residual, not cartesian
 
 
+def test_ntile_approx_golden_and_plan(spark, sf_dir):
+    """ntile_approx must (a) agree with exact ntile on ≥99% of rows at
+    sf0.01 (disagreement only where ties straddle a boundary — the
+    documented semantic difference) and (b) plan as a map-only project:
+    zero Exchange, zero Window, zero Sort after the boundary pass."""
+    from data_table_spark.operators.scale import ntile_approx
+    from data_table_spark.sources.registry import load_table
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    approx = ntile_approx(o, "o_totalprice", n=4)
+    p = _plan(approx)
+    for bad in ("Exchange", "Window", "Sort"):
+        assert bad not in p, f"{bad} in ntile_approx pass-2 plan:\n{p}"
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    exact = o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("qe"))
+    j = approx.join(exact, "o_orderkey")
+    total = j.count()
+    agree = j.where(F.col("q") == F.col("qe")).count()
+    assert total > 0 and agree / total >= 0.99, (agree, total)
+    # buckets stay usable: all n buckets occupied, sizes within 5%
+    sizes = {r["q"]: r["c"] for r in
+             approx.groupBy("q").agg(F.count("*").alias("c")).collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) / min(sizes.values()) < 1.05, sizes
+
+
 def test_salted_join_correctness(spark, sf_dir):
     c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
@@ -70,12 +98,37 @@ def test_salted_join_correctness(spark, sf_dir):
     )
     salted = salted_join(o, c, "c_custkey").select("c_custkey", "o_orderkey")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
-    # outer joins would emit unmatched small-side rows once per salt
-    # replica — rejected up front (round-2 advisor finding)
+
+
+def test_salted_join_outer_forms(spark, sf_dir):
+    """Right/full outer salted joins must equal the plain join — the
+    decomposition (salted matched part + anti-joined unmatched small
+    rows) must neither duplicate unmatched rows per salt replica (the
+    round-2 rejection reason) nor drop null-keyed rows."""
     import pytest as _pytest
-    for bad in ("right", "full", "outer", "full_outer"):
-        with _pytest.raises(ValueError):
-            salted_join(o, c, "c_custkey", how=bad)
+
+    # customers with no orders exist at sf0.01 → real unmatched rows;
+    # add a null-keyed row on each side to pin null-key semantics
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name"
+    ).unionByName(spark.createDataFrame(
+        [(None, "null-cust")], "c_custkey int, c_name string"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    ).unionByName(spark.createDataFrame(
+        [(None, -1)], "c_custkey int, o_orderkey long"))
+    for how in ("right", "full"):
+        plain = o.join(c, ["c_custkey"], how).select(
+            "c_custkey", "o_orderkey", "c_name"
+        )
+        salted = salted_join(o, c, "c_custkey", how=how).select(
+            "c_custkey", "o_orderkey", "c_name"
+        )
+        a = sorted(map(tuple, salted.collect()), key=str)
+        b = sorted(map(tuple, plain.collect()), key=str)
+        assert a == b, how
+    with _pytest.raises(ValueError):
+        salted_join(o, c, "c_custkey", how="cross")
 
 
 def test_bucketed_join_skips_shuffle(spark, sf_dir):

@@ -205,12 +205,122 @@ def test_media_decode_fake(spark, sf_smoke):
 
 
 def test_media_decode_stub_raises(spark, sf_smoke):
+    """Undecodable formats (document text is neither netpbm nor WAV)
+    still hit the real-codec plug point."""
     m = documents_as_media(spark, sf_smoke).limit(1)
     with pytest.raises(Exception) as exc:
         decode_media(m, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def _pgm_fixture(w=6, h=4, maxval=255):
+    """Binary P5 grayscale gradient: pixel(y,x) = (y*w + x) * 9 % 256."""
+    raster = bytes((y * w + x) * 9 % 256 for y in range(h) for x in range(w))
+    return b"P5\n# golden fixture\n%d %d\n%d\n" % (w, h, maxval) + raster
+
+
+def _wav_fixture(rate=8000, n=800, nch=1):
+    """16-bit PCM square-ish wave: sample i = ((i % 50) - 25) * 1000."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(
+            b"".join(struct.pack("<h", ((i % 50) - 25) * 1000) for i in range(n))
+        )
+    return buf.getvalue()
+
+
+def _media_df(spark, blobs):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id long, media binary"
+    ).withColumn("meta", F.lit(None).cast("string"))
+
+
+def test_media_decode_real_netpbm_golden(spark):
+    """fake=False REALLY decodes netpbm: width/height/maxval from the
+    header, mean pixel from the raster — checked against a hand-computed
+    gradient fixture (and a P6 RGB variant)."""
+    pgm = _pgm_fixture(w=6, h=4)
+    exp_mean = sum((p * 9) % 256 for p in range(24)) / 24.0
+    ppm_raster = bytes((i * 7) % 256 for i in range(2 * 2 * 3))
+    ppm = b"P6\n2 2\n255\n" + ppm_raster
+    exp_mean_ppm = sum(ppm_raster) / 12.0
+    out = {
+        r["doc_id"]: r
+        for r in decode_media(_media_df(spark, [pgm, ppm]), fake=False).collect()
+    }
+    assert out[0]["feat"] == [6.0, 4.0, 255.0, pytest.approx(exp_mean)]
+    assert out[1]["feat"] == [2.0, 2.0, 255.0, pytest.approx(exp_mean_ppm)]
+
+
+def test_media_decode_real_wav_golden(spark):
+    """fake=False REALLY decodes PCM WAV via stdlib wave: channels,
+    rate, frame count, RMS over the int16 samples."""
+    import math
+
+    wav = _wav_fixture(rate=8000, n=800)
+    samples = [((i % 50) - 25) * 1000 for i in range(800)]
+    exp_rms = math.sqrt(sum(s * s for s in samples) / 800)
+    (r,) = decode_media(_media_df(spark, [wav]), fake=False).collect()
+    assert r["feat"][:3] == [1.0, 8000.0, 800.0]
+    assert r["feat"][3] == pytest.approx(exp_rms)
+
+
+def test_resize_media_real_netpbm(spark):
+    """fake=False resize: nearest-neighbor downsample of the decoded
+    raster — corner pixels of a 2x downsample must equal the source
+    pixels at the sampled grid points."""
+    from data_table_spark.operators.multimodal import resize_media
+
+    w0, h0 = 8, 8
+    pgm = _pgm_fixture(w=w0, h=h0)
+    (r,) = resize_media(
+        _media_df(spark, [pgm]), width=4, height=4, fake=False
+    ).collect()
+    assert (r["width"], r["height"], len(r["raster"])) == (4, 4, 16)
+    got = bytes(r["raster"])
+    # ys = xs = [0,2,4,6]; source pixel(y,x) = (y*8+x)*9 % 256
+    for oy, y in enumerate([0, 2, 4, 6]):
+        for ox, x in enumerate([0, 2, 4, 6]):
+            assert got[oy * 4 + ox] == (y * w0 + x) * 9 % 256
+
+
+def test_sample_frames_real_wav(spark):
+    """fake=False frame sampling on WAV: timestamps come from the file's
+    own sample rate and the frames partition the PCM stream."""
+    from data_table_spark.operators.multimodal import sample_frames
+
+    wav = _wav_fixture(rate=8000, n=800)
+    rows = sorted(
+        sample_frames(_media_df(spark, [wav]), n_frames=4, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_ts_ms"] for r in rows] == [0, 25, 50, 75]
+    assert all(len(bytes(r["frame"])) == 200 * 2 for r in rows)
+
+
+def test_documents_fixture_is_ascii(sf_dir):
+    """The media_decode_features oracle replays byte sums via per-char
+    ord(), which equals the byte value ONLY for ASCII — pin the fixture
+    assumption the oracle rests on."""
+    import duckdb
+
+    con = duckdb.connect()
+    (bad,) = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) != length(text) OR length(text) = 0"
+    ).fetchone()
+    assert bad == 0
 
 
 # ------------------------------------------- oracle gate for new queries
@@ -249,6 +359,80 @@ def test_jdbc_round_trip_derby(spark, tmp_path):
         too_long.write.mode("append").option(
             "driver", "org.apache.derby.jdbc.EmbeddedDriver"
         ).jdbc(url, "t_g3")
+
+
+def test_import_on_insert_error_policies_derby(spark, tmp_path):
+    """R38 restart-protocol parity (clsql-data-table.lisp:228-234): the
+    three on_insert_error policies against a REAL Derby target with a
+    NOT NULL constraint. 'raise' aborts pre-write with count+sample,
+    'skip' drops the violating row and lands the rest, 'retry' re-runs
+    the write after a transient failure (simulated by a writer that
+    fails on its first attempt)."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.plans.ddl import (
+        ImportValidationError,
+        import_dataframe,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/r38db;create=true"
+    df = spark.createDataFrame(
+        [("ok1", 1), (None, 2), ("ok3", 3)], ["s", "n"]
+    )
+    valid = F.col("s").isNotNull()
+
+    # raise: nothing writes, error carries the violation count
+    with pytest.raises(ImportValidationError) as exc:
+        import_dataframe(
+            spark, df, "t_r38", validate=valid, on_insert_error="raise",
+            writer=lambda out: write_jdbc(
+                out, url, "t_r38", mode="overwrite", driver=driver
+            ),
+        )
+    assert exc.value.n_invalid == 1
+
+    # skip: the two valid rows land in Derby, the NULL row is dropped
+    import_dataframe(
+        spark, df, "t_r38", validate=valid, on_insert_error="skip",
+        writer=lambda out: write_jdbc(
+            out, url, "t_r38", mode="overwrite", driver=driver
+        ),
+    )
+    back = read_jdbc(spark, url, "t_r38", driver=driver)
+    assert sorted((r["s"], r["n"]) for r in back.collect()) == [
+        ("ok1", 1), ("ok3", 3)
+    ]
+
+    # retry: first write attempt fails transiently, second succeeds
+    attempts = {"n": 0}
+
+    def flaky_writer(out):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("simulated transient DB failure")
+        write_jdbc(out, url, "t_r38_retry", mode="overwrite", driver=driver)
+
+    import_dataframe(
+        spark, df.where(valid), "t_r38_retry",
+        on_insert_error="retry", writer=flaky_writer,
+    )
+    assert attempts["n"] == 2
+    back2 = read_jdbc(spark, url, "t_r38_retry", driver=driver)
+    assert back2.count() == 2
+
+    # retry does NOT mask validation failures
+    with pytest.raises(ImportValidationError):
+        import_dataframe(
+            spark, df, "t_r38_x", validate=valid,
+            on_insert_error="retry", writer=flaky_writer,
+        )
+
+    # bad policy name rejected at the API boundary
+    with pytest.raises(ValueError):
+        import_dataframe(spark, df, "t_r38_y", on_insert_error="ignore")
 
 
 def test_bang_variants(spark):

@@ -362,3 +362,47 @@ def test_trending_counts_streams(spark, replay, tmp_path):
     a = sorted(map(tuple, ranked.collect()))
     b = sorted(map(tuple, expect.collect()))
     assert a == b
+
+
+def test_rocksdb_state_store_bounded_state(spark, replay, tmp_path):
+    """The RocksDB state-store knob (session.py SPARK_GRAFT_ROCKSDB_STATE;
+    here set as the equivalent runtime conf): the S3 session-window load
+    must run on the RocksDB provider with identical results, the provider
+    must actually engage (rocksdb custom metrics in stateOperators), and
+    watermark eviction must keep state bounded — the terminal batch's
+    numRowsTotal is the handful of sentinel-held sessions, not the full
+    per-user session history."""
+    import json
+
+    src, events = replay
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    progress: list = []
+    try:
+        got = run_stream_over_files(
+            spark, src, session_counts, events.schema,
+            str(tmp_path / "ck_rocksdb"), progress_out=progress,
+        )
+        _compare(got, session_counts(events),
+                 ["w_start", "w_end", "user_id", "cnt"])
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    ops = [op for p in progress for op in (p.get("stateOperators") or [])]
+    assert ops, "no state operators reported"
+    assert any(
+        "rocksdb" in json.dumps(op.get("customMetrics") or {}).lower()
+        for op in ops
+    ), "RocksDB provider did not engage"
+    # real sessions were evicted as the watermark passed them
+    assert any((op.get("numRowsRemoved") or 0) > 0 for op in ops)
+    finals = [op for p in progress[-2:] for op in (p.get("stateOperators") or [])]
+    total_sessions = session_counts(events).count()
+    assert finals and min(op["numRowsTotal"] for op in finals) < total_sessions / 2
