@@ -112,23 +112,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-5 window: 3 never-green oracle-backed gates (the two new
-# pinned-codebook IVF gates proving the k-means serving path, and
+# Round-5 window: 9 never-green oracle-backed gates (the two
+# pinned-codebook IVF gates proving the k-means serving path;
 # media_decode_features, which GAINED a DuckDB oracle this round — the
 # fake-decode features are pure byte arithmetic and the ASCII fixture
-# makes per-char ord() replay them exactly; both were round-4 judge
-# items) + 2 gates changed this round (q60: try_parse_json/TRY_CAST
-# null-safety; recursive-CTE CC: dominated-label + simple-path pruning)
-# + 45 re-proofs ordered STALEST FIRST: the 15 r1-proven gates that
-# ceded their slots to round-4's new gates and are now three rounds old
-# (the round-4 judge's top item), then the full r2-proven cohort (24),
-# then 6 r3-proven fills. Every r4-proven gate keeps its fresh green
-# row and cedes its slot (see COVERAGE.md provenance).
+# makes per-char ord() replay them exactly; and the six new round-5
+# operators: Q21/Q2 decorrelation shapes, MERGE upsert, runtime
+# semi-join filter, SCD2 intervals, corpus quality report) + 2 gates
+# changed this round (q60: try_parse_json/TRY_CAST null-safety;
+# recursive-CTE CC: dominated-label + simple-path pruning) + 39
+# re-proofs ordered STALEST FIRST: the 15 r1-proven gates that ceded
+# their slots to round-4's new gates and are now three rounds old (the
+# round-4 judge's top item), then the full r2-proven cohort (24). The
+# r3-proven and r4-proven gates keep their newer green rows and cede
+# their slots (see COVERAGE.md provenance).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
     "sim_ivf_pinned_assign",      # new: IVF Arrow-assignment, exact oracle
     "sim_ivf_pinned_topk",        # new: full IVF probe path, exact oracle
     "media_decode_features",      # oracle added: byte-arith decode replay
+    "q66_tpch_q21_shape",         # new: EXISTS/NOT-EXISTS decorrelation
+    "q67_tpch_q2_shape",          # new: correlated-min rewrite
+    "q68_merge_upsert",           # new: MERGE/upsert (anti join + union)
+    "q69_runtime_filter",         # new: broadcast semi-join reduction
+    "q70_scd2_build",             # new: SCD2 validity intervals
+    "pipe_quality_report",        # new: one-pass corpus profile
     # --- changed this round (priority rule 2) ---
     "q60_variant_extract",        # try_parse_json + TRY_CAST null parity
     "dedup_clusters_recursive_sql",  # walk pruning (dominated/simple-path)
@@ -149,9 +157,6 @@ _PRIORITY = [
     "text_token_stats", "text_langid", "text_fingerprint",
     "udf_scalar_net_price", "udf_table_function_tokens",
     "media_byte_stats", "pipe_split_assign",
-    # --- r3-proven fills to complete the 50 ---
-    "q54_unpivot", "q55_time_rollup", "q57_rank_ratios",
-    "q58_tpch_q10_shape", "text_scrub", "udf_grouped_map_stats",
 ]
 
 

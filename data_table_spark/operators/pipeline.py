@@ -943,3 +943,36 @@ PIPELINE_ORACLE["pipe_reassemble_spans"] = (
     "string_agg(span_text, ' ' ORDER BY span_idx) clean_text "
     "FROM k WHERE keep GROUP BY doc_id"
 )
+
+
+def pipe_quality_report(spark, sf_dir):
+    """Per-source corpus profile — the data-quality report a pipeline
+    gates ingestion on (row counts, null text, length distribution,
+    language spread, short-doc share). ONE aggregation pass: every
+    metric is a map-side-combinable aggregate over the same groupBy, so
+    the whole profile costs a single shuffle on ``source`` regardless of
+    corpus size; no per-metric jobs, no driver-side loop over columns.
+    (The reference's closest analogue is its type-guessing scan,
+    data-table.lisp:283-305 — one pass, many per-column judgments.)"""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum((F.col("n_chars") < 200).cast("long")).alias("n_short"),
+    )
+
+
+PIPELINE_QUERIES["pipe_quality_report"] = pipe_quality_report
+PIPELINE_ORACLE["pipe_quality_report"] = (
+    "SELECT source, COUNT(*) AS n_docs, "
+    "  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text, "
+    "  ROUND(AVG(n_chars), 2) AS avg_chars, "
+    "  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
+    "  COUNT(DISTINCT lang) AS n_langs, "
+    "  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short "
+    "FROM documents GROUP BY source"
+)

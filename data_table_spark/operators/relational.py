@@ -1507,3 +1507,265 @@ RELATIONAL_ORACLE["q65_tpch_q18_shape"] = (
     "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
 )
+
+
+# --------------------------------------------------------------------------
+# round 5: EXISTS/NOT-EXISTS decorrelation, correlated-min, MERGE upsert,
+# runtime filter, SCD2 intervals
+# --------------------------------------------------------------------------
+
+def q66_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 (waiting-supplier) shape adapted to this schema: for
+    finalized orders, suppliers whose line was returned ('R') while at
+    least one OTHER supplier shipped the order (EXISTS) and NO other
+    supplier's line was returned (NOT EXISTS).
+
+    The correlated EXISTS / NOT EXISTS pair (inequality predicate
+    ``l2.l_suppkey <> l1.l_suppkey``) would plan as two extra joins; it
+    is decorrelated into ONE auxiliary aggregate over lineitem:
+    ``EXISTS other-supplier``       <=> n_supp >= 2
+    ``NOT EXISTS other-R-supplier`` <=> n_r_supp == 1 (l1's own 'R' line
+    puts its supplier in the set, so "no other" means exactly one).
+    At scale this is one extra shuffle on l_orderkey (map-side partial
+    agg) instead of two fact-fact semi/anti joins — the aggregation-based
+    decorrelation Catalyst cannot derive itself for inequality
+    correlation. Supplier is a broadcast dim.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    fo = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        l1.join(fo, l1.l_orderkey == fo.o_orderkey)
+        .join(ord_stats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q66_tpch_q21_shape"] = q66_tpch_q21_shape
+RELATIONAL_ORACLE["q66_tpch_q21_shape"] = (
+    "SELECT s_name, COUNT(*) AS numwait "
+    "FROM supplier, lineitem l1, orders "
+    "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+    "  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "              AND l2.l_suppkey <> l1.l_suppkey) "
+    "  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "              AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+)
+
+
+def q67_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) shape: for mid-size parts, the
+    supplier(s) achieving the minimum observed unit price
+    (l_extendedprice / l_quantity) for that part.
+
+    The correlated scalar subquery ``= (SELECT MIN(...) WHERE
+    l2.l_partkey = p_partkey)`` is expressed as a per-part aggregate
+    joined back on l_partkey — the same rewrite Catalyst applies to
+    equality-correlated scalar subqueries, stated explicitly so both
+    lineitem passes shuffle on the one key and co-partition. part and
+    supplier are broadcast dims. DISTINCT collapses equal-priced
+    duplicate lines from the same supplier. Unit prices are compared
+    exactly (both engines evaluate the identical binary64 division and
+    order-independent MIN), rounded only for output.
+    """
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").between(10, 15))
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mn = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        unit.join(mn, "l_partkey")
+        .where(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.round("unit_price", 4).alias("best_unit_price"),
+        )
+        .distinct()
+    )
+
+
+RELATIONAL_QUERIES["q67_tpch_q2_shape"] = q67_tpch_q2_shape
+RELATIONAL_ORACLE["q67_tpch_q2_shape"] = (
+    "SELECT DISTINCT p_partkey, p_name, s_name, "
+    "  ROUND(l_extendedprice / l_quantity, 4) AS best_unit_price "
+    "FROM part, supplier, lineitem "
+    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+    "  AND p_size BETWEEN 10 AND 15 "
+    "  AND l_extendedprice / l_quantity = ("
+    "    SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2 "
+    "    WHERE l2.l_partkey = p_partkey)"
+)
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Whole-row MERGE/upsert (SQL ``MERGE WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT`` with whole-row sources): rows of ``updates``
+    replace key-matching rows of ``base``; the rest of ``base`` survives.
+
+    The reference's closest surface is re-importing a table over an
+    existing one (import-data-table, /root/reference/clsql-data-table.lisp:236-239),
+    which is replace-only; this is the incremental form every warehouse
+    pipeline needs. Plan: ONE left-anti join of base against the distinct
+    update keys (shuffles both sides on the key; broadcastable when
+    updates are small) + a union — no window, no driver state. At 100 TB
+    pair it with bucketed base tables so the anti join reuses the
+    bucketing instead of shuffling the fact.
+    """
+    anti = base.join(
+        updates.select(*keys).distinct(), list(keys), "left_anti"
+    )
+    return anti.unionByName(updates.select(*base.columns))
+
+
+def q68_merge_upsert(spark, sf_dir):
+    """MERGE gate: base = orders outside every 3rd key; updates = every
+    even key re-priced 2x and flagged 'U'. Exercises both MERGE arms:
+    even keys divisible by 3 are pure inserts, the rest are updates.
+    The reprice factor is 2 (exact in binary floating point) so the
+    ROUND never lands on a half-cent tie, where Spark's HALF_UP and
+    DuckDB's double rounding disagree."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    upd = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return merge_upsert(base, upd, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price_r"),
+    )
+
+
+RELATIONAL_QUERIES["q68_merge_upsert"] = q68_merge_upsert
+RELATIONAL_ORACLE["q68_merge_upsert"] = (
+    "WITH upd AS ("
+    "  SELECT o_orderkey, 'U' AS o_orderstatus, "
+    "         ROUND(o_totalprice * 2, 2) AS o_totalprice "
+    "  FROM orders WHERE o_orderkey % 2 = 0) "
+    "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price_r "
+    "FROM ("
+    "  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "  WHERE o_orderkey % 3 <> 0 "
+    "    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd) "
+    "  UNION ALL SELECT * FROM upd)"
+)
+
+
+def q69_runtime_filter(spark, sf_dir):
+    """Runtime filter (dynamic semi-join reduction): the selective dim
+    predicate (urgent, high-value orders) is turned into a broadcast
+    LEFT SEMI join that prunes the fact BEFORE its aggregation shuffle —
+    the manual form of Spark's runtime bloom/DPP filters, for when the
+    filter column isn't the partition column. At 100 TB the semi join
+    drops ~95% of lineitem bytes ahead of the groupBy exchange; the
+    pruned-key set stays a broadcast because it is bounded by the dim
+    predicate's selectivity, not fact size. Plan asserted in
+    tests/test_plans.py (BroadcastExchange + LeftSemi, no extra
+    Exchange before the final agg's).
+    """
+    from .scale import runtime_filter
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = o.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 400000)
+    )
+    pruned = runtime_filter(li, hot, "l_orderkey", "o_orderkey")
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q69_runtime_filter"] = q69_runtime_filter
+RELATIONAL_ORACLE["q69_runtime_filter"] = (
+    "SELECT l_returnflag, COUNT(*) AS n_lines, "
+    "  ROUND(SUM(l_extendedprice), 2) AS revenue "
+    "FROM lineitem WHERE l_orderkey IN ("
+    "  SELECT o_orderkey FROM orders "
+    "  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000) "
+    "GROUP BY l_returnflag"
+)
+
+
+def q70_scd2_build(spark, sf_dir):
+    """SCD type-2 interval builder: compress each user's event_type
+    sequence into [valid_from, valid_to) validity intervals with an
+    is_current flag — the standard islands construction (lag-based
+    change flag, running-sum run id, per-run aggregate, lead() for the
+    closing edge). All three windows and the groupBy partition on
+    user_id, so the whole build costs ONE shuffle on user_id (AQE reuses
+    the partitioning); nothing is global. Ties inside a user are broken
+    by event_id so both engines see one deterministic sequence."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        ).otherwise(1),
+    )
+    runs = chg.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seg = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    return seg.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+RELATIONAL_QUERIES["q70_scd2_build"] = q70_scd2_build
+RELATIONAL_ORACLE["q70_scd2_build"] = (
+    "WITH chg AS ("
+    "  SELECT user_id, event_type, ts, event_id, "
+    "    CASE WHEN LAG(event_type) OVER "
+    "      (PARTITION BY user_id ORDER BY ts, event_id) "
+    "      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg "
+    "  FROM events), "
+    "runs AS ("
+    "  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS UNBOUNDED PRECEDING) AS run_id FROM chg), "
+    "seg AS ("
+    "  SELECT user_id, run_id, event_type, MIN(ts) AS valid_from, "
+    "    COUNT(*) AS n_events FROM runs GROUP BY 1, 2, 3) "
+    "SELECT user_id, event_type, valid_from, "
+    "  LEAD(valid_from) OVER w2 AS valid_to, "
+    "  LEAD(valid_from) OVER w2 IS NULL AS is_current, n_events "
+    "FROM seg WINDOW w2 AS ("
+    "  PARTITION BY user_id ORDER BY valid_from, run_id)"
+)

@@ -176,3 +176,28 @@ def heavy_hitters_approx(
     """
     row = df.stat.freqItems([key_col], support=support).collect()[0]
     return sorted(row[f"{key_col}_freqItems"])
+
+
+def runtime_filter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+) -> DataFrame:
+    """Dynamic semi-join reduction: prune ``fact`` to the keys that
+    survive ``dim``'s predicates, as a broadcast LEFT SEMI join — the
+    manual counterpart of Spark's runtime bloom filter / dynamic
+    partition pruning, for cases where the join column is not the
+    partition column and the optimizer doesn't inject one itself.
+
+    The key set is deduplicated BEFORE the broadcast so its size is
+    bounded by the dim predicate's selectivity (distinct surviving
+    keys), never by fact size; the semi join then drops fact rows
+    before any downstream shuffle touches them. If the filtered dim
+    outgrows the broadcast threshold Spark falls back to a shuffled
+    semi join on its own — semantics are unchanged, only the physical
+    strategy degrades.
+    """
+    dim_key = dim_key or fact_key
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return fact.join(F.broadcast(keys), [fact_key], "left_semi")

@@ -383,3 +383,62 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     p = _plan(RELATIONAL_QUERIES["q61_interval_join"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_runtime_filter_plan_and_fallback(spark, sf_dir):
+    """q69: the pruned-key set must broadcast and prune the fact with a
+    LEFT SEMI join (no shuffled semi join, no extra fact exchange before
+    the aggregation's own)."""
+    p = _plan(RELATIONAL_QUERIES["q69_runtime_filter"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastExchange" in p
+    # two shuffles total, NEITHER on the fact: the dim-side distinct's
+    # (tiny, pre-broadcast) and the final groupBy's. The fact scan must
+    # feed the semi join directly — no Exchange in its branch.
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 2, p
+    fact_branch = p.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in fact_branch, p
+
+
+def test_q66_decorrelated_no_extra_fact_joins(spark, sf_dir):
+    """q66 must plan the EXISTS/NOT-EXISTS pair as ONE auxiliary
+    aggregate (no cartesian/nested-loop, supplier broadcast)."""
+    p = _plan(RELATIONAL_QUERIES["q66_tpch_q21_shape"](spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # supplier dim
+
+
+def test_q70_single_user_shuffle(spark, sf_dir):
+    """The SCD2 build partitions every window and the groupBy on
+    user_id; with AQE partition reuse the whole build should need at
+    most 2 non-broadcast exchanges (one for the window partitioning,
+    one if the groupBy re-partitions despite the shared key)."""
+    p = _plan(RELATIONAL_QUERIES["q70_scd2_build"](spark, sf_dir))
+    n_shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert n_shuffles <= 2, p
+
+
+def test_merge_upsert_arms(spark, sf_dir):
+    """merge_upsert: updated keys carry update rows, untouched base rows
+    survive, new keys insert — checked directly against set algebra."""
+    from data_table_spark.operators.relational import merge_upsert
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    upd = o.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    m = merge_upsert(base, upd, ["o_orderkey"])
+    base_keys = {r[0] for r in base.select("o_orderkey").collect()}
+    upd_rows = {tuple(r) for r in upd.collect()}
+    upd_keys = {k for k, _ in upd_rows}
+    got = {tuple(r) for r in m.collect()}
+    want = upd_rows | {
+        tuple(r) for r in base.collect() if r[0] not in upd_keys
+    }
+    assert got == want
+    assert m.count() == len(base_keys | upd_keys)
