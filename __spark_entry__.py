@@ -112,20 +112,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-5 window: 9 never-green oracle-backed gates (the two
+# Round-5 window: 11 never-green oracle-backed gates (the two
 # pinned-codebook IVF gates proving the k-means serving path;
 # media_decode_features, which GAINED a DuckDB oracle this round — the
 # fake-decode features are pure byte arithmetic and the ASCII fixture
-# makes per-char ord() replay them exactly; and the six new round-5
+# makes per-char ord() replay them exactly; and the eight new round-5
 # operators: Q21/Q2 decorrelation shapes, MERGE upsert, runtime
-# semi-join filter, SCD2 intervals, corpus quality report) + 2 gates
-# changed this round (q60: try_parse_json/TRY_CAST null-safety;
-# recursive-CTE CC: dominated-label + simple-path pruning) + 39
-# re-proofs ordered STALEST FIRST: the 15 r1-proven gates that ceded
-# their slots to round-4's new gates and are now three rounds old (the
-# round-4 judge's top item), then the full r2-proven cohort (24). The
-# r3-proven and r4-proven gates keep their newer green rows and cede
-# their slots (see COVERAGE.md provenance).
+# semi-join filter, SCD2 intervals, corpus quality report, incremental
+# aggregate maintenance, snapshot table diff) + 2 gates changed this
+# round (q60: try_parse_json/TRY_CAST null-safety; recursive-CTE CC:
+# dominated-label + simple-path pruning) + 37 re-proofs ordered
+# STALEST FIRST: the 15 r1-proven gates that ceded their slots to
+# round-4's new gates and are now three rounds old (the round-4
+# judge's top item), then 22 of the r2-proven cohort (media_byte_stats
+# and pipe_split_assign cede to the new gates — each keeps its r2 row
+# and full pytest oracle coverage). The r3-proven and r4-proven gates
+# keep their newer green rows and cede their slots (see COVERAGE.md
+# provenance).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
     "sim_ivf_pinned_assign",      # new: IVF Arrow-assignment, exact oracle
@@ -136,6 +139,8 @@ _PRIORITY = [
     "q68_merge_upsert",           # new: MERGE/upsert (anti join + union)
     "q69_runtime_filter",         # new: broadcast semi-join reduction
     "q70_scd2_build",             # new: SCD2 validity intervals
+    "q71_incremental_agg",        # new: rollup merge == rebuild
+    "q72_table_diff",             # new: snapshot reconciliation
     "pipe_quality_report",        # new: one-pass corpus profile
     # --- changed this round (priority rule 2) ---
     "q60_variant_extract",        # try_parse_json + TRY_CAST null parity
@@ -156,7 +161,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs", "sim_bruteforce_topk",
     "text_token_stats", "text_langid", "text_fingerprint",
     "udf_scalar_net_price", "udf_table_function_tokens",
-    "media_byte_stats", "pipe_split_assign",
 ]
 
 

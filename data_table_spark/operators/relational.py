@@ -1769,3 +1769,134 @@ RELATIONAL_ORACLE["q70_scd2_build"] = (
     "FROM seg WINDOW w2 AS ("
     "  PARTITION BY user_id ORDER BY valid_from, run_id)"
 )
+
+
+def q71_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (materialized-rollup refresh):
+    a pre-aggregate over the history partition (o_orderdate < split) is
+    merged with a delta re-aggregate (>= split) by combining partial
+    states — COUNT merges as SUM, SUM as SUM, MAX as MAX. At 100 TB
+    this is the nightly-rollup pattern: refresh touches only the delta
+    partition; history is never rescanned. The oracle computes the same
+    rollup from scratch over the full table, proving merge == rebuild.
+    Money is summed in integer cents (exact ×100 of the 2-decimal
+    doubles) so the two-level merge is associativity-proof — partial
+    double sums re-added in a different order than a single-pass SUM
+    can drift in the low bits."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    split = "1997-01-01"
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("sum_cents"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    hist = rollup(o.where(F.col("o_orderdate") < split))
+    delta = rollup(o.where(F.col("o_orderdate") >= split))
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q71_incremental_agg"] = q71_incremental_agg
+RELATIONAL_ORACLE["q71_incremental_agg"] = (
+    "SELECT o_custkey, COUNT(*) AS n_orders, "
+    "  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents, "
+    "  MAX(o_orderdate) AS last_order "
+    "FROM orders GROUP BY o_custkey"
+)
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as 'added' (new
+    only), 'removed' (old only), or 'changed' (both sides, any non-key
+    column differs); unchanged keys are dropped. The workhorse for
+    audit/anti-entropy between two table versions — ONE full outer join
+    on the key, null-safe column comparison (<=>), no collect. At
+    100 TB run it on bucketed snapshots so the outer join reuses the
+    bucketing. Non-key columns are surfaced as old_*/new_* pairs."""
+    val_cols = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in val_cols],
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in val_cols],
+                   F.lit(True).alias("_in_new"))
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .drop("_in_old", "_in_new")
+    )
+
+
+def q72_table_diff(spark, sf_dir):
+    """table_diff gate: old = orders below the top 1000 keys; new drops
+    every 7th key (removed→ but those outside old aren't; keys % 7
+    inside old become 'removed'), re-prices every 5th (changed), and
+    keeps the rest identical (excluded). Keys ≥ max-1000 exist only in
+    new (added). Emits the key, status, and both price views."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cutoff = 14000
+    old = o.where(F.col("o_orderkey") < cutoff)
+    new = (
+        o.where(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.round(F.col("o_totalprice") * 2, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"]).select(
+        "o_orderkey", "diff_status",
+        F.round("old_o_totalprice", 2).alias("old_price"),
+        F.round("new_o_totalprice", 2).alias("new_price"),
+    )
+
+
+RELATIONAL_QUERIES["q72_table_diff"] = q72_table_diff
+RELATIONAL_ORACLE["q72_table_diff"] = (
+    "WITH old AS ("
+    "  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "  WHERE o_orderkey < 14000), "
+    "new AS ("
+    "  SELECT o_orderkey, o_orderstatus, "
+    "    CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 2, 2) "
+    "         ELSE o_totalprice END AS o_totalprice "
+    "  FROM orders WHERE o_orderkey % 7 <> 0), "
+    "j AS ("
+    "  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey, "
+    "    old.o_totalprice AS old_price, new.o_totalprice AS new_price, "
+    "    old.o_orderkey IS NOT NULL AS in_old, "
+    "    new.o_orderkey IS NOT NULL AS in_new, "
+    "    (old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus AND "
+    "     old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice) AS same "
+    "  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey) "
+    "SELECT o_orderkey, "
+    "  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed' "
+    "       WHEN NOT same THEN 'changed' END AS diff_status, "
+    "  ROUND(old_price, 2) AS old_price, ROUND(new_price, 2) AS new_price "
+    "FROM j WHERE NOT in_old OR NOT in_new OR NOT same"
+)
