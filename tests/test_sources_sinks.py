@@ -528,3 +528,27 @@ def test_text_lines_round_trip(spark, sf_smoke, tmp_path):
             load_table(spark, "documents", sf_smoke).select("doc_id", "text"),
             path,
         )
+
+
+def test_parquet_schema_evolution_merge(spark, sf_smoke, tmp_path):
+    """Appends with a widened schema (new column) must read back as ONE
+    merged schema with NULLs for the old files — the append-only corpus
+    pattern where later ingests carry extra metadata. mergeSchema is an
+    explicit read option (Spark defaults it off because the footer merge
+    touches every file; at 100 TB set it per-read, not globally)."""
+    from data_table_spark.sources.registry import load_table
+
+    path = str(tmp_path / "evolving")
+    docs = load_table(spark, "documents", sf_smoke)
+    docs.select("doc_id", "text").where(F.col("doc_id") < 400).write.parquet(path)
+    docs.select(
+        "doc_id", "text", "lang"
+    ).where(F.col("doc_id") >= 400).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    old_rows = merged.where(F.col("doc_id") < 400)
+    assert old_rows.where(F.col("lang").isNotNull()).count() == 0
+    new_with_lang = merged.where(
+        (F.col("doc_id") >= 400) & F.col("lang").isNotNull()
+    ).count()
+    assert new_with_lang > 0

@@ -406,3 +406,71 @@ def test_rocksdb_state_store_bounded_state(spark, replay, tmp_path):
     finals = [op for p in progress[-2:] for op in (p.get("stateOperators") or [])]
     total_sessions = session_counts(events).count()
     assert finals and min(op["numRowsTotal"] for op in finals) < total_sessions / 2
+
+
+def test_streaming_upsert_snapshot_matches_batch(spark, replay, tmp_path):
+    """The foreachBatch MERGE sink (streaming/upsert.py): replaying the
+    events files must leave a snapshot equal to the batch latest-per-user
+    query over the same data — regardless of how rows were split across
+    micro-batches. Also asserts the sink's versioning contract: one
+    v{batch_id} dir per micro-batch plus an atomic _LATEST pointer."""
+    from data_table_spark.streaming.upsert import (
+        latest_per_key_merge,
+        run_streaming_upsert,
+    )
+
+    src, events = replay
+    state = str(tmp_path / "state")
+    merge = latest_per_key_merge(["user_id"], ["ts", "event_id"])
+    snap = run_streaming_upsert(
+        spark, src, events.schema, state, str(tmp_path / "ck_upsert"), merge
+    )
+    # the replay fixture appends a sentinel file (event_id=-1, ts+30d)
+    # whose rows legitimately win "latest" — compute the expectation over
+    # the same union the stream saw
+    from pyspark.sql import Window
+
+    sentinel = _sentinel_df(events)
+    all_events = events.unionByName(sentinel)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = (
+        all_events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = {tuple(r) for r in snap.collect()}
+    want = {tuple(r) for r in expected.select(*snap.columns).collect()}
+    assert got == want
+    versions = sorted(
+        (d for d in os.listdir(state) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    assert len(versions) >= 2, versions  # real file + sentinel file
+    with open(os.path.join(state, "_LATEST")) as f:
+        assert f.read().strip() == versions[-1]
+
+
+def test_vacuum_snapshots_retention(tmp_path):
+    """vacuum_snapshots (streaming/upsert.py): keeps the newest N by
+    numeric version order (not lexicographic), never removes the
+    _LATEST pointer target, and rejects keep<1."""
+    import pytest as _pytest
+
+    from data_table_spark.streaming.upsert import vacuum_snapshots
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    for i in (0, 1, 2, 3, 10):
+        os.makedirs(os.path.join(d, f"v{i}"))
+    with open(os.path.join(d, "_LATEST"), "w") as f:
+        f.write("v10")
+    assert vacuum_snapshots(d, keep=2) == ["v0", "v1", "v2"]
+    assert sorted(os.listdir(d)) == ["_LATEST", "v10", "v3"]
+    # an old pointer target survives even outside the keep window
+    with open(os.path.join(d, "_LATEST"), "w") as f:
+        f.write("v3")
+    assert vacuum_snapshots(d, keep=1) == []
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(d, keep=0)
