@@ -66,6 +66,10 @@ def main() -> None:
         try:
             materialize(qs[name](spark, sf_dir))
             elapsed = time.perf_counter() - t0
+        except Exception as e:  # a failing query gets a null, not a crash
+            timings[name] = None
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+        else:
             # best-of-2 for EVERY query: the first execution of a query
             # pays its one-time whole-stage-codegen/JIT compile (measured
             # 5.9 s cold vs 0.5 s steady for the q49 JSON projection on a
@@ -73,14 +77,15 @@ def main() -> None:
             # ±40% scheduler/GC noise. The min of two runs is the
             # steady-state number a long-lived session actually sees.
             # (Round 2-4 reran only <1.5 s queries, so a cold heavy query
-            # could record its compile time as if it were runtime.)
-            t1 = time.perf_counter()
-            materialize(qs[name](spark, sf_dir))
-            elapsed = min(elapsed, time.perf_counter() - t1)
+            # could record its compile time as if it were runtime.) A
+            # transiently failing rerun keeps the first run's valid time.
+            try:
+                t1 = time.perf_counter()
+                materialize(qs[name](spark, sf_dir))
+                elapsed = min(elapsed, time.perf_counter() - t1)
+            except Exception as e:
+                print(f"# bench rerun error in {name}: {e}", file=sys.stderr)
             timings[name] = round(elapsed, 3)
-        except Exception as e:  # a failing query gets a null, not a crash
-            timings[name] = None
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
         # release py4j handles every query (lets the ContextCleaner see
         # dead plans) and force a JVM GC every 20 so weakly-referenced
         # checkpoint/broadcast blocks actually get reclaimed mid-run —

@@ -1618,11 +1618,23 @@ RELATIONAL_ORACLE["q67_tpch_q2_shape"] = (
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, keys: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Whole-row MERGE/upsert (SQL ``MERGE WHEN MATCHED THEN UPDATE WHEN
     NOT MATCHED THEN INSERT`` with whole-row sources): rows of ``updates``
     replace key-matching rows of ``base``; the rest of ``base`` survives.
+
+    PRECONDITION: ``updates`` has at most one row per key. SQL MERGE
+    raises when several source rows match one target row; here a
+    duplicate key would survive into the output as duplicate rows.
+    ``validate_unique=True`` enforces the precondition with one extra
+    aggregation job over the updates (raises ValueError naming the
+    duplicate count) — opt-in because the check costs a full pass at
+    100 TB; leave it off when the updates are keyed by construction
+    (e.g. the output of a groupBy on the keys).
 
     The reference's closest surface is re-importing a table over an
     existing one (import-data-table, /root/reference/clsql-data-table.lisp:236-239),
@@ -1633,6 +1645,15 @@ def merge_upsert(
     pair it with bucketed base tables so the anti join reuses the
     bucketing instead of shuffling the fact.
     """
+    if validate_unique:
+        dups = (
+            updates.groupBy(*keys).count().where(F.col("count") > 1).count()
+        )
+        if dups:
+            raise ValueError(
+                f"merge_upsert: {dups} update key(s) have multiple rows "
+                "(SQL MERGE cardinality violation)"
+            )
     anti = base.join(
         updates.select(*keys).distinct(), list(keys), "left_anti"
     )
@@ -1850,15 +1871,21 @@ def table_diff(
 
 def q72_table_diff(spark, sf_dir):
     """table_diff gate: old = orders below the top 1000 keys; new drops
-    every 7th key (removed→ but those outside old aren't; keys % 7
-    inside old become 'removed'), re-prices every 5th (changed), and
-    keeps the rest identical (excluded). Keys ≥ max-1000 exist only in
-    new (added). Emits the key, status, and both price views."""
+    every 7th key inside old ('removed'), re-prices every 5th
+    ('changed'), keeps the rest identical (excluded), and the top-1000
+    keys exist only in new ('added'). The cutoff is data-derived
+    (max − 1000) via a broadcast scalar join — no driver collect, and
+    the same shape at every sf — matching the oracle's scalar
+    subquery, which DuckDB decorrelates identically."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    cutoff = 14000
-    old = o.where(F.col("o_orderkey") < cutoff)
+    cut = o.agg((F.max("o_orderkey") - 1000).alias("_cutoff"))
+    old = (
+        o.crossJoin(F.broadcast(cut))
+        .where(F.col("o_orderkey") < F.col("_cutoff"))
+        .drop("_cutoff")
+    )
     new = (
         o.where(F.col("o_orderkey") % 7 != 0)
         .withColumn(
@@ -1880,7 +1907,7 @@ RELATIONAL_QUERIES["q72_table_diff"] = q72_table_diff
 RELATIONAL_ORACLE["q72_table_diff"] = (
     "WITH old AS ("
     "  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
-    "  WHERE o_orderkey < 14000), "
+    "  WHERE o_orderkey < (SELECT MAX(o_orderkey) - 1000 FROM orders)), "
     "new AS ("
     "  SELECT o_orderkey, o_orderstatus, "
     "    CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 2, 2) "

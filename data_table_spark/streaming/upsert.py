@@ -14,10 +14,14 @@ Streaming. The sink contract:
 - A pointer file ``state_dir/_LATEST`` names the live snapshot and is
   swapped atomically (write-temp + ``os.replace``) only AFTER the
   snapshot write succeeds.
-- Exactly-once under retries for free: foreachBatch re-delivers the
-  same ``batch_id`` after a failure; the pointer still names the
-  previous snapshot, so the retry recomputes the SAME ``v{batch_id}``
-  from the SAME inputs and the pointer swap is idempotent.
+- Exactly-once under retries: foreachBatch re-delivers the same
+  ``batch_id`` after a failure. A crash BEFORE the pointer swap leaves
+  the pointer at the previous snapshot, so the retry recomputes the
+  same ``v{batch_id}`` from the same inputs; a crash AFTER the swap
+  (but before the checkpoint commit) is detected by the replay guard —
+  pointer already at ``v{batch_id}`` means the batch is fully applied
+  and the redelivery is skipped, which is what keeps non-idempotent
+  merges (additive rollups) from double-applying.
 
 ``merge_fn(cur_or_none, batch_df) -> state_df`` owns the merge
 semantics; it must be insensitive to how rows are split across batches
@@ -42,13 +46,19 @@ from pyspark.sql import functions as F
 _POINTER = "_LATEST"
 
 
-def read_snapshot(spark, state_dir: str) -> DataFrame | None:
-    """The live snapshot per the pointer file, or None before batch 0."""
+def _pointer_version(state_dir: str) -> str | None:
     ptr = os.path.join(state_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        version = f.read().strip()
+        return f.read().strip()
+
+
+def read_snapshot(spark, state_dir: str) -> DataFrame | None:
+    """The live snapshot per the pointer file, or None before batch 0."""
+    version = _pointer_version(state_dir)
+    if version is None:
+        return None
     return spark.read.parquet(os.path.join(state_dir, version))
 
 
@@ -101,10 +111,20 @@ def run_streaming_upsert(
     )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        version = f"v{batch_id}"
+        # replay guard: a crash BETWEEN the pointer swap and the
+        # checkpoint commit re-delivers this batch_id with the pointer
+        # already at v{batch_id}. The pointer swaps only after a
+        # successful snapshot write, so pointer == v{batch_id} means the
+        # batch is fully applied: skip, instead of double-applying the
+        # merge and overwriting the directory the merge would read from
+        # (crashes BEFORE the swap leave the pointer at the previous
+        # version and replay cleanly).
+        if _pointer_version(state_dir) == version:
+            return
         sess = batch.sparkSession
         cur = read_snapshot(sess, state_dir)
         new_state = merge_fn(cur, batch)
-        version = f"v{batch_id}"
         new_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, version)
         )

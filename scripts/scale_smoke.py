@@ -67,12 +67,15 @@ BOUNDED_NESTED_LOOP_GATES = {"dedup_ngram_jaccard_pairs"}
 #: cached DEST from an older script version is regenerated, not reused
 _MARKER = "_SCALE_V2"
 
-#: per-gate minimum BroadcastHashJoin count at sf1 — the joins against
-#: true dimensions (which do NOT scale with the facts) must stay
-#: broadcast; only fact-derived build sides may flip to sort-merge
+#: per-gate minimum BroadcastHashJoin count at sf1. DEFAULT (any gate
+#: not listed): the sf0.1 plan's own broadcast count — nothing may fall
+#: out of broadcast, because those build sides (dims, codebooks,
+#: bounded slices) do not scale. Listed gates broadcast a SCALED
+#: fact-derived side at sf0.1 that legitimately flips to sort-merge at
+#: sf1; their floor counts only the true dims.
 DIM_BROADCAST_FLOOR = {
-    "q66_tpch_q21_shape": 1,   # supplier
-    "q65_tpch_q18_shape": 1,   # customer
+    "q66_tpch_q21_shape": 1,   # supplier (filtered-orders side may flip)
+    "q65_tpch_q18_shape": 1,   # customer (orders + big-keys sides may flip)
 }
 
 PLAN_NODES = (
@@ -199,13 +202,17 @@ def main() -> None:
         if gate in BOUNDED_NESTED_LOOP_GATES:
             # bounded-by-design all-pairs: the nested loop must be scale-
             # INVARIANT (same node count at both scales — driven by the
-            # constant bound, not the corpus)
+            # constant bound, not the corpus); an unbroadcast
+            # CartesianProduct is never acceptable, bounded or not
             if (
                 h_big["BroadcastNestedLoopJoin"]
                 != h_small["BroadcastNestedLoopJoin"]
             ):
                 ok = False
                 failures.append(f"{gate}: bounded nested loop not scale-invariant")
+            if h_big["CartesianProduct"]:
+                ok = False
+                failures.append(f"{gate}: cartesian at sf1")
         elif h_big["BroadcastNestedLoopJoin"] or h_big["CartesianProduct"]:
             ok = False
             failures.append(f"{gate}: nested-loop/cartesian at sf1")
@@ -223,7 +230,12 @@ def main() -> None:
         if h_big["Exchange"] > allowed:
             ok = False
             failures.append(f"{gate}: new exchanges at sf1 {plan_delta}")
-        floor = DIM_BROADCAST_FLOOR.get(gate, 0)
+        # default floor: every broadcast the small-scale plan has must
+        # survive (their build sides — dims, codebooks, bounded slices —
+        # do not grow here). Gates whose plan joins a SCALED side under
+        # broadcast at sf0.1 declare an explicit lower floor, allowing
+        # exactly those fact-side flips and no others.
+        floor = DIM_BROADCAST_FLOOR.get(gate, h_small["BroadcastHashJoin"])
         if h_big["BroadcastHashJoin"] < floor:
             ok = False
             failures.append(

@@ -442,3 +442,23 @@ def test_merge_upsert_arms(spark, sf_dir):
     }
     assert got == want
     assert m.count() == len(base_keys | upd_keys)
+
+
+def test_merge_upsert_validate_unique(spark, sf_dir):
+    """validate_unique=True enforces the SQL-MERGE cardinality rule:
+    multiple update rows per key raise instead of silently producing a
+    duplicate-key snapshot."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.relational import merge_upsert
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.limit(100)
+    dup_updates = o.limit(10).unionByName(o.limit(10))
+    with _pytest.raises(ValueError, match="cardinality"):
+        merge_upsert(base, dup_updates, ["o_orderkey"], validate_unique=True)
+    # unique updates pass the check and merge normally
+    ok = merge_upsert(base, o.limit(10), ["o_orderkey"], validate_unique=True)
+    assert ok.groupBy("o_orderkey").count().where(F.col("count") > 1).count() == 0

@@ -474,3 +474,39 @@ def test_vacuum_snapshots_retention(tmp_path):
     assert vacuum_snapshots(d, keep=1) == []
     with _pytest.raises(ValueError):
         vacuum_snapshots(d, keep=0)
+
+
+def test_streaming_upsert_replay_guard(spark, replay, tmp_path):
+    """Post-swap crash recovery: if the pointer already names
+    v{batch_id} when the batch is redelivered (crash AFTER the pointer
+    swap, BEFORE the checkpoint commit — simulated here by re-running
+    with a fresh checkpoint against a state dir whose pointer is at
+    batch 0), the sink must skip the replay instead of overwriting the
+    snapshot it is reading from, and still converge to the same final
+    snapshot."""
+    import shutil as _shutil
+
+    from data_table_spark.streaming.upsert import (
+        latest_per_key_merge,
+        run_streaming_upsert,
+    )
+
+    src, events = replay
+    merge = latest_per_key_merge(["user_id"], ["ts", "event_id"])
+    s1 = str(tmp_path / "s1")
+    snap1 = run_streaming_upsert(
+        spark, src, events.schema, s1, str(tmp_path / "ck1"), merge
+    )
+    want = {tuple(r) for r in snap1.collect()}
+    # seed s2 as if the run crashed right after batch 0's pointer swap:
+    # v0 present, pointer at v0, stream checkpoint lost
+    s2 = str(tmp_path / "s2")
+    os.makedirs(s2)
+    _shutil.copytree(os.path.join(s1, "v0"), os.path.join(s2, "v0"))
+    with open(os.path.join(s2, "_LATEST"), "w") as f:
+        f.write("v0")
+    snap2 = run_streaming_upsert(
+        spark, src, events.schema, s2, str(tmp_path / "ck2"), merge
+    )
+    got = {tuple(r) for r in snap2.collect()}
+    assert got == want
