@@ -1927,3 +1927,156 @@ RELATIONAL_ORACLE["q72_table_diff"] = (
     "  ROUND(old_price, 2) AS old_price, ROUND(new_price, 2) AS new_price "
     "FROM j WHERE NOT in_old OR NOT in_new OR NOT same"
 )
+
+
+def q73_gap_fill(spark, sf_dir):
+    """Time-series gap filling (resample-daily): each user's event
+    history densified to one row per calendar day between their first
+    and last event — missing days get n_events=0 and carry the last
+    seen event_type forward. The dense day spine comes from
+    sequence()+explode of per-user (min,max) day bounds — generated
+    DISTRIBUTED, sized by each user's own span (never a driver-side
+    calendar); the forward fill is last(ignorenulls) over the user
+    partition. Both the daily aggregate and the windows partition on
+    user_id, so the whole densification is two shuffles on one key.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # arg-max via lexicographic struct MAX — (ts, event_id) is
+            # unique, so the day's last event_type is deterministic and
+            # DuckDB's struct MAX replays it exactly (its max_by cannot
+            # take a struct ordering key)
+            F.max(F.struct("ts", "event_id", "event_type"))[
+                "event_type"
+            ].alias("last_type"),
+        )
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.to_date(F.min("ts")).alias("d0"),
+            F.to_date(F.max("ts")).alias("d1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_type", ignorenulls=True).over(w).alias("last_type"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q73_gap_fill"] = q73_gap_fill
+RELATIONAL_ORACLE["q73_gap_fill"] = (
+    "WITH daily AS ("
+    "  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events, "
+    "    (MAX(struct_pack(ts := ts, eid := event_id, et := event_type))).et "
+    "      AS last_type "
+    "  FROM events GROUP BY 1, 2), "
+    "spine AS ("
+    "  SELECT user_id, CAST(UNNEST(generate_series("
+    "    CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE), "
+    "    INTERVAL 1 DAY)) AS DATE) AS day "
+    "  FROM events GROUP BY user_id) "
+    "SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events, "
+    "  LAST_VALUE(d.last_type IGNORE NULLS) OVER ("
+    "    PARTITION BY s.user_id ORDER BY s.day "
+    "    ROWS UNBOUNDED PRECEDING) AS last_type "
+    "FROM spine s LEFT JOIN daily d "
+    "  ON s.user_id = d.user_id AND s.day = d.day"
+)
+
+
+#: q74 histogram geometry (fixed-width buckets over o_totalprice)
+HIST_LO, HIST_W, HIST_N = 0.0, 30000.0, 20
+
+
+def q74_histogram(spark, sf_dir):
+    """Fixed-width histogram: one aggregation pass, bucket index from
+    pure arithmetic (floor((x-lo)/w), clamped into [0, n-1]) — the
+    map-side-combinable form whose cost is one shuffle of at most n
+    rows per partition, vs. the naive orderBy+ntile histogram that
+    global-sorts. Empty buckets are absent by construction (left to the
+    caller to densify — at 100 TB a 20-row spine join is free)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - HIST_LO) / HIST_W), F.lit(0)
+        ),
+        F.lit(HIST_N - 1),
+    ).cast("long")
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q74_histogram"] = q74_histogram
+RELATIONAL_ORACLE["q74_histogram"] = (
+    f"SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {HIST_LO}) / {HIST_W}), 0), "
+    f"{HIST_N - 1}) AS BIGINT) AS bucket, "
+    "COUNT(*) AS n_orders, ROUND(MIN(o_totalprice), 2) AS lo_price, "
+    "ROUND(MAX(o_totalprice), 2) AS hi_price "
+    "FROM orders GROUP BY 1"
+)
+
+
+def q75_corr_matrix(spark, sf_dir):
+    """Correlation/covariance matrix over lineitem's numeric columns,
+    emitted as (col_x, col_y, corr, covar) rows — ONE aggregation pass
+    computing every pairwise moment map-side (no per-pair jobs, no
+    driver loop; the unpivot to rows happens after the single agg).
+    Values are rounded to 4 decimals: Spark and DuckDB accumulate
+    moments in different orders, identical to ~1e-12 — far inside the
+    rounding — but not bit-equal."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            aggs.append(F.round(F.corr(x, y), 4).alias(f"corr_{x}_{y}"))
+            aggs.append(F.round(F.covar_samp(x, y), 4).alias(f"cov_{x}_{y}"))
+    wide = li.agg(*aggs)
+    pairs = [
+        (x, y)
+        for i, x in enumerate(cols)
+        for y in cols[i + 1:]
+    ]
+    stack = ", ".join(
+        f"'{x}', '{y}', corr_{x}_{y}, cov_{x}_{y}" for x, y in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_x, col_y, corr, covar)"
+    )
+
+
+RELATIONAL_QUERIES["q75_corr_matrix"] = q75_corr_matrix
+RELATIONAL_ORACLE["q75_corr_matrix"] = (
+    "SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, "
+    "  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr, "
+    "  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar FROM lineitem "
+    "UNION ALL SELECT 'l_quantity', 'l_discount', "
+    "  ROUND(CORR(l_quantity, l_discount), 4), "
+    "  ROUND(COVAR_SAMP(l_quantity, l_discount), 4) FROM lineitem "
+    "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+    "  ROUND(CORR(l_extendedprice, l_discount), 4), "
+    "  ROUND(COVAR_SAMP(l_extendedprice, l_discount), 4) FROM lineitem"
+)
