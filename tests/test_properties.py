@@ -157,3 +157,67 @@ def test_render_csv_reingest_round_trip(spark, tmp_path):
         t.simpleString() for t in dt.column_types
     ]
     assert back.rows() == dt.rows()
+
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-5, 5)),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(old_rows=_kv_rows, new_rows=_kv_rows)
+def test_table_diff_reconstruction_law(spark, old_rows, new_rows):
+    """table_diff is a faithful delta: (1) self-diff is empty; (2) the
+    statuses partition the key space correctly; (3) applying the diff
+    to `old` reconstructs `new` exactly — remove 'removed', replace
+    'changed' with new values, add 'added'."""
+    from data_table_spark.operators.relational import table_diff
+
+    schema = "k int, v int"
+    old = spark.createDataFrame(old_rows or [], schema)
+    new = spark.createDataFrame(new_rows or [], schema)
+    assert table_diff(old, old, ["k"]).count() == 0
+
+    diff = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    od, nd = dict(old_rows), dict(new_rows)
+    for k, r in diff.items():
+        if r["diff_status"] == "added":
+            assert k in nd and k not in od
+        elif r["diff_status"] == "removed":
+            assert k in od and k not in nd
+        else:
+            assert r["diff_status"] == "changed"
+            assert od[k] != nd[k] and r["old_v"] == od[k] and r["new_v"] == nd[k]
+    # reconstruction: old, patched by the diff, equals new
+    patched = {
+        k: v for k, v in od.items()
+        if k not in diff or diff[k]["diff_status"] == "changed"
+    }
+    for k, r in diff.items():
+        if r["diff_status"] == "added":
+            patched[k] = r["new_v"]
+        elif r["diff_status"] == "changed":
+            patched[k] = r["new_v"]
+        elif r["diff_status"] == "removed":
+            patched.pop(k, None)
+    assert patched == nd
+
+
+@SLOW
+@given(base_rows=_kv_rows, upd_rows=_kv_rows)
+def test_merge_upsert_laws(spark, base_rows, upd_rows):
+    """merge_upsert: updates win on key collision, base survives
+    elsewhere, and the merge is idempotent (re-applying the same
+    updates changes nothing)."""
+    from data_table_spark.operators.relational import merge_upsert
+
+    schema = "k int, v int"
+    base = spark.createDataFrame(base_rows or [], schema)
+    upd = spark.createDataFrame(upd_rows or [], schema)
+    merged = merge_upsert(base, upd, ["k"])
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    want = {**dict(base_rows), **dict(upd_rows)}
+    assert got == want and merged.count() == len(want)
+    again = merge_upsert(merged, upd, ["k"])
+    assert {r["k"]: r["v"] for r in again.collect()} == want
