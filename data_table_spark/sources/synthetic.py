@@ -1,0 +1,101 @@
+"""Synthetic-corpus generator as a Spark 4 Python DataSource
+(pyspark.sql.datasource) — `spark.read.format("synthetic_corpus")`.
+
+Why a data source and not a DataFrame builder: generation happens
+EXECUTOR-side, one InputPartition per slice, so a 10-billion-document
+load test never materializes anything on the driver and scales with the
+cluster exactly like a parquet scan (the reference has no generator;
+this extends the source surface the same way streaming extends the
+relational surface). Rows are a pure function of (seed, doc_id) via
+sha256 — the same options always produce byte-identical corpora, on any
+partition count, which is what makes generated load tests reproducible
+and lets tests assert determinism.
+
+Options: ``rows`` (total documents, default 1000), ``partitions``
+(parallelism, default 8), ``seed`` (default 42).
+
+Usage::
+
+    from data_table_spark.sources.synthetic import register
+    register(spark)
+    df = (spark.read.format("synthetic_corpus")
+          .option("rows", 100000).option("seed", 7).load())
+
+The emitted schema mirrors the testdata ``documents`` table
+(doc_id/text/lang/source/n_chars) so every corpus operator in
+operators/pipeline.py and operators/textstats.py runs on generated
+corpora unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu"
+).split()
+_LANGS = ("en", "de", "fr", "es")
+_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _digest(seed: int, doc_id: int, salt: int) -> int:
+    h = hashlib.sha256(f"{seed}:{doc_id}:{salt}".encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def _make_doc(seed: int, doc_id: int) -> tuple:
+    d0 = _digest(seed, doc_id, 0)
+    n_words = 5 + d0 % 40
+    words = [
+        _WORDS[_digest(seed, doc_id, 1 + i) % len(_WORDS)]
+        for i in range(n_words)
+    ]
+    text = " ".join(words)
+    lang = _LANGS[d0 % len(_LANGS)]
+    source = f"gen{d0 % 10}"
+    return (doc_id, text, lang, source, len(text))
+
+
+class _CorpusPartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self) -> list[InputPartition]:
+        per = -(-self.rows // self.num_partitions)  # ceil division
+        return [
+            _CorpusPartition(lo, min(lo + per, self.rows), self.seed)
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _CorpusPartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _make_doc(partition.seed, doc_id)
+
+
+class SyntheticCorpusDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticCorpusReader:
+        return SyntheticCorpusReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the current session."""
+    spark.dataSource.register(SyntheticCorpusDataSource)

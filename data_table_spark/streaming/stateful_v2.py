@@ -1,0 +1,83 @@
+"""Custom stateful operators on Spark 4's transformWithState API —
+the successor to applyInPandasWithState (SPARK-40434 era) with typed
+per-key state handles, timers, and TTL support.
+
+Same running-totals semantics as stateful.user_running_totals_stream,
+re-expressed as a StatefulProcessor so the repo exercises BOTH stateful
+surfaces (the test proves they agree on the replay corpus and match the
+batch aggregate). Why carry both:
+
+- applyInPandasWithState: one opaque state tuple per key, widest
+  deployment surface (works on the HDFS-backed provider).
+- transformWithState: named typed state slots (value/list/map) with
+  per-slot TTL, event/processing-time timers, and a first-class
+  initial-state handoff — the API you want for complex operators at
+  100 TB (slot-level eviction instead of whole-tuple churn). It
+  REQUIRES the RocksDB state-store provider (enforced by Spark), which
+  session.py exposes via SPARK_GRAFT_ROCKSDB_STATE, AND the
+  ``google.protobuf`` package at runtime — Spark's
+  transform_with_state driver worker deserializes state-protocol
+  messages via proto-generated classes (StateMessage_pb2). In
+  protobuf-less environments the test suite skips the equivalence
+  test and applyInPandasWithState remains the exercised path.
+
+State shape is identical in both: (n BIGINT, total DOUBLE) per user —
+memory bounded by active keys, not stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from .stateful import OUTPUT_SCHEMA
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user (n_events, total_value) accumulator in a named
+    ValueState slot; emits the updated totals each batch the user is
+    active (update semantics)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+    def handleInputRows(
+        self,
+        key: Tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timerValues,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithState form of the running-totals operator (update
+    mode, no timers). Spark rejects this on non-RocksDB providers —
+    enable SPARK_GRAFT_ROCKSDB_STATE (session.py) or set the provider
+    conf before starting the query."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -552,3 +552,37 @@ def test_parquet_schema_evolution_merge(spark, sf_smoke, tmp_path):
         (F.col("doc_id") >= 400) & F.col("lang").isNotNull()
     ).count()
     assert new_with_lang > 0
+
+
+def test_synthetic_corpus_datasource(spark):
+    """The Python DataSource corpus generator: correct schema and row
+    count, byte-identical output for the same seed regardless of
+    partition count (pure function of (seed, doc_id)), different seed →
+    different corpus, and generation is genuinely partition-parallel
+    (as many input partitions as requested)."""
+    from data_table_spark.sources.synthetic import register
+
+    register(spark)
+    rd = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 500).option("partitions", 8).option("seed", 7)
+    )
+    df = rd.load()
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 500).option("partitions", 3).option("seed", 7)
+        .load().collect()
+    )))
+    assert a == b, "same seed must be partition-count invariant"
+    c = sorted(map(tuple, (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 500).option("partitions", 8).option("seed", 8)
+        .load().collect()
+    )))
+    assert a != c, "different seed must change the corpus"
+    # n_chars matches the text, and the corpus ops run on it unchanged
+    assert df.where(F.length("text") != F.col("n_chars")).count() == 0

@@ -510,3 +510,69 @@ def test_streaming_upsert_replay_guard(spark, replay, tmp_path):
     )
     got = {tuple(r) for r in snap2.collect()}
     assert got == want
+
+
+def test_transform_with_state_matches_v1_and_batch(spark, replay, tmp_path):
+    """The transformWithState (StatefulProcessor) running-totals operator
+    must produce the same final per-user totals as both the
+    applyInPandasWithState form and the batch aggregate. Runs on the
+    RocksDB provider (transformWithState requires it). Skipped where
+    google.protobuf is unavailable: Spark's transform_with_state driver
+    worker imports its proto-generated state-message classes at startup
+    (StateMessage_pb2), so the API is unusable without protobuf — the
+    applyInPandasWithState form (no proto dependency) remains the
+    exercised stateful path in that environment."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker needs protobuf",
+    )
+    from data_table_spark.streaming.stateful import user_running_totals_batch
+    from data_table_spark.streaming.stateful_v2 import user_running_totals_tws
+
+    src, events = replay
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = user_running_totals_tws(stream)
+        name = "tws_totals"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got_df = spark.table(name)
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    # update mode re-emits per batch: keep each user's LAST emission
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # the replay source includes the sentinel row (value may be NaN-free
+    # real value) — the batch expectation covers the same union
+    all_events = events.unionByName(_sentinel_df(events))
+    expected = user_running_totals_batch(all_events)
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expected.select(*final.columns).collect()}
+    assert got == want
