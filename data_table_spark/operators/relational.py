@@ -2080,3 +2080,162 @@ RELATIONAL_ORACLE["q75_corr_matrix"] = (
     "  ROUND(CORR(l_extendedprice, l_discount), 4), "
     "  ROUND(COVAR_SAMP(l_extendedprice, l_discount), 4) FROM lineitem"
 )
+
+
+def q76_transition_matrix(spark, sf_dir):
+    """Event-transition matrix (path analysis): per user, each
+    consecutive event_type bigram counted corpus-wide — the Markov
+    transition counts product analytics builds funnels from. One lag()
+    window partitioned on user_id + one global count aggregation; the
+    bigram never materializes per-path strings, just two columns."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+RELATIONAL_QUERIES["q76_transition_matrix"] = q76_transition_matrix
+RELATIONAL_ORACLE["q76_transition_matrix"] = (
+    "WITH seq AS ("
+    "  SELECT event_type, LAG(event_type) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "  FROM events) "
+    "SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions "
+    "FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+)
+
+
+def q77_outliers(spark, sf_dir):
+    """Per-group statistical outliers: orders priced more than 2 sample
+    standard deviations above their customer's mean. The per-customer
+    moments come from ONE aggregation joined back on the same shuffle
+    key (never a per-row correlated subquery); customers with a single
+    order have NULL stddev and are excluded by the comparison in both
+    engines. The z-score is recomputed from the same double moments in
+    both engines and rounded for output only."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        o.join(stats, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("mu") + 2 * F.col("sigma"))
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sigma"), 3)
+            .alias("z"),
+            "n_orders",
+        )
+    )
+
+
+RELATIONAL_QUERIES["q77_outliers"] = q77_outliers
+RELATIONAL_ORACLE["q77_outliers"] = (
+    "WITH stats AS ("
+    "  SELECT o_custkey, AVG(o_totalprice) AS mu, "
+    "    STDDEV_SAMP(o_totalprice) AS sigma, COUNT(*) AS n_orders "
+    "  FROM orders GROUP BY o_custkey) "
+    "SELECT o.o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, "
+    "  ROUND((o_totalprice - mu) / sigma, 3) AS z, n_orders "
+    "FROM orders o JOIN stats s ON o.o_custkey = s.o_custkey "
+    "WHERE o_totalprice > mu + 2 * sigma"
+)
+
+
+#: q78 bounded fuzzy-match slice (the exact oracle for fuzzy entity
+#: matching; the scale path is blocking — join on a cheap key like
+#: soundex/prefix/length-band FIRST, then levenshtein only candidates)
+FUZZY_BOUND = 300
+
+
+def q78_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching: near-identical part names (levenshtein
+    distance 1-2) within a bounded slice. The quadratic compare is
+    bounded to FUZZY_BOUND parts BY DESIGN — like the n-gram Jaccard
+    gate it exists as the exact oracle; at 100 TB you block first
+    (the shared trailing noun here, cutting candidates ~50×
+    before any edit-distance is computed) and levenshtein only the
+    blocked candidates."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < FUZZY_BOUND)
+        .select("p_partkey", "p_name")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # blocking on the trailing noun: part names are
+            # "adjective noun", so near-matches share the noun while the
+            # adjective carries the edit distance
+            & (
+                F.substring_index("a.p_name", " ", -1)
+                == F.substring_index("b.p_name", " ", -1)
+            ),
+        )
+        .withColumn("dist", F.levenshtein("a.p_name", "b.p_name"))
+        .where(F.col("dist").between(1, 2))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+RELATIONAL_QUERIES["q78_fuzzy_match"] = q78_fuzzy_match
+RELATIONAL_ORACLE["q78_fuzzy_match"] = (
+    "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+    "  a.p_name AS name_a, b.p_name AS name_b, "
+    "  levenshtein(a.p_name, b.p_name) AS dist "
+    f"FROM part a, part b "
+    f"WHERE a.p_partkey < {FUZZY_BOUND} AND b.p_partkey < {FUZZY_BOUND} "
+    "  AND a.p_partkey < b.p_partkey "
+    "  AND split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1) "
+    "  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2"
+)
+
+
+def q79_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20 by support. The self-join keys on l_orderkey, so both
+    sides share ONE shuffle and the pair explosion is bounded by the
+    per-order line count squared (≤ ~13² here — basket width, never
+    corpus size; the classic a<b dedup halves it)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q79_cooccurrence"] = q79_cooccurrence
+RELATIONAL_ORACLE["q79_cooccurrence"] = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+    "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "  COUNT(*) AS n_orders "
+    "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey "
+    "GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+)
