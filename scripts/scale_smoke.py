@@ -53,6 +53,11 @@ GATES = [
     ("q66_tpch_q21_shape", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q65_tpch_q18_shape", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q12_group_agg", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # round-5 analytics over the scaled facts: basket self-join
+    # (pair space must stay bounded by basket width, not corpus) and
+    # the day-spine densification (spine grows with users, not days²)
+    ("q79_cooccurrence", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q73_gap_fill", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -76,6 +81,9 @@ _MARKER = "_SCALE_V2"
 DIM_BROADCAST_FLOOR = {
     "q66_tpch_q21_shape": 1,   # supplier (filtered-orders side may flip)
     "q65_tpch_q18_shape": 1,   # customer (orders + big-keys sides may flip)
+    "q79_cooccurrence": 0,     # fact-fact SELF-join: the sf0.1 broadcast
+                               # side IS the scaled fact — SMJ at sf1 is
+                               # the only correct plan
 }
 
 PLAN_NODES = (
