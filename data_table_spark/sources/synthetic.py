@@ -73,6 +73,8 @@ class SyntheticCorpusReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
 
     def partitions(self) -> list[InputPartition]:
+        if self.rows <= 0:  # empty corpus: one empty slice, not range(0,0,0)
+            return [_CorpusPartition(0, 0, self.seed)]
         per = -(-self.rows // self.num_partitions)  # ceil division
         return [
             _CorpusPartition(lo, min(lo + per, self.rows), self.seed)

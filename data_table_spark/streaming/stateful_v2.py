@@ -4,8 +4,12 @@ per-key state handles, timers, and TTL support.
 
 Same running-totals semantics as stateful.user_running_totals_stream,
 re-expressed as a StatefulProcessor so the repo exercises BOTH stateful
-surfaces (the test proves they agree on the replay corpus and match the
-batch aggregate). Why carry both:
+surfaces. The equivalence test compares v2 DIRECTLY against the v1
+stream on the same replayed files and against the batch aggregate —
+but ONLY in protobuf-capable environments; where google.protobuf is
+absent (as in this container) the test skips and this module has no
+executed coverage, so treat it as API-correct-but-unproven there.
+Why carry both:
 
 - applyInPandasWithState: one opaque state tuple per key, widest
   deployment surface (works on the HDFS-backed provider).

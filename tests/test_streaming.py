@@ -514,19 +514,23 @@ def test_streaming_upsert_replay_guard(spark, replay, tmp_path):
 
 def test_transform_with_state_matches_v1_and_batch(spark, replay, tmp_path):
     """The transformWithState (StatefulProcessor) running-totals operator
-    must produce the same final per-user totals as both the
-    applyInPandasWithState form and the batch aggregate. Runs on the
-    RocksDB provider (transformWithState requires it). Skipped where
-    google.protobuf is unavailable: Spark's transform_with_state driver
-    worker imports its proto-generated state-message classes at startup
-    (StateMessage_pb2), so the API is unusable without protobuf — the
-    applyInPandasWithState form (no proto dependency) remains the
-    exercised stateful path in that environment."""
+    must produce the same final per-user totals as BOTH the
+    applyInPandasWithState form (v1, streamed over the same files) and
+    the batch aggregate. Runs on the RocksDB provider
+    (transformWithState requires it). Skipped where google.protobuf is
+    unavailable: Spark's transform_with_state driver worker imports its
+    proto-generated state-message classes at startup (StateMessage_pb2),
+    so the API is unusable without protobuf — in that environment
+    stateful_v2.py has NO executed coverage and the
+    applyInPandasWithState form remains the exercised stateful path."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState driver worker needs protobuf",
     )
-    from data_table_spark.streaming.stateful import user_running_totals_batch
+    from data_table_spark.streaming.stateful import (
+        user_running_totals_batch,
+        user_running_totals_stream,
+    )
     from data_table_spark.streaming.stateful_v2 import user_running_totals_tws
 
     src, events = replay
@@ -569,10 +573,37 @@ def test_transform_with_state_matches_v1_and_batch(spark, replay, tmp_path):
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # the replay source includes the sentinel row (value may be NaN-free
-    # real value) — the batch expectation covers the same union
+    # the replay source includes the sentinel row — the expectations
+    # cover the same union
     all_events = events.unionByName(_sentinel_df(events))
     expected = user_running_totals_batch(all_events)
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expected.select(*final.columns).collect()}
     assert got == want
+    # direct v1 (applyInPandasWithState) vs v2 equivalence on the SAME
+    # replayed stream — not merely transitive through the batch oracle.
+    # v1 is update-mode stateful, so it streams through its own
+    # update-mode memory sink (run_stream_over_files is append-only).
+    v1_stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q1 = (
+        user_running_totals_stream(v1_stream)
+        .writeStream.format("memory")
+        .queryName("v1_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_v1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    v1_final = (
+        spark.table("v1_totals")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got_v1 = {tuple(r) for r in v1_final.select(*final.columns).collect()}
+    assert got == got_v1
