@@ -976,3 +976,57 @@ PIPELINE_ORACLE["pipe_quality_report"] = (
     "  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short "
     "FROM documents GROUP BY source"
 )
+
+
+#: deterministic-shuffle geometry: shard count (= training data-loader
+#: parallelism) and the epoch seed folded into the hash key
+SHUFFLE_SHARDS = 16
+SHUFFLE_EPOCH = 1
+
+
+def pipe_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle: every document gets an epoch-seeded
+    (shard, position) — the global training order a data loader consumes
+    as "read shard s sequentially, s assigned round-robin". Shard AND
+    within-shard order both key on md5(epoch ⊕ doc_id), so (a) the order
+    is reproducible bit-for-bit on any cluster, (b) changing
+    SHUFFLE_EPOCH re-deals the entire order with zero state (no RNG, no
+    persisted permutation), and (c) appending documents never perturbs
+    the relative order of existing ones within an unchanged epoch. The
+    position window partitions BY SHARD — parallelism = shard count, no
+    global single-reducer sort (the classic global ORDER BY md5 would
+    be); at 100 TB raise SHUFFLE_SHARDS to the loader worker count."""
+    d = load_table(spark, "documents", sf_dir)
+    key = F.md5(
+        F.concat(
+            F.lit(f"ep{SHUFFLE_EPOCH}␟"), F.col("doc_id").cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % SHUFFLE_SHARDS
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            shard.alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+PIPELINE_QUERIES["pipe_shuffle_shards"] = pipe_shuffle_shards
+_SHUF_KEY = f"md5('ep{SHUFFLE_EPOCH}' || chr(9247) || CAST(doc_id AS VARCHAR))"
+PIPELINE_ORACLE["pipe_shuffle_shards"] = (
+    "WITH k AS ("
+    f"  SELECT doc_id, {_SHUF_KEY} AS sort_key, "
+    f"    (('0x' || substr({_SHUF_KEY}, 1, 8))::BIGINT % {SHUFFLE_SHARDS}) "
+    "      AS shard FROM documents) "
+    "SELECT doc_id, shard, ROW_NUMBER() OVER ("
+    "  PARTITION BY shard ORDER BY sort_key, doc_id) AS pos FROM k"
+)
