@@ -201,3 +201,32 @@ def runtime_filter(
     dim_key = dim_key or fact_key
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return fact.join(F.broadcast(keys), [fact_key], "left_semi")
+
+
+def write_sorted_ranges(
+    df: DataFrame,
+    path: str,
+    col: str,
+    num_ranges: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet write — the
+    single-column form of Z-ordering for data skipping. Rows are
+    range-partitioned on ``col`` (sampled range bounds, so partitions
+    are balanced even on skewed data) and sorted within each partition
+    before writing; every parquet row group then covers a TIGHT,
+    near-disjoint [min, max] span of ``col``, and any later read with a
+    predicate on ``col`` skips whole row groups via footer statistics
+    instead of decoding them. The write costs exactly one extra shuffle
+    (the range exchange); reads need no option — parquet predicate
+    pushdown uses the stats automatically. At 100 TB this is the
+    difference between scanning a day and scanning a year for a
+    time-range query over an unpartitioned-by-time table (pair with
+    write_partitioned when the filter column has few distinct values;
+    use THIS when it is continuous)."""
+    (
+        df.repartitionByRange(num_ranges, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's compatibility default) carries NO parquet
+        # min/max statistics, so every timestamp-range predicate decodes
+        # every row group — TIMESTAMP_MICROS restores stats-based
+        # row-group skipping (asserted in test_plans.py's
+        # write_sorted_ranges test) at identical µs precision
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -462,3 +462,65 @@ def test_merge_upsert_validate_unique(spark, sf_dir):
     # unique updates pass the check and merge normally
     ok = merge_upsert(base, o.limit(10), ["o_orderkey"], validate_unique=True)
     assert ok.groupBy("o_orderkey").count().where(F.col("count") > 1).count() == 0
+
+
+def test_write_sorted_ranges_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """write_sorted_ranges must produce parquet whose row-group [min,max]
+    spans on the sort column are tight enough that a narrow range
+    predicate overlaps only a small fraction of row groups (checked
+    against the actual footer statistics via pyarrow — the same stats
+    parquet predicate pushdown skips with), while an unsorted write of
+    the same data leaves nearly every row group overlapping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_table_spark.operators.scale import write_sorted_ranges
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+
+    def naive_utc(dt):
+        # TIMESTAMP_MICROS stats come back tz-aware UTC from pyarrow;
+        # the probe bounds are naive UTC
+        return dt.replace(tzinfo=None) if dt.tzinfo else dt
+
+    def span_overlap(path_glob, lo, hi):
+        total = overlapping = 0
+        for part in glob.glob(path_glob):
+            md = pq.ParquetFile(part).metadata
+            idx = [
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "ts"
+            ][0]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                assert st is not None and st.has_min_max, (
+                    "ts row group lost its statistics — INT96 regression? "
+                    "(session.py pins outputTimestampType=TIMESTAMP_MICROS)"
+                )
+                total += 1
+                if naive_utc(st.min) <= hi and naive_utc(st.max) >= lo:
+                    overlapping += 1
+        return overlapping, total
+
+    sorted_path = str(tmp_path / "ev_sorted")
+    write_sorted_ranges(e, sorted_path, "ts", num_ranges=8)
+    plain_path = str(tmp_path / "ev_plain")
+    # deliberately scrambled: repartition by hash of id → every file
+    # holds a full time-span sample
+    e.repartition(8, "event_id").write.parquet(plain_path)
+
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 11)
+    s_over, s_total = span_overlap(f"{sorted_path}/*.parquet", lo, hi)
+    p_over, p_total = span_overlap(f"{plain_path}/*.parquet", lo, hi)
+    assert s_total >= 8 and p_total >= 8
+    # sorted: the one-day window touches ≤ 1/4 of row groups;
+    # scrambled: it touches (essentially) all of them
+    assert s_over / s_total <= 0.25, (s_over, s_total)
+    assert p_over / p_total >= 0.9, (p_over, p_total)
+    # and the data round-trips completely
+    assert spark.read.parquet(sorted_path).count() == e.count()
