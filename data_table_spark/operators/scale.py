@@ -16,6 +16,8 @@ isn't enough or when a join key is reused across many queries:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -230,3 +232,51 @@ def write_sorted_ranges(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~``target_mb``
+    outputs — the maintenance sweep every streaming/incremental sink
+    eventually needs (each micro-batch or MERGE snapshot writes its own
+    files; a million 1 MB files makes listing and scan startup the
+    bottleneck long before data volume does). Returns the new file
+    count.
+
+    Sizing reads the REAL on-disk bytes (not row counts), so compressed
+    width is respected; ``sort_col`` optionally re-sorts while
+    compacting (one pass doubles as a write_sorted_ranges refresh).
+    The rewrite goes to a sibling temp dir then atomically swaps via
+    rename — a reader never sees a half-compacted directory. Driver
+    memory is O(file count) for the listing only.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    files = [
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.coalesce(n_out)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return len([
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ])

@@ -524,3 +524,31 @@ def test_write_sorted_ranges_rowgroup_skipping(spark, sf_dir, tmp_path):
     assert p_over / p_total >= 0.9, (p_over, p_total)
     # and the data round-trips completely
     assert spark.read.parquet(sorted_path).count() == e.count()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """compact_small_files: many tiny files in, few right-sized files
+    out, content identical, atomic swap leaves no temp dirs behind."""
+    from data_table_spark.operators.scale import compact_small_files
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    path = str(tmp_path / "fragmented")
+    e.repartition(40).write.parquet(path)  # simulate 40 micro-batch files
+    import glob
+
+    before_files = len(glob.glob(path + "/*.parquet"))
+    assert before_files >= 40
+    before = e.count()
+    n_after = compact_small_files(spark, path, target_mb=128)
+    assert n_after < before_files / 4
+    back = spark.read.parquet(path)
+    assert back.count() == before
+    assert sorted(back.columns) == ["event_id", "ts", "value"]
+    assert not glob.glob(str(tmp_path / "fragmented._compact*"))
+    # sorted variant: compaction doubles as a sort refresh
+    path2 = str(tmp_path / "fragmented2")
+    e.repartition(40).write.parquet(path2)
+    compact_small_files(spark, path2, target_mb=128, sort_col="ts")
+    back2 = spark.read.parquet(path2)
+    assert back2.count() == before
