@@ -247,32 +247,60 @@ def compact_small_files(
     bottleneck long before data volume does). Returns the new file
     count.
 
+    CONTRACT: the directory must be QUIESCED for the swap — no
+    concurrent writers (a file committed between the listing and the
+    swap would be lost with the old directory) and readers must
+    tolerate the brief rename gap. For live datasets use the versioned-
+    snapshot + pointer scheme (streaming/upsert.py), where compaction
+    writes a NEW version and readers never touch directories mid-swap.
+    Crash recovery is built in: a sweep that died between renames left
+    the data intact in ``<path>._compact_old`` — the next call restores
+    it; a stale ``._compact_tmp`` from a died write is discarded.
+
+    Hive-partitioned layouts (key=value subdirectories) are rejected —
+    compacting them flat would silently drop the partition columns from
+    the layout and kill static pruning; run the sweep per partition
+    directory instead.
+
     Sizing reads the REAL on-disk bytes (not row counts), so compressed
     width is respected; ``sort_col`` optionally re-sorts while
-    compacting (one pass doubles as a write_sorted_ranges refresh).
-    The rewrite goes to a sibling temp dir then atomically swaps via
-    rename — a reader never sees a half-compacted directory. Driver
-    memory is O(file count) for the listing only.
+    compacting (the pass IS a write_sorted_ranges refresh — same code).
+    Driver memory is O(file count) for the listing only.
     """
     import glob as _glob
     import shutil as _shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # crash recovery from a previous sweep, before anything else
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # died between the two renames
+        else:
+            _shutil.rmtree(old)  # died before rmtree; path already live
+    if os.path.exists(tmp):
+        _shutil.rmtree(tmp)  # died mid-write; tmp is garbage
 
     files = [
         f for f in _glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isfile(f)
     ]
+    if not files:
+        nested = _glob.glob(os.path.join(path, "*", "*.parquet"))
+        if nested:
+            raise ValueError(
+                f"compact_small_files: {path} is hive-partitioned — "
+                "compacting it flat would drop the partition layout; "
+                "sweep each partition directory instead"
+            )
+        return 0
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if sort_col is not None:
-        df = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
-            sort_col
-        )
+        write_sorted_ranges(df, tmp, sort_col, num_ranges=n_out)
     else:
-        df = df.coalesce(n_out)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     _shutil.rmtree(old)

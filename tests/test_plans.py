@@ -489,6 +489,8 @@ def test_write_sorted_ranges_rowgroup_skipping(spark, sf_dir, tmp_path):
         total = overlapping = 0
         for part in glob.glob(path_glob):
             md = pq.ParquetFile(part).metadata
+            if md.num_row_groups == 0:  # schema-only part file
+                continue
             idx = [
                 i for i in range(md.num_columns)
                 if md.row_group(0).column(i).path_in_schema == "ts"
@@ -513,8 +515,14 @@ def test_write_sorted_ranges_rowgroup_skipping(spark, sf_dir, tmp_path):
 
     import datetime
 
-    lo = datetime.datetime(2024, 1, 10)
-    hi = datetime.datetime(2024, 1, 11)
+    # probe a one-day window in the middle of the FIXTURE's actual span
+    # (hardcoded dates would break under SPARK_GRAFT_TEST_SF overrides)
+    t_min, t_max = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = t_min + (t_max - t_min) / 2
+    lo = mid
+    hi = mid + datetime.timedelta(days=1)
+    assert t_max - t_min > datetime.timedelta(days=8), (
+        "fixture span too narrow for a meaningful skipping ratio")
     s_over, s_total = span_overlap(f"{sorted_path}/*.parquet", lo, hi)
     p_over, p_total = span_overlap(f"{plain_path}/*.parquet", lo, hi)
     assert s_total >= 8 and p_total >= 8
@@ -552,3 +560,39 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     compact_small_files(spark, path2, target_mb=128, sort_col="ts")
     back2 = spark.read.parquet(path2)
     assert back2.count() == before
+
+
+def test_compact_small_files_recovery_and_guards(spark, sf_dir, tmp_path):
+    """compact_small_files edge contract: crash leftovers are recovered
+    (data stranded in ._compact_old is restored; stale ._compact_tmp is
+    discarded), and hive-partitioned layouts are rejected instead of
+    silently flattened."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.scale import (
+        compact_small_files,
+        write_partitioned,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "ts")
+    # simulate a crash between the two renames: path missing, old present
+    path = str(tmp_path / "ds")
+    e.limit(500).repartition(5).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    os.rename(path, path + "._compact_old")
+    # plus a stale tmp from a died write
+    e.limit(10).write.parquet(path + "._compact_tmp")
+    compact_small_files(spark, path, target_mb=128)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    # partitioned layout is rejected, data untouched
+    part = str(tmp_path / "parted")
+    write_partitioned(
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")), part, ["day"]
+    )
+    before = spark.read.parquet(part).count()
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_small_files(spark, part)
+    assert spark.read.parquet(part).count() == before
