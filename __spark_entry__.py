@@ -112,26 +112,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-5 window: 19 never-green oracle-backed gates (the two
+# Round-5 window: 20 never-green oracle-backed gates (the two
 # pinned-codebook IVF gates proving the k-means serving path;
 # media_decode_features, which GAINED a DuckDB oracle this round — the
 # fake-decode features are pure byte arithmetic and the ASCII fixture
-# makes per-char ord() replay them exactly; and the sixteen new round-5
+# makes per-char ord() replay them exactly; and the seventeen new round-5
 # operators (see the list below), including Q21/Q2 shapes, MERGE, runtime
 # semi-join filter, SCD2 intervals, corpus quality report, incremental
 # aggregate maintenance, snapshot table diff, gap fill, histogram,
 # correlation matrix) + 3 gates changed this round (q60:
 # try_parse_json/TRY_CAST null-safety; recursive-CTE CC:
 # dominated-label + simple-path pruning; q65: collapsed
-# HAVING-subquery rewrite — one lineitem scan) + 28 re-proofs ordered
+# HAVING-subquery rewrite — one lineitem scan) + 27 re-proofs ordered
 # STALEST FIRST: the 15 r1-proven gates that ceded their slots to
 # round-4's new gates and are now three rounds old (the round-4
-# judge's top item), then 13 of the r2-proven cohort (media_byte_stats,
+# judge's top item), then 12 of the r2-proven cohort (media_byte_stats,
 # pipe_split_assign, q52_except_all, text_fingerprint,
 # udf_table_function_tokens, ref_select_columns, ref_sub_table,
-# ref_add_column, ref_format_output, q50_right_join and
-# q53_intersect_all cede to the new/changed gates (joins keep asof +
-# the fresh q66/q67 rows; set-ops keep q25/q26/q51 in-window) — each
+# ref_add_column, ref_format_output, q50_right_join,
+# q53_intersect_all and text_langid cede to the new/changed gates
+# (joins keep asof + the fresh q66/q67 rows; set-ops keep
+# q25/q26/q51; text keeps text_token_stats in-window) — each
 # keeps its r2 row and full pytest oracle coverage, with family
 # siblings in-window: q25/q26/q51/q53, token_stats+langid, udf_scalar,
 # and the three trickiest ref_* positional gates).
@@ -158,6 +159,7 @@ _PRIORITY = [
     "q79_cooccurrence",           # new: market-basket pair support
     "pipe_quality_report",        # new: one-pass corpus profile
     "pipe_shuffle_shards",        # new: deterministic epoch shuffle
+    "q80_ab_test",                # new: two-proportion z readout
     # --- changed this round (priority rule 2) ---
     "q60_variant_extract",        # try_parse_json + TRY_CAST null parity
     "dedup_clusters_recursive_sql",  # walk pruning (dominated/simple-path)
@@ -178,7 +180,7 @@ _PRIORITY = [
     "stream_attribution", "ref_coerce_types",
     "ref_overlay_region", "ref_cell_ops", "dedup_exact_normalized",
     "dedup_ngram_jaccard_pairs", "sim_bruteforce_topk",
-    "text_token_stats", "text_langid",
+    "text_token_stats",
     "udf_scalar_net_price",
 ]
 
