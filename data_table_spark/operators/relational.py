@@ -2255,13 +2255,14 @@ def q80_ab_test(spark, sf_dir):
     """A/B experiment readout: users split into two deterministic arms
     (user_id parity stands in for the assignment column), per-arm
     conversion to 'purchase', and the pooled two-proportion z statistic
-    — the hypothesis-test arithmetic run after every experiment. ONE
-    aggregation pass builds both arms' moments (per-user conversion
-    flags first, then arm-level counts — two groupBys sharing the
-    user_id→arm lineage); the z-score is a pure scalar expression over
-    the 2-row result, computed identically in both engines and rounded
-    for output. At 100 TB nothing here is driver-side: the 2-row arm
-    table carries all sufficient statistics."""
+    — the hypothesis-test arithmetic run after every experiment. The
+    per-user conversion flags reduce to BOTH arms' sufficient
+    statistics in one conditional aggregation over one events scan
+    (plan-verified: a per-arm groupBy + self-join would scan and
+    aggregate twice); the z-score is a pure scalar expression over the
+    1-row result, computed identically in both engines, NULL in both
+    when the pooled variance degenerates to zero. At 100 TB nothing
+    here is driver-side."""
     e = _t(spark, sf_dir, "events")
     # conversion = the user's FIRST event (by ts, event_id) is a
     # purchase — a genuinely varying behavioral flag at every scale
@@ -2280,26 +2281,29 @@ def q80_ab_test(spark, sf_dir):
         )
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
     )
-    arms = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").alias("n_converted"),
+    # both arms' sufficient statistics from ONE conditional aggregation
+    # (a per-arm groupBy + self-join would scan and aggregate the events
+    # lineage twice — the arm filter pushes below the aggregate, so
+    # exchange reuse never fires)
+    arm0 = F.col("arm") == 0
+    j = per_user.agg(
+        F.sum(arm0.cast("long")).alias("n0"),
+        F.sum(F.when(arm0, F.col("converted")).otherwise(0)).alias("c0"),
+        F.sum((~arm0).cast("long")).alias("n1"),
+        F.sum(F.when(~arm0, F.col("converted")).otherwise(0)).alias("c1"),
     )
-    a = arms.where(F.col("arm") == 0).select(
-        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
-    )
-    b = arms.where(F.col("arm") == 1).select(
-        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
-    )
-    j = a.crossJoin(F.broadcast(b))
     p0 = F.col("c0") / F.col("n0")
     p1 = F.col("c1") / F.col("n1")
     pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
     se = F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    # degenerate pooled variance (all or none converted) → NULL z in
+    # BOTH engines, instead of Spark NULL-vs-DuckDB inf divergence
+    z = F.when(se > 0, F.round((p1 - p0) / se, 4))
     return j.select(
         "n0", "c0", "n1", "c1",
         F.round(p0, 6).alias("rate_a"),
         F.round(p1, 6).alias("rate_b"),
-        F.round((p1 - p0) / se, 4).alias("z_score"),
+        z.alias("z_score"),
     )
 
 
@@ -2310,20 +2314,23 @@ RELATIONAL_ORACLE["q80_ab_test"] = (
     "    et := event_type))).et = 'purchase' AS INT) AS converted, "
     "    CAST(user_id % 2 AS INT) AS arm "
     "  FROM events GROUP BY user_id), "
-    "arms AS ("
-    "  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted "
-    "  FROM per_user GROUP BY arm), "
     "j AS ("
-    "  SELECT a.n_users AS n0, a.n_converted AS c0, "
-    "         b.n_users AS n1, b.n_converted AS c1 "
-    "  FROM (SELECT * FROM arms WHERE arm = 0) a, "
-    "       (SELECT * FROM arms WHERE arm = 1) b) "
+    "  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0, "
+    "         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS c0, "
+    "         SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS n1, "
+    "         SUM(CASE WHEN arm <> 0 THEN converted ELSE 0 END) AS c1 "
+    "  FROM per_user), "
+    "m AS ("
+    "  SELECT n0, c0, n1, c1, "
+    "    SQRT(((c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
+    "         (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
+    "         (1.0 / n0 + 1.0 / n1)) AS se "
+    "  FROM j) "
     "SELECT n0, c0, n1, c1, "
     "  ROUND(c0 / CAST(n0 AS DOUBLE), 6) AS rate_a, "
     "  ROUND(c1 / CAST(n1 AS DOUBLE), 6) AS rate_b, "
-    "  ROUND((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) / "
-    "    SQRT(((c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
-    "         (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
-    "         (1.0 / n0 + 1.0 / n1)), 4) AS z_score "
-    "FROM j"
+    "  CASE WHEN se > 0 THEN "
+    "    ROUND((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) / se, 4) "
+    "  END AS z_score "
+    "FROM m"
 )

@@ -286,7 +286,9 @@ def compact_small_files(
         if os.path.isfile(f)
     ]
     if not files:
-        nested = _glob.glob(os.path.join(path, "*", "*.parquet"))
+        nested = _glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
         if nested:
             raise ValueError(
                 f"compact_small_files: {path} is hive-partitioned — "
