@@ -968,12 +968,16 @@ def pipe_quality_report(spark, sf_dir):
 
 PIPELINE_QUERIES["pipe_quality_report"] = pipe_quality_report
 PIPELINE_ORACLE["pipe_quality_report"] = (
+    # CAST(SUM(..) AS BIGINT): DuckDB SUM(int) is HUGEINT → pandas
+    # float64 on the driver, hash-mismatching Spark's long output.
     "SELECT source, COUNT(*) AS n_docs, "
-    "  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text, "
+    "  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    "    AS n_null_text, "
     "  ROUND(AVG(n_chars), 2) AS avg_chars, "
     "  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, "
     "  COUNT(DISTINCT lang) AS n_langs, "
-    "  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short "
+    "  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)"
+    "    AS n_short "
     "FROM documents GROUP BY source"
 )
 

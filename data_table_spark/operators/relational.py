@@ -1711,11 +1711,14 @@ def q69_runtime_filter(spark, sf_dir):
     LEFT SEMI join that prunes the fact BEFORE its aggregation shuffle —
     the manual form of Spark's runtime bloom/DPP filters, for when the
     filter column isn't the partition column. At 100 TB the semi join
-    drops ~95% of lineitem bytes ahead of the groupBy exchange; the
-    pruned-key set stays a broadcast because it is bounded by the dim
-    predicate's selectivity, not fact size. Plan asserted in
-    tests/test_plans.py (BroadcastExchange + LeftSemi, no extra
-    Exchange before the final agg's).
+    drops ~95% of lineitem bytes ahead of the groupBy exchange. The
+    broadcast hint is GUARDED (scale.py runtime_filter): it is added
+    only while Catalyst's dim size estimate fits the session broadcast
+    threshold — an unconditional hint would override the threshold and
+    OOM on a dim that outgrows it — so past the threshold the plan
+    legitimately degrades to a shuffled semi join. Plan asserted in
+    tests/test_plans.py (BroadcastExchange + LeftSemi for the small-dim
+    case, shuffled-semi fallback for the oversized case).
     """
     from .scale import runtime_filter
 
@@ -1841,8 +1844,12 @@ def q71_incremental_agg(spark, sf_dir):
 
 RELATIONAL_QUERIES["q71_incremental_agg"] = q71_incremental_agg
 RELATIONAL_ORACLE["q71_incremental_agg"] = (
+    # CAST(SUM(..) AS BIGINT): DuckDB SUM over integers yields HUGEINT,
+    # which the driver's pandas canonicalizer renders as float64 ("9.0")
+    # while Spark emits a long ("9") — hash mismatch with identical values.
     "SELECT o_custkey, COUNT(*) AS n_orders, "
-    "  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents, "
+    "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    "    AS sum_cents, "
     "  MAX(o_orderdate) AS last_order "
     "FROM orders GROUP BY o_custkey"
 )
@@ -2314,11 +2321,14 @@ RELATIONAL_ORACLE["q80_ab_test"] = (
     "    et := event_type))).et = 'purchase' AS INT) AS converted, "
     "    CAST(user_id % 2 AS INT) AS arm "
     "  FROM events GROUP BY user_id), "
+    # CAST(..AS BIGINT): DuckDB SUM(int) is HUGEINT → pandas float64 on
+    # the driver, breaking the hash vs Spark's long. Cast in the CTE so
+    # every downstream use inherits BIGINT.
     "j AS ("
-    "  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0, "
-    "         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS c0, "
-    "         SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS n1, "
-    "         SUM(CASE WHEN arm <> 0 THEN converted ELSE 0 END) AS c1 "
+    "  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+    "         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0, "
+    "         CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "         CAST(SUM(CASE WHEN arm <> 0 THEN converted ELSE 0 END) AS BIGINT) AS c1 "
     "  FROM per_user), "
     "m AS ("
     "  SELECT n0, c0, n1, c1, "

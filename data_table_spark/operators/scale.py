@@ -187,22 +187,42 @@ def runtime_filter(
     dim_key: str | None = None,
 ) -> DataFrame:
     """Dynamic semi-join reduction: prune ``fact`` to the keys that
-    survive ``dim``'s predicates, as a broadcast LEFT SEMI join — the
-    manual counterpart of Spark's runtime bloom filter / dynamic
-    partition pruning, for cases where the join column is not the
-    partition column and the optimizer doesn't inject one itself.
+    survive ``dim``'s predicates, as a (preferably broadcast) LEFT SEMI
+    join — the manual counterpart of Spark's runtime bloom filter /
+    dynamic partition pruning, for cases where the join column is not
+    the partition column and the optimizer doesn't inject one itself.
 
     The key set is deduplicated BEFORE the broadcast so its size is
     bounded by the dim predicate's selectivity (distinct surviving
     keys), never by fact size; the semi join then drops fact rows
-    before any downstream shuffle touches them. If the filtered dim
-    outgrows the broadcast threshold Spark falls back to a shuffled
-    semi join on its own — semantics are unchanged, only the physical
-    strategy degrades.
+    before any downstream shuffle touches them.
+
+    The broadcast HINT is guarded, not unconditional: a hinted
+    ``F.broadcast()`` OVERRIDES ``spark.sql.autoBroadcastJoinThreshold``
+    and is always attempted (Spark's 8 GB broadcast hard cap, with
+    driver/executor OOM well before it) — so the hint is added only
+    when Catalyst's size estimate for the UNFILTERED dim (a safe upper
+    bound on the distinct key set; size-only stats carry filters at
+    child size) fits the session threshold. Past it, the plain semi
+    join lets the planner pick a shuffled semi join — semantics are
+    unchanged, only the physical strategy degrades.
     """
     dim_key = dim_key or fact_key
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
-    return fact.join(F.broadcast(keys), [fact_key], "left_semi")
+    spark = fact.sparkSession
+    try:
+        threshold = int(
+            spark._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+        est = int(
+            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # Connect / stat-less plans: defer to the planner
+        threshold, est = 0, 1
+    if 0 <= est <= threshold:
+        keys = F.broadcast(keys)
+    return fact.join(keys, [fact_key], "left_semi")
 
 
 def write_sorted_ranges(
@@ -269,6 +289,19 @@ def compact_small_files(
     """
     import glob as _glob
     import shutil as _shutil
+
+    # LOCAL FILESYSTEM ONLY: discovery/swap use glob + os.rename, which
+    # silently find zero files on hdfs:// or s3a:// paths — and at scale
+    # that is exactly where sinks live. Fail loud instead of no-op;
+    # remote layouts should compact via a versioned rewrite
+    # (streaming/upsert.py's snapshot scheme) where the swap is a
+    # pointer update, not a rename.
+    if "://" in path:
+        raise ValueError(
+            "compact_small_files handles local filesystem paths only "
+            f"(got {path!r}); use a versioned-snapshot rewrite for "
+            "hdfs://, s3a:// and other remote filesystems"
+        )
 
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"

@@ -120,8 +120,24 @@ def run_streaming_upsert(
         # merge and overwriting the directory the merge would read from
         # (crashes BEFORE the swap leave the pointer at the previous
         # version and replay cleanly).
-        if _pointer_version(state_dir) == version:
+        applied = _pointer_version(state_dir)
+        if applied == version:
             return
+        # checkpoint/state-dir mismatch guard: a NEW query (fresh
+        # checkpoint) restarts batch ids at 0; folding batch 0 onto a
+        # state that already applied v{n>0} double-applies every batch
+        # for non-idempotent merges (additive rollups). The pointer
+        # carries the highest applied id — an incoming id BELOW it can
+        # only mean the checkpoint does not belong to this state_dir,
+        # so fail fast instead of silently corrupting the snapshot.
+        if applied is not None and batch_id < int(applied.lstrip("v")):
+            raise RuntimeError(
+                f"streaming upsert replay mismatch: state {state_dir} "
+                f"already applied {applied} but the checkpoint delivered "
+                f"batch {batch_id} — fresh checkpoint against existing "
+                "state? Point the query at a fresh state_dir or restore "
+                "the original checkpoint."
+            )
         sess = batch.sparkSession
         cur = read_snapshot(sess, state_dir)
         new_state = merge_fn(cur, batch)

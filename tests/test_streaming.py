@@ -512,6 +512,34 @@ def test_streaming_upsert_replay_guard(spark, replay, tmp_path):
     assert got == want
 
 
+def test_streaming_upsert_checkpoint_state_mismatch_raises(
+    spark, replay, tmp_path
+):
+    """A NEW query (fresh checkpoint, batch ids restart at 0) pointed at
+    an ALREADY-COMPLETE state dir must fail fast instead of silently
+    re-folding every batch onto the finished snapshot — for a
+    non-idempotent merge_fn (additive rollup) that double-applies. The
+    pointer records the highest applied batch id; an incoming id below
+    it can only mean checkpoint/state mismatch."""
+    from data_table_spark.streaming.upsert import (
+        latest_per_key_merge,
+        run_streaming_upsert,
+    )
+
+    src, events = replay
+    merge = latest_per_key_merge(["user_id"], ["ts", "event_id"])
+    s1 = str(tmp_path / "s1")
+    run_streaming_upsert(
+        spark, src, events.schema, s1, str(tmp_path / "ck1"), merge
+    )
+    with open(os.path.join(s1, "_LATEST")) as f:
+        assert f.read().strip() != "v0"  # precondition: >1 batch applied
+    with pytest.raises(Exception, match="replay mismatch"):
+        run_streaming_upsert(
+            spark, src, events.schema, s1, str(tmp_path / "ck_fresh"), merge
+        )
+
+
 def test_transform_with_state_matches_v1_and_batch(spark, replay, tmp_path):
     """The transformWithState (StatefulProcessor) running-totals operator
     must produce the same final per-user totals as BOTH the
