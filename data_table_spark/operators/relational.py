@@ -2344,3 +2344,27 @@ RELATIONAL_ORACLE["q80_ab_test"] = (
     "  END AS z_score "
     "FROM m"
 )
+
+
+def ntile_approx_buckets(spark, sf_dir):
+    """The scale-safe global ntile (operators/scale.ntile_approx) as a
+    registry gate — the variant that replaces q22's single-reducer
+    global ORDER BY window at 100 TB (q22 stays registered for exact
+    reference parity only; see PLANS.md). Rows-only BY NATURE: pass 1's
+    Greenwald-Khanna quantile sketch is Spark-side and has no DuckDB
+    replay. Correctness is pinned instead by the golden test
+    (tests/test_plans.py::test_ntile_approx_golden_and_plan — ≥99%
+    per-row agreement with exact ntile, pass-2 plan asserted
+    window/sort/shuffle-free) and this gate's bucket profile is stable
+    per dataset (boundaries are deterministic for a given input)."""
+    from .scale import ntile_approx
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        ntile_approx(o, "o_totalprice", n=4)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+RELATIONAL_QUERIES["ntile_approx_buckets"] = ntile_approx_buckets

@@ -18,6 +18,8 @@ defaults here (10-minute watermark) are deliberate, documented knobs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -281,6 +283,55 @@ def stream_topk_trending(spark, sf_dir):
     from ..sources.registry import load_table
 
     return trending_topk(load_table(spark, "events", sf_dir))
+
+
+def stream_upsert_snapshot(spark, sf_dir):
+    """Gate: the REAL foreachBatch MERGE sink (streaming/upsert.py) in
+    the hard signal — not a batch stand-in. Events are re-written as a
+    4-file parquet directory and replayed one file per micro-batch;
+    each batch folds into a fresh versioned snapshot via
+    ``latest_per_key_merge`` and the gate returns the live (pointer)
+    snapshot. Deterministic and DuckDB-replayable because the fold is
+    an order-insensitive max(struct(ts, event_id, …)) per user — any
+    batch split converges to the same latest-per-key table (the q59
+    pattern, proven batch==stream in tests/test_streaming.py). The
+    work dir is a fixed path cleaned at entry so repeated gate runs
+    (driver, bench best-of-2) never collide or leak unboundedly."""
+    import shutil
+    import tempfile
+
+    from ..sources.registry import load_table
+    from .upsert import latest_per_key_merge, run_streaming_upsert
+
+    events = load_table(spark, "events", sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "dts_stream_upsert_gate",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    events.repartition(4).write.parquet(src)
+    return run_streaming_upsert(
+        spark,
+        src,
+        events.schema,
+        os.path.join(work, "state"),
+        os.path.join(work, "ck"),
+        latest_per_key_merge(["user_id"], ["ts", "event_id"]),
+    )
+
+
+STREAMJOIN_QUERIES["stream_upsert_snapshot"] = stream_upsert_snapshot
+STREAMJOIN_ORACLE["stream_upsert_snapshot"] = (
+    # latest row per user by (ts, event_id) — event_id is unique at
+    # every sf, so the arg-max is deterministic; column order mirrors
+    # the events schema the sink preserves
+    "SELECT event_id, ts, user_id, event_type, value, props FROM ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC"
+    "  ) rn FROM events"
+    ") WHERE rn = 1"
+)
 
 
 STREAMJOIN_QUERIES["stream_topk_trending"] = stream_topk_trending

@@ -221,3 +221,52 @@ def test_merge_upsert_laws(spark, base_rows, upd_rows):
     assert got == want and merged.count() == len(want)
     again = merge_upsert(merged, upd, ["k"])
     assert {r["k"]: r["v"] for r in again.collect()} == want
+
+
+_HOWS = ("inner", "left", "left_semi", "left_anti", "right", "full")
+
+_skew_large = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.integers(-5, 5),
+    ),
+    min_size=0, max_size=8,
+)
+_skew_small = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),
+        st.integers(-5, 5),
+    ),
+    min_size=0, max_size=6, unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(large_rows=_skew_large, small_rows=_skew_small, hot=st.integers(0, 3))
+def test_salted_join_equals_plain_join_all_hows(
+    spark, large_rows, small_rows, hot
+):
+    """salted_join must equal the plain join for every supported `how`,
+    including the trickiest equality-preserving rewrite — the right/full
+    decomposition into salted-matched ∪ anti-joined unmatched — under
+    the conditions it exists for: a hot key dominating the large side,
+    plus NULL keys on both sides (equi-join semantics: NULL matches
+    nothing, outer forms must surface it null-padded exactly once per
+    row)."""
+    from data_table_spark.operators.scale import salted_join
+
+    # plant the hot key: the large side is dominated by `hot` replicas
+    large_rows = list(large_rows) + [(hot, i) for i in range(8)]
+    large = spark.createDataFrame(large_rows, "k int, a int")
+    small = spark.createDataFrame(small_rows or [], "k int, b int")
+    for how in _HOWS:
+        got = salted_join(large, small, "k", how=how, salt=4)
+        want = large.join(small, ["k"], how)
+        assert sorted(got.columns) == sorted(want.columns), how
+        g = sorted(map(tuple, got.select(*want.columns).collect()),
+                   key=repr)
+        w = sorted(map(tuple, want.collect()), key=repr)
+        assert g == w, f"how={how}: {g} != {w}"
