@@ -13,10 +13,11 @@ Two decode paths:
   and the mapInPandas plumbing earns a hash-exact driver row.
 - ``fake=False``: a REAL decoder for the formats decodable without
   external codecs — netpbm P5/P6 images (header + raw raster, parsed
-  with numpy) and PCM WAV audio (stdlib ``wave``) — with a Pillow
-  fallback for other image formats when PIL is importable, and
+  with numpy), baseline 8-bit PNG (stdlib ``zlib`` inflate + spec
+  de-filtering in numpy), and PCM WAV audio (stdlib ``wave``) — with a
+  Pillow fallback for other image formats when PIL is importable, and
   NotImplementedError only for formats nothing present can decode
-  (JPEG/PNG/MP4 without PIL/pyav — that is the remaining plug point).
+  (JPEG/MP4 without PIL/pyav — that is the remaining plug point).
 """
 
 from __future__ import annotations
@@ -131,12 +132,104 @@ def _decode_wav(blob: bytes) -> list[float]:
     return [float(nch), float(rate), float(nframes), rms]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(blob: bytes) -> list[float]:
+    """REAL codec-free PNG decode (stdlib ``zlib`` + numpy unfiltering):
+    8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA — the PNG
+    baseline every encoder emits by default. Chunks are walked for IHDR
+    and the IDAT stream; scanlines are de-filtered per the spec (None /
+    Sub / Up / Average / Paeth; Up vectorizes, the left-dependent
+    filters run a per-byte loop — fine for feature extraction).
+    Features match the other image decoders: [width, height, 255.0,
+    mean of the ITU-R 601 luma (exact (299R+587G+114B)/1000, alpha
+    ignored)]. Raises ValueError on malformed/16-bit/interlaced input
+    (caller converts per policy)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or interlace or channels is None:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}) — baseline 8-bit only"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 addition wraps mod 256 per spec
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = line.astype(np.int32)
+            out = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(out[x - channels]) if x >= channels else 0
+                up = int(prev[x])
+                ul = int(prev[x - channels]) if x >= channels else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else up if pb <= pc else ul
+                    )
+                out[x] = (int(cur[x]) + pred) & 0xFF
+            line = out.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        img[y] = line
+        prev = line
+    px = img.reshape(h, w, channels).astype(np.float64)
+    if channels >= 3:  # RGB(A) → ITU-R 601 luma; alpha ignored
+        gray = (
+            px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+        ) / 1000.0
+    else:  # gray or gray+alpha → the gray channel
+        gray = px[..., 0]
+    return [float(w), float(h), 255.0, float(gray.mean())]
+
+
 def _decode_real(blob: bytes) -> list[float]:
-    """Dispatch on magic bytes: netpbm and WAV decode codec-free; other
-    image formats fall back to Pillow when importable; anything else is
-    the remaining real-codec plug point."""
+    """Dispatch on magic bytes: netpbm, PNG and WAV decode codec-free;
+    other image formats fall back to Pillow when importable; anything
+    else is the remaining real-codec plug point."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_netpbm(blob)
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _decode_wav(blob)
     try:
@@ -151,8 +244,8 @@ def _decode_real(blob: bytes) -> list[float]:
         return [float(img.width), float(img.height), 255.0, float(arr.mean())]
     except ImportError:
         raise NotImplementedError(
-            "media format not decodable codec-free (netpbm/WAV are; for "
-            "JPEG/PNG install Pillow, for video plug in pyav here)"
+            "media format not decodable codec-free (netpbm/PNG/WAV are; "
+            "for JPEG install Pillow, for video plug in pyav here)"
         ) from None
 
 
