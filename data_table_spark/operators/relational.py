@@ -2368,3 +2368,382 @@ def ntile_approx_buckets(spark, sf_dir):
 
 
 RELATIONAL_QUERIES["ntile_approx_buckets"] = ntile_approx_buckets
+
+
+# --------------------------------------------------------------------------
+# round-6 TPC-H breadth: the remaining classic query SHAPES, adapted to
+# this fixture's schema (no partsupp / l_shipmode / l_commitdate /
+# o_comment — predicates are re-cast onto existing columns; the shapes
+# themselves — EXISTS/NOT-EXISTS decorrelation, double aggregation,
+# scalar-subquery thresholds, disjunctive join predicates, per-group
+# averages — are what SURVEY §2.3 declares and what Catalyst must plan
+# well). Money is summed in integer cents/e4 wherever a SUM feeds the
+# hash gate, per the SURVEY §2.3 BIGINT oracle rule.
+# --------------------------------------------------------------------------
+
+
+def q81_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (priority count): EXISTS(lineitem shipped after
+    the order date) decorrelated to ONE left-semi join on the order key
+    with the date comparison as the join residual — the semi join keeps
+    the probe at order granularity (no fan-out, no distinct) and the
+    groupBy that follows reduces to the 5 priority rows. At 100 TB the
+    only fact shuffle is the semi join's; the order-date window prunes
+    at the scan (PushedFilters)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+RELATIONAL_QUERIES["q81_tpch_q4_shape"] = q81_tpch_q4_shape
+RELATIONAL_ORACLE["q81_tpch_q4_shape"] = (
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l "
+    "  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority"
+)
+
+
+def q82_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer order distribution): LEFT join so
+    zero-order customers survive with count 0, then the double
+    aggregation — per-customer order count, then the distribution of
+    those counts. The first groupBy keys on the join key (c_custkey),
+    so with AQE the join's exchange is reused and the distribution agg
+    runs over |customers| rows, already tiny. The non-join predicate
+    (priority filter) rides on the orders side BEFORE the join, as the
+    spec's ON-clause semantics require for outer joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+RELATIONAL_QUERIES["q82_tpch_q13_shape"] = q82_tpch_q13_shape
+RELATIONAL_ORACLE["q82_tpch_q13_shape"] = (
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "  FROM customer LEFT JOIN orders "
+    "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey"
+    ") GROUP BY c_count"
+)
+
+
+def q83_tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): one conditional aggregate
+    over the lineitem-part join in a 3-month ship window — numerator
+    and denominator from the SAME pass, never two scans. Revenue is
+    summed in integer e4 units (price×(1−discount) is a 4-decimal
+    quantity) so the sums are associativity-proof and the BIGINT/ratio
+    split keeps the oracle HUGEINT-free; the pct is a pure scalar over
+    the 1-row result. part is a broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-12-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+        ).alias("promo_rev_e4"),
+        F.sum(rev).alias("total_rev_e4"),
+    )
+    return agg.select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        F.round(
+            F.lit(100.0) * F.col("promo_rev_e4") / F.col("total_rev_e4"), 4
+        ).alias("promo_pct"),
+    )
+
+
+RELATIONAL_QUERIES["q83_tpch_q14_shape"] = q83_tpch_q14_shape
+RELATIONAL_ORACLE["q83_tpch_q14_shape"] = (
+    "WITH r AS ("
+    "  SELECT p_type, "
+    "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+    "      AS rev "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-12-01'), "
+    "a AS ("
+    "  SELECT "
+    "    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)"
+    "      AS promo_rev_e4, "
+    "    CAST(SUM(rev) AS BIGINT) AS total_rev_e4 "
+    "  FROM r) "
+    "SELECT promo_rev_e4, total_rev_e4, "
+    "  ROUND(100.0 * promo_rev_e4 / total_rev_e4, 4) AS promo_pct FROM a"
+)
+
+
+def q84_tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part average quantity is computed with ONE window over
+    l_partkey instead of the spec's correlated subquery (which would
+    re-scan lineitem) — one shuffle on the part key after the brand
+    filter semi-joins the fact down to the brand's parts (broadcast).
+    Quantities are integral doubles, so the window AVG is exact and the
+    0.2·avg comparison is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    j = li.join(
+        p.select("p_partkey"),
+        li["l_partkey"] == p["p_partkey"],
+        "left_semi",
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = j.withColumn("avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return flt.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+RELATIONAL_QUERIES["q84_tpch_q17_shape"] = q84_tpch_q17_shape
+RELATIONAL_ORACLE["q84_tpch_q17_shape"] = (
+    "SELECT COUNT(*) AS n_lines, "
+    "  ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_brand = 'Brand#23' AND l.l_quantity < ("
+    "  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+    "  WHERE l2.l_partkey = l.l_partkey)"
+)
+
+
+def q85_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers, partsupp-free): nested
+    semi-join reduction — parts filtered by name prefix semi-join the
+    1997 lineitems, the surviving rows aggregate per supplier with a
+    HAVING threshold, and THAT key set semi-joins the supplier dim.
+    Every step shrinks the data before the next; nothing fans out.
+    Quantity sums run as BIGINT (quantities are integral doubles)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(
+            p.select("p_partkey"),
+            li["l_partkey"] == p["p_partkey"],
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .where(F.col("qty") > 300)
+    )
+    return s.join(
+        shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+RELATIONAL_QUERIES["q85_tpch_q20_shape"] = q85_tpch_q20_shape
+RELATIONAL_ORACLE["q85_tpch_q20_shape"] = (
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+    "  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "  WHERE p_name LIKE 'small%' "
+    "    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+    "  GROUP BY l_suppkey "
+    "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)"
+)
+
+
+def q86_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers in target
+    segments with an above-average balance and NO RECENT order (the
+    fixture has no orderless customers, so 'recent' makes the anti set
+    real — 615 of 1500 at sf0.01). The scalar average is ONE 1-row
+    aggregate broadcast-crossed into the probe (no correlated re-scan),
+    balances compare in exact integer cents, and the NOT EXISTS is a
+    left-anti join against the pruned recent-orders key set."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    segs = ("AUTOMOBILE", "MACHINERY", "HOUSEHOLD")
+    pool = c.where(F.col("c_mktsegment").isin(*segs))
+    avg_bal = pool.where(F.col("bal_cents") > 0).agg(
+        F.avg("bal_cents").alias("avg_cents")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    rich = pool.join(F.broadcast(avg_bal)).where(
+        F.col("bal_cents") > F.col("avg_cents")
+    )
+    lonely = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return lonely.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q86_tpch_q22_shape"] = q86_tpch_q22_shape
+RELATIONAL_ORACLE["q86_tpch_q22_shape"] = (
+    "WITH cc AS ("
+    "  SELECT c_custkey, c_mktsegment, "
+    "    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents "
+    "  FROM customer "
+    "  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')), "
+    "a AS (SELECT AVG(bal_cents) AS avg_cents FROM cc WHERE bal_cents > 0) "
+    "SELECT c_mktsegment, COUNT(*) AS numcust, "
+    "  CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents "
+    "FROM cc, a WHERE bal_cents > avg_cents "
+    "AND NOT EXISTS (SELECT 1 FROM orders "
+    "  WHERE o_custkey = cc.c_custkey AND o_orderdate >= '2001-01-01') "
+    "GROUP BY c_mktsegment"
+)
+
+
+def q87_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important stock, partsupp-free): per-part value
+    vs a fraction of the GLOBAL value — the group-vs-global-scalar
+    pattern. The naive form (rollup ⋈ broadcast(rollup.agg())) plans
+    TWO fact scans because the rollup's exchange does not canonicalize
+    to a reusable subtree; instead the global sum is a single-partition
+    window over the ROLLUP — the fact is scanned and pre-aggregated
+    exactly once, and the single partition holds only |parts| rows
+    (plan-asserted: one parquet scan). Values in exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("val_cents")
+    )
+    thr = (F.sum("val_cents").over(Window.partitionBy()) * 0.0006)
+    return (
+        pv.withColumn("threshold", thr)
+        .where(F.col("val_cents") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "val_cents")
+    )
+
+
+RELATIONAL_QUERIES["q87_tpch_q11_shape"] = q87_tpch_q11_shape
+RELATIONAL_ORACLE["q87_tpch_q11_shape"] = (
+    "WITH pv AS ("
+    "  SELECT l_partkey, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+    "      AS val_cents "
+    "  FROM lineitem GROUP BY l_partkey) "
+    "SELECT l_partkey AS partkey, val_cents FROM pv "
+    "WHERE val_cents > (SELECT SUM(val_cents) * 0.0006 FROM pv)"
+)
+
+
+def q88_tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive discounted revenue): the OR-of-ANDs
+    predicate spanning both sides. Catalyst extracts the common
+    p_partkey equi-key so this plans as a hash join with the
+    disjunction as the residual filter — NEVER a nested-loop join
+    (plan-asserted in tests/test_plans.py). Revenue in exact e4
+    integers as in q83."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (li["l_partkey"] == p["p_partkey"]) & (
+        (
+            (p["p_brand"] == "Brand#12")
+            & p["p_size"].between(1, 15)
+            & li["l_quantity"].between(1, 11)
+        )
+        | (
+            (p["p_brand"] == "Brand#23")
+            & p["p_size"].between(1, 25)
+            & li["l_quantity"].between(10, 20)
+        )
+        | (
+            (p["p_brand"] == "Brand#34")
+            & p["p_size"].between(1, 35)
+            & li["l_quantity"].between(20, 30)
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return li.join(p, cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).alias("revenue_e4"),
+    )
+
+
+RELATIONAL_QUERIES["q88_tpch_q19_shape"] = q88_tpch_q19_shape
+RELATIONAL_ORACLE["q88_tpch_q19_shape"] = (
+    "SELECT COUNT(*) AS n_lines, "
+    "  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)"
+    "    AS BIGINT)) AS BIGINT) AS revenue_e4 "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey AND ("
+    "  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "    AND l_quantity BETWEEN 1 AND 11) OR "
+    "  (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "    AND l_quantity BETWEEN 10 AND 20) OR "
+    "  (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+    "    AND l_quantity BETWEEN 20 AND 30))"
+)
+
+
+def q89_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part relationship count): distinct
+    suppliers per (brand, type, size) over the lineitem-part join,
+    excluding a brand and a supplier blocklist. The blocklist NOT-IN
+    runs as a broadcast left-anti join (s_suppkey is non-null, so anti
+    ≡ NOT IN); part is a broadcast dim; the only fact shuffle is the
+    count-distinct's partial-agg exchange on the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    j = li.join(
+        bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    ).join(p, li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+RELATIONAL_QUERIES["q89_tpch_q16_shape"] = q89_tpch_q16_shape
+RELATIONAL_ORACLE["q89_tpch_q16_shape"] = (
+    "SELECT p_brand, p_type, p_size, "
+    "  COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#45' "
+    "  AND p_size IN (1, 5, 9, 14, 20, 25, 30, 36) "
+    "  AND l_suppkey NOT IN ("
+    "    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size"
+)

@@ -596,3 +596,51 @@ def test_compact_small_files_recovery_and_guards(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="hive-partitioned"):
         compact_small_files(spark, part)
     assert spark.read.parquet(part).count() == before
+
+
+def test_q81_semi_join_shape(spark, sf_dir):
+    """Q4 shape: the EXISTS must decorrelate to a single semi join —
+    never a fan-out inner join + distinct, never a nested loop."""
+    p = _plan(RELATIONAL_QUERIES["q81_tpch_q4_shape"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q84_window_not_self_join(spark, sf_dir):
+    """Q17 shape: the correlated per-part average must run as ONE
+    window over l_partkey (single fact scan), not the spec's
+    self-join/re-scan form."""
+    p = _plan(RELATIONAL_QUERIES["q84_tpch_q17_shape"](spark, sf_dir))
+    assert p.count("Scan parquet") == 2, p  # lineitem + part, once each
+    assert p.count("Window") == 1, p
+    assert "LeftSemi" in p  # brand filter arrives as a semi join
+
+
+def test_q87_single_fact_scan(spark, sf_dir):
+    """Q11 shape: the global threshold must come from a single-partition
+    window over the parts-sized rollup — ONE lineitem scan (the naive
+    rollup-join-aggregate form plans two; exchange reuse does not fire
+    for it)."""
+    p = _plan(RELATIONAL_QUERIES["q87_tpch_q11_shape"](spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Window") == 1, p
+
+
+def test_q88_disjunction_stays_hash_join(spark, sf_dir):
+    """Q19 shape: Catalyst must extract the common p_partkey equi-key
+    from the OR-of-ANDs predicate and plan a hash join with the
+    disjunction as residual — never a nested-loop join."""
+    p = _plan(RELATIONAL_QUERIES["q88_tpch_q19_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q89_not_in_as_anti_join(spark, sf_dir):
+    """Q16 shape: the supplier blocklist must run as a broadcast
+    left-anti join (s_suppkey is non-null, so anti ≡ NOT IN), with part
+    broadcast as a dim."""
+    p = _plan(RELATIONAL_QUERIES["q89_tpch_q16_shape"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert p.count("BroadcastHashJoin") == 2, p
