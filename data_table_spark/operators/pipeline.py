@@ -1034,3 +1034,62 @@ PIPELINE_ORACLE["pipe_shuffle_shards"] = (
     "SELECT doc_id, shard, ROW_NUMBER() OVER ("
     "  PARTITION BY shard ORDER BY sort_key, doc_id) AS pos FROM k"
 )
+
+
+#: weighted-interleave geometry: per-source stride in 1/12ths (stride =
+#: 12/weight, so src0 is sampled 4x and src1/src2 2x as densely as the
+#: default); interpolated into the oracle SQL so gate and oracle cannot
+#: desynchronize
+INTERLEAVE_STRIDES = {"src0": 3, "src1": 6, "src2": 6}
+INTERLEAVE_DEFAULT_STRIDE = 12
+INTERLEAVE_N = 200
+
+
+def pipe_interleave_sources(spark, sf_dir):
+    """Deterministic weighted source interleave — the training-mixture
+    schedule: every document gets a virtual position vt = (h+1)·stride,
+    where h is a uniform md5 hash and stride ∝ 1/weight, so reading the
+    corpus in vt order interleaves sources at their weight ratios
+    (stride scheduling) with NO RNG, no state, reproducible bit-for-bit
+    and stable under appends. Integer arithmetic end-to-end: vt is a
+    BIGINT, so the global order has no float-boundary ambiguity. The
+    gate takes the first INTERLEAVE_N positions: orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition partial top-N, single
+    N-row merge) — no global sort at any scale; the full-corpus
+    consumer instead writes vt with write_sorted_ranges and streams
+    shards in order."""
+    d = load_table(spark, "documents", sf_dir)
+    stride = F.lit(INTERLEAVE_DEFAULT_STRIDE)
+    for src, s in INTERLEAVE_STRIDES.items():
+        stride = F.when(F.col("source") == src, F.lit(s)).otherwise(stride)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            ((h + 1) * stride).alias("vt"),
+        )
+        .orderBy("vt", "doc_id")
+        .limit(INTERLEAVE_N)
+    )
+
+
+PIPELINE_QUERIES["pipe_interleave_sources"] = pipe_interleave_sources
+PIPELINE_ORACLE["pipe_interleave_sources"] = (
+    "SELECT doc_id, source, "
+    "  (('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "    ::BIGINT + 1) * (CASE "
+    + " ".join(
+        f"WHEN source = '{src}' THEN {s}"
+        for src, s in INTERLEAVE_STRIDES.items()
+    )
+    + f" ELSE {INTERLEAVE_DEFAULT_STRIDE} END) AS vt "
+    "FROM documents "
+    f"ORDER BY vt, doc_id LIMIT {INTERLEAVE_N}"
+)

@@ -2747,3 +2747,34 @@ RELATIONAL_ORACLE["q89_tpch_q16_shape"] = (
     "    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
     "GROUP BY p_brand, p_type, p_size"
 )
+
+
+def q90_latest_n_per_key(spark, sf_dir):
+    """Latest-N-per-key (the "last 3 events per user" feature-store
+    primitive — q59's top-1 generalized): row_number over (user, recency
+    desc), keep rank ≤ 3. Spark pushes the rank bound into the window
+    sort as a per-partition top-N heap (WindowGroupLimit, plan-asserted)
+    — ONE shuffle on user_id with O(N) state per key, so a hot user
+    costs N rows of state, not its whole history. Tie-break on event_id
+    keeps the survivors deterministic."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "ts", "event_type")
+    )
+
+
+RELATIONAL_QUERIES["q90_latest_n_per_key"] = q90_latest_n_per_key
+RELATIONAL_ORACLE["q90_latest_n_per_key"] = (
+    "SELECT user_id, rn, event_id, ts, event_type FROM ("
+    "  SELECT user_id, event_id, ts, event_type, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "  FROM events"
+    ") WHERE rn <= 3"
+)

@@ -1046,3 +1046,51 @@ SIMILARITY_ORACLE["sim_bruteforce_topk_batch"] = (
     "  FROM scored"
     f") WHERE rank <= {BATCH_K}"
 )
+
+
+#: range-search demo: pinned probe set + cosine radius (0.2 yields a
+#: healthy non-trivial result at every sf on this fixture)
+RANGE_QUERY_IDS = (0, 1, 2, 3, 4)
+RANGE_TAU = 0.2
+
+
+def sim_range_search(spark, sf_dir):
+    """Range (radius) search — the similarity-search dual of top-k: ALL
+    corpus vectors within a cosine radius of each probe, the primitive
+    behind near-duplicate audits ("everything suspiciously close to X")
+    where k is unknowable a priori. The pinned probe set is broadcast
+    (|probes| rows); scoring is one embarrassingly-parallel corpus scan
+    with the radius filter applied map-side — output size is bounded by
+    the radius, never by k·|probes|. At 100 TB the same shape holds:
+    broadcast probes, one scan, no shuffle at all before the (already
+    tiny) result. Filter and output both use the 6-dp rounded score so
+    Spark and the oracle cut the same boundary."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ids = list(RANGE_QUERY_IDS)
+    q = e.where(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.where(F.col("cos_sim") >= RANGE_TAU)
+
+
+SIMILARITY_QUERIES["sim_range_search"] = sim_range_search
+SIMILARITY_ORACLE["sim_range_search"] = (
+    "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, "
+    "  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
+    "    q.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings q, embeddings e "
+    f"WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id "
+    "  AND ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
+    f"    q.embedding::DOUBLE[]), 6) >= {RANGE_TAU}"
+)

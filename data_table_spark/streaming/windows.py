@@ -347,3 +347,36 @@ STREAMJOIN_ORACLE["stream_topk_trending"] = (
     "  )::BIGINT rnk FROM c"
     f") WHERE rnk <= {TRENDING_K}"
 )
+
+
+def stream_sliding_counts(spark, sf_dir):
+    """Gate: batch form of S2 (sliding 10-minute windows every 5
+    minutes) through the SAME transform the stream runs (withWatermark
+    is a no-op on batch input). Every event lands in width/slide = 2
+    windows; the oracle replays F.window's epoch-aligned slide
+    arithmetic with a 2-offset UNNEST. Epoch-seconds projection keeps
+    the window bounds engine-neutral, as in stream_dedup_counts."""
+    from ..sources.registry import load_table
+
+    out = sliding_counts(load_table(spark, "events", sf_dir))
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        F.unix_timestamp("w_end").cast("long").alias("w_end_epoch"),
+        "event_type",
+        "cnt",
+    )
+
+
+STREAMJOIN_QUERIES["stream_sliding_counts"] = stream_sliding_counts
+STREAMJOIN_ORACLE["stream_sliding_counts"] = (
+    # F.window(ts, 10m, 5m): event t belongs to the two slide-aligned
+    # windows starting at floor(t/300)*300 and that minus 300
+    "WITH w AS ("
+    "  SELECT event_type, "
+    "    (FLOOR(epoch(ts) / 300) * 300 - k.off)::BIGINT AS ws "
+    "  FROM events, (VALUES (0), (300)) k(off)"
+    ") "
+    "SELECT ws AS w_start_epoch, (ws + 600)::BIGINT AS w_end_epoch, "
+    "  event_type, COUNT(*)::BIGINT AS cnt "
+    "FROM w GROUP BY 1, 2, 3"
+)
