@@ -2778,3 +2778,318 @@ RELATIONAL_ORACLE["q90_latest_n_per_key"] = (
     "  FROM events"
     ") WHERE rn <= 3"
 )
+
+
+def q91_tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_2's share of
+    ASIA-customer revenue per order year. Five joins, but only ONE is
+    fact-fact (lineitem⋈orders, the unavoidable SMJ at scale) — nation,
+    region, customer, supplier are broadcast dims, and the share is a
+    conditional aggregate over a single joined pass (numerator and
+    denominator together, never two scans). Revenue in exact e4
+    integers; the share ratio is a scalar over the per-year rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_in_asia = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, (n["n_regionkey"] == r["r_regionkey"]) & (r["r_name"] == "ASIA"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        ),
+        s["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_in_asia, o["o_custkey"] == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                rev.alias("rev_e4"), "supp_nation")
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", F.col("rev_e4"))
+            .otherwise(F.lit(0))
+        ).alias("nation_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+    )
+    return agg.select(
+        "o_year", "nation_rev_e4", "total_rev_e4",
+        F.round(
+            F.col("nation_rev_e4") / F.col("total_rev_e4"), 6
+        ).alias("mkt_share"),
+    )
+
+
+RELATIONAL_QUERIES["q91_tpch_q8_shape"] = q91_tpch_q8_shape
+RELATIONAL_ORACLE["q91_tpch_q8_shape"] = (
+    "WITH j AS ("
+    "  SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+    "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+    "      AS rev_e4, "
+    "    sn.n_name AS supp_nation "
+    "  FROM lineitem "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "  WHERE o_custkey IN ("
+    "    SELECT c_custkey FROM customer "
+    "    JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "    JOIN region ON cn.n_regionkey = r_regionkey "
+    "    WHERE r_name = 'ASIA')), "
+    "a AS ("
+    "  SELECT o_year, "
+    "    CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 "
+    "      ELSE 0 END) AS BIGINT) AS nation_rev_e4, "
+    "    CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4 "
+    "  FROM j GROUP BY o_year) "
+    "SELECT o_year, nation_rev_e4, total_rev_e4, "
+    "  ROUND(CAST(nation_rev_e4 AS DOUBLE) / total_rev_e4, 6) AS mkt_share "
+    "FROM a"
+)
+
+
+def q92_tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year,
+    partsupp-free): margin = discounted revenue − 80% of retail cost,
+    in exact e4 integers, over parts whose name contains 'red', grouped
+    by supplier nation × order year. part and supplier/nation broadcast;
+    lineitem⋈orders is the one fact-fact SMJ; the part name filter
+    semi-reduces the fact FIRST so the big join moves only matching
+    lines. (The spec's ps_supplycost is replaced by p_retailprice — the
+    fixture has no partsupp — preserving the join/agg shape.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp_nation = s.join(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("nation"),
+        ),
+        s["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+        ) * 10000
+    ).cast("long")
+    j = (
+        li.join(p.select("p_partkey", "p_retailprice"),
+                li["l_partkey"] == p["p_partkey"])
+        .join(o.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == o["o_orderkey"])
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
+    )
+    return (
+        j.select("nation", F.year("o_orderdate").alias("o_year"),
+                 profit.alias("profit_e4"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_e4").alias("sum_profit_e4"))
+    )
+
+
+RELATIONAL_QUERIES["q92_tpch_q9_shape"] = q92_tpch_q9_shape
+RELATIONAL_ORACLE["q92_tpch_q9_shape"] = (
+    "SELECT n_name AS nation, "
+    "  EXTRACT(year FROM o_orderdate) AS o_year, "
+    "  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) "
+    "    - 0.8 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS BIGINT)"
+    "    AS sum_profit_e4 "
+    "FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE p_name LIKE '%red%' "
+    "GROUP BY n_name, EXTRACT(year FROM o_orderdate)"
+)
+
+
+def q93_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping priority audit, l_shipmode-free:
+    l_returnflag stands in as the category): per category, counts of
+    high- vs low-priority orders among late-in-year shipments — the
+    join + dual conditional count. orders is the smaller side here and
+    broadcasts at this sf; at scale both sides are facts and AQE picks
+    SMJ. Counts via SUM(CASE) in exact integers."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
+RELATIONAL_QUERIES["q93_tpch_q12_shape"] = q93_tpch_q12_shape
+RELATIONAL_ORACLE["q93_tpch_q12_shape"] = (
+    "SELECT l_returnflag, "
+    "  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+    "GROUP BY l_returnflag"
+)
+
+
+def q94_tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a
+    quarter, then the supplier(s) achieving the GLOBAL maximum — the
+    scalar-max-subquery pattern. Like q87, the max is a single-partition
+    window over the SUPPLIER-sized rollup (one fact scan, plan shape
+    identical to Q11's threshold), then a broadcast join back to the
+    supplier dim for the name. Revenue in exact cents makes the
+    equality-with-max well-defined (double maxima are a tie-break
+    hazard)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("total_rev_e4")
+    )
+    mx = F.max("total_rev_e4").over(Window.partitionBy())
+    top = rev.withColumn("_mx", mx).where(
+        F.col("total_rev_e4") == F.col("_mx")
+    )
+    return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_rev_e4"
+    )
+
+
+RELATIONAL_QUERIES["q94_tpch_q15_shape"] = q94_tpch_q15_shape
+RELATIONAL_ORACLE["q94_tpch_q15_shape"] = (
+    "WITH rev AS ("
+    "  SELECT l_suppkey, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)"
+    "      AS BIGINT)) AS BIGINT) AS total_rev_e4 "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_rev_e4 "
+    "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)"
+)
+
+
+def q95_tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pure scan-filter-agg —
+    every predicate reaches the parquet scan (PushedFilters:
+    date range, discount band, quantity cap; plan-asserted), the
+    aggregate is map-side-combinable, and the answer is one row. The
+    simplest query in the suite and the one that most directly measures
+    scan + pushdown health at 100 TB. Revenue = extendedprice×discount
+    in exact e4 integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    flt = li.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return flt.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+            .cast("long")
+        ).alias("revenue_e4"),
+    )
+
+
+RELATIONAL_QUERIES["q95_tpch_q6_shape"] = q95_tpch_q6_shape
+RELATIONAL_ORACLE["q95_tpch_q6_shape"] = (
+    "SELECT COUNT(*) AS n_lines, "
+    "  CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))"
+    "    AS BIGINT) AS revenue_e4 "
+    "FROM lineitem "
+    "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+    "  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+def q96_tpch_q1_full(spark, sf_dir):
+    """TPC-H Q1 in FULL (q12_group_agg carries only part of Q1's
+    aggregate battery): per (returnflag, linestatus) — sum qty, sum
+    base price, sum discounted, sum charged, three averages, and the
+    row count, over a shipdate cutoff. One scan, one partial-aggregable
+    shuffle on a 6-group key; money sums in exact e4 integers, the
+    averages derived FROM those integer sums (identical in both
+    engines) rather than re-aggregated doubles."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    price_e4 = F.round(F.col("l_extendedprice") * 10000).cast("long")
+    disc_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    charge_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")) * 10000
+    ).cast("long")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(price_e4).alias("sum_base_e4"),
+        F.sum(disc_e4).alias("sum_disc_e4"),
+        F.sum(charge_e4).alias("sum_charge_e4"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_e4",
+        "sum_disc_e4", "sum_charge_e4", "count_order",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(
+            F.col("sum_base_e4") / F.col("count_order") / 10000.0, 6
+        ).alias("avg_price"),
+        F.round(
+            F.col("sum_disc_e4") / F.col("count_order") / 10000.0, 6
+        ).alias("avg_disc_price"),
+    )
+
+
+RELATIONAL_QUERIES["q96_tpch_q1_full"] = q96_tpch_q1_full
+RELATIONAL_ORACLE["q96_tpch_q1_full"] = (
+    "WITH a AS ("
+    "  SELECT l_returnflag, l_linestatus, "
+    "    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)"
+    "      AS sum_base_e4, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)"
+    "      AS BIGINT)) AS BIGINT) AS sum_disc_e4, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+    "      * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4, "
+    "    COUNT(*) AS count_order "
+    "  FROM lineitem WHERE l_shipdate <= '2001-09-01' "
+    "  GROUP BY l_returnflag, l_linestatus) "
+    "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_e4, "
+    "  sum_disc_e4, sum_charge_e4, count_order, "
+    "  ROUND(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty, "
+    "  ROUND(CAST(sum_base_e4 AS DOUBLE) / count_order / 10000.0, 6)"
+    "    AS avg_price, "
+    "  ROUND(CAST(sum_disc_e4 AS DOUBLE) / count_order / 10000.0, 6)"
+    "    AS avg_disc_price "
+    "FROM a"
+)

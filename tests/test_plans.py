@@ -644,3 +644,52 @@ def test_q89_not_in_as_anti_join(spark, sf_dir):
     p = _plan(RELATIONAL_QUERIES["q89_tpch_q16_shape"](spark, sf_dir))
     assert "LeftAnti" in p
     assert p.count("BroadcastHashJoin") == 2, p
+
+
+def test_runtime_filter_hint_guard_respects_threshold(spark, sf_dir):
+    """The broadcast hint must be WITHHELD when Catalyst's dim estimate
+    exceeds the session threshold (an unconditional hint would override
+    it — the round-5 ADVICE finding): with broadcasts disabled the same
+    call must plan a shuffled semi join, not a forced broadcast."""
+    from data_table_spark.operators.scale import runtime_filter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = _plan(runtime_filter(li, o, "l_orderkey", "o_orderkey"))
+        assert "BroadcastHashJoin" not in p, p
+        assert "LeftSemi" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and WITH the default threshold the small dim still broadcasts
+    p2 = _plan(runtime_filter(li, o, "l_orderkey", "o_orderkey"))
+    assert "BroadcastHashJoin" in p2 and "LeftSemi" in p2
+
+
+def test_q95_full_pushdown(spark, sf_dir):
+    """Q6: every predicate must reach the parquet scan — the pure
+    pushdown-health probe."""
+    p = _plan(RELATIONAL_QUERIES["q95_tpch_q6_shape"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull" in p
+    assert "Exchange" in p  # only the final 1-row agg exchange
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_q94_single_scan_scalar_max(spark, sf_dir):
+    """Q15: the global max must come from a window over the
+    supplier-sized rollup — one lineitem scan (same rule as q87)."""
+    p = _plan(RELATIONAL_QUERIES["q94_tpch_q15_shape"](spark, sf_dir))
+    assert p.count("Scan parquet") == 2, p  # lineitem + supplier, once
+    assert p.count("Window") == 1, p
+
+
+def test_q91_dims_broadcast_one_fact_join(spark, sf_dir):
+    """Q8: of the five joins only lineitem⋈orders may be fact-fact;
+    nation/region/customer/supplier must broadcast at this sf and no
+    nested loop may appear."""
+    p = _plan(RELATIONAL_QUERIES["q91_tpch_q8_shape"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") <= 1, p
