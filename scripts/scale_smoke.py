@@ -58,6 +58,12 @@ GATES = [
     # the day-spine densification (spine grows with users, not days²)
     ("q79_cooccurrence", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q73_gap_fill", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # round-6 corpus gates: the training-mixture interleave (first-N via
+    # TakeOrderedAndProject — cost must NOT grow with a global sort) and
+    # the cosine radius search (broadcast probe set, map-only scoring —
+    # the probe side is a true dim and must stay broadcast at 10×)
+    ("pipe_interleave_sources", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("sim_range_search", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -66,7 +72,11 @@ GATES = [
 #: oracle for the LSH path). For these the nested-loop check inverts:
 #: the node must appear at BOTH scales (the bound, not the data,
 #: decides the plan) and the runtime ratio must stay ~flat.
-BOUNDED_NESTED_LOOP_GATES = {"dedup_ngram_jaccard_pairs"}
+#: sim_range_search joins the corpus against the BROADCAST 5-row pinned
+#: probe set with a non-equi predicate — a BroadcastNestedLoopJoin whose
+#: build side is a constant, i.e. a map-side scoring pass; same
+#: scale-invariance rule applies.
+BOUNDED_NESTED_LOOP_GATES = {"dedup_ngram_jaccard_pairs", "sim_range_search"}
 
 #: synthesis-version marker: bumped when synthesize() changes so a
 #: cached DEST from an older script version is regenerated, not reused

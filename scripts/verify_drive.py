@@ -1,0 +1,67 @@
+"""Full driver-contract drive: entry smoke + EVERY registered query vs
+its DuckDB oracle (not just the 50-gate window — gate_check.py covers
+that faster pre-flight) using the driver-faithful Arrow comparator from
+tests/oracle_util.py. This is step 1 of the verify skill. Run from the
+repo root::
+
+    python scripts/verify_drive.py [sf_dir]
+
+Exit code 0 iff every oracle-backed gate matches and every rows-only
+gate evaluates.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from oracle_util import compare_to_oracle, duck_connection  # noqa: E402
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify_drive")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    print("entry rows:", len(entry_mod.entry(spark).collect()))
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duck_connection(sf)
+    fails = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf)
+            if name not in oracles:
+                ok, msg = df.count() >= 0, "rows-only"
+            else:
+                ok, msg = compare_to_oracle(df, con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        print(
+            f"{name:34s} {'ok' if ok else 'FAIL':4s} "
+            f"{time.time() - t0:6.2f}s  {msg[:160]}"
+        )
+        if not ok:
+            fails.append(name)
+    print(f"\n{len(qs) - len(fails)}/{len(qs)} green")
+    if fails:
+        print("FAILS:", fails)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
