@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 23 never-green oracle-backed gates — the three round-5
+# Round-6 window: 25 never-green oracle-backed gates — the three round-5
 # driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
 # values were verified byte-identical by the round-5 judge; the failures
 # were DuckDB-HUGEINT oracle typing, fixed this round with
@@ -127,15 +127,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # scalar-max, Q6 pure pushdown, and Q1's full aggregate battery — all
 # adapted to this schema), and four more extension gates:
 # q90_latest_n_per_key (WindowGroupLimit top-N), sim_range_search
-# (cosine radius, the top-k dual), pipe_interleave_sources (integer
-# stride-scheduling training mixture), stream_sliding_counts (S2's
-# sliding windows hash-proven in batch form); + 1 changed gate
+# (cosine radius, the top-k dual), sim_recall_report (recall@K of the
+# pinned IVF path vs brute force — ANN evaluation in the hash signal),
+# pipe_interleave_sources (integer stride-scheduling training mixture),
+# pipe_pii_scrub (regex PII redaction over planted deterministic PII),
+# stream_sliding_counts (S2's sliding windows hash-proven in batch
+# form); + 1 changed gate
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
-# overriding it — the round-5 ADVICE medium); + 26 re-proofs STALEST
+# overriding it — the round-5 ADVICE medium); + 24 re-proofs STALEST
 # FIRST: all 10 gates still resting on r2 rows (four rounds old —
-# judge item 2), then 16 of the 36 r3-proven gates (three rounds old).
-# Twenty r3 gates cede for the slot count, each with family siblings
+# judge item 2), then 14 of the 36 r3-proven gates (three rounds old).
+# Twenty-two r3 gates cede for the slot count (the two extra beyond the
+# twenty noted below: text_repetition — text keeps scrub plus the r2
+# langid/fingerprint — and pipe_pack_sequences — pipe keeps
+# split_assign/stratified plus three round-6 entries), each with family
+# siblings
 # in-window and its r3 row + pytest oracle intact: text_quality/
 # tfidf/oov/vocab (text keeps scrub+repetition in-window plus
 # langid+fingerprint from the r2 cohort), sim_lsh_topk_twins/
@@ -176,7 +183,9 @@ _PRIORITY = [
     "q95_tpch_q6_shape",          # NEW: pure scan-filter-agg pushdown
     "q96_tpch_q1_full",           # NEW: Q1's full aggregate battery
     "sim_range_search",           # NEW: cosine radius search
+    "sim_recall_report",          # NEW: recall@K of IVF vs brute force
     "pipe_interleave_sources",    # NEW: weighted stride interleave
+    "pipe_pii_scrub",             # NEW: planted-PII regex redaction
     "stream_sliding_counts",      # NEW: S2 sliding windows, batch form
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
@@ -192,11 +201,10 @@ _PRIORITY = [
     "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
     "dedup_minhash_pairs_bounded", "dedup_clusters_bounded",
     "sim_pairs_threshold",
-    "text_scrub", "text_repetition",
+    "text_scrub",
     "ref_compare", "media_byte_stats",
     "udf_grouped_map_stats",
     "pipe_split_assign", "pipe_stratified_sample",
-    "pipe_pack_sequences",
     "stream_dedup_counts",
 ]
 

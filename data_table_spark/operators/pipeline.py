@@ -1093,3 +1093,80 @@ PIPELINE_ORACLE["pipe_interleave_sources"] = (
     "FROM documents "
     f"ORDER BY vt, doc_id LIMIT {INTERLEAVE_N}"
 )
+
+
+#: PII patterns shared by the Spark expressions and the DuckDB oracle —
+#: plain-ASCII character classes only, so Java regex and RE2 agree
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE = "\\+?\\d[\\d -]{7,}\\d"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phone-like digit runs →
+    <PHONE> (in that order — the IP pass must run before the phone pass
+    or dotted quads' digit runs feed the phone pattern). Pure
+    regexp_replace expressions: map-side, codegen'd, zero shuffle — the
+    shape PII redaction must have at 100 TB. Patterns are conservative
+    ASCII classes that mean the same thing in Java regex (Spark) and
+    RE2 (DuckDB); counts are taken BEFORE scrubbing."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL)).cast("long")) \
+        .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4)).cast("long")) \
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE)).cast("long")) \
+        .withColumn("scrubbed", scrubbed)
+
+
+def pipe_pii_scrub(spark, sf_dir):
+    """Gate: PII redaction over documents with PLANTED deterministic PII
+    (the fixture corpus is synthetic prose with no real PII, so each doc
+    gains an email + phone + IPv4 derived from its doc_id — the planted-
+    fixture pattern the dedup family uses). Output: per-doc redaction
+    counts and the sha256 of the scrubbed text, all DuckDB-replayed."""
+    d = load_table(spark, "documents", sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1-555-0"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.sha2(F.col("scrubbed"), 256).alias("scrubbed_sha"),
+    )
+
+
+PIPELINE_QUERIES["pipe_pii_scrub"] = pipe_pii_scrub
+PIPELINE_ORACLE["pipe_pii_scrub"] = (
+    "WITH planted AS ("
+    "  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "    || '@example.com tel +1-555-0' || CAST(doc_id % 100 AS VARCHAR) "
+    "    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t "
+    "  FROM documents) "
+    "SELECT doc_id, "
+    f"  CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)"
+    "    AS n_emails, "
+    f"  CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips, "
+    f"  CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)"
+    "    AS n_phones, "
+    "  sha256(regexp_replace(regexp_replace(regexp_replace(t, "
+    f"    '{PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"    '{PII_IPV4}', '<IP>', 'g'), "
+    f"    '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_sha "
+    "FROM planted"
+)

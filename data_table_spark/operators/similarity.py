@@ -1094,3 +1094,35 @@ SIMILARITY_ORACLE["sim_range_search"] = (
     "  AND ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
     f"    q.embedding::DOUBLE[]), 6) >= {RANGE_TAU}"
 )
+
+
+def sim_recall_report(spark, sf_dir):
+    """ANN quality EVALUATION as a first-class operator: recall@K of
+    the pinned-codebook IVF serving path against the exact brute-force
+    top-K for the pinned probe — the measurement loop every ANN
+    deployment runs before trading exactness for speed. Both inputs are
+    the repo's own serving gates (sim_ivf_pinned_topk /
+    sim_bruteforce_topk), so the whole report is DuckDB-replayable;
+    the join touches two K-row frames — at 100 TB the cost is the two
+    retrievals, and the report itself is free."""
+    ivf = sim_ivf_pinned_topk(spark, sf_dir).select("vec_id")
+    bf = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    hits = bf.join(ivf, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(TOP_K).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / TOP_K, 4).alias("recall_at_k"),
+    )
+
+
+SIMILARITY_QUERIES["sim_recall_report"] = sim_recall_report
+SIMILARITY_ORACLE["sim_recall_report"] = (
+    f"WITH ivf AS ({SIMILARITY_ORACLE['sim_ivf_pinned_topk']}), "
+    f"bf AS ({SIMILARITY_ORACLE['sim_bruteforce_topk']}), "
+    "h AS (SELECT COUNT(*) AS n_hits FROM bf "
+    "      WHERE vec_id IN (SELECT vec_id FROM ivf)) "
+    f"SELECT CAST({TOP_K} AS BIGINT) AS k, n_hits, "
+    f"  ROUND(CAST(n_hits AS DOUBLE) / {TOP_K}, 4) AS recall_at_k FROM h"
+)
