@@ -2520,20 +2520,34 @@ def q84_tpch_q17_shape(spark, sf_dir):
     flt = j.withColumn("avg_qty", F.avg("l_quantity").over(w)).where(
         F.col("l_quantity") < 0.2 * F.col("avg_qty")
     )
+    # sum in exact cents, divide after: a ROUND over SUM(double) can
+    # flip on partial-aggregation order (engines sum in different
+    # orders) — the r5-incident class, avoided by construction
     return flt.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("sum_price_cents"),
+    ).select(
+        "n_lines",
+        "sum_price_cents",
+        F.round(F.col("sum_price_cents") / 700.0, 2).alias("avg_yearly"),
     )
 
 
 RELATIONAL_QUERIES["q84_tpch_q17_shape"] = q84_tpch_q17_shape
 RELATIONAL_ORACLE["q84_tpch_q17_shape"] = (
-    "SELECT COUNT(*) AS n_lines, "
-    "  ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
-    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
-    "WHERE p.p_brand = 'Brand#23' AND l.l_quantity < ("
-    "  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
-    "  WHERE l2.l_partkey = l.l_partkey)"
+    "WITH a AS ("
+    "  SELECT COUNT(*) AS n_lines, "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+    "      AS sum_price_cents "
+    "  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "  WHERE p.p_brand = 'Brand#23' AND l.l_quantity < ("
+    "    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+    "    WHERE l2.l_partkey = l.l_partkey)) "
+    "SELECT n_lines, sum_price_cents, "
+    "  ROUND(CAST(sum_price_cents AS DOUBLE) / 700.0, 2) AS avg_yearly "
+    "FROM a"
 )
 
 
