@@ -132,12 +132,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipe_interleave_sources (integer stride-scheduling training mixture),
 # pipe_pii_scrub (regex PII redaction over planted deterministic PII),
 # stream_sliding_counts (S2's sliding windows hash-proven in batch
-# form); + 1 changed gate
+# form); + 2 changed gates
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
-# overriding it — the round-5 ADVICE medium); + 24 re-proofs STALEST
+# overriding it — the round-5 ADVICE medium; q70_scd2_build: the
+# islands construction refactored into the reusable scd2_build() with
+# property-tested interval laws); + 23 re-proofs STALEST
 # FIRST: all 10 gates still resting on r2 rows (four rounds old —
-# judge item 2), then 14 of the 36 r3-proven gates (three rounds old).
+# judge item 2), then 13 of the 36 r3-proven gates (three rounds old;
+# q55_time_rollup additionally cedes — the agg family holds several
+# round-6 rows).
 # Twenty-two r3 gates cede for the slot count (the two extra beyond the
 # twenty noted below: text_repetition — text keeps scrub plus the r2
 # langid/fingerprint — and pipe_pack_sequences — pipe keeps
@@ -189,6 +193,7 @@ _PRIORITY = [
     "stream_sliding_counts",      # NEW: S2 sliding windows, batch form
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
+    "q70_scd2_build",             # islands refactored into scd2_build()
     # --- rule 3 re-proofs, stalest first: the full r2-resting cohort
     # --- (four rounds old — judge item 2) ---
     "q50_right_join", "q52_except_all", "q53_intersect_all",
@@ -197,7 +202,6 @@ _PRIORITY = [
     "ref_format_output", "udf_table_function_tokens",
     # --- then the r3-proven cohort (three rounds old); ten cede, see
     # --- header note ---
-    "q55_time_rollup",
     "q57_rank_ratios", "q58_tpch_q10_shape", "q59_latest_per_key",
     "dedup_minhash_pairs_bounded", "dedup_clusters_bounded",
     "sim_pairs_threshold",

@@ -1749,38 +1749,55 @@ RELATIONAL_ORACLE["q69_runtime_filter"] = (
 )
 
 
-def q70_scd2_build(spark, sf_dir):
-    """SCD type-2 interval builder: compress each user's event_type
-    sequence into [valid_from, valid_to) validity intervals with an
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """SCD type-2 interval builder: compress each key's ``state_col``
+    sequence (ordered by ``order_cols``, whose FIRST column is the event
+    time) into [valid_from, valid_to) validity intervals with an
     is_current flag — the standard islands construction (lag-based
     change flag, running-sum run id, per-run aggregate, lead() for the
-    closing edge). All three windows and the groupBy partition on
-    user_id, so the whole build costs ONE shuffle on user_id (AQE reuses
-    the partitioning); nothing is global. Ties inside a user are broken
-    by event_id so both engines see one deterministic sequence."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = e.withColumn(
+    closing edge). All three windows and the groupBy partition on the
+    key, so the whole build costs ONE shuffle (AQE reuses the
+    partitioning); nothing is global. ``order_cols`` must totally order
+    each key's rows (add a unique id as tie-break) or the survivor
+    intervals are undefined. Laws (contiguity, alternation, event
+    conservation, containment) are property-tested in
+    tests/test_properties.py."""
+    ts_col = order_cols[0]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    chg = df.withColumn(
         "chg",
         F.when(
-            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+            F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), 0
         ).otherwise(1),
     )
     runs = chg.withColumn(
         "run_id",
         F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    seg = runs.groupBy("user_id", "run_id", "event_type").agg(
-        F.min("ts").alias("valid_from"),
+    seg = runs.groupBy(key, "run_id", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    w2 = Window.partitionBy(key).orderBy("valid_from", "run_id")
     return seg.select(
-        "user_id", "event_type", "valid_from",
+        key, state_col, "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def q70_scd2_build(spark, sf_dir):
+    """Gate: :func:`scd2_build` over the events table — per-user
+    event_type validity intervals, ties broken by event_id so both
+    engines see one deterministic sequence."""
+    e = _t(spark, sf_dir, "events")
+    return scd2_build(e, "user_id", ["ts", "event_id"], "event_type")
 
 
 RELATIONAL_QUERIES["q70_scd2_build"] = q70_scd2_build

