@@ -223,13 +223,19 @@ def _decode_png(blob: bytes) -> list[float]:
 
 
 def _decode_real(blob: bytes) -> list[float]:
-    """Dispatch on magic bytes: netpbm, PNG and WAV decode codec-free;
-    other image formats fall back to Pillow when importable; anything
-    else is the remaining real-codec plug point."""
+    """Dispatch on magic bytes: netpbm, baseline PNG and WAV decode
+    codec-free; non-baseline PNGs (palette/16-bit/interlaced) and other
+    image formats fall back to Pillow when importable; anything else is
+    the remaining real-codec plug point."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_netpbm(blob)
     if blob[:8] == _PNG_MAGIC:
-        return _decode_png(blob)
+        try:
+            return _decode_png(blob)
+        except ValueError:
+            # palette/16-bit/interlaced — let Pillow take it below
+            # rather than failing a variant it decoded before round 6
+            pass
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _decode_wav(blob)
     try:

@@ -1138,7 +1138,9 @@ def pipe_pii_scrub(spark, sf_dir):
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com tel +1-555-0"),
-            (F.col("doc_id") % 100).cast("string"),
+            # lpad to 2 digits: a 1-digit suffix leaves the digit run
+            # one char short of PII_PHONE's {7,} core (review finding)
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
             F.lit(" ip 10.0."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".7"),
@@ -1155,7 +1157,8 @@ PIPELINE_QUERIES["pipe_pii_scrub"] = pipe_pii_scrub
 PIPELINE_ORACLE["pipe_pii_scrub"] = (
     "WITH planted AS ("
     "  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
-    "    || '@example.com tel +1-555-0' || CAST(doc_id % 100 AS VARCHAR) "
+    "    || '@example.com tel +1-555-0' "
+    "    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
     "    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t "
     "  FROM documents) "
     "SELECT doc_id, "

@@ -2588,7 +2588,12 @@ def q85_tpch_q20_shape(spark, sf_dir):
             "left_semi",
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        # round-then-cast: Spark cast('long') truncates while DuckDB's
+        # CAST rounds — align on ROUND so a non-integral quantity in a
+        # future fixture cannot diverge the engines (review finding)
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
+        )
         .where(F.col("qty") > 300)
     )
     return s.join(
@@ -2603,7 +2608,7 @@ RELATIONAL_ORACLE["q85_tpch_q20_shape"] = (
     "  WHERE p_name LIKE 'small%' "
     "    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
     "  GROUP BY l_suppkey "
-    "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)"
+    "  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)"
 )
 
 
@@ -2688,7 +2693,11 @@ RELATIONAL_ORACLE["q87_tpch_q11_shape"] = (
     "      AS val_cents "
     "  FROM lineitem GROUP BY l_partkey) "
     "SELECT l_partkey AS partkey, val_cents FROM pv "
-    "WHERE val_cents > (SELECT SUM(val_cents) * 0.0006 FROM pv)"
+    # CAST to DOUBLE first: DuckDB's HUGEINT * 0.0006 is exact
+    # DECIMAL(38,4) while Spark's sum→double threshold loses integer
+    # precision past 2^53 — compare in the SAME arithmetic both sides
+    "WHERE val_cents > (SELECT CAST(SUM(val_cents) AS DOUBLE) * 0.0006 "
+    "FROM pv)"
 )
 
 
@@ -2788,10 +2797,8 @@ def q90_latest_n_per_key(spark, sf_dir):
     — ONE shuffle on user_id with O(N) state per key, so a hot user
     costs N rows of state, not its whole history. Tie-break on event_id
     keeps the survivors deterministic."""
-    from pyspark.sql import Window as W
-
     e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(
+    w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
@@ -3082,7 +3089,7 @@ def q96_tpch_q1_full(spark, sf_dir):
         * (1 + F.col("l_tax")) * 10000
     ).cast("long")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
         F.sum(price_e4).alias("sum_base_e4"),
         F.sum(disc_e4).alias("sum_disc_e4"),
         F.sum(charge_e4).alias("sum_charge_e4"),
@@ -3105,7 +3112,7 @@ RELATIONAL_QUERIES["q96_tpch_q1_full"] = q96_tpch_q1_full
 RELATIONAL_ORACLE["q96_tpch_q1_full"] = (
     "WITH a AS ("
     "  SELECT l_returnflag, l_linestatus, "
-    "    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
     "    CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)"
     "      AS sum_base_e4, "
     "    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)"

@@ -1090,7 +1090,10 @@ SIMILARITY_ORACLE["sim_range_search"] = (
     "  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
     "    q.embedding::DOUBLE[]), 6) AS cos_sim "
     "FROM embeddings q, embeddings e "
-    f"WHERE q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id <> q.vec_id "
+    # interpolated from RANGE_QUERY_IDS so gate and oracle cannot
+    # desynchronize (review finding)
+    f"WHERE q.vec_id IN ({', '.join(map(str, RANGE_QUERY_IDS))}) "
+    "AND e.vec_id <> q.vec_id "
     "  AND ROUND(list_cosine_similarity(e.embedding::DOUBLE[], "
     f"    q.embedding::DOUBLE[]), 6) >= {RANGE_TAU}"
 )
