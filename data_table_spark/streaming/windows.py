@@ -380,3 +380,44 @@ STREAMJOIN_ORACLE["stream_sliding_counts"] = (
     "  event_type, COUNT(*)::BIGINT AS cnt "
     "FROM w GROUP BY 1, 2, 3"
 )
+
+
+def stream_session_counts(spark, sf_dir):
+    """Gate: batch form of S3 — Spark's NATIVE ``F.session_window``
+    (via the shared session_counts transform) hash-proven against an
+    independent gaps-and-islands oracle. This is a genuinely different
+    code path from q34's hand-rolled islands: the built-in operator
+    merges events whose gap is STRICTLY under 30 minutes (an event
+    extends the session to [ts, ts+gap)), so the oracle breaks on
+    diff >= gap, computed in EXACT integer microseconds (epoch_us) —
+    epoch() doubles lose sub-microsecond exactness at 2024 magnitudes.
+    Session end = last event + gap, floored to epoch seconds the same
+    way unix_timestamp floors."""
+    from ..sources.registry import load_table
+
+    out = session_counts(load_table(spark, "events", sf_dir))
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        F.unix_timestamp("w_end").cast("long").alias("w_end_epoch"),
+        "user_id",
+        "cnt",
+    )
+
+
+STREAMJOIN_QUERIES["stream_session_counts"] = stream_session_counts
+STREAMJOIN_ORACLE["stream_session_counts"] = (
+    "WITH g AS ("
+    "  SELECT user_id, ts, "
+    "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+    "      PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 "
+    "    THEN 1 ELSE 0 END AS brk "
+    "  FROM events), "
+    "s AS ("
+    "  SELECT user_id, ts, SUM(brk) OVER ("
+    "    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM g) "
+    "SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS w_start_epoch, "
+    "  CAST(FLOOR(epoch(MAX(ts))) + 1800 AS BIGINT) AS w_end_epoch, "
+    "  user_id, COUNT(*)::BIGINT AS cnt "
+    "FROM s GROUP BY user_id, sid"
+)
