@@ -3131,3 +3131,219 @@ RELATIONAL_ORACLE["q96_tpch_q1_full"] = (
     "    AS avg_disc_price "
     "FROM a"
 )
+
+
+def q97_column_profile(spark, sf_dir):
+    """Whole-table column profiler — the reference's type-inference
+    spirit (R16/R17 sample a column to guess what it holds,
+    data-table.lisp:258-297) industrialized into ONE scan that yields
+    per-column null count, exact distinct count, min/max, an exact
+    e4-integer sum and a mean derived from it.
+
+    The scale-correct shape is NOT one countDistinct() per column in a
+    single agg — Spark plans N distinct aggregates over one relation as
+    an Expand that multiplies every row by N (the q66 lesson,
+    PERF_NOTES.md). Instead the row is exploded map-side into
+    (column_name, vnum, vstr) long form — one scan, no shuffle yet —
+    and ONE aggregate groups by the 7-key column_name, where the single
+    count_distinct(struct) compiles to a partial-distinct on
+    (column_name, value) with map-side combine and no Expand. Numeric
+    columns profile their values; string columns profile their LENGTHS
+    through vnum (min/max/avg are length stats, documented) while the
+    raw string rides vstr so n_distinct still counts true values. The
+    e4 integer sum keeps both engines bit-identical (bounded: |v| <
+    9e5 at sf1 ⇒ e4 partials < 1e16, far under the long ceiling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    nul_s = F.lit(None).cast("string")
+
+    def num(cn):
+        return F.struct(
+            F.lit(cn).alias("cn"),
+            F.col(cn).cast("double").alias("vnum"),
+            nul_s.alias("vstr"),
+        )
+
+    def strc(cn):
+        return F.struct(
+            F.lit(cn).alias("cn"),
+            F.length(cn).cast("double").alias("vnum"),
+            F.col(cn).alias("vstr"),
+        )
+
+    long = li.select(
+        F.explode(
+            F.array(
+                num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+                num("l_discount"), num("l_tax"),
+                strc("l_returnflag"), strc("l_linestatus"),
+            )
+        ).alias("p")
+    ).select("p.*")
+    notnull = F.col("vnum").isNotNull() | F.col("vstr").isNotNull()
+    agg = long.groupBy("cn").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~notnull, 1).otherwise(0)).cast("long").alias("n_nulls"),
+        F.count_distinct(
+            F.when(notnull, F.struct("vnum", "vstr"))
+        ).alias("n_distinct"),
+        F.min("vnum").alias("min_v"),
+        F.max("vnum").alias("max_v"),
+        F.sum(F.round(F.col("vnum") * 10000).cast("long")).alias("sum_e4"),
+    )
+    return agg.select(
+        "cn", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "sum_e4",
+        F.round(
+            F.col("sum_e4") / (F.col("n_rows") - F.col("n_nulls")) / 10000.0,
+            6,
+        ).alias("avg_v"),
+    )
+
+
+RELATIONAL_QUERIES["q97_column_profile"] = q97_column_profile
+RELATIONAL_ORACLE["q97_column_profile"] = (
+    "WITH long AS ("
+    "  SELECT 'l_orderkey' AS cn, CAST(l_orderkey AS DOUBLE) AS vnum, "
+    "    CAST(NULL AS VARCHAR) AS vstr FROM lineitem "
+    "  UNION ALL SELECT 'l_quantity', l_quantity, NULL FROM lineitem "
+    "  UNION ALL SELECT 'l_extendedprice', l_extendedprice, NULL "
+    "    FROM lineitem "
+    "  UNION ALL SELECT 'l_discount', l_discount, NULL FROM lineitem "
+    "  UNION ALL SELECT 'l_tax', l_tax, NULL FROM lineitem "
+    "  UNION ALL SELECT 'l_returnflag', CAST(length(l_returnflag) AS "
+    "    DOUBLE), l_returnflag FROM lineitem "
+    "  UNION ALL SELECT 'l_linestatus', CAST(length(l_linestatus) AS "
+    "    DOUBLE), l_linestatus FROM lineitem), "
+    "a AS ("
+    "  SELECT cn, COUNT(*) AS n_rows, "
+    "    CAST(SUM(CASE WHEN vnum IS NULL AND vstr IS NULL THEN 1 ELSE 0 "
+    "      END) AS BIGINT) AS n_nulls, "
+    "    CAST(COUNT(DISTINCT CASE WHEN vnum IS NOT NULL OR vstr IS NOT "
+    "      NULL THEN (vnum, vstr) END) AS BIGINT) AS n_distinct, "
+    "    MIN(vnum) AS min_v, MAX(vnum) AS max_v, "
+    "    CAST(SUM(CAST(ROUND(vnum * 10000) AS BIGINT)) AS BIGINT) "
+    "      AS sum_e4 "
+    "  FROM long GROUP BY cn) "
+    "SELECT cn, n_rows, n_nulls, n_distinct, min_v, max_v, sum_e4, "
+    "  ROUND(CAST(sum_e4 AS DOUBLE) / (n_rows - n_nulls) / 10000.0, 6) "
+    "    AS avg_v "
+    "FROM a"
+)
+
+
+def q98_cdc_fold(spark, sf_dir):
+    """CDC changelog fold — apply an ordered stream of `set` / `incr` /
+    `del` operations per key and emit the final state (the
+    counter-with-reset shape every CDC / feature-store ingest needs;
+    complements q68's MERGE, which is last-write-wins only). The
+    changelog derives deterministically from events: signup→set,
+    error→del, click/view/purchase→incr, amount in exact cents.
+
+    Fold semantics: state starts absent; `set` overwrites, `incr` adds
+    (to 0 if absent/deleted), `del` removes. A key is present at the end
+    iff its last non-incr op is a `set`, OR any `incr` landed after the
+    last reset (incr re-creates from 0), OR it only ever saw incrs.
+
+    Scale shape: the fold is NOT an iterative loop — it collapses to
+    "find the last reset, then aggregate the suffix": rn = row_number
+    over (user, ts, event_id); r = max(rn | op≠incr) as a second window
+    on the SAME partitioning; one groupBy(user) picks the base (amount
+    at r if set) and sums incrs with rn > r. Window→window→agg all hash
+    on user_id, so the whole fold is ONE shuffle (plan-asserted in
+    tests/test_plans.py); per-key state is O(1), hot keys cost a sort,
+    not memory."""
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "signup", "set")
+        .when(F.col("event_type") == "error", "del")
+        .otherwise("incr").alias("op"),
+        F.coalesce(F.round(F.col("value") * 100), F.lit(0))
+        .cast("long").alias("amount_cents"),
+    )
+    return cdc_fold(log)
+
+
+def cdc_fold(log: DataFrame) -> DataFrame:
+    """The reusable fold behind q98: input (user_id, ts, event_id, op ∈
+    set|incr|del, amount_cents) → final per-key state. Semantics and the
+    one-shuffle plan are documented on q98_cdc_fold; the imperative
+    reference fold lives in tests/test_properties.py and pins this
+    closed form against arbitrary hypothesis-generated changelogs."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    staged = log.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "r", F.max(F.when(F.col("op") != "incr", F.col("rn"))).over(w_all)
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("rn") == F.col("r")) & (F.col("op") == "set"),
+                F.col("amount_cents"),
+            )
+        ).alias("base"),
+        F.max(F.when(F.col("rn") == F.col("r"), F.col("op"))).alias(
+            "last_reset_op"
+        ),
+        F.sum(
+            F.when(
+                (F.col("op") == "incr")
+                & (F.col("rn") > F.coalesce(F.col("r"), F.lit(0))),
+                F.col("amount_cents"),
+            )
+        ).alias("incr_sum"),
+        F.count(
+            F.when(
+                (F.col("op") == "incr")
+                & (F.col("rn") > F.coalesce(F.col("r"), F.lit(0))),
+                1,
+            )
+        ).alias("n_incr"),
+    )
+    present = (
+        F.col("last_reset_op").isNull()
+        | (F.col("last_reset_op") == "set")
+        | (F.col("n_incr") > 0)
+    )
+    return agg.where(present).select(
+        "user_id",
+        (F.coalesce(F.col("base"), F.lit(0))
+         + F.coalesce(F.col("incr_sum"), F.lit(0))).alias("balance_cents"),
+        F.coalesce(F.col("last_reset_op"), F.lit("incr")).alias("last_reset"),
+        F.col("n_incr").cast("long").alias("n_incr_applied"),
+    )
+
+
+RELATIONAL_QUERIES["q98_cdc_fold"] = q98_cdc_fold
+RELATIONAL_ORACLE["q98_cdc_fold"] = (
+    "WITH log AS ("
+    "  SELECT user_id, ts, event_id, "
+    "    CASE WHEN event_type = 'signup' THEN 'set' "
+    "         WHEN event_type = 'error' THEN 'del' "
+    "         ELSE 'incr' END AS op, "
+    "    CAST(COALESCE(ROUND(value * 100), 0) AS BIGINT) AS amount_cents "
+    "  FROM events), "
+    "numbered AS ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "      PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "  FROM log), "
+    "staged AS ("
+    "  SELECT *, MAX(CASE WHEN op <> 'incr' THEN rn END) OVER ("
+    "      PARTITION BY user_id) AS r "
+    "  FROM numbered), "
+    "agg AS ("
+    "  SELECT user_id, "
+    "    MAX(CASE WHEN rn = r AND op = 'set' THEN amount_cents END) "
+    "      AS base, "
+    "    MAX(CASE WHEN rn = r THEN op END) AS last_reset_op, "
+    "    CAST(SUM(CASE WHEN op = 'incr' AND rn > COALESCE(r, 0) "
+    "      THEN amount_cents END) AS BIGINT) AS incr_sum, "
+    "    COUNT(CASE WHEN op = 'incr' AND rn > COALESCE(r, 0) THEN 1 END) "
+    "      AS n_incr "
+    "  FROM staged GROUP BY user_id) "
+    "SELECT user_id, "
+    "  COALESCE(base, 0) + COALESCE(incr_sum, 0) AS balance_cents, "
+    "  COALESCE(last_reset_op, 'incr') AS last_reset, "
+    "  n_incr AS n_incr_applied "
+    "FROM agg "
+    "WHERE last_reset_op IS NULL OR last_reset_op = 'set' OR n_incr > 0"
+)

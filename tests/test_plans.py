@@ -693,3 +693,20 @@ def test_q91_dims_broadcast_one_fact_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_profile_no_expand_single_distinct(spark, sf_dir):
+    """q97's profiler must NOT plan one Expand per distinct aggregate
+    (the q66 lesson): the unpivot-to-long + single count_distinct shape
+    compiles to a partial-distinct on (column_name, value) with no
+    Expand node and exactly the two exchanges of a two-phase distinct."""
+    p = _plan(RELATIONAL_QUERIES["q97_column_profile"](spark, sf_dir))
+    assert "Expand" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_cdc_fold_single_shuffle(spark, sf_dir):
+    """q98's changelog fold (window rn → window last-reset → groupBy)
+    hashes every stage on user_id: exactly ONE exchange."""
+    p = _plan(RELATIONAL_QUERIES["q98_cdc_fold"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1

@@ -330,3 +330,65 @@ def test_scd2_build_laws(spark, rows):
             # (tie collapsed) may sit in the successor interval instead;
             # it must sit in exactly one interval either way
             assert len(holder) == 1
+
+
+def _fold_reference(rows):
+    """Independent imperative CDC fold: ordered replay per key, O(n).
+    The semantic definition q98's closed form (last reset + suffix sum)
+    must reproduce."""
+    from collections import defaultdict
+
+    state: dict = {}
+    last_reset: dict = {}
+    n_incr: dict = defaultdict(int)
+    for uid, ts, eid, op, amt in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        if op == "set":
+            state[uid] = amt
+            last_reset[uid] = "set"
+            n_incr[uid] = 0
+        elif op == "del":
+            state.pop(uid, None)
+            last_reset[uid] = "del"
+            n_incr[uid] = 0
+        else:  # incr — re-creates from 0 after a del / before any set
+            state[uid] = state.get(uid, 0) + amt
+            n_incr[uid] += 1
+    return {
+        uid: (bal, last_reset.get(uid, "incr"), n_incr[uid])
+        for uid, bal in state.items()
+    }
+
+
+_cdc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user_id
+        st.integers(0, 5),            # ts (coarse: forces ties)
+        st.sampled_from(["set", "incr", "del"]),
+        st.integers(-500, 500),       # amount_cents
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@SLOW
+@given(ops=_cdc_rows)
+def test_cdc_fold_matches_imperative_replay(spark, ops):
+    """q98's window closed form == an independent ordered replay, for
+    arbitrary interleavings of set/incr/del including ts ties (broken
+    by event_id), negative amounts, and keys that end deleted."""
+    import datetime
+
+    from data_table_spark.operators.relational import cdc_fold
+
+    rows = [
+        (uid, datetime.datetime(2024, 1, 1, 0, 0, t), i, op, amt)
+        for i, (uid, t, op, amt) in enumerate(ops)
+    ]
+    schema = "user_id long, ts timestamp, event_id long, op string, amount_cents long"
+    got = {
+        r["user_id"]: (r["balance_cents"], r["last_reset"], r["n_incr_applied"])
+        for r in cdc_fold(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == _fold_reference(
+        [(uid, ts, eid, op, amt) for uid, ts, eid, op, amt in rows]
+    )
