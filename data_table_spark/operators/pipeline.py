@@ -1173,3 +1173,84 @@ PIPELINE_ORACLE["pipe_pii_scrub"] = (
     f"    '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_sha "
     "FROM planted"
 )
+
+
+def pps_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    classic survey-sampling design (Madow 1949): lay the population on
+    a line where each row occupies a segment of length = its weight,
+    then take k equally-spaced picks (offset step/2). Every row with
+    weight ≥ step is certainly selected; otherwise inclusion
+    probability ≈ k·w/W — exactly the PPS property a token-budgeted
+    corpus sample wants (long docs proportionally represented, no
+    random state, reproducible run to run).
+
+    All arithmetic is exact BIGINT, so the oracle replays it verbatim.
+    The prefix sum over the weight line uses
+    :func:`~data_table_spark.operators.scale.distributed_prefix_sum`
+    (two-phase bucket scan), NOT a global window — the one structural
+    trap of cumulative designs at 100 TB. A row is selected iff its
+    segment (cum−w, cum] contains a pick o + j·step, detected without
+    a join by comparing floor((cum−o−1)/step) between segment ends."""
+    from .scale import distributed_prefix_sum
+
+    with_cum = distributed_prefix_sum(
+        df.select(order_col, weight_col), order_col, weight_col,
+        out_col="cum",
+    )
+    total = with_cum.agg(F.max("cum").alias("w")).collect()[0]["w"]
+    step = max(int(total) // k, 1)
+    off = step // 2
+    # shift by +total keeps the floor-division operand non-negative, so
+    # engine truncation == floor on both sides; `div` stays in exact
+    # 64-bit integers (a `/` would round-trip through double and lose
+    # exactness past 2^53 — reachable cum magnitudes at corpus scale)
+    hi = F.expr(f"(cum + {total} - {off} - 1) div {step}")
+    lo = F.expr(
+        f"(cum - {weight_col} + {total} - {off} - 1) div {step}"
+    )
+    return (
+        with_cum.where(hi > lo)
+        .select(
+            order_col,
+            F.col(weight_col).alias("weight"),
+            F.col("cum"),
+        )
+    )
+
+
+def pipe_pps_sample(spark, sf_dir):
+    """Gate: systematic PPS over documents weighted by n_chars."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return pps_sample(d, "doc_id", "n_chars", k=50)
+
+
+PIPELINE_QUERIES["pipe_pps_sample"] = pipe_pps_sample
+
+
+def _pps_oracle() -> str:
+    # replay: plain window prefix sum (the oracle may be quadratic /
+    # single-threaded — it is the SEMANTIC definition, not the plan),
+    # same integer step/offset arithmetic
+    return (
+        "WITH c AS ("
+        "  SELECT doc_id, n_chars, "
+        "    CAST(SUM(n_chars) OVER (ORDER BY doc_id "
+        "      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+        "  FROM documents), "
+        "t AS (SELECT MAX(cum) AS w FROM c), "
+        "p AS (SELECT GREATEST(w // 50, 1) AS step, "
+        "  GREATEST(w // 50, 1) // 2 AS off, w FROM t) "
+        "SELECT doc_id, n_chars AS weight, cum "
+        "FROM c, p "
+        "WHERE (cum + w - off - 1) // step "
+        "    > (cum - n_chars + w - off - 1) // step"
+    )
+
+
+PIPELINE_ORACLE["pipe_pps_sample"] = _pps_oracle()

@@ -3347,3 +3347,101 @@ RELATIONAL_ORACLE["q98_cdc_fold"] = (
     "FROM agg "
     "WHERE last_reset_op IS NULL OR last_reset_op = 'set' OR n_incr > 0"
 )
+
+
+def q99_sliding_distinct(spark, sf_dir):
+    """Sliding-window distinct count — distinct users active in the
+    trailing 7 days, for EVERY day of the data range. Spark windows
+    cannot express COUNT(DISTINCT) OVER (RANGE ...), and the naive
+    day-spine × events range join re-scans every event once per
+    overlapping window (7× at a 7-day window; 90× at 90 days). The
+    scale-correct plan never fans events out:
+
+    1. dedup to (user, day) active pairs — shuffle 1, map-side combine;
+    2. per user, merge day coverage into islands (gap > 6 days splits —
+       two consecutive islands never overlap in window space) — shuffle
+       2 on user_id; a user's whole history collapses to O(islands);
+    3. each island [s, e] covers windows ending s..e+6: emit +1 at s,
+       −1 at e+7 (a difference array), aggregate deltas per day — the
+       shuffled rows are now O(islands), not O(events);
+    4. running-sum the deltas over the day spine — a GLOBAL ordered
+       window, single reducer BY DESIGN over #days rows (cardinality =
+       calendar days, ~37k rows even at a century).
+
+    The oracle is the naive quadratic form (spine LEFT JOIN events on
+    BETWEEN + COUNT DISTINCT) — an independent semantic definition, so
+    the gate proves the islands/difference-array rewrite exactly."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        e.withColumn(
+            "brk",
+            F.when(
+                F.datediff(
+                    F.col("day"), F.lag("day").over(w_ord)
+                ) > 6, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
+    )
+    deltas = (
+        islands.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.date_add("e", 7).alias("day"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = e.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        spine.join(F.broadcast(deltas), "day", "left")
+        .withColumn(
+            "n_active_7d",
+            F.sum(F.coalesce("delta", F.lit(0)))
+            .over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+        .select("day", "n_active_7d")
+    )
+
+
+RELATIONAL_QUERIES["q99_sliding_distinct"] = q99_sliding_distinct
+RELATIONAL_ORACLE["q99_sliding_distinct"] = (
+    "WITH bounds AS ("
+    "  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi "
+    "  FROM events), "
+    "spine AS ("
+    "  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE "
+    "    AS day FROM bounds) "
+    "SELECT s.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) "
+    "  AS n_active_7d "
+    "FROM spine s LEFT JOIN events e "
+    "  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day "
+    "GROUP BY s.day"
+)

@@ -343,3 +343,65 @@ def compact_small_files(
         f for f in _glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isfile(f)
     ])
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    bucket_span: int = 1 << 16,
+) -> DataFrame:
+    """Inclusive prefix sum over a global ordering WITHOUT a global
+    window (a single-reducer sort at 100 TB). Classic two-phase scan:
+
+    1. bucket rows by range of the order key (``order_col div
+       bucket_span`` — order-preserving, map-side);
+    2. aggregate one total per bucket, collect the (small, bounded —
+       key-range / bucket_span rows) bucket ledger to the driver,
+       prefix it there, and broadcast the per-bucket OFFSETS back;
+    3. each bucket computes its LOCAL ordered cumsum in parallel
+       (window partitioned by bucket) and adds its offset.
+
+    Exactly reproduces ``SUM(value) OVER (ORDER BY order_col ROWS
+    UNBOUNDED PRECEDING)`` when the order key is unique; cost is two
+    shuffles of which the ledger one is tiny. The driver step is
+    bounded by design: 2^64/span ledger rows is still too many for a
+    pathological span, so size ``bucket_span`` so that (max-min)/span
+    ≲ 1e6 — for dense ids the default gives 65k rows per bucket and a
+    ledger thousands long. Requires an integral, non-negative-dense
+    order key (ids, epoch seconds — the usual case)."""
+    b = (F.col(order_col).cast("long") / F.lit(bucket_span)).cast(
+        "long"
+    ).alias("_psb")
+    bucketed = df.withColumn("_psb", b)
+    ledger = (
+        bucketed.groupBy("_psb")
+        .agg(F.sum(F.col(value_col)).alias("_tot"))
+        .collect()
+    )
+    ledger.sort(key=lambda r: r["_psb"])
+    offsets, run = {}, 0
+    for r in ledger:
+        offsets[r["_psb"]] = run
+        run += r["_tot"] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()], "_psb long, _off long"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_psb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(off_df, "_psb")
+        .withColumn(
+            out_col, (F.sum(value_col).over(w) + F.col("_off")).cast("long")
+        )
+        .drop("_psb", "_off")
+    )

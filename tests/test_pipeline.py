@@ -240,3 +240,47 @@ def test_upsample_thresholds_exact():
     assert _upsample_pieces({"a": 1.5}) == {"a": (1, 500000)}
     assert _upsample_pieces({"a": 0.4}) == {"a": (0, 400000)}
     assert _upsample_pieces({"a": 3.0}) == {"a": (3, 0)}
+
+
+def test_distributed_prefix_sum_law(spark, sf_dir):
+    """Two-phase bucket scan == SUM OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING), across bucket spans including spans that split every
+    bucket boundary and a span larger than the key range."""
+    from pyspark.sql import Window
+
+    from data_table_spark.operators.scale import distributed_prefix_sum
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = d.withColumn("ps", F.sum("n_chars").over(w))
+    for span in (1, 7, 64, 1 << 20):
+        got = distributed_prefix_sum(d, "doc_id", "n_chars", bucket_span=span)
+        assert (
+            got.join(ref, "doc_id")
+            .where(F.col("prefix_sum") != F.col("ps"))
+            .count()
+            == 0
+        ), f"span={span}"
+
+
+def test_pps_sample_invariants(spark, sf_dir):
+    """Systematic PPS: sample size is k or k±1 (boundary pick), every
+    row whose weight exceeds the step is certainly selected, and the
+    sample is deterministic across runs."""
+    from data_table_spark.operators.pipeline import pps_sample
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    s1 = pps_sample(d, "doc_id", "n_chars", k=40)
+    rows = s1.collect()
+    assert 39 <= len(rows) <= 41
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    step = max(total // 40, 1)
+    heavy = {r["doc_id"] for r in d.where(F.col("n_chars") >= step).collect()}
+    picked = {r["doc_id"] for r in rows}
+    assert heavy <= picked
+    s2 = {r["doc_id"] for r in pps_sample(d, "doc_id", "n_chars", k=40).collect()}
+    assert picked == s2
