@@ -14,10 +14,12 @@ Two decode paths:
 - ``fake=False``: a REAL decoder for the formats decodable without
   external codecs — netpbm P5/P6 images (header + raw raster, parsed
   with numpy), baseline 8-bit PNG (stdlib ``zlib`` inflate + spec
-  de-filtering in numpy), and PCM WAV audio (stdlib ``wave``) — with a
-  Pillow fallback for other image formats when PIL is importable, and
-  NotImplementedError only for formats nothing present can decode
-  (JPEG/MP4 without PIL/pyav — that is the remaining plug point).
+  de-filtering in numpy), PCM WAV audio (stdlib ``wave``), and
+  YUV4MPEG2 video (text header + raw planes, demuxed frame-by-frame)
+  — with a Pillow fallback for other image formats when PIL is
+  importable, and NotImplementedError only for formats nothing present
+  can decode (JPEG/MP4 without PIL/pyav — that is the remaining plug
+  point).
 """
 
 from __future__ import annotations
@@ -132,6 +134,69 @@ def _decode_wav(blob: bytes) -> list[float]:
     return [float(nch), float(rate), float(nframes), rms]
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_parse(blob: bytes):
+    """REAL YUV4MPEG2 demux — the uncompressed video container every
+    ffmpeg ships (`ffmpeg -f yuv4mpeg`), parseable codec-free: a plain
+    text header (`YUV4MPEG2 W.. H.. F<num>:<den> .. C<fmt>\\n`), then
+    frames of `FRAME[params]\\n` + raw planes. Supports C420 family
+    (Y + quarter U + quarter V) and Cmono (Y only). Returns (width,
+    height, fps_num, fps_den, [y_plane bytes per frame]). Raises
+    ValueError on malformed input (caller converts per policy)."""
+    if blob[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = blob.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M missing header terminator")
+    w = h = num = den = None
+    chroma = "420"
+    for tok in blob[len(_Y4M_MAGIC): nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            chroma = val.decode("ascii")
+    if not w or not h or not num or not den:
+        raise ValueError("Y4M header missing W/H/F")
+    if chroma.startswith("420"):
+        c_size = (w // 2) * (h // 2) * 2
+    elif chroma == "mono":
+        c_size = 0
+    else:
+        raise ValueError(f"unsupported Y4M chroma {chroma!r}")
+    y_size, pos, frames = w * h, nl + 1, []
+    while pos < len(blob):
+        if blob[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + y_size + c_size > len(blob):
+            raise ValueError("truncated Y4M frame")
+        frames.append(blob[fnl + 1 : fnl + 1 + y_size])
+        pos = fnl + 1 + y_size + c_size
+    return w, h, num, den, frames
+
+
+def _decode_y4m(blob: bytes) -> list[float]:
+    """Feature form of the Y4M demux, matching the other decoders'
+    arity: [width, height, n_frames, mean luma over all frames]."""
+    import numpy as np
+
+    w, h, _num, _den, frames = _y4m_parse(blob)
+    luma = (
+        np.frombuffer(b"".join(frames), dtype=np.uint8).mean()
+        if frames else 0.0
+    )
+    return [float(w), float(h), float(len(frames)), float(luma)]
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -238,6 +303,8 @@ def _decode_real(blob: bytes) -> list[float]:
             pass
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _decode_wav(blob)
+    if blob[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        return _decode_y4m(blob)
     try:
         import io
 
@@ -315,9 +382,61 @@ def media_decode_features(spark, sf_dir):
     )
 
 
+#: 8×8 25fps 4:2:0 — the synthesis shape for the video gate
+_Y4M_DEMO_HEADER = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n"
+
+
+def encode_y4m_demo(df: DataFrame) -> DataFrame:
+    """Synthesis half of the video gate: build a REAL (tiny) YUV4MPEG2
+    stream per document — 1 + doc_id%3 frames of 8×8 4:2:0, the Y plane
+    carrying the document's own bytes cycled (frame k starts at byte
+    k·64 mod len), chroma flat 0x80. The blobs are valid Y4M (ffmpeg
+    would play them); the deterministic Y-plane construction is what
+    lets the DuckDB oracle rebuild each frame's bytes and hash them."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                cyc = data * 3  # len ≥ 48 ⇒ start+64 ≤ 3·len always
+                parts = [_Y4M_DEMO_HEADER]
+                for k in range(1 + int(doc_id) % 3):
+                    start = (k * 64) % len(data)
+                    parts.append(
+                        b"FRAME\n" + cyc[start : start + 64] + b"\x80" * 32
+                    )
+                blobs.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return df.mapInPandas(batches, "doc_id long, media binary")
+
+
+def media_video_frames(spark, sf_dir):
+    """Driver gate for the REAL video path: synthesize valid Y4M per
+    document (encode_y4m_demo), demux it with the REAL parser
+    (sample_frames fake=False → _y4m_parse — no fakes anywhere on this
+    path), and expose each sampled frame's true timestamp (from the
+    stream's 25:1 rate) and the sha-256 of its raw luma plane. The
+    oracle rebuilds the identical 64 bytes via repeat+substr cycling
+    and hashes them — a hash match proves the demux byte-exact. The
+    1→N frame fan-out happens inside the Arrow batch; no shuffle in
+    the whole gate."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    frames = sample_frames(encode_y4m_demo(d), n_frames=4, fake=False)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_stats": media_byte_stats,
     "media_decode_features": media_decode_features,
+    "media_video_frames": media_video_frames,
 }
 
 MULTIMODAL_ORACLE: dict[str, str] = {
@@ -334,6 +453,16 @@ MULTIMODAL_ORACLE: dict[str, str] = {
         "ROUND((list_sum(list_transform(string_split(text, ''), "
         "c -> ord(c))) % 997)::DOUBLE, 1) AS byte_sum_mod "
         "FROM documents",
+    # rebuild each frame's luma bytes by cycling the ASCII text (the
+    # fixture is pure ASCII, so chars ARE bytes) and hash — equality
+    # proves the Spark-side Y4M demux byte-exact
+    "media_video_frames":
+        "SELECT doc_id, CAST(k AS INT) AS frame_idx, "
+        "  CAST(k * 40 AS BIGINT) AS frame_ts_ms, "
+        "  CAST(64 AS BIGINT) AS n_bytes, "
+        "  sha256(substr(repeat(text, 3), "
+        "    CAST((k * 64) % length(text) AS INT) + 1, 64)) AS frame_sha "
+        "FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(k)",
 }
 
 
@@ -458,13 +587,23 @@ def sample_frames(
     happens inside the Arrow batch, never per-row.
 
     fake=True slices the blob into n_frames contiguous segments with
-    evenly spaced fake timestamps; fake=False REALLY samples PCM WAV
-    audio — n_frames evenly spaced windows of decoded samples with true
-    timestamps from the file's own sample rate (the audio analogue of
-    video frame sampling) — and raises at the demuxer plug-in point
-    (pyav/ffmpeg) for container video. Frames inherit the row's
-    partition — no shuffle; at 100 TB follow with write_partitioned,
-    not a groupBy."""
+    evenly spaced fake timestamps; fake=False REALLY samples (a)
+    YUV4MPEG2 video — up to n_frames evenly spaced frames demuxed
+    codec-free, each row carrying the frame's raw luma plane and its
+    true timestamp from the stream's own F<num>:<den> rate — and (b)
+    PCM WAV audio — n_frames evenly spaced windows of decoded samples
+    with true timestamps from the file's own sample rate — and raises
+    at the demuxer plug-in point (pyav/ffmpeg) only for COMPRESSED
+    video containers (mp4/mkv). Frames inherit the row's partition —
+    no shuffle; at 100 TB follow with write_partitioned, not a
+    groupBy."""
+
+    def _y4m_sampled(blob: bytes):
+        _w, _h, num, den, frames = _y4m_parse(blob)
+        total = len(frames)
+        picks = sorted({i * total // n_frames for i in range(n_frames)})
+        for idx in picks:
+            yield idx, idx * 1000 * den // num, frames[idx]
 
     def _wav_frames(blob: bytes):
         import io
@@ -488,13 +627,17 @@ def sample_frames(
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 blob = bytes(blob)
                 if not fake:
-                    if not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"):
+                    if blob[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+                        frames = _y4m_sampled(blob)
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                        frames = _wav_frames(blob)
+                    else:
                         raise NotImplementedError(
-                            "real frame sampling of container video needs "
-                            "a demuxer (pyav/ffmpeg); plug it in here — "
-                            "PCM WAV samples codec-free"
+                            "real frame sampling of compressed video "
+                            "containers needs a demuxer (pyav/ffmpeg); "
+                            "plug it in here — Y4M video and PCM WAV "
+                            "sample codec-free"
                         )
-                    frames = _wav_frames(blob)
                 else:
                     step = max(len(blob) // n_frames, 1)
                     frames = (

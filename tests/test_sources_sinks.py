@@ -708,3 +708,56 @@ def test_synthetic_corpus_datasource(spark):
     assert a != c, "different seed must change the corpus"
     # n_chars matches the text, and the corpus ops run on it unchanged
     assert df.where(F.length("text") != F.col("n_chars")).count() == 0
+
+
+def test_y4m_parse_golden():
+    """The Y4M demuxer: header parse (extra params, mono), frame walk,
+    and each malformed-input rejection."""
+    import pytest as _pt
+
+    from data_table_spark.operators.multimodal import _decode_y4m, _y4m_parse
+
+    y0 = bytes(range(16))
+    y1 = bytes(range(100, 116))
+    blob = (
+        b"YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420jpeg Xcustom\n"
+        + b"FRAME\n" + y0 + b"\x80" * 8
+        + b"FRAMEX\n" + y1 + b"\x80" * 8   # per-frame params legal
+    )
+    w, h, num, den, frames = _y4m_parse(blob)
+    assert (w, h, num, den) == (4, 4, 30, 1)
+    assert frames == [y0, y1]
+    assert _decode_y4m(blob)[:3] == [4.0, 4.0, 2.0]
+
+    mono = b"YUV4MPEG2 W2 H2 F1:1 Cmono\nFRAME\n\x01\x02\x03\x04"
+    assert _y4m_parse(mono)[4] == [b"\x01\x02\x03\x04"]
+
+    with _pt.raises(ValueError, match="not a YUV4MPEG2"):
+        _y4m_parse(b"JUNK")
+    with _pt.raises(ValueError, match="missing W/H/F"):
+        _y4m_parse(b"YUV4MPEG2 W4 H4\nFRAME\n")
+    with _pt.raises(ValueError, match="truncated"):
+        _y4m_parse(b"YUV4MPEG2 W4 H4 F1:1 Cmono\nFRAME\n\x00\x01")
+    with _pt.raises(ValueError, match="marker missing"):
+        _y4m_parse(b"YUV4MPEG2 W2 H2 F1:1 Cmono\nBOGUS\n\x01\x02\x03\x04")
+    with _pt.raises(ValueError, match="unsupported Y4M chroma"):
+        _y4m_parse(b"YUV4MPEG2 W2 H2 F1:1 C444\nFRAME\n" + b"\x00" * 12)
+
+
+def test_sample_frames_real_y4m(spark):
+    """fake=False frame sampling on Y4M video: true timestamps from the
+    stream's F rate, evenly-spaced pick of 2 from 4 frames, and the
+    returned payload is exactly the frame's luma plane."""
+    from data_table_spark.operators.multimodal import sample_frames
+
+    planes = [bytes([k] * 4) for k in range(4)]
+    blob = b"YUV4MPEG2 W2 H2 F10:1 Cmono\n" + b"".join(
+        b"FRAME\n" + p for p in planes
+    )
+    rows = sorted(
+        sample_frames(_media_df(spark, [blob]), n_frames=2, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert [r["frame_ts_ms"] for r in rows] == [0, 200]
+    assert [bytes(r["frame"]) for r in rows] == [planes[0], planes[2]]
