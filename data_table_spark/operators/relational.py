@@ -3445,3 +3445,107 @@ RELATIONAL_ORACLE["q99_sliding_distinct"] = (
     "  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day "
     "GROUP BY s.day"
 )
+
+
+def q100_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph, in EXACT integer
+    fixed-point — the iterative-algorithm shape (power method as a
+    bounded loop of join+aggregate rounds) that Spark expresses as an
+    unrolled dataflow, with every engine-dependent float removed so the
+    DuckDB oracle replays it bit-for-bit:
+
+    - edges: per-user consecutive event transitions (lag over ts,
+      event_id), weighted by count — one shuffle on user_id, one on
+      (src, dst);
+    - per-edge share_e6 = w·10⁶ div out_weight(src), precomputed ONCE
+      so the per-iteration multiply r·share stays under 64 bits at any
+      scale (r ≤ 10¹², share ≤ 10⁶);
+    - 3 power iterations, damping 0.85, all in integer div/mod:
+      r' = 15·10¹²/(100·N) + 85·Σ(r·share/10⁶)/100.
+
+    Scale posture: each iteration is one join (rank table × edges —
+    AQE broadcasts the rank side while it is small, shuffles when it
+    is web-scale) + one partial-aggregable groupBy(dst). The loop
+    unrolls into a single plan — no driver-side collect between
+    rounds. Dangling nodes are absent by construction here (every
+    event type both sends and receives); a general build would add
+    the dangling mass redistribution term."""
+    e = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("src", F.lag("event_type").over(w_ord))
+        .where(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    share = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.expr("w * 1000000 div ow").alias("share_e6"))
+    )
+    nodes = share.select(F.col("src").alias("node")).union(
+        share.select("dst")
+    ).distinct()
+    n = nodes.count()  # bounded: the node-type vocabulary, not the events
+    ranks = nodes.select(
+        "node", F.lit(10**12 // n).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            share.join(ranks, share["src"] == ranks["node"])
+            .select("dst", F.expr("r * share_e6 div 1000000").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(15 * 10**12 // (100 * n))
+                + F.expr("85 * coalesce(s, 0) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("node").alias("event_type"), F.col("r").alias("rank_e12"))
+
+
+RELATIONAL_QUERIES["q100_pagerank"] = q100_pagerank
+
+
+def _pagerank_oracle() -> str:
+    base = (
+        "WITH lagged AS ("
+        "  SELECT user_id, event_type AS dst, LAG(event_type) OVER ("
+        "    PARTITION BY user_id ORDER BY ts, event_id) AS src "
+        "  FROM events), "
+        "edges AS ("
+        "  SELECT src, dst, COUNT(*) AS w FROM lagged "
+        "  WHERE src IS NOT NULL GROUP BY src, dst), "
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src), "
+        "share AS ("
+        "  SELECT e.src, e.dst, e.w * 1000000 // o.ow AS share_e6 "
+        "  FROM edges e JOIN outw o ON e.src = o.src), "
+        "nodes AS (SELECT src AS node FROM share "
+        "  UNION SELECT dst FROM share), "
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)"
+    )
+    it = (
+        ", {next} AS ("
+        "  SELECT nodes.node, "
+        "    (15000000000000 // (100 * nn.n)) "
+        "    + 85 * COALESCE(c.s, 0) // 100 AS r "
+        "  FROM nodes CROSS JOIN nn LEFT JOIN ("
+        "    SELECT s.dst, SUM(s.share_e6 * p.r // 1000000) AS s "
+        "    FROM share s JOIN {prev} p ON s.src = p.node "
+        "    GROUP BY s.dst) c ON nodes.node = c.dst)"
+    )
+    for i in range(3):
+        base += it.format(next=f"r{i + 1}", prev=f"r{i}")
+    return (
+        base + " SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12 "
+        "FROM r3"
+    )
+
+
+RELATIONAL_ORACLE["q100_pagerank"] = _pagerank_oracle()

@@ -158,3 +158,68 @@ UDF_ORACLE["udf_python_udtf_words"] = (
     "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) word) u "
     "WHERE doc_id < 20"
 )
+
+
+def ewma_per_key(
+    df,
+    key_col: str = "user_id",
+    ts_cols: tuple = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = 0.2,
+):
+    """Sequential per-key state the SQL window algebra cannot express:
+    EWMA is a first-order recurrence (y_t = α·x_t + (1−α)·y_{t−1}),
+    not a frame aggregate — the escape hatch is grouped-map
+    applyInPandas: ONE shuffle on the key, each key's history arrives
+    as a single Arrow batch, the recurrence runs as a tight float64
+    loop. The closed form Σα(1−α)^i·x could ride a window + pow, but
+    drifts numerically for long histories; the recurrence is the
+    numerically-honest form and the same double ops DuckDB's recursive
+    CTE replays, so the gate is hash-exact (floored to e6 — floor has
+    no tie-breaking, unlike ROUND). Hot-key cost is one in-memory
+    pass over that key's rows; state is O(1)."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(ts_cols))
+        y, out = None, []
+        for x in pdf[value_col].astype("float64"):
+            y = x if y is None else alpha * x + (1.0 - alpha) * y
+            out.append(y)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "rn": range(1, len(out) + 1),
+                "ewma_e6": [int(v * 1e6 // 1) for v in out],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        fold, f"{key_col} long, rn long, ewma_e6 long"
+    )
+
+
+def udf_ewma_state(spark, sf_dir):
+    """Gate: per-user EWMA over event values (α=0.2) — the sequential
+    recurrence via applyInPandas, proven hash-exact against DuckDB's
+    RECURSIVE CTE replay of the identical double arithmetic."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma_per_key(e)
+
+
+UDF_QUERIES["udf_ewma_state"] = udf_ewma_state
+UDF_ORACLE["udf_ewma_state"] = (
+    "WITH RECURSIVE o AS ("
+    "  SELECT user_id, value, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "  FROM events), "
+    "r AS ("
+    "  SELECT user_id, rn, value AS y FROM o WHERE rn = 1 "
+    "  UNION ALL "
+    "  SELECT o.user_id, o.rn, 0.2 * o.value + 0.8 * r.y "
+    "  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1) "
+    "SELECT user_id, rn, CAST(FLOOR(y * 1000000) AS BIGINT) AS ewma_e6 "
+    "FROM r"
+)

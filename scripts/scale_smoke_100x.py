@@ -59,6 +59,15 @@ GATES = [
     "q70_scd2_build",
     "q73_gap_fill",
     "asof_join_events",
+    # late round-6 additions — all events/lineitem-bound:
+    "q97_column_profile",    # 7× map-side explode + 2-phase distinct
+    "q98_cdc_fold",          # window fold under hot-user skew
+    "q99_sliding_distinct",  # islands + diff array; hot users merge
+                             # into FEWER islands, so skew self-damps
+    "q100_pagerank",         # unrolled iterations; rank side stays
+                             # broadcast (node vocab doesn't scale)
+    "udf_ewma_state",        # python recurrence under hot-key skew —
+                             # one Arrow batch per key, O(rows) loop
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -82,6 +91,11 @@ DIM_BROADCAST_FLOOR = {
     "q73_gap_fill": 0,         # the forward-fill join's build side is
                                # the per-user observation frame (events-
                                # derived) — same story, no dim
+    "q99_sliding_distinct": 1, # the delta table is bounded by calendar
+                               # days — its broadcast must survive 100×
+    "q100_pagerank": 3,        # the rank/outw tables are bounded by the
+                               # node vocabulary — all three iteration
+                               # joins must stay broadcast
 }
 
 PLAN_NODES = (

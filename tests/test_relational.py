@@ -59,3 +59,18 @@ def test_q17_tolerance(spark, sf_dir, duck):
         "SELECT COUNT(DISTINCT o_custkey) FROM orders"
     ).fetchone()[0]
     assert abs(approx - exact) <= 0.05 * exact, (approx, exact)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """q100's integer fixed-point PageRank: total rank mass stays within
+    integer-truncation distance of 10^12 (each of the 3 iterations can
+    only LOSE mass to div truncation, never create it), and every rank
+    is positive — the two invariants a fixed-point port most easily
+    breaks."""
+    rows = RELATIONAL_QUERIES["q100_pagerank"](spark, sf_dir).collect()
+    total = sum(r["rank_e12"] for r in rows)
+    n_edges_bound = len(rows) * len(rows)  # ≤ V² edges
+    # per iteration: ≤1 ulp lost per edge share + per node div; 3 iters
+    slack = 3 * (n_edges_bound + len(rows)) * 10**6
+    assert 10**12 - slack <= total <= 10**12
+    assert all(r["rank_e12"] > 0 for r in rows)
