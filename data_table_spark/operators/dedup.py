@@ -865,3 +865,130 @@ def dedup_clusters_recursive_sql(spark, sf_dir):
 DEDUP_QUERIES["dedup_clusters_recursive_sql"] = dedup_clusters_recursive_sql
 # same bounded pair set, same fixed point — identical oracle
 DEDUP_ORACLE["dedup_clusters_recursive_sql"] = DEDUP_ORACLE["dedup_clusters_bounded"]
+
+
+# --------------------------------------------------------------------------
+# Prefix filtering (AllPairs/PPJoin) — EXACT similarity join, unbounded
+# --------------------------------------------------------------------------
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard ≥ t_num/t_den similarity join via prefix filtering
+    (Chaudhuri et al. 2006 / Bayardo et al. WWW'07 "AllPairs") — the
+    third point of the dedup design space: dedup_ngram_jaccard_pairs is
+    exact but bounded O(n²), dedup_minhash_lsh_pairs is unbounded but
+    probabilistic; this is exact AND unbounded.
+
+    The theorem: order the token universe (rarest-first); if
+    |A∩B|/|A∪B| ≥ t, then the first p_A = |A| − ⌈t·|A|⌉ + 1 tokens of A
+    and the first p_B of B must share at least one token. So candidates
+    = pairs sharing ≥1 PREFIX token — an equi-join on the (rare) prefix
+    tokens — and only candidates pay the exact verify. Rarest-first
+    ordering makes prefixes maximally selective: the hot tokens every
+    document shares sit at the END of the ordering and never join.
+
+    Plan shape: token explode (map-side) → df counts (one agg) → global
+    token ranking (a window over the VOCABULARY — bounded by distinct
+    shingles, not corpus rows; documented single-reducer the same way
+    the q99 day spine is) → per-doc position window on doc_id → prefix
+    filter → self-equi-join on prefix token → distinct pairs → verify
+    via array_intersect against the per-doc shingle arrays (O(cands),
+    never O(n²)). Threshold compares in exact integers:
+    t_den·inter ≥ t_num·(na+nb−inter)."""
+    from pyspark.sql import Window
+
+    sets = docs.select(
+        F.col(id_col).alias("doc"),
+        _bigram_shingles(F.col(text_col)).alias("s"),
+    )
+    toks = sets.select(
+        "doc", F.explode("s").alias("tok"), F.size("s").alias("n")
+    )
+    rank = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("df", "tok"))
+        )
+    )
+    pos = toks.join(rank.select("tok", "rk"), "tok").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc").orderBy("rk")),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    pref = pos.where(F.col("rn") <= prefix_len).select("doc", "tok")
+    cand = (
+        pref.select(F.col("doc").alias("a"), "tok")
+        .join(pref.select(F.col("doc").alias("b"), "tok"), "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col("doc").alias("a"), F.col("s").alias("sa")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("b"), F.col("s").alias("sb")),
+            "b",
+        )
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+    )
+    return verified.where(
+        t_den * F.col("inter")
+        >= t_num * (F.col("na") + F.col("nb") - F.col("inter"))
+    ).select(
+        "a", "b", "inter", "na", "nb",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    """Gate: exact bigram-Jaccard ≥ 0.5 pairs over the WHOLE corpus (no
+    PAIR_BOUND) via prefix filtering. The oracle is the naive
+    token-join form — equality proves the prefix filter's completeness
+    theorem holds end-to-end on this corpus."""
+    return prefix_filter_pairs(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_prefix_filter_pairs"] = dedup_prefix_filter_pairs
+DEDUP_ORACLE["dedup_prefix_filter_pairs"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct("
+    "    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
+    "  FROM toks), "
+    "tok AS (SELECT DISTINCT doc_id, UNNEST(s) AS tok FROM sh), "
+    "sz AS (SELECT doc_id, len(s) AS n FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+    "  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2) "
+    "SELECT inter.a, inter.b, CAST(i AS BIGINT) AS inter, "
+    "  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb, "
+    "  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard "
+    "FROM inter "
+    "JOIN sz sa ON inter.a = sa.doc_id "
+    "JOIN sz sb ON inter.b = sb.doc_id "
+    "WHERE 2 * i >= (sa.n + sb.n - i)"
+)

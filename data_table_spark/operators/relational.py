@@ -3463,9 +3463,16 @@ def q100_pagerank(spark, sf_dir):
     - 3 power iterations, damping 0.85, all in integer div/mod:
       r' = 15·10¹²/(100·N) + 85·Σ(r·share/10⁶)/100.
 
-    Scale posture: each iteration is one join (rank table × edges —
-    AQE broadcasts the rank side while it is small, shuffles when it
-    is web-scale) + one partial-aggregable groupBy(dst). The loop
+    Scale posture: each iteration is one join (rank table × edges) +
+    one partial-aggregable groupBy(dst). The rank/out-weight/contrib
+    sides are all bounded by the NODE VOCABULARY (event types), not
+    the event count, so they carry explicit broadcast hints — this is
+    the structural-boundedness case where a hint is correct, unlike
+    the data-dependent build side the q69 ADVICE item removed one
+    from (without the hint, Catalyst's pre-AQE size estimate scales
+    with the input scan and plans 17 SMJs at 100× facts — caught by
+    scale_smoke_100x). A web-scale-graph variant (rank table ~nodes,
+    not a vocabulary) would drop the hints and shuffle. The loop
     unrolls into a single plan — no driver-side collect between
     rounds. Dangling nodes are absent by construction here (every
     event type both sends and receives); a general build would add
@@ -3480,7 +3487,7 @@ def q100_pagerank(spark, sf_dir):
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     share = (
-        edges.join(outw, "src")
+        edges.join(F.broadcast(outw), "src")
         .select("src", "dst", F.expr("w * 1000000 div ow").alias("share_e6"))
     )
     nodes = share.select(F.col("src").alias("node")).union(
@@ -3492,13 +3499,13 @@ def q100_pagerank(spark, sf_dir):
     )
     for _ in range(3):
         contrib = (
-            share.join(ranks, share["src"] == ranks["node"])
+            share.join(F.broadcast(ranks), share["src"] == ranks["node"])
             .select("dst", F.expr("r * share_e6 div 1000000").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
+            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
             (
@@ -3549,3 +3556,75 @@ def _pagerank_oracle() -> str:
 
 
 RELATIONAL_ORACLE["q100_pagerank"] = _pagerank_oracle()
+
+
+def q101_pit_join(spark, sf_dir):
+    """Point-in-time (PIT) join — each fact row matched to the dimension
+    version that was valid WHEN THE FACT HAPPENED, the lookup every
+    feature store / bitemporal warehouse needs and the reason SCD2
+    intervals (q70) exist at all. Dim = scd2_build over the status
+    events (signup/error = account-status changes); facts = purchases;
+    match on valid_from ≤ ts < valid_to (half-open, so boundary facts
+    match exactly one interval; pre-signup purchases keep NULL status
+    via the left join).
+
+    Scale shape: the join carries the EQUI key user_id plus the range
+    predicate as a residual — Catalyst plans a sort-merge join on
+    user_id with the interval test as a join-condition filter, NOT a
+    nested loop (plan-asserted in tests/test_plans.py). Per-user
+    interval counts are small (state-change cadence, not event
+    cadence), so the residual scan per matched key is bounded; this is
+    the cheaper plan than the q61-style bucketed interval join, which
+    pays off only when intervals lack an equi key."""
+    e = _t(spark, sf_dir, "events")
+    status = e.where(F.col("event_type").isin("signup", "error"))
+    dim = scd2_build(
+        status, "user_id", ["ts", "event_id"], "event_type"
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from", "valid_to",
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("amount_cents"),
+    )
+    cond = (
+        (facts["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id", "user_id", "amount_cents", "status", "valid_from"
+    )
+
+
+RELATIONAL_QUERIES["q101_pit_join"] = q101_pit_join
+RELATIONAL_ORACLE["q101_pit_join"] = (
+    "WITH status AS ("
+    "  SELECT * FROM events WHERE event_type IN ('signup', 'error')), "
+    "chg AS ("
+    "  SELECT user_id, event_type, ts, event_id, "
+    "    CASE WHEN LAG(event_type) OVER "
+    "      (PARTITION BY user_id ORDER BY ts, event_id) "
+    "      IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg "
+    "  FROM status), "
+    "runs AS ("
+    "  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, "
+    "    event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM chg), "
+    "seg AS ("
+    "  SELECT user_id, event_type, run_id, MIN(ts) AS valid_from "
+    "  FROM runs GROUP BY 1, 2, 3), "
+    "dim AS ("
+    "  SELECT user_id, event_type AS status, valid_from, "
+    "    LEAD(valid_from) OVER (PARTITION BY user_id "
+    "      ORDER BY valid_from, run_id) AS valid_to "
+    "  FROM seg) "
+    "SELECT f.event_id, f.user_id, "
+    "  CAST(ROUND(f.value * 100) AS BIGINT) AS amount_cents, "
+    "  d.status, d.valid_from "
+    "FROM events f LEFT JOIN dim d ON f.user_id = d.user_id "
+    "  AND d.valid_from <= f.ts "
+    "  AND (d.valid_to IS NULL OR f.ts < d.valid_to) "
+    "WHERE f.event_type = 'purchase'"
+)

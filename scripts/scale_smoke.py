@@ -64,6 +64,12 @@ GATES = [
     # the probe side is a true dim and must stay broadcast at 10×)
     ("pipe_interleave_sources", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("sim_range_search", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
+    # late round-6 corpus gates: systematic PPS (the bucket ledger must
+    # stay a tiny driver-side list while the corpus grows — prefix-sum
+    # machinery is the thing under test) and the Y4M demux fan-out
+    # (map-only mapInPandas ×frames — cost linear in docs, no shuffle)
+    ("pipe_pps_sample", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("media_video_frames", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an

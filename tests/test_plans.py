@@ -710,3 +710,24 @@ def test_cdc_fold_single_shuffle(spark, sf_dir):
     hashes every stage on user_id: exactly ONE exchange."""
     p = _plan(RELATIONAL_QUERIES["q98_cdc_fold"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pit_join_no_nested_loop(spark, sf_dir):
+    """q101's PIT join must ride its equi key (user_id) with the
+    interval test as a residual — a hash or sort-merge join, never a
+    nested loop / cartesian."""
+    p = _plan(RELATIONAL_QUERIES["q101_pit_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_pagerank_bounded_sides_stay_broadcast(spark, sf_dir):
+    """q100's rank/outw/contrib joins are bounded by the node
+    vocabulary and carry structural broadcast hints — every join in
+    the unrolled 3-iteration plan must be a BroadcastHashJoin (the
+    100x smoke showed Catalyst's pre-AQE estimates otherwise flip all
+    17 to SMJ when the fact scan grows)."""
+    p = _plan(RELATIONAL_QUERIES["q100_pagerank"](spark, sf_dir))
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastHashJoin") >= 7
