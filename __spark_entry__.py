@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 35 never-green oracle-backed gates — the three round-5
+# Round-6 window: 36 never-green oracle-backed gates — the three round-5
 # driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
 # values were verified byte-identical by the round-5 judge; the failures
 # were DuckDB-HUGEINT oracle typing, fixed this round with
@@ -152,15 +152,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # q101_pit_join (point-in-time join of purchases against scd2_build
 # status intervals — equi key + range residual, never a nested loop;
 # dedup_clusters_bounded cedes — the clusters family holds the r5
-# recursive_sql row);
+# recursive_sql row), and q102_skyline (2-D Pareto frontier via the
+# two-phase distributed prefix-max — no global window, no quadratic
+# NOT EXISTS; sim_pairs_threshold cedes — sim holds TWO round-6
+# never-green entries);
 # + 2 changed gates
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
 # overriding it — the round-5 ADVICE medium; q70_scd2_build: the
 # islands construction refactored into the reusable scd2_build() with
-# property-tested interval laws); + 13 re-proofs STALEST
+# property-tested interval laws); + 12 re-proofs STALEST
 # FIRST: all 10 gates still resting on r2 rows (four rounds old —
-# judge item 2), then 3 of the 36 r3-proven gates (three rounds old;
+# judge item 2), then 2 of the 36 r3-proven gates (three rounds old;
 # q55_time_rollup, stream_dedup_counts, q57_rank_ratios,
 # q58_tpch_q10_shape, q59_latest_per_key, pipe_split_assign,
 # pipe_stratified_sample, text_scrub and udf_grouped_map_stats
@@ -229,6 +232,7 @@ _PRIORITY = [
     "udf_ewma_state",             # NEW: applyInPandas recurrence vs CTE
     "dedup_prefix_filter_pairs",  # NEW: exact unbounded AllPairs join
     "q101_pit_join",              # NEW: PIT join vs SCD2 intervals
+    "q102_skyline",               # NEW: Pareto frontier, 2-phase cummax
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
     "q70_scd2_build",             # islands refactored into scd2_build()
@@ -240,7 +244,6 @@ _PRIORITY = [
     "ref_format_output", "udf_table_function_tokens",
     # --- then the r3-proven cohort (three rounds old); ten cede, see
     # --- header note ---
-    "sim_pairs_threshold",
     "ref_compare", "media_byte_stats",
 ]
 

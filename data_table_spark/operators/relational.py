@@ -3628,3 +3628,65 @@ RELATIONAL_ORACLE["q101_pit_join"] = (
     "  AND (d.valid_to IS NULL OR f.ts < d.valid_to) "
     "WHERE f.event_type = 'purchase'"
 )
+
+
+def q102_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier) — the lineitems no other lineitem
+    strictly dominates on (maximize l_extendedprice, maximize
+    l_quantity): the multi-objective selection shape (best
+    quality-vs-length docs, cheapest-vs-fastest suppliers) that has no
+    SQL keyword and is usually written as a quadratic NOT EXISTS.
+
+    The scalable exact form is the sort-scan: collapse to per-price
+    max quantity (one shuffle, map-combinable), then a running max
+    over prices DESCENDING — a point survives iff its max-quantity
+    strictly exceeds the running max over all HIGHER prices (strict
+    prefix, empty-prefix ⇒ survivor). The running max uses
+    scale.distributed_prefix_max (two-phase bucket scan,
+    inclusive=False) — NO global window anywhere, the same machinery
+    as pipe_pps_sample's prefix sum with max as the monoid. A final
+    join back to the (price, qty) counts recovers the tied rows at
+    each frontier point. The oracle computes the identical frontier
+    with DuckDB's native window — same algebra, independent engine."""
+    from .scale import distributed_prefix_max
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_extendedprice").alias("p"), F.col("l_quantity").alias("q")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    pm = pts.groupBy("p").agg(F.max("q").alias("mq"))
+    hm = distributed_prefix_max(
+        pm, "p", "mq", out_col="hm", bucket_span=4096,
+        descending=True, inclusive=False,
+    )
+    frontier = hm.where(
+        F.col("hm").isNull() | (F.col("mq") > F.col("hm"))
+    ).select(F.col("p").alias("fp"), F.col("mq").alias("fq"))
+    return (
+        frontier.join(
+            pts,
+            (F.col("fp") == F.col("p")) & (F.col("fq") == F.col("q")),
+        )
+        .select(
+            F.col("fp").alias("l_extendedprice"),
+            F.col("fq").alias("l_quantity"),
+            F.col("c").cast("long").alias("n_rows"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q102_skyline"] = q102_skyline
+RELATIONAL_ORACLE["q102_skyline"] = (
+    "WITH pts AS ("
+    "  SELECT l_extendedprice AS p, l_quantity AS q, COUNT(*) AS c "
+    "  FROM lineitem GROUP BY 1, 2), "
+    "pm AS (SELECT p, MAX(q) AS mq FROM pts GROUP BY p), "
+    "cm AS ("
+    "  SELECT p, mq, MAX(mq) OVER (ORDER BY p DESC "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hm "
+    "  FROM pm) "
+    "SELECT cm.p AS l_extendedprice, cm.mq AS l_quantity, "
+    "  CAST(pts.c AS BIGINT) AS n_rows "
+    "FROM cm JOIN pts ON cm.p = pts.p AND cm.mq = pts.q "
+    "WHERE cm.hm IS NULL OR cm.mq > cm.hm"
+)

@@ -405,3 +405,69 @@ def distributed_prefix_sum(
         )
         .drop("_psb", "_off")
     )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_max",
+    bucket_span: int = 1 << 16,
+    descending: bool = False,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running MAX over a global ordering without a global window — the
+    prefix-sum pattern (:func:`distributed_prefix_sum`) with max as the
+    monoid: per-bucket maxima → driver-prefixed EXCLUSIVE offsets →
+    per-bucket ordered cummax + greatest(local, offset). ``descending``
+    orders the scan high-to-low (buckets prefixed in reverse);
+    ``inclusive=False`` gives the STRICT prefix (max over rows strictly
+    before this one — NULL for the global first row), the form a
+    dominance test needs. The order key may be any numeric whose
+    long-cast is monotone (doubles bucket fine). Same contract as the
+    sum form: ledger rows = key-range / span (size the span; bounded
+    driver state)."""
+    from pyspark.sql import Window
+
+    b = (F.col(order_col).cast("long") / F.lit(bucket_span)).cast(
+        "long"
+    ).alias("_pmb")
+    bucketed = df.withColumn("_pmb", b)
+    ledger = (
+        bucketed.groupBy("_pmb")
+        .agg(F.max(F.col(value_col)).alias("_mx"))
+        .collect()
+    )
+    ledger.sort(key=lambda r: r["_pmb"], reverse=descending)
+    offsets, run = [], None
+    for r in ledger:
+        offsets.append((r["_pmb"], run))
+        run = r["_mx"] if run is None else max(run, r["_mx"])
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets, f"_pmb long, _off {df.schema[value_col].dataType.simpleString()}"
+        )
+    )
+    order = F.col(order_col).desc() if descending else F.col(order_col)
+    w = (
+        Window.partitionBy("_pmb")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if not inclusive:
+        w = w.rowsBetween(Window.unboundedPreceding, -1)
+    local = F.max(value_col).over(w)
+    out = (
+        F.greatest(local, F.coalesce(F.col("_off"), local))
+        if inclusive
+        # strict form: either side may be NULL (first row of bucket /
+        # first bucket) — greatest() skips NULLs in Spark, and both
+        # NULL yields NULL, exactly the empty-prefix answer
+        else F.greatest(local, F.col("_off"))
+    )
+    return (
+        bucketed.join(off_df, "_pmb")
+        .withColumn(out_col, out)
+        .drop("_pmb", "_off")
+    )

@@ -266,7 +266,16 @@ def main() -> None:
             "guarded hint working as designed: the 100× key set exceeds "
             "the session threshold, so the hint is withheld and the "
             "planner picks SMJ instead of forcing an oversized "
-            "broadcast.\n"
+            "broadcast.\n\n"
+            "q100_pagerank is the INVERSE lesson, caught by this smoke "
+            "first: its rank/out-weight tables are bounded by the node "
+            "VOCABULARY (5 event types at any sf), but Catalyst's "
+            "pre-AQE size estimates scale with the fact scan, flipping "
+            "all 17 iteration joins to SMJ at 100× — so those sides now "
+            "carry STRUCTURAL broadcast hints (boundedness proven by "
+            "construction, not by data), the one case where hinting "
+            "past the threshold is correct; plan-asserted in "
+            "tests/test_plans.py.\n"
         )
     if failures:
         print("FAILURES:\n" + "\n".join(failures), file=sys.stderr)

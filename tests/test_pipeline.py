@@ -284,3 +284,33 @@ def test_pps_sample_invariants(spark, sf_dir):
     assert heavy <= picked
     s2 = {r["doc_id"] for r in pps_sample(d, "doc_id", "n_chars", k=40).collect()}
     assert picked == s2
+
+
+def test_distributed_prefix_max_law(spark, sf_dir):
+    """Two-phase bucketed running max == MAX OVER (ORDER BY ...), in
+    both directions and both inclusivities, across spans."""
+    from pyspark.sql import Window
+
+    from data_table_spark.operators.scale import distributed_prefix_max
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    for desc in (False, True):
+        order = F.col("doc_id").desc() if desc else F.col("doc_id")
+        for incl, frame_end in ((True, 0), (False, -1)):
+            w = Window.orderBy(order).rowsBetween(
+                Window.unboundedPreceding, frame_end
+            )
+            ref = d.withColumn("pm", F.max("n_chars").over(w))
+            for span in (13, 1 << 20):
+                got = distributed_prefix_max(
+                    d, "doc_id", "n_chars", out_col="got",
+                    bucket_span=span, descending=desc, inclusive=incl,
+                )
+                n_bad = (
+                    got.join(ref, "doc_id")
+                    .where(~F.col("got").eqNullSafe(F.col("pm")))
+                    .count()
+                )
+                assert n_bad == 0, f"desc={desc} incl={incl} span={span}"
