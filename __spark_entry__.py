@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 36 never-green oracle-backed gates — the three round-5
+# Round-6 window: 38 never-green oracle-backed gates — the three round-5
 # driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
 # values were verified byte-identical by the round-5 judge; the failures
 # were DuckDB-HUGEINT oracle typing, fixed this round with
@@ -155,15 +155,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # recursive_sql row), and q102_skyline (2-D Pareto frontier via the
 # two-phase distributed prefix-max — no global window, no quadratic
 # NOT EXISTS; sim_pairs_threshold cedes — sim holds TWO round-6
-# never-green entries);
+# never-green entries), plus sim_quantized_covariance (the PCA
+# building block: every covariance entry from ONE scan in exact
+# integer moments over the int8 quantization) and ref_fixed_width
+# (copybook codec round trip: decode∘encode == identity against the
+# original table as oracle — ref_compare and media_byte_stats cede,
+# their families keeping four r2 re-proofs and a never-green entry
+# respectively);
 # + 2 changed gates
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
 # overriding it — the round-5 ADVICE medium; q70_scd2_build: the
 # islands construction refactored into the reusable scd2_build() with
-# property-tested interval laws); + 12 re-proofs STALEST
-# FIRST: all 10 gates still resting on r2 rows (four rounds old —
-# judge item 2), then 2 of the 36 r3-proven gates (three rounds old;
+# property-tested interval laws); + 10 re-proofs: the full r2-resting
+# cohort (four rounds old — judge item 2); every r3 re-proof slot
+# ultimately ceded to never-green entries (three rounds old;
 # q55_time_rollup, stream_dedup_counts, q57_rank_ratios,
 # q58_tpch_q10_shape, q59_latest_per_key, pipe_split_assign,
 # pipe_stratified_sample, text_scrub and udf_grouped_map_stats
@@ -233,6 +239,8 @@ _PRIORITY = [
     "dedup_prefix_filter_pairs",  # NEW: exact unbounded AllPairs join
     "q101_pit_join",              # NEW: PIT join vs SCD2 intervals
     "q102_skyline",               # NEW: Pareto frontier, 2-phase cummax
+    "sim_quantized_covariance",   # NEW: exact int8 covariance moments
+    "ref_fixed_width",            # NEW: copybook codec round trip
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
     "q70_scd2_build",             # islands refactored into scd2_build()
@@ -242,9 +250,9 @@ _PRIORITY = [
     "text_langid", "text_fingerprint",
     "ref_select_columns", "ref_sub_table", "ref_add_column",
     "ref_format_output", "udf_table_function_tokens",
-    # --- then the r3-proven cohort (three rounds old); ten cede, see
-    # --- header note ---
-    "ref_compare", "media_byte_stats",
+    # (the r3-proven cohort's slots all ceded to never-green round-6
+    # gates — see header note; every r3 gate keeps its green row +
+    # pytest oracle)
 ]
 
 

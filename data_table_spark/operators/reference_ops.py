@@ -172,3 +172,42 @@ REFERENCE_ORACLE.update(
             "SELECT TRUE AS eq_same, FALSE AS eq_diff",
     }
 )
+
+
+#: copybook layout for the fixed-width round-trip gate
+_FW_SPEC = [
+    ("n_nationkey", 6, "int"),
+    ("n_name", 16, "string"),
+    ("n_regionkey", 4, "int"),
+]
+
+
+def ref_fixed_width(spark, sf_dir):
+    """Fixed-width (copybook) codec round trip — the mainframe-adjacent
+    ingest format the reference's CSV reader never covered
+    (sources/formats.py read/parse/write_fixed_width): encode nation
+    into 26-char records with numeric left-pad / string right-pad, then
+    parse back with the spec-driven substring/try_cast expressions. The
+    oracle is the ORIGINAL table, so a green row proves decode∘encode
+    is the identity — padding stripped, internal spaces preserved,
+    types restored. File-backed read/write paths are exercised in
+    tests/test_sources_sinks.py with tmp files; the gate keeps the
+    expression pipeline file-free so the driver can replay it."""
+    from ..sources.formats import parse_fixed_width
+
+    n = load_table(spark, "nation", sf_dir)
+    line = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 6, " "),
+        F.rpad(F.col("n_name"), 16, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 4, " "),
+    )
+    encoded = n.select(line.alias("_fw_line"))
+    return encoded.select(
+        *parse_fixed_width(F.col("_fw_line"), _FW_SPEC)
+    )
+
+
+REFERENCE_QUERIES["ref_fixed_width"] = ref_fixed_width
+REFERENCE_ORACLE["ref_fixed_width"] = (
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+)

@@ -1129,3 +1129,94 @@ SIMILARITY_ORACLE["sim_recall_report"] = (
     f"SELECT CAST({TOP_K} AS BIGINT) AS k, n_hits, "
     f"  ROUND(CAST(n_hits AS DOUBLE) / {TOP_K}, 4) AS recall_at_k FROM h"
 )
+
+
+def sim_quantized_covariance(spark, sf_dir):
+    """Exact covariance matrix of the int8-quantized embeddings — the
+    PCA/whitening building block computed the 100 TB way: ONE pass,
+    every entry of the (upper-triangular) dim×dim matrix from the same
+    scan, all moments in EXACT integer arithmetic so the oracle replays
+    them bit-for-bit (float moment sums are partial-sum-order-dependent
+    and can never hash-match a serial engine — the same reason q96
+    sums money in e4 integers).
+
+    Each row map-side expands to its dim·(dim+1)/2 (i, j≤i) products
+    (nested transform over a sliced prefix — the zip_with lesson from
+    _bigram_shingles: no per-index element_at) and ONE partial-
+    aggregable groupBy(i, j) sums products and marginals. The dim²×
+    expansion is the documented cost (64d ⇒ 2080 pairs/row); past
+    ~1k dims you'd switch to Arrow-batched BLAS syrk per partition +
+    a tree-reduce, the same pattern as sim_knn_join's matmul.
+    cov_e6 = floor(1e6·(n·Σxy − Σx·Σy)/n²) derives from the exact
+    integer sums in IEEE doubles — identical on both engines."""
+
+    q = quantize_int8(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("qvec")
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("qvec"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("qvec"), F.lit(1), i + 1),
+                        lambda y, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (x * y).alias("xy"),
+                            x.alias("xi"),
+                            y.alias("yj"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xy").alias("sum_xy"),
+        F.sum("xi").alias("sum_x"),
+        F.sum("yj").alias("sum_y"),
+    )
+    cov = F.floor(
+        F.lit(1e6)
+        * (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        / (F.col("n") * F.col("n"))
+    ).cast("long")
+    return agg.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n", "sum_xy", "sum_x", "sum_y",
+        cov.alias("cov_e6"),
+    )
+
+
+SIMILARITY_QUERIES["sim_quantized_covariance"] = sim_quantized_covariance
+SIMILARITY_ORACLE["sim_quantized_covariance"] = (
+    "WITH m AS ("
+    "  SELECT vec_id, embedding::DOUBLE[] v, "
+    "    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) mx "
+    "  FROM embeddings), "
+    "q AS ("
+    "  SELECT vec_id, CASE WHEN mx = 0 "
+    "    THEN list_transform(v, x -> 0::BIGINT) "
+    "    ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::BIGINT) "
+    "    END AS qv FROM m), "
+    "pairs AS ("
+    "  SELECT i.i - 1 AS i, j.j - 1 AS j, "
+    "    qv[i.i] * qv[j.j] AS xy, qv[i.i] AS xi, qv[j.j] AS yj "
+    "  FROM q, UNNEST(range(1, len(qv) + 1)) AS i(i), "
+    "    UNNEST(range(1, len(qv) + 1)) AS j(j) "
+    "  WHERE j.j <= i.i), "
+    "agg AS ("
+    "  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+    "    COUNT(*) AS n, "
+    "    CAST(SUM(xy) AS BIGINT) AS sum_xy, "
+    "    CAST(SUM(xi) AS BIGINT) AS sum_x, "
+    "    CAST(SUM(yj) AS BIGINT) AS sum_y "
+    "  FROM pairs GROUP BY 1, 2) "
+    "SELECT i, j, n, sum_xy, sum_x, sum_y, "
+    "  CAST(FLOOR(1e6 * (n * sum_xy - sum_x * sum_y) "
+    "    / (n * n)) AS BIGINT) AS cov_e6 "
+    "FROM agg"
+)

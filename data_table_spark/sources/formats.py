@@ -116,3 +116,58 @@ def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             f"text sink needs exactly one string column, got {df.columns}"
         )
     df.write.mode(mode).text(path)
+
+
+def parse_fixed_width(line_col, spec):
+    """Parse a fixed-width record (the mainframe/COBOL copybook layout
+    the reference's CSV-centric ingest never covered) from a string
+    column into typed columns — pure substring/trim/try_cast
+    expressions, whole-stage-codegen friendly, no Python.
+
+    ``spec`` is ``[(name, width, spark_type_ddl), ...]``; fields are
+    taken left to right, padding stripped, empty → NULL (the
+    trim-and-nullify convention from functions/cleaning.py), and cast
+    with try_cast so a malformed cell NULLs instead of failing the job
+    (ANSI mode is ON in Spark 4 — a plain cast would throw)."""
+    from pyspark.sql import functions as F
+
+    cols, start = [], 1
+    for name, width, ddl in spec:
+        raw = F.trim(F.substring(line_col, start, width))
+        val = F.when(raw == "", None).otherwise(raw)
+        if ddl not in (None, "string"):
+            val = val.try_cast(ddl)
+        cols.append(val.alias(name))
+        start += width
+    return cols
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, spec
+) -> DataFrame:
+    """Fixed-width file source: one text scan (splittable, predicate
+    pushdown N/A by format), then :func:`parse_fixed_width` — column
+    pruning still applies downstream because parsing is per-column
+    expressions, and at 100 TB the scan parallelizes by file split like
+    any text source."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).select(F.col("value").alias("_fw_line"))
+    return lines.select(*parse_fixed_width(F.col("_fw_line"), spec))
+
+
+def write_fixed_width(df: DataFrame, path: str, spec, mode="overwrite"):
+    """Inverse of :func:`read_fixed_width`: right-pad strings / left-pad
+    numerics into the spec's widths and write one line per record."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for name, width, ddl in spec:
+        c = F.col(name).cast("string")
+        pad = (
+            F.rpad(F.coalesce(c, F.lit("")), width, " ")
+            if ddl in (None, "string")
+            else F.lpad(F.coalesce(c, F.lit("")), width, " ")
+        )
+        parts.append(pad)
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

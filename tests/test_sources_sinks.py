@@ -761,3 +761,23 @@ def test_sample_frames_real_y4m(spark):
     assert [r["frame_idx"] for r in rows] == [0, 2]
     assert [r["frame_ts_ms"] for r in rows] == [0, 200]
     assert [bytes(r["frame"]) for r in rows] == [planes[0], planes[2]]
+
+
+def test_fixed_width_file_round_trip(spark, sf_dir, tmp_path):
+    """write_fixed_width → read_fixed_width over a real file: typed
+    round trip including a NULL (empty field) and an internal space."""
+    from data_table_spark.sources.formats import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [("id", 5, "bigint"), ("name", 12, "string"), ("score", 8, "double")]
+    rows = [(1, "ada lovelace", 3.5), (2, None, None), (42, "bob", -0.25)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, spec)
+    got = {
+        r["id"]: (r["name"], r["score"])
+        for r in read_fixed_width(spark, path, spec).collect()
+    }
+    assert got == {1: ("ada lovelace", 3.5), 2: (None, None), 42: ("bob", -0.25)}
