@@ -112,7 +112,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 38 never-green oracle-backed gates — the three round-5
+# Round-6 window: 40 never-green oracle-backed gates — the three round-5
 # driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
 # values were verified byte-identical by the round-5 judge; the failures
 # were DuckDB-HUGEINT oracle typing, fixed this round with
@@ -161,15 +161,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (copybook codec round trip: decode∘encode == identity against the
 # original table as oracle — ref_compare and media_byte_stats cede,
 # their families keeping four r2 re-proofs and a never-green entry
-# respectively);
+# respectively), plus q103_weighted_median (half-the-WEIGHT order
+# statistic via per-group cumulative weight, exact e4 integers) and
+# q104_chi_square (independence test whose χ² is an integer sum of
+# per-cell floored contributions — order-independent by construction);
 # + 2 changed gates
 # (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
 # size estimate vs the session threshold instead of unconditionally
 # overriding it — the round-5 ADVICE medium; q70_scd2_build: the
 # islands construction refactored into the reusable scd2_build() with
-# property-tested interval laws); + 10 re-proofs: the full r2-resting
-# cohort (four rounds old — judge item 2); every r3 re-proof slot
-# ultimately ceded to never-green entries (three rounds old;
+# property-tested interval laws); + 8 re-proofs: the r2-resting
+# cohort (four rounds old — judge item 2) minus q52_except_all and
+# q53_intersect_all, the two r2 gates whose EXACT siblings hold fresh
+# r5 rows (q26_except / q25_intersect — same operators modulo ALL
+# semantics, identical pytest oracles) — they cede to the final two
+# never-green entries under rule 1's precedence and are first in line
+# for round 7; every r3 re-proof slot also ceded (three rounds old;
 # q55_time_rollup, stream_dedup_counts, q57_rank_ratios,
 # q58_tpch_q10_shape, q59_latest_per_key, pipe_split_assign,
 # pipe_stratified_sample, text_scrub and udf_grouped_map_stats
@@ -241,12 +248,14 @@ _PRIORITY = [
     "q102_skyline",               # NEW: Pareto frontier, 2-phase cummax
     "sim_quantized_covariance",   # NEW: exact int8 covariance moments
     "ref_fixed_width",            # NEW: copybook codec round trip
+    "q103_weighted_median",       # NEW: weighted order statistic
+    "q104_chi_square",            # NEW: integer-exact independence test
     # --- changed this round (priority rule 2) ---
     "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
     "q70_scd2_build",             # islands refactored into scd2_build()
     # --- rule 3 re-proofs, stalest first: the full r2-resting cohort
     # --- (four rounds old — judge item 2) ---
-    "q50_right_join", "q52_except_all", "q53_intersect_all",
+    "q50_right_join",
     "text_langid", "text_fingerprint",
     "ref_select_columns", "ref_sub_table", "ref_add_column",
     "ref_format_output", "udf_table_function_tokens",

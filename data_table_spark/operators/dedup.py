@@ -871,6 +871,35 @@ DEDUP_ORACLE["dedup_clusters_recursive_sql"] = DEDUP_ORACLE["dedup_clusters_boun
 # Prefix filtering (AllPairs/PPJoin) — EXACT similarity join, unbounded
 # --------------------------------------------------------------------------
 
+def _trigram_shingles(col) -> Column:
+    """Distinct word-trigram shingles — the prefix-filter join's token
+    universe. Trigrams, not bigrams, deliberately: selectivity of
+    prefix filtering is governed by the document-frequency of the
+    RAREST tokens, and this synthetic corpus has a ~31-word vocabulary
+    whose bigrams all have df in the hundreds at sf0.1 (measured: the
+    bigram form produced ~33M candidates and a 172 s gate — the
+    filter's premise, Zipfian rarity, simply absent). Trigram vocab is
+    27k with max df 25 at sf0.1 — rarity restored, candidates
+    near-linear in true pairs. Built with chained zip_with over
+    shifted slices (the _bigram_shingles lesson: no per-index
+    element_at)."""
+    t = _tokens(col)
+    n = F.size(t)
+    bi = F.zip_with(
+        F.slice(t, 1, n - 2),
+        F.slice(t, 2, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.zip_with(
+                bi, F.slice(t, 3, n - 2),
+                lambda ab, c: F.concat_ws(" ", ab, c),
+            )
+        )
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     t_num: int = 1,
@@ -899,12 +928,15 @@ def prefix_filter_pairs(
     filter → self-equi-join on prefix token → distinct pairs → verify
     via array_intersect against the per-doc shingle arrays (O(cands),
     never O(n²)). Threshold compares in exact integers:
-    t_den·inter ≥ t_num·(na+nb−inter)."""
+    t_den·inter ≥ t_num·(na+nb−inter). The rank lookup broadcasts
+    the vocabulary table (distinct shingles — fits while vocab ≪
+    corpus, the usual case); at open-web vocab sizes drop the hint
+    and let it shuffle-join on tok."""
     from pyspark.sql import Window
 
     sets = docs.select(
         F.col(id_col).alias("doc"),
-        _bigram_shingles(F.col(text_col)).alias("s"),
+        _trigram_shingles(F.col(text_col)).alias("s"),
     )
     toks = sets.select(
         "doc", F.explode("s").alias("tok"), F.size("s").alias("n")
@@ -916,7 +948,9 @@ def prefix_filter_pairs(
             "rk", F.row_number().over(Window.orderBy("df", "tok"))
         )
     )
-    pos = toks.join(rank.select("tok", "rk"), "tok").withColumn(
+    # the vocabulary rank table is small (distinct shingles) — broadcast
+    # it so the exploded token stream never shuffles for the rank lookup
+    pos = toks.join(F.broadcast(rank.select("tok", "rk")), "tok").withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("doc").orderBy("rk")),
     )
@@ -925,11 +959,20 @@ def prefix_filter_pairs(
         - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
         + 1
     )
-    pref = pos.where(F.col("rn") <= prefix_len).select("doc", "tok")
+    pref = pos.where(F.col("rn") <= prefix_len).select("doc", "tok", "n")
     cand = (
-        pref.select(F.col("doc").alias("a"), "tok")
-        .join(pref.select(F.col("doc").alias("b"), "tok"), "tok")
+        pref.select(F.col("doc").alias("a"), "tok", F.col("n").alias("an"))
+        .join(
+            pref.select(F.col("doc").alias("b"), "tok", F.col("n").alias("bn")),
+            "tok",
+        )
         .where(F.col("a") < F.col("b"))
+        # length filter (cannot drop true pairs: J ≤ min/max, so J ≥ t
+        # forces t·max ≤ den·min — exact integers, oracle untouched)
+        .where(
+            t_num * F.greatest("an", "bn")
+            <= t_den * F.least("an", "bn")
+        )
         .select("a", "b")
         .distinct()
     )
@@ -962,7 +1005,7 @@ def prefix_filter_pairs(
 
 
 def dedup_prefix_filter_pairs(spark, sf_dir):
-    """Gate: exact bigram-Jaccard ≥ 0.5 pairs over the WHOLE corpus (no
+    """Gate: exact trigram-Jaccard ≥ 0.5 pairs over the WHOLE corpus (no
     PAIR_BOUND) via prefix filtering. The oracle is the naive
     token-join form — equality proves the prefix filter's completeness
     theorem holds end-to-end on this corpus."""
@@ -976,7 +1019,8 @@ DEDUP_ORACLE["dedup_prefix_filter_pairs"] = (
     "  FROM documents), "
     "sh AS ("
     "  SELECT doc_id, list_distinct("
-    "    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) s "
+    "    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "     FOR i IN range(1, len(t) - 1)]) s "
     "  FROM toks), "
     "tok AS (SELECT DISTINCT doc_id, UNNEST(s) AS tok FROM sh), "
     "sz AS (SELECT doc_id, len(s) AS n FROM sh), "

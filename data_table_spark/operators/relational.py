@@ -3690,3 +3690,137 @@ RELATIONAL_ORACLE["q102_skyline"] = (
     "FROM cm JOIN pts ON cm.p = pts.p AND cm.mq = pts.q "
     "WHERE cm.hm IS NULL OR cm.mq > cm.hm"
 )
+
+
+def q103_weighted_median(spark, sf_dir):
+    """Weighted median per group — the order statistic where half the
+    WEIGHT (not half the rows) lies at or below the answer; the robust
+    location estimate a revenue-weighted pipeline wants (q41's
+    percentiles are row-weighted). No SQL aggregate computes it; the
+    scalable exact form is a per-group cumulative weight scan:
+
+      median_w(g) = min{ v : 2·cumw(v) ≥ W(g) }
+
+    with cumw a window cumsum PARTITIONED BY GROUP (shuffles once on
+    the group key, never global) over (value, tiebreak) order, W the
+    per-group total joined back broadcast (group cardinality is tiny),
+    and all weights in exact e4 integers so both engines agree to the
+    bit. Ties in value cannot flip the answer: whichever duplicate row
+    crosses the half-weight line, the min qualifying VALUE is the
+    same."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_e4 = F.round(F.col("l_extendedprice") * 10000).cast("long")
+    base = li.select(
+        "l_returnflag", F.col("l_quantity").alias("v"), w_e4.alias("w"),
+        "l_orderkey", "l_linenumber",
+    )
+    cw = Window.partitionBy("l_returnflag").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = base.withColumn("cumw", F.sum("w").over(cw))
+    totals = base.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .where(2 * F.col("cumw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median_qty"),
+            F.max("tw").alias("total_weight_e4"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q103_weighted_median"] = q103_weighted_median
+RELATIONAL_ORACLE["q103_weighted_median"] = (
+    "WITH base AS ("
+    "  SELECT l_returnflag, l_quantity AS v, "
+    "    CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS w, "
+    "    l_orderkey, l_linenumber "
+    "  FROM lineitem), "
+    "cum AS ("
+    "  SELECT *, SUM(w) OVER (PARTITION BY l_returnflag "
+    "    ORDER BY v, l_orderkey, l_linenumber "
+    "    ROWS UNBOUNDED PRECEDING) AS cumw "
+    "  FROM base), "
+    "tot AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw "
+    "  FROM base GROUP BY 1) "
+    "SELECT c.l_returnflag, MIN(c.v) AS weighted_median_qty, "
+    "  CAST(MAX(t.tw) AS BIGINT) AS total_weight_e4 "
+    "FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag "
+    "WHERE 2 * c.cumw >= t.tw "
+    "GROUP BY c.l_returnflag"
+)
+
+
+def q104_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test (returnflag × linestatus) —
+    the categorical counterpart to q80's A/B z-readout: one fact scan
+    to the contingency cells, then ALL marginals by windows over the
+    CELL table (bounded by the category product, here 3×2 — never a
+    second fact pass). Expected counts e_ij = row_i·col_j/N and the
+    statistic derive from exact BIGINT cell counts in IEEE doubles;
+    each CELL's contribution is floored to an e6 integer BEFORE the
+    final sum, so the statistic is an integer sum — order-independent
+    and bit-stable across partitionings (a raw double Σ over cells
+    would sum in shuffle order and could flap the last bits run to
+    run). Output: per-cell observed/expected plus the shared
+    χ²_e6 = Σ⌊contrib·10⁶⌋ and degrees of freedom on every row."""
+    e = _t(spark, sf_dir, "lineitem")
+    cells = e.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("l_returnflag")
+    w_col = Window.partitionBy("l_linestatus")
+    with_m = cells.select(
+        "l_returnflag", "l_linestatus", "o",
+        F.sum("o").over(w_row).alias("rt"),
+        F.sum("o").over(w_col).alias("ct"),
+        F.sum("o").over(w_all).alias("n"),
+        # distinct window aggregates are unsupported in Spark —
+        # collect_set over the (bounded) cell table is the idiom
+        F.size(F.collect_set("l_returnflag").over(w_all)).alias("nr"),
+        F.size(F.collect_set("l_linestatus").over(w_all)).alias("nc"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    scored = with_m.select(
+        "l_returnflag", "l_linestatus", "o",
+        F.floor(exp * 1000000).cast("long").alias("expected_e6"),
+        F.floor(contrib * 1000000).cast("long").alias("_c_e6"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+    )
+    return scored.select(
+        "l_returnflag", "l_linestatus", "o", "expected_e6", "dof",
+        F.sum("_c_e6").over(Window.partitionBy("dof"))
+        .cast("long").alias("chi2_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q104_chi_square"] = q104_chi_square
+RELATIONAL_ORACLE["q104_chi_square"] = (
+    "WITH cells AS ("
+    "  SELECT l_returnflag, l_linestatus, COUNT(*) AS o "
+    "  FROM lineitem GROUP BY 1, 2), "
+    "m AS ("
+    "  SELECT l_returnflag, l_linestatus, o, "
+    "    SUM(o) OVER (PARTITION BY l_returnflag) AS rt, "
+    "    SUM(o) OVER (PARTITION BY l_linestatus) AS ct, "
+    "    SUM(o) OVER () AS n, "
+    "    (SELECT COUNT(DISTINCT l_returnflag) FROM cells) AS nr, "
+    "    (SELECT COUNT(DISTINCT l_linestatus) FROM cells) AS nc "
+    "  FROM cells), "
+    "s AS ("
+    "  SELECT l_returnflag, l_linestatus, o, "
+    "    CAST(FLOOR(CAST(rt * ct AS DOUBLE) / n * 1000000) AS BIGINT) "
+    "      AS expected_e6, "
+    "    CAST(FLOOR((o - CAST(rt * ct AS DOUBLE) / n) "
+    "      * (o - CAST(rt * ct AS DOUBLE) / n) "
+    "      / (CAST(rt * ct AS DOUBLE) / n) * 1000000) AS BIGINT) "
+    "      AS c_e6, "
+    "    CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof "
+    "  FROM m) "
+    "SELECT l_returnflag, l_linestatus, o, expected_e6, dof, "
+    "  CAST(SUM(c_e6) OVER () AS BIGINT) AS chi2_e6 "
+    "FROM s"
+)

@@ -70,6 +70,9 @@ GATES = [
     # (map-only mapInPandas ×frames — cost linear in docs, no shuffle)
     ("pipe_pps_sample", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("media_video_frames", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
+    # exact similarity join: candidates must scale with true near-dup
+    # pairs (the prefix join prunes the hot token tail), never O(n²)
+    ("dedup_prefix_filter_pairs", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
