@@ -392,3 +392,135 @@ def test_cdc_fold_matches_imperative_replay(spark, ops):
     assert got == _fold_reference(
         [(uid, ts, eid, op, amt) for uid, ts, eid, op, amt in rows]
     )
+
+
+def _brute_jaccard_pairs(docs, t_num, t_den):
+    """Independent reference: trigram sets in pure Python, all-pairs."""
+    def tri(text):
+        t = text.lower().strip().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: tri(x) for i, x in docs}
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and t_den * inter >= t_num * union:
+                out.add((a, b))
+    return out
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc_text = st.lists(_words, min_size=0, max_size=10).map(" ".join)
+
+
+@SLOW
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+def test_prefix_filter_completeness_property(spark, texts):
+    """prefix_filter_pairs == brute-force trigram Jaccard on arbitrary
+    tiny corpora — empty docs, sub-trigram docs, identical docs, a
+    4-word alphabet with maximally overlapping shingles (the worst
+    case for prefix selectivity must still be CORRECT)."""
+    from data_table_spark.operators.dedup import prefix_filter_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in prefix_filter_pairs(df).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs, 1, 2)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),            # group
+            st.integers(0, 20),           # value
+            st.integers(1, 50),           # weight (positive)
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_weighted_median_property(spark, rows):
+    """min{v : 2·cumw(v) ≥ W} == the Python fold over value-sorted
+    rows, for arbitrary weights including single-row groups and
+    all-equal values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(g, v, w, i) for i, (g, v, w) in enumerate(rows)],
+        "g long, v long, w long, i long",
+    )
+    cw = Window.partitionBy("g").orderBy("v", "i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = df.withColumn("cumw", SF.sum("w").over(cw))
+    tot = df.groupBy("g").agg(SF.sum("w").alias("tw"))
+    got = {
+        r["g"]: r["m"]
+        for r in cum.join(tot, "g")
+        .where(2 * SF.col("cumw") >= SF.col("tw"))
+        .groupBy("g")
+        .agg(SF.min("v").alias("m"))
+        .collect()
+    }
+    ref = {}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v, w in rows:
+        groups[g].append((v, w))
+    for g, vw in groups.items():
+        total = sum(w for _, w in vw)
+        acc = 0
+        for v, w in sorted(vw):
+            acc += w
+            if 2 * acc >= total:
+                ref[g] = v
+                break
+    assert got == ref
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=15,
+    )
+)
+def test_skyline_matches_brute_force(spark, pts):
+    """The sort-scan skyline (per-x max + strict descending prefix-max)
+    == brute-force strict-domination filtering, on arbitrary small
+    point sets with duplicates and ties."""
+    from pyspark.sql import functions as SF
+
+    from data_table_spark.operators.scale import distributed_prefix_max
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    pm = df.groupBy("x").agg(SF.max("y").alias("my"))
+    hm = distributed_prefix_max(
+        pm, "x", "my", out_col="hm", bucket_span=4,
+        descending=True, inclusive=False,
+    )
+    got = {
+        (r["x"], r["my"])
+        for r in hm.where(
+            SF.col("hm").isNull() | (SF.col("my") > SF.col("hm"))
+        ).collect()
+    }
+    uniq = set(pts)
+    ref = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            (ox >= x and oy >= y and (ox > x or oy > y))
+            for (ox, oy) in uniq
+        )
+    }
+    assert got == ref
