@@ -178,3 +178,65 @@ STATEFUL_ORACLE = {
         f"{MILESTONE_STRIDE})) AS milestone "
         "FROM (SELECT user_id, COUNT(*) n FROM events GROUP BY user_id) t",
 }
+
+
+# --------------------------------------------------------------------------
+# S7: streaming EWMA (sequential per-key recurrence carried across batches)
+# --------------------------------------------------------------------------
+
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_e6", T.LongType()),
+    ]
+)
+#: (count so far, current ewma) — n==0 means "no state yet" so the
+#: double slot never needs a NULL
+_EWMA_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("y", T.DoubleType())]
+)
+
+EWMA_ALPHA = 0.2
+
+
+def user_ewma_stream(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Streaming form of operators/udfs.ewma_per_key: the recurrence
+    y = α·x + (1−α)·y' carried ACROSS micro-batches in one (n, y)
+    state slot per user — O(1) state however long the stream runs.
+    Each batch's rows fold in (ts, event_id) order; correctness across
+    batches assumes per-key arrival order is non-decreasing in ts (the
+    file-replay harness splits its source by ts ranges to honor this —
+    an out-of-order stream would need a watermark-bounded reorder
+    buffer in the state, the documented upgrade path). Emits the
+    running (n, ewma_e6) per active user each batch (update mode);
+    the FINAL emission per user equals the batch form's last row —
+    asserted in tests/test_streaming.py."""
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, y = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].astype("float64"):
+                y = float(x) if n == 0 else alpha * float(x) + (1.0 - alpha) * y
+                n += 1
+        state.update((n, float(y)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_e6": [int(y * 1e6 // 1)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -137,9 +137,11 @@ def run_stream_over_files(
     schema,
     checkpoint_dir: str,
     progress_out: list | None = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Replay parquet files as a stream (one file per micro-batch, in
-    mtime order), apply `transform`, run in APPEND mode until exhausted,
+    mtime order), apply `transform`, run in ``output_mode`` (append by
+    default; update for update-semantics stateful operators) until exhausted,
     return the emitted rows from a memory sink. ``progress_out``, when
     given, receives the query's recentProgress dicts so tests can assert
     state-store behavior (provider engaged, watermark eviction).
@@ -160,7 +162,7 @@ def run_stream_over_files(
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -635,3 +635,59 @@ def test_transform_with_state_matches_v1_and_batch(spark, replay, tmp_path):
     )
     got_v1 = {tuple(r) for r in v1_final.select(*final.columns).collect()}
     assert got == got_v1
+
+
+def test_s8_streaming_ewma_matches_batch(spark, sf_smoke, tmp_path):
+    """S8: the cross-batch EWMA recurrence — source split into three
+    micro-batches BY TS RANGE (per-key arrival order non-decreasing,
+    the operator's documented contract), state carrying (n, y) across
+    batches. The last update-mode emission per user must equal the
+    batch form's final row (udf_ewma_state, itself hash-proven vs a
+    DuckDB recursive CTE)."""
+    from pyspark.sql import Window
+
+    from data_table_spark.operators.udfs import ewma_per_key
+    from data_table_spark.streaming.stateful import user_ewma_stream
+
+    events = load_table(spark, "events", sf_smoke).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    base = str(tmp_path / "ewma_src")
+    bounds = [
+        r[0] for r in events.selectExpr(
+            "percentile(unix_timestamp(ts), array(0.33, 0.66)) p"
+        ).selectExpr("explode(p)").collect()
+    ]
+    t = F.unix_timestamp("ts")
+    splits = [
+        events.where(t <= bounds[0]),
+        events.where((t > bounds[0]) & (t <= bounds[1])),
+        events.where(t > bounds[1]),
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(base)
+        time.sleep(1.1)
+    _stamp_mtimes(base)
+
+    got = run_stream_over_files(
+        spark, base, user_ewma_stream, events.schema,
+        str(tmp_path / "ck_s8"), output_mode="update",
+    )
+    # update mode re-emits per batch: keep each user's LAST emission
+    # (highest n_events)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    finals = {
+        r["user_id"]: (r["n_events"], r["ewma_e6"])
+        for r in got.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    batch = ewma_per_key(events)
+    wb = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    expected = {
+        r["user_id"]: (r["rn"], r["ewma_e6"])
+        for r in batch.withColumn("k", F.row_number().over(wb))
+        .where(F.col("k") == 1)
+        .collect()
+    }
+    assert finals == expected
