@@ -3701,49 +3701,68 @@ def q103_weighted_median(spark, sf_dir):
 
       median_w(g) = min{ v : 2·cumw(v) ≥ W(g) }
 
-    with cumw a window cumsum PARTITIONED BY GROUP (shuffles once on
-    the group key, never global) over (value, tiebreak) order, W the
-    per-group total joined back broadcast (group cardinality is tiny),
-    and all weights in exact e4 integers so both engines agree to the
-    bit. Ties in value cannot flip the answer: whichever duplicate row
-    crosses the half-weight line, the min qualifying VALUE is the
-    same."""
+    computed the scale-correct way for LOW-CARDINALITY group keys
+    (3 return flags here — a per-ROW window partitioned by group would
+    funnel the whole fact table through 3 reducers): first collapse to
+    per-(group, value) weight sums — a map-combinable aggregate, and
+    collapsing equal values provably cannot move the crossing value —
+    then run the cumulative scan over the COLLAPSED table, whose
+    per-group size is the value cardinality (50 distinct quantities),
+    not the row count. All weights in exact e4 integers so both
+    engines agree to the bit. (A high-cardinality value domain would
+    swap the per-group window for the bucketed two-phase scan of
+    scale.distributed_prefix_sum.)"""
     li = _t(spark, sf_dir, "lineitem")
     w_e4 = F.round(F.col("l_extendedprice") * 10000).cast("long")
     base = li.select(
-        "l_returnflag", F.col("l_quantity").alias("v"), w_e4.alias("w"),
-        "l_orderkey", "l_linenumber",
+        "l_returnflag", F.col("l_quantity").alias("v"), w_e4.alias("w")
     )
-    cw = Window.partitionBy("l_returnflag").orderBy(
-        "v", "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    cum = base.withColumn("cumw", F.sum("w").over(cw))
-    totals = base.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    return weighted_median(base, "l_returnflag", "v", "w").select(
+        "l_returnflag",
+        F.col("weighted_median").alias("weighted_median_qty"),
+        F.col("total_weight").alias("total_weight_e4"),
+    )
+
+
+def weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """The reusable scan behind q103: collapse to per-(group, value)
+    weight sums, cumulative-scan the collapsed table, take the first
+    value whose cumulative weight reaches half the total. Property-
+    tested against an imperative fold in tests/test_properties.py."""
+    vals = df.groupBy(group_col, F.col(value_col).alias("v")).agg(
+        F.sum(weight_col).alias("vw")
+    )
+    cw = Window.partitionBy(group_col).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.withColumn("cumw", F.sum("vw").over(cw))
+    totals = vals.groupBy(group_col).agg(F.sum("vw").alias("tw"))
     return (
-        cum.join(F.broadcast(totals), "l_returnflag")
+        cum.join(F.broadcast(totals), group_col)
         .where(2 * F.col("cumw") >= F.col("tw"))
-        .groupBy("l_returnflag")
+        .groupBy(group_col)
         .agg(
-            F.min("v").alias("weighted_median_qty"),
-            F.max("tw").alias("total_weight_e4"),
+            F.min("v").alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
         )
     )
 
 
 RELATIONAL_QUERIES["q103_weighted_median"] = q103_weighted_median
 RELATIONAL_ORACLE["q103_weighted_median"] = (
-    "WITH base AS ("
+    "WITH vals AS ("
     "  SELECT l_returnflag, l_quantity AS v, "
-    "    CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS w, "
-    "    l_orderkey, l_linenumber "
-    "  FROM lineitem), "
+    "    CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) "
+    "      AS BIGINT) AS vw "
+    "  FROM lineitem GROUP BY 1, 2), "
     "cum AS ("
-    "  SELECT *, SUM(w) OVER (PARTITION BY l_returnflag "
-    "    ORDER BY v, l_orderkey, l_linenumber "
-    "    ROWS UNBOUNDED PRECEDING) AS cumw "
-    "  FROM base), "
-    "tot AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw "
-    "  FROM base GROUP BY 1) "
+    "  SELECT *, SUM(vw) OVER (PARTITION BY l_returnflag "
+    "    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw "
+    "  FROM vals), "
+    "tot AS (SELECT l_returnflag, CAST(SUM(vw) AS BIGINT) AS tw "
+    "  FROM vals GROUP BY 1) "
     "SELECT c.l_returnflag, MIN(c.v) AS weighted_median_qty, "
     "  CAST(MAX(t.tw) AS BIGINT) AS total_weight_e4 "
     "FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag "

@@ -68,6 +68,10 @@ GATES = [
                              # broadcast (node vocab doesn't scale)
     "udf_ewma_state",        # python recurrence under hot-key skew —
                              # one Arrow batch per key, O(rows) loop
+    "q101_pit_join",         # equi+range residual under hot users
+    "q102_skyline",          # per-x collapse + 2-phase strict cummax
+    "q103_weighted_median",  # (group,value)-collapsed cumulative scan
+    "q104_chi_square",       # bounded cell table + integer chi2
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -96,6 +100,13 @@ DIM_BROADCAST_FLOOR = {
     "q100_pagerank": 3,        # the rank/outw tables are bounded by the
                                # node vocabulary — all three iteration
                                # joins must stay broadcast
+    "q101_pit_join": 0,        # the SCD2 dim derives from the status
+                               # events — it grows with the facts and
+                               # must leave broadcast at 100×
+    "q102_skyline": 1,         # the driver-built offsets ledger is
+                               # explicitly broadcast and bounded by
+                               # price-range/span; the frontier↔counts
+                               # join may flip
 }
 
 PLAN_NODES = (

@@ -450,25 +450,14 @@ def test_weighted_median_property(spark, rows):
     """min{v : 2·cumw(v) ≥ W} == the Python fold over value-sorted
     rows, for arbitrary weights including single-row groups and
     all-equal values."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as SF
+    from data_table_spark.operators.relational import weighted_median
 
     df = spark.createDataFrame(
-        [(g, v, w, i) for i, (g, v, w) in enumerate(rows)],
-        "g long, v long, w long, i long",
+        [(g, v, w) for (g, v, w) in rows], "g long, v long, w long"
     )
-    cw = Window.partitionBy("g").orderBy("v", "i").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = df.withColumn("cumw", SF.sum("w").over(cw))
-    tot = df.groupBy("g").agg(SF.sum("w").alias("tw"))
     got = {
-        r["g"]: r["m"]
-        for r in cum.join(tot, "g")
-        .where(2 * SF.col("cumw") >= SF.col("tw"))
-        .groupBy("g")
-        .agg(SF.min("v").alias("m"))
-        .collect()
+        r["g"]: r["weighted_median"]
+        for r in weighted_median(df, "g", "v", "w").collect()
     }
     ref = {}
     from collections import defaultdict
