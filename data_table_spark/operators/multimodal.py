@@ -601,6 +601,8 @@ def sample_frames(
     def _y4m_sampled(blob: bytes):
         _w, _h, num, den, frames = _y4m_parse(blob)
         total = len(frames)
+        if total == 0:  # header-only stream: valid, zero rows out
+            return
         picks = sorted({i * total // n_frames for i in range(n_frames)})
         for idx in picks:
             yield idx, idx * 1000 * den // num, frames[idx]

@@ -1203,16 +1203,21 @@ def pps_sample(
         df.select(order_col, weight_col), order_col, weight_col,
         out_col="cum",
     )
-    total = with_cum.agg(F.max("cum").alias("w")).collect()[0]["w"]
-    step = max(int(total) // k, 1)
+    # grand total from ONE map-combinable scan (weights are
+    # non-negative by contract, so sum == max(cum); running max over
+    # the prefix-sum plan would execute that whole pipeline a second
+    # time just to read its last value)
+    total = int(df.agg(F.sum(weight_col).alias("w")).collect()[0]["w"])
+    step = max(total // k, 1)
     off = step // 2
-    # shift by +total keeps the floor-division operand non-negative, so
-    # engine truncation == floor on both sides; `div` stays in exact
-    # 64-bit integers (a `/` would round-trip through double and lose
-    # exactness past 2^53 — reachable cum magnitudes at corpus scale)
-    hi = F.expr(f"(cum + {total} - {off} - 1) div {step}")
+    # the non-negativity shift must be a MULTIPLE of step, or it moves
+    # the pick anchor off the documented step/2 residue; `div` stays in
+    # exact 64-bit integers (a `/` would round-trip through double and
+    # lose exactness past 2^53 — reachable cum magnitudes at scale)
+    shift = (total // step + 1) * step
+    hi = F.expr(f"(cum + {shift} - {off} - 1) div {step}")
     lo = F.expr(
-        f"(cum - {weight_col} + {total} - {off} - 1) div {step}"
+        f"(cum - {weight_col} + {shift} - {off} - 1) div {step}"
     )
     return (
         with_cum.where(hi > lo)
@@ -1245,11 +1250,13 @@ def _pps_oracle() -> str:
         "  FROM documents), "
         "t AS (SELECT MAX(cum) AS w FROM c), "
         "p AS (SELECT GREATEST(w // 50, 1) AS step, "
-        "  GREATEST(w // 50, 1) // 2 AS off, w FROM t) "
+        "  GREATEST(w // 50, 1) // 2 AS off, "
+        "  (w // GREATEST(w // 50, 1) + 1) * GREATEST(w // 50, 1) "
+        "    AS shift, w FROM t) "
         "SELECT doc_id, n_chars AS weight, cum "
         "FROM c, p "
-        "WHERE (cum + w - off - 1) // step "
-        "    > (cum - n_chars + w - off - 1) // step"
+        "WHERE (cum + shift - off - 1) // step "
+        "    > (cum - n_chars + shift - off - 1) // step"
     )
 
 

@@ -3151,29 +3151,39 @@ def q97_column_profile(spark, sf_dir):
     columns profile their values; string columns profile their LENGTHS
     through vnum (min/max/avg are length stats, documented) while the
     raw string rides vstr so n_distinct still counts true values. The
-    e4 integer sum keeps both engines bit-identical (bounded: |v| <
-    9e5 at sf1 ⇒ e4 partials < 1e16, far under the long ceiling)."""
+    e4 integer sum keeps both engines bit-identical for MEASURE
+    columns; the key column (l_orderkey) profiles null/distinct/
+    min/max but carries a NULL sum/avg — an ID's e4-scaled sum is
+    meaningless AND its partials would brush the 64-bit ceiling past
+    ~sf100 (≈4.5e18 at the 100× smoke already). avg_v is guarded for
+    all-NULL columns (no non-null denominator → NULL, not a divide)."""
     li = _t(spark, sf_dir, "lineitem")
     nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
 
-    def num(cn):
+    def num(cn, summable=True):
+        v = F.col(cn).cast("double")
         return F.struct(
             F.lit(cn).alias("cn"),
-            F.col(cn).cast("double").alias("vnum"),
+            v.alias("vnum"),
             nul_s.alias("vstr"),
+            (v if summable else nul_d).alias("vsum"),
         )
 
     def strc(cn):
+        ln = F.length(cn).cast("double")
         return F.struct(
             F.lit(cn).alias("cn"),
-            F.length(cn).cast("double").alias("vnum"),
+            ln.alias("vnum"),
             F.col(cn).alias("vstr"),
+            ln.alias("vsum"),
         )
 
     long = li.select(
         F.explode(
             F.array(
-                num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+                num("l_orderkey", summable=False),
+                num("l_quantity"), num("l_extendedprice"),
                 num("l_discount"), num("l_tax"),
                 strc("l_returnflag"), strc("l_linestatus"),
             )
@@ -3188,13 +3198,14 @@ def q97_column_profile(spark, sf_dir):
         ).alias("n_distinct"),
         F.min("vnum").alias("min_v"),
         F.max("vnum").alias("max_v"),
-        F.sum(F.round(F.col("vnum") * 10000).cast("long")).alias("sum_e4"),
+        F.sum(F.round(F.col("vsum") * 10000).cast("long")).alias("sum_e4"),
     )
+    denom = F.col("n_rows") - F.col("n_nulls")
     return agg.select(
         "cn", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "sum_e4",
-        F.round(
-            F.col("sum_e4") / (F.col("n_rows") - F.col("n_nulls")) / 10000.0,
-            6,
+        F.when(
+            F.col("sum_e4").isNotNull() & (denom > 0),
+            F.round(F.col("sum_e4") / denom / 10000.0, 6),
         ).alias("avg_v"),
     )
 
@@ -3203,16 +3214,21 @@ RELATIONAL_QUERIES["q97_column_profile"] = q97_column_profile
 RELATIONAL_ORACLE["q97_column_profile"] = (
     "WITH long AS ("
     "  SELECT 'l_orderkey' AS cn, CAST(l_orderkey AS DOUBLE) AS vnum, "
-    "    CAST(NULL AS VARCHAR) AS vstr FROM lineitem "
-    "  UNION ALL SELECT 'l_quantity', l_quantity, NULL FROM lineitem "
-    "  UNION ALL SELECT 'l_extendedprice', l_extendedprice, NULL "
+    "    CAST(NULL AS VARCHAR) AS vstr, CAST(NULL AS DOUBLE) AS vsum "
+    "  FROM lineitem "
+    "  UNION ALL SELECT 'l_quantity', l_quantity, NULL, l_quantity "
     "    FROM lineitem "
-    "  UNION ALL SELECT 'l_discount', l_discount, NULL FROM lineitem "
-    "  UNION ALL SELECT 'l_tax', l_tax, NULL FROM lineitem "
+    "  UNION ALL SELECT 'l_extendedprice', l_extendedprice, NULL, "
+    "    l_extendedprice FROM lineitem "
+    "  UNION ALL SELECT 'l_discount', l_discount, NULL, l_discount "
+    "    FROM lineitem "
+    "  UNION ALL SELECT 'l_tax', l_tax, NULL, l_tax FROM lineitem "
     "  UNION ALL SELECT 'l_returnflag', CAST(length(l_returnflag) AS "
-    "    DOUBLE), l_returnflag FROM lineitem "
+    "    DOUBLE), l_returnflag, CAST(length(l_returnflag) AS DOUBLE) "
+    "    FROM lineitem "
     "  UNION ALL SELECT 'l_linestatus', CAST(length(l_linestatus) AS "
-    "    DOUBLE), l_linestatus FROM lineitem), "
+    "    DOUBLE), l_linestatus, CAST(length(l_linestatus) AS DOUBLE) "
+    "    FROM lineitem), "
     "a AS ("
     "  SELECT cn, COUNT(*) AS n_rows, "
     "    CAST(SUM(CASE WHEN vnum IS NULL AND vstr IS NULL THEN 1 ELSE 0 "
@@ -3220,12 +3236,13 @@ RELATIONAL_ORACLE["q97_column_profile"] = (
     "    CAST(COUNT(DISTINCT CASE WHEN vnum IS NOT NULL OR vstr IS NOT "
     "      NULL THEN (vnum, vstr) END) AS BIGINT) AS n_distinct, "
     "    MIN(vnum) AS min_v, MAX(vnum) AS max_v, "
-    "    CAST(SUM(CAST(ROUND(vnum * 10000) AS BIGINT)) AS BIGINT) "
+    "    CAST(SUM(CAST(ROUND(vsum * 10000) AS BIGINT)) AS BIGINT) "
     "      AS sum_e4 "
     "  FROM long GROUP BY cn) "
     "SELECT cn, n_rows, n_nulls, n_distinct, min_v, max_v, sum_e4, "
-    "  ROUND(CAST(sum_e4 AS DOUBLE) / (n_rows - n_nulls) / 10000.0, 6) "
-    "    AS avg_v "
+    "  CASE WHEN sum_e4 IS NOT NULL AND n_rows - n_nulls > 0 THEN "
+    "    ROUND(CAST(sum_e4 AS DOUBLE) / (n_rows - n_nulls) / 10000.0, 6) "
+    "  END AS avg_v "
     "FROM a"
 )
 

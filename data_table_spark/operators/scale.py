@@ -400,9 +400,9 @@ def distributed_prefix_sum(
     )
     return (
         bucketed.join(off_df, "_psb")
-        .withColumn(
-            out_col, (F.sum(value_col).over(w) + F.col("_off")).cast("long")
-        )
+        # no cast: the running sum keeps the value column's own sum
+        # type (long→long, double→double), matching the window form
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_psb", "_off")
     )
 

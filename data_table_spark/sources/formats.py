@@ -163,11 +163,24 @@ def write_fixed_width(df: DataFrame, path: str, spec, mode="overwrite"):
 
     parts = []
     for name, width, ddl in spec:
-        c = F.col(name).cast("string")
+        c = F.coalesce(F.col(name).cast("string"), F.lit(""))
         pad = (
-            F.rpad(F.coalesce(c, F.lit("")), width, " ")
+            F.rpad(c, width, " ")
             if ddl in (None, "string")
-            else F.lpad(F.coalesce(c, F.lit("")), width, " ")
+            else F.lpad(c, width, " ")
         )
-        parts.append(pad)
+        # lpad/rpad silently TRUNCATE over-long input — in a codec whose
+        # contract is round-trip identity that is data corruption, so an
+        # over-wide value fails the write instead
+        guarded = F.when(
+            F.length(c) > width,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"fixed-width field '{name}' overflows "
+                          f"width {width}: "),
+                    c,
+                )
+            ),
+        ).otherwise(pad)
+        parts.append(guarded)
     df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

@@ -219,11 +219,13 @@ def user_ewma_stream(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         n, y = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for x in pdf["value"].astype("float64"):
-                y = float(x) if n == 0 else alpha * float(x) + (1.0 - alpha) * y
-                n += 1
+        # the iterator yields ARROW CHUNKS, not whole groups — a hot
+        # key's batch spans several chunks in arbitrary order, so the
+        # sort must happen over the concatenation, never per chunk
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for x in batch["value"].astype("float64"):
+            y = float(x) if n == 0 else alpha * float(x) + (1.0 - alpha) * y
+            n += 1
         state.update((n, float(y)))
         yield pd.DataFrame(
             {

@@ -781,3 +781,28 @@ def test_fixed_width_file_round_trip(spark, sf_dir, tmp_path):
         for r in read_fixed_width(spark, path, spec).collect()
     }
     assert got == {1: ("ada lovelace", 3.5), 2: (None, None), 42: ("bob", -0.25)}
+
+
+def test_fixed_width_overflow_raises(spark, tmp_path):
+    """An over-wide value must FAIL the write, not silently truncate —
+    the codec's contract is round-trip identity."""
+    import pytest as _pt
+
+    from data_table_spark.sources.formats import write_fixed_width
+
+    spec = [("id", 3, "bigint")]
+    df = spark.createDataFrame([(12345,)], "id long")
+    with _pt.raises(Exception, match="overflows width 3"):
+        write_fixed_width(df, str(tmp_path / "fw_bad"), spec)
+
+
+def test_y4m_zero_frames_yields_no_rows(spark):
+    """A header-only Y4M stream is valid — frame sampling emits zero
+    rows for it instead of crashing."""
+    from data_table_spark.operators.multimodal import sample_frames
+
+    blob = b"YUV4MPEG2 W4 H4 F25:1 C420\n"
+    rows = sample_frames(
+        _media_df(spark, [blob]), n_frames=4, fake=False
+    ).collect()
+    assert rows == []
