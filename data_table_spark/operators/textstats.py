@@ -620,3 +620,97 @@ TEXTSTATS_ORACLE["text_lm_score"] = (
     "SUM(logp_micro)::BIGINT surprisal_micro "
     "FROM t2 JOIN model ON t2.term = model.term GROUP BY t2.doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# positional inverted index + phrase search
+# --------------------------------------------------------------------------
+
+#: pinned two-word probe phrases for the gate (top-df bigrams of the
+#: fixture at authoring time — any literal works; pinning keeps the
+#: oracle trivial and the result stable under corpus drift)
+PHRASE_PROBES = (
+    "table hash", "merge group", "slow key", "part filter",
+    "customer join",
+)
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """Positional inverted index: one (term, doc_id, pos) posting per
+    token occurrence — posexplode over the token split, map-side only.
+    Write it out partitioned/bucketed by term and every phrase/boolean
+    query becomes joins on the term key; this is the IR layout every
+    search engine shards by."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def phrase_search(docs: DataFrame, phrases) -> DataFrame:
+    """Two-word phrase search over the positional index: phrase "a b"
+    matches a document iff some posting of `a` at pos p has a posting
+    of `b` at p+1 — an EQUI-join of the two term's posting lists on
+    (doc_id, adjacent position). The phrase list is tiny and broadcast;
+    the postings join is the scalable path (each probe term's postings
+    only — never a corpus scan per phrase, which is what the naive
+    LIKE oracle does). Output: (phrase, n_docs)."""
+    spark = docs.sparkSession
+    post = build_postings(docs)
+    probes = spark.createDataFrame(
+        [(p, p.split()[0], p.split()[1]) for p in phrases],
+        "phrase string, ta string, tb string",
+    )
+    a = post.join(
+        F.broadcast(probes), post["term"] == probes["ta"]
+    ).select("phrase", "doc_id", "pos", "tb")
+    b = post.select(
+        F.col("term").alias("tb2"), F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+    )
+    hits = a.join(
+        b,
+        (a["tb"] == b["tb2"])
+        & (a["doc_id"] == b["d2"])
+        & (a["pos"] + 1 == b["p2"]),
+    )
+    found = hits.groupBy("phrase").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    # phrases with zero hits must still appear (count 0)
+    return (
+        F.broadcast(probes.select("phrase"))
+        .join(found, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def text_phrase_search(spark, sf_dir):
+    """Gate: the positional-index phrase join proven against a NAIVE,
+    algebraically independent oracle — a LIKE scan over the
+    whitespace-normalized text ('% a b %' on the space-wrapped
+    normalized document). A green row means index construction,
+    position arithmetic, and the postings self-join reproduce exactly
+    what a full-scan engine sees."""
+    from ..sources.registry import load_table
+
+    return phrase_search(
+        load_table(spark, "documents", sf_dir), PHRASE_PROBES
+    )
+
+
+TEXTSTATS_QUERIES["text_phrase_search"] = text_phrase_search
+TEXTSTATS_ORACLE["text_phrase_search"] = (
+    "WITH probes AS (SELECT UNNEST(["
+    + ", ".join(f"'{p}'" for p in PHRASE_PROBES)
+    + "]) AS phrase), "
+    "norm AS (SELECT doc_id, ' ' || "
+    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t "
+    "  FROM documents) "
+    "SELECT p.phrase, CAST(COUNT(CASE WHEN n.t LIKE "
+    "  '% ' || p.phrase || ' %' THEN 1 END) AS BIGINT) AS n_docs "
+    "FROM probes p CROSS JOIN norm n GROUP BY p.phrase"
+)

@@ -223,3 +223,92 @@ UDF_ORACLE["udf_ewma_state"] = (
     "SELECT user_id, rn, CAST(FLOOR(y * 1000000) AS BIGINT) AS ewma_e6 "
     "FROM r"
 )
+
+
+#: capped-sessionization parameters: a session breaks after 30 min of
+#: inactivity OR when an event would stretch it past 24 h from its start
+SESSION_GAP_US = 1_800_000_000
+SESSION_CAP_US = 86_400_000_000
+
+
+def capped_sessions(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_us: int = SESSION_GAP_US,
+    cap_us: int = SESSION_CAP_US,
+):
+    """Sessionization with BOTH an inactivity gap and a max-duration
+    cap. The gap alone is the classic gaps-and-islands (q34 /
+    stream_session_counts); adding the cap makes the split SEQUENTIAL —
+    whether an event starts a new session depends on the current
+    session's start, which depends on every earlier split — so no
+    window algebra expresses it (the same first-order-recurrence class
+    as EWMA). Escape hatch: grouped-map applyInPandas, one shuffle on
+    the key, a linear integer-microsecond scan per key emitting one row
+    per session. DuckDB replays the identical recurrence with a
+    RECURSIVE CTE, so the gate is hash-exact — all arithmetic is
+    integer epoch-microseconds, no floats anywhere."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        us = pdf[ts_col].astype("int64") // 1000  # ns → µs
+        key = pdf[key_col].iloc[0]
+        out, sid, start, prev, n = [], 0, None, None, 0
+        for t in us:
+            if start is None or t - prev > gap_us or t - start > cap_us:
+                if start is not None:
+                    out.append((key, sid, n, start, prev))
+                sid += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        if start is not None:
+            out.append((key, sid, n, start, prev))
+        return pd.DataFrame(
+            out,
+            columns=[key_col, "sid", "n_events", "start_us", "end_us"],
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        fold,
+        f"{key_col} long, sid long, n_events long, "
+        "start_us long, end_us long",
+    )
+
+
+def udf_capped_sessions(spark, sf_dir):
+    """Gate: gap+cap sessionization of events — the second non-window-
+    expressible recurrence proven hash-exact against DuckDB's
+    RECURSIVE CTE (after udf_ewma_state)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id"
+    )
+    return capped_sessions(e)
+
+
+UDF_QUERIES["udf_capped_sessions"] = udf_capped_sessions
+UDF_ORACLE["udf_capped_sessions"] = (
+    "WITH RECURSIVE o AS ("
+    "  SELECT user_id, epoch_us(ts) AS t, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "  FROM events), "
+    "r AS ("
+    "  SELECT user_id, rn, t, 1::BIGINT AS sid, t AS sess_start "
+    "  FROM o WHERE rn = 1 "
+    "  UNION ALL "
+    "  SELECT o.user_id, o.rn, o.t, "
+    "    CASE WHEN o.t - r.t > 1800000000 "
+    "      OR o.t - r.sess_start > 86400000000 "
+    "      THEN r.sid + 1 ELSE r.sid END, "
+    "    CASE WHEN o.t - r.t > 1800000000 "
+    "      OR o.t - r.sess_start > 86400000000 "
+    "      THEN o.t ELSE r.sess_start END "
+    "  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1) "
+    "SELECT user_id, sid, COUNT(*) AS n_events, "
+    "  CAST(MIN(t) AS BIGINT) AS start_us, "
+    "  CAST(MAX(t) AS BIGINT) AS end_us "
+    "FROM r GROUP BY user_id, sid"
+)
