@@ -513,3 +513,52 @@ def test_skyline_matches_brute_force(spark, pts):
         )
     }
     assert got == ref
+
+
+@SLOW
+@given(
+    offsets=st.lists(
+        st.integers(0, 200_000),   # seconds, spans far past gap and cap
+        min_size=1, max_size=30,
+    ),
+    key=st.integers(0, 1),
+)
+def test_capped_sessions_laws(spark, offsets, key):
+    """Gap+cap sessionization invariants on arbitrary timestamp sets:
+    (1) sessions PARTITION the events (counts sum, no overlap);
+    (2) every session spans ≤ cap;
+    (3) consecutive events inside a session gap ≤ gap;
+    (4) every split is JUSTIFIED: the first event of session k+1 either
+        gaps > gap from session k's end or would stretch k past cap."""
+    import datetime
+
+    from data_table_spark.operators.udfs import capped_sessions
+
+    gap_us, cap_us = 3600 * 1_000_000, 50_000 * 1_000_000  # 1h gap, cap
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (key, base + datetime.timedelta(seconds=o), i)
+        for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    sess = sorted(
+        capped_sessions(df, gap_us=gap_us, cap_us=cap_us).collect(),
+        key=lambda r: r["sid"],
+    )
+    assert sum(r["n_events"] for r in sess) == len(rows)
+    ts_sorted = sorted(
+        int(t.timestamp() * 1_000_000) for _, t, _ in rows
+    )
+    for r in sess:
+        assert r["end_us"] - r["start_us"] <= cap_us
+    for a, b in zip(sess, sess[1:]):
+        assert a["end_us"] < b["start_us"]  # no overlap, ordered
+        gap_break = b["start_us"] - a["end_us"] > gap_us
+        cap_break = b["start_us"] - a["start_us"] > cap_us
+        assert gap_break or cap_break, "unjustified split"
+    # within-session gap law: replay the assignment over sorted events
+    bounds = [(r["start_us"], r["end_us"]) for r in sess]
+    for lo, hi in bounds:
+        inside = [t for t in ts_sorted if lo <= t <= hi]
+        for x, y in zip(inside, inside[1:]):
+            assert y - x <= gap_us
