@@ -3860,3 +3860,705 @@ RELATIONAL_ORACLE["q104_chi_square"] = (
     "  CAST(SUM(c_e6) OVER () AS BIGINT) AS chi2_e6 "
     "FROM s"
 )
+
+
+# --------------------------------------------------------------------------
+# round 6: interval algebra, graph, order statistics
+# --------------------------------------------------------------------------
+
+def q105_interval_coverage(spark, sf_dir):
+    """Per-user interval union (coverage): merge overlapping/touching
+    event intervals into islands and report how much of the timeline
+    each user's activity actually covers — the interval-algebra dual of
+    q73's gap fill (there we filled the holes; here we measure the
+    cover). Each event spans ``[ts, ts + (1 + event_id % 7) minutes]``
+    (deterministic integer microseconds, so both engines agree to the
+    bit).
+
+    The merge is the classic distributed islands scan: within each
+    user, an interval starts a NEW island iff its start lies strictly
+    past the running ``max(end)`` of everything before it — a single
+    partitioned window over ``user_id`` (one shuffle; no island can
+    span users, so 100 TB parallelism is per-user and the hot-key bound
+    is a user's own event count, the same bound q73 documents). Islands
+    then collapse with one map-combinable aggregate.
+    """
+    # tz-free epoch micros: events.ts is TIMESTAMP_NTZ, so unix_micros
+    # (TZ-typed) won't bind and unix_timestamp would re-interpret in the
+    # session zone; timestampdiff against the NTZ epoch matches DuckDB's
+    # epoch_us bit-for-bit regardless of session timezone
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        us.alias("s"),
+        (us + (F.lit(1) + F.col("event_id") % 7) * F.lit(60_000_000))
+        .alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start"))
+        .cast("long").alias("covered_us"),
+    )
+
+
+RELATIONAL_QUERIES["q105_interval_coverage"] = q105_interval_coverage
+RELATIONAL_ORACLE["q105_interval_coverage"] = (
+    "WITH iv AS ("
+    "  SELECT user_id, epoch_us(ts) AS s, "
+    "    epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e, event_id "
+    "  FROM events), "
+    "marked AS ("
+    "  SELECT user_id, s, e, "
+    "    CASE WHEN s > COALESCE(MAX(e) OVER ("
+    "      PARTITION BY user_id ORDER BY s, event_id "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+    "    THEN 1 ELSE 0 END AS new_island "
+    "  FROM iv), "
+    "isl AS ("
+    "  SELECT user_id, s, e, "
+    "    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e "
+    "      ROWS UNBOUNDED PRECEDING) AS island "
+    "  FROM marked), "
+    "g AS ("
+    "  SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end, "
+    "    COUNT(*) AS n_ev "
+    "  FROM isl GROUP BY 1, 2) "
+    "SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_islands, "
+    "  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us "
+    "FROM g GROUP BY user_id"
+)
+
+
+def q106_triangle_count(spark, sf_dir):
+    """Exact triangle count over the part co-purchase graph (two parts
+    are adjacent iff some order contains both) — the canonical
+    distributed graph-analytics kernel beyond q100's PageRank.
+
+    Scale shape is the degree-ordered orientation algorithm (Cohen's
+    MapReduce form; also Schank-Wagner): orient every undirected edge
+    from its (degree, id)-smaller endpoint to the larger, then count
+    directed wedges u->v, v->w that close with an oriented edge u->w.
+    Orientation counts each triangle exactly once AND caps every
+    node's out-degree at O(sqrt(m)), so the wedge join's fan-out —
+    the step that explodes on hub nodes in a naive a<b<c self-join —
+    is bounded regardless of skew. Three shuffles total (pair build,
+    wedge join, closure join); the degree table is node-sized and
+    broadcastable until the graph itself is huge, at which point
+    Catalyst's threshold flips it to sort-merge (same degradation
+    story as q68).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        edges.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            F.when(
+                (F.col("da.d") < F.col("db.d"))
+                | ((F.col("da.d") == F.col("db.d"))
+                   & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            ).otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, F.col("o1.v") == F.col("o2.u")
+    ).select(
+        F.col("o1.u").alias("u"),
+        F.col("o1.v").alias("v"),
+        F.col("o2.v").alias("w"),
+    )
+    # fresh column names break the shared lineage with `wedges` (both
+    # derive from `oriented`), which otherwise makes the join keys
+    # ambiguous in a self-join
+    closure = oriented.select(
+        F.col("u").alias("cu"), F.col("v").alias("cw")
+    )
+    tri = wedges.join(
+        closure,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+        "left_semi",
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )
+
+
+RELATIONAL_QUERIES["q106_triangle_count"] = q106_triangle_count
+RELATIONAL_ORACLE["q106_triangle_count"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "edges AS ("
+    "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "  WHERE x.l_partkey < y.l_partkey), "
+    "nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges) "
+    "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e1 "
+    "   JOIN edges e2 ON e1.b = e2.a "
+    "   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"
+)
+
+
+def q107_mode_per_group(spark, sf_dir):
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then smallest value) — the categorical location statistic
+    q103's weighted median doesn't cover. Scale-correct two-phase
+    shape: collapse to per-(group, value) counts first (map-side
+    combinable; the collapsed table is bounded by |groups| x |distinct
+    values|, NOT row count), then a tiny partitioned window picks the
+    winner. No fact-table window, no single reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q107_mode_per_group"] = q107_mode_per_group
+RELATIONAL_ORACLE["q107_mode_per_group"] = (
+    "WITH c AS ("
+    "  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt "
+    "  FROM lineitem GROUP BY 1, 2), "
+    "r AS ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+    "    ORDER BY cnt DESC, v ASC) AS rn FROM c) "
+    "SELECT l_returnflag, v AS mode_qty, CAST(cnt AS BIGINT) AS mode_count "
+    "FROM r WHERE rn = 1"
+)
+
+
+def q108_percentile_disc(spark, sf_dir):
+    """Exact discrete percentiles (p50/p90/p99 of order totalprice, in
+    integer cents) per order priority — distributed the same two-phase
+    way as q103's weighted median: collapse the fact table to
+    per-(group, value) counts (map-combinable; collapsing equal values
+    cannot move any order statistic), cumulative-count the COLLAPSED
+    table under a per-group window, then each percentile is the
+    smallest value whose cumulative count reaches p% of the group —
+    the integer predicate ``100*cum >= p*n`` exactly, no float ceil.
+    One conditional-min aggregate emits all three percentiles in a
+    single pass over the collapsed table."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals = o.groupBy(
+        "o_orderpriority", cents.alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("o_orderpriority").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = vals.select(
+        "o_orderpriority", "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    def pick(p):
+        return F.min(
+            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("v"))
+        ).alias(f"p{p}_cents")
+    return cum.groupBy("o_orderpriority").agg(
+        pick(50), pick(90), pick(99),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+RELATIONAL_QUERIES["q108_percentile_disc"] = q108_percentile_disc
+RELATIONAL_ORACLE["q108_percentile_disc"] = (
+    "WITH vals AS ("
+    "  SELECT o_orderpriority, "
+    "    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS c "
+    "  FROM orders GROUP BY 1, 2), "
+    "cum AS ("
+    "  SELECT o_orderpriority, v, "
+    "    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY v "
+    "      ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER (PARTITION BY o_orderpriority) AS n "
+    "  FROM vals) "
+    "SELECT o_orderpriority, "
+    "  MIN(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50_cents, "
+    "  MIN(CASE WHEN 100 * cum >= 90 * n THEN v END) AS p90_cents, "
+    "  MIN(CASE WHEN 100 * cum >= 99 * n THEN v END) AS p99_cents, "
+    "  CAST(MAX(n) AS BIGINT) AS n_orders "
+    "FROM cum GROUP BY o_orderpriority"
+)
+
+
+def q109_regression_slope(spark, sf_dir):
+    """Per-nation OLS fit (order totalprice vs customer account balance)
+    from EXACT integer moments: one broadcast dim join, then a single
+    map-combinable aggregate collects n, Σx, Σy, Σxy, Σx² as BIGINTs
+    over integer cents — no second pass, no per-group window, no
+    sampling. The closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    is evaluated in doubles ONLY at the very end (the cross products
+    would overflow BIGINT at ~2e20; converting the same exact int64
+    moments to double is deterministic across engines, as is the IEEE
+    arithmetic after it — the q104 pattern), and both slope and
+    intercept are floored to e6 integers for the hash."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    x = F.round(F.col("c_acctbal") * 100).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", x.alias("x"))),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_nationkey", "x", y.alias("y"))
+    m = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / nd
+    return m.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.floor(slope * 1_000_000).cast("long").alias("slope_e6"),
+        F.floor(intercept * 1_000_000).cast("long").alias("intercept_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q109_regression_slope"] = q109_regression_slope
+RELATIONAL_ORACLE["q109_regression_slope"] = (
+    "WITH j AS ("
+    "  SELECT c_nationkey, "
+    "    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x, "
+    "    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey), "
+    "m AS ("
+    "  SELECT c_nationkey, COUNT(*) AS n, "
+    "    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    "    CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "    CAST(SUM(x * x) AS BIGINT) AS sxx "
+    "  FROM j GROUP BY 1) "
+    "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+    "  CAST(n AS BIGINT) AS n_orders, "
+    "  CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "    * 1000000) AS BIGINT) AS slope_e6, "
+    "  CAST(FLOOR((CAST(sy AS DOUBLE) "
+    "    - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) "
+    "    * 1000000) AS BIGINT) AS intercept_e6 "
+    "FROM m"
+)
+
+
+def q110_pareto_cover(spark, sf_dir):
+    """Pareto (80/20) coverage per region: the smallest number of
+    customers whose revenue reaches 80% of the region's total. Facts
+    collapse to per-customer revenue first (map-combinable, one fact
+    shuffle on custkey); the ranking window then runs over the
+    COLLAPSED customer table ordered by revenue desc — partitioned by
+    region, which is low-cardinality by construction (5 groups; same
+    documented caveat as q103: a high-cardinality grouping would swap
+    the window for scale.distributed_prefix_sum's bucketed two-phase
+    scan). A customer is NEEDED while the cumulative revenue BEFORE it
+    is under 80% of the total — the integer predicate 5·prev < 4·total,
+    no float thresholds."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev")
+    )
+    cust = rev.join(
+        F.broadcast(
+            c.select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r.select("r_regionkey", "r_name")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "r_name")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("r_name", "o_custkey", "rev")
+    w_prev = (
+        Window.partitionBy("r_name")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("r_name")
+    scanned = cust.select(
+        "r_name", "rev",
+        F.coalesce(F.sum("rev").over(w_prev), F.lit(0)).alias("prev"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    return scanned.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(
+            F.when(5 * F.col("prev") < 4 * F.col("total"), 1).otherwise(0)
+        ).cast("long").alias("n_cover_80"),
+        F.max("total").cast("long").alias("total_rev_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q110_pareto_cover"] = q110_pareto_cover
+RELATIONAL_ORACLE["q110_pareto_cover"] = (
+    "WITH rev AS ("
+    "  SELECT o_custkey, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1), "
+    "cust AS ("
+    "  SELECT r_name, o_custkey, rev "
+    "  FROM rev JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey), "
+    "scanned AS ("
+    "  SELECT r_name, rev, "
+    "    COALESCE(SUM(rev) OVER (PARTITION BY r_name "
+    "      ORDER BY rev DESC, o_custkey ASC "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev, "
+    "    SUM(rev) OVER (PARTITION BY r_name) AS total "
+    "  FROM cust) "
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "  CAST(SUM(CASE WHEN 5 * prev < 4 * total THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_cover_80, "
+    "  CAST(MAX(total) AS BIGINT) AS total_rev_cents "
+    "FROM scanned GROUP BY r_name"
+)
+
+
+def q111_session_paths(spark, sf_dir):
+    """Session path analysis: sessionize events per user (30-minute
+    gap), take each session's first three event types IN ORDER, and
+    count sessions per path string — the navigation-flow summary a
+    product-analytics engine ships next to q63's funnel (the funnel
+    fixes the step sequence; paths DISCOVER it).
+
+    Order determinism without relying on collect_list ordering (which
+    Spark does not guarantee across shuffles): number the first three
+    events with a per-session window, then sort_array over (rn, type)
+    structs — sorting inside the row is deterministic wherever the
+    rows landed. Both windows partition on user_id/session, so the
+    whole query is two user-keyed shuffles plus a bounded path count
+    (≤ |event_type|³ groups)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w_seq))
+    )
+    marked = e.withColumn(
+        "new_sess",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w_seq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    first3 = (
+        marked.withColumn("rn", F.row_number().over(w_sess))
+        .where(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+
+
+RELATIONAL_QUERIES["q111_session_paths"] = q111_session_paths
+RELATIONAL_ORACLE["q111_session_paths"] = (
+    "WITH marked AS ("
+    "  SELECT user_id, ts, event_id, event_type, "
+    "    CASE WHEN FLOOR(epoch(ts))::BIGINT - FLOOR(epoch(LAG(ts) OVER "
+    "      (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800 "
+    "      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "        IS NULL "
+    "    THEN 1 ELSE 0 END AS new_sess "
+    "  FROM events), "
+    "sess AS ("
+    "  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+    "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM marked), "
+    "first3 AS ("
+    "  SELECT user_id, sid, event_type, "
+    "    ROW_NUMBER() OVER (PARTITION BY user_id, sid "
+    "      ORDER BY ts, event_id) AS rn "
+    "  FROM sess QUALIFY rn <= 3), "
+    "paths AS ("
+    "  SELECT user_id, sid, "
+    "    STRING_AGG(event_type, '>' ORDER BY rn) AS path "
+    "  FROM first3 GROUP BY 1, 2) "
+    "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+    "FROM paths GROUP BY path"
+)
+
+
+def q112_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two independent document rankers
+    (length in chars vs token count) — the standard zero-training way
+    to merge retrieval signals (hybrid BM25+vector search uses exactly
+    this shape). Each ranker is a window partitioned BY LANGUAGE (never
+    a global ORDER BY — the q22 single-reducer trap), and the fused
+    score Σ⌊1e9/(60+rank)⌋ is summed in exact integers so the hash is
+    bit-stable. Token counts come from regexp_count of non-space runs,
+    which the two engines tokenize identically. Top-10 per language by
+    (fused desc, doc_id) keeps the result bounded."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tokens"),
+    )
+    w1 = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("lang").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "doc_id", "lang",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    fused = ranked.select(
+        "doc_id", "lang",
+        (
+            F.floor(F.lit(1_000_000_000) / (F.lit(60) + F.col("r1")))
+            + F.floor(F.lit(1_000_000_000) / (F.lit(60) + F.col("r2")))
+        ).cast("long").alias("fused_e9"),
+    )
+    w_top = Window.partitionBy("lang").orderBy(
+        F.col("fused_e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 10)
+        .select("lang", F.col("rn").cast("long").alias("rn"),
+                "doc_id", "fused_e9")
+    )
+
+
+RELATIONAL_QUERIES["q112_rrf_fusion"] = q112_rrf_fusion
+RELATIONAL_ORACLE["q112_rrf_fusion"] = (
+    "WITH d AS ("
+    "  SELECT doc_id, lang, n_chars, "
+    "    len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+    "  FROM documents), "
+    "ranked AS ("
+    "  SELECT doc_id, lang, "
+    "    ROW_NUMBER() OVER (PARTITION BY lang "
+    "      ORDER BY n_chars DESC, doc_id ASC) AS r1, "
+    "    ROW_NUMBER() OVER (PARTITION BY lang "
+    "      ORDER BY n_tokens DESC, doc_id ASC) AS r2 "
+    "  FROM d), "
+    "fused AS ("
+    "  SELECT doc_id, lang, "
+    "    CAST(FLOOR(1000000000 / (60 + r1)) "
+    "      + FLOOR(1000000000 / (60 + r2)) AS BIGINT) AS fused_e9 "
+    "  FROM ranked) "
+    "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, fused_e9 FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang "
+    "    ORDER BY fused_e9 DESC, doc_id ASC) AS rn "
+    "  FROM fused) WHERE rn <= 10"
+)
+
+
+def q113_null_semantics(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-
+    logic trap, proven in the hash signal. The probe key is nullable
+    by construction (NULLIF(o_custkey % 100, 0)); the exclusion list is
+    null-free (a NULL in it would empty the NOT IN result entirely).
+    ANSI semantics: a NULL probe key makes ``key NOT IN (...)`` UNKNOWN
+    → the row is dropped; ``NOT EXISTS`` with an equality predicate
+    finds no match for NULL → the row is KEPT. Spark plans the NOT IN
+    as a null-aware anti join (NAAJ — broadcast-only strategy in
+    Spark: the build side must fit, which it does here and generally
+    for exclusion lists; an unbounded exclusion side should be
+    rewritten as the NOT EXISTS form, which plans as a regular
+    shuffled anti join). Output: both counts plus the null-probe row
+    count, one row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ov, cv = f"q113_o_{id(o)}", f"q113_c_{id(c)}"
+    o.createOrReplaceTempView(ov)
+    c.createOrReplaceTempView(cv)
+    return spark.sql(f"""
+        WITH probe AS (
+          SELECT NULLIF(o_custkey % 100, 0) AS k FROM {ov}
+        ), excl AS (
+          SELECT DISTINCT c_custkey % 100 AS k FROM {cv}
+          WHERE c_acctbal < -500 AND c_custkey % 100 <> 0
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM probe
+                WHERE k NOT IN (SELECT k FROM excl)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = p.k))
+            AS BIGINT) AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT)
+            AS n_null_probe
+    """)
+
+
+RELATIONAL_QUERIES["q113_null_semantics"] = q113_null_semantics
+RELATIONAL_ORACLE["q113_null_semantics"] = (
+    "WITH probe AS ("
+    "  SELECT NULLIF(o_custkey % 100, 0) AS k FROM orders), "
+    "excl AS ("
+    "  SELECT DISTINCT c_custkey % 100 AS k FROM customer "
+    "  WHERE c_acctbal < -500 AND c_custkey % 100 <> 0) "
+    "SELECT "
+    "  CAST((SELECT COUNT(*) FROM probe "
+    "        WHERE k NOT IN (SELECT k FROM excl)) AS BIGINT) AS n_not_in, "
+    "  CAST((SELECT COUNT(*) FROM probe p "
+    "        WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = p.k)) "
+    "    AS BIGINT) AS n_not_exists, "
+    "  CAST((SELECT COUNT(*) FROM probe WHERE k IS NULL) AS BIGINT) "
+    "    AS n_null_probe"
+)
+
+
+def q114_cohort_ltv(spark, sf_dir):
+    """Cohort LTV matrix: customers cohorted by first-order month, each
+    cohort's revenue laid out by months-since-first-order, with the
+    running (cumulative) LTV per cohort — the canonical retention-
+    economics readout over q64's retention triangle (there: user
+    counts; here: money, cumulated).
+
+    One fact shuffle total on o_custkey: the first-order aggregate and
+    the self-join that attaches it group/join on the same key, so the
+    exchange is reused. Calendar math stays in integer year·12+month
+    space (no timezone, no date_trunc dialect drift), revenue in exact
+    cents, and the cumulative window runs over the COLLAPSED
+    cohort×age matrix (bounded by months², not fact rows)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("ym").alias("fym"))
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("fym").alias("cohort_ym"),
+            (F.col("ym") - F.col("fym")).alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev").alias("rev_cents"),
+        )
+    )
+    w_cum = Window.partitionBy("cohort_ym").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        F.col("cohort_ym").cast("long").alias("cohort_ym"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_rev_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q114_cohort_ltv"] = q114_cohort_ltv
+RELATIONAL_ORACLE["q114_cohort_ltv"] = (
+    "WITH o AS ("
+    "  SELECT o_custkey, "
+    "    YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS ym, "
+    "    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev "
+    "  FROM orders), "
+    "firsts AS (SELECT o_custkey, MIN(ym) AS fym FROM o GROUP BY 1), "
+    "cells AS ("
+    "  SELECT fym AS cohort_ym, o.ym - fym AS age_months, "
+    "    COUNT(*) AS n_orders, CAST(SUM(rev) AS BIGINT) AS rev_cents "
+    "  FROM o JOIN firsts USING (o_custkey) GROUP BY 1, 2) "
+    "SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym, "
+    "  CAST(age_months AS BIGINT) AS age_months, "
+    "  CAST(n_orders AS BIGINT) AS n_orders, rev_cents, "
+    "  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_ym "
+    "    ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "    AS cum_rev_cents "
+    "FROM cells"
+)
