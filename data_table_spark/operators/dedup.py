@@ -1036,3 +1036,63 @@ DEDUP_ORACLE["dedup_prefix_filter_pairs"] = (
     "JOIN sz sb ON inter.b = sb.doc_id "
     "WHERE 2 * i >= (sa.n + sb.n - i)"
 )
+
+
+# --------------------------------------------------------------------------
+# survivorship (entity-resolution record selection)
+# --------------------------------------------------------------------------
+
+def dedup_survivorship(spark, sf_dir):
+    """Survivorship: after grouping records that are the same entity
+    (here: normalized-text duplicate groups, the dedup_exact_normalized
+    keying), pick ONE golden record per group by a deterministic rule
+    stack — keep the longest document, break ties on the smallest
+    doc_id — and report what was merged. This is the record-selection
+    half of entity resolution (q78's fuzzy match finds candidates;
+    this decides who survives).
+
+    Scale shape: single hash aggregate keyed on the 32-byte digest
+    (the dedup_exact shuffle-width argument); the rule stack runs
+    INSIDE the aggregate as a struct extremum — min over
+    (-n_chars, doc_id) — so no window, no second pass, and groups of
+    1 fall out of the same plan (reported with n_members = 1)."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select(
+            F.sha2(norm, 256).alias("h"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+            ).alias("win"),
+        )
+        .select(
+            F.col("win.doc_id").alias("survivor_doc_id"),
+            (-F.col("win.neg")).cast("long").alias("survivor_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+DEDUP_QUERIES["dedup_survivorship"] = dedup_survivorship
+DEDUP_ORACLE["dedup_survivorship"] = (
+    "WITH keyed AS ("
+    "  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k, "
+    "    doc_id, n_chars "
+    "  FROM documents), "
+    "ranked AS ("
+    "  SELECT k, doc_id, n_chars, "
+    "    COUNT(*) OVER (PARTITION BY k) AS n_members, "
+    "    ROW_NUMBER() OVER (PARTITION BY k "
+    "      ORDER BY n_chars DESC, doc_id ASC) AS rn "
+    "  FROM keyed) "
+    "SELECT doc_id AS survivor_doc_id, "
+    "  CAST(n_chars AS BIGINT) AS survivor_n_chars, "
+    "  CAST(n_members AS BIGINT) AS n_members "
+    "FROM ranked WHERE rn = 1"
+)

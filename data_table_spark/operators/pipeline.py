@@ -1261,3 +1261,120 @@ def _pps_oracle() -> str:
 
 
 PIPELINE_ORACLE["pipe_pps_sample"] = _pps_oracle()
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations (Deequ-style constraint audit)
+# --------------------------------------------------------------------------
+
+def pipe_expectations(spark, sf_dir):
+    """Declarative data-quality audit over the warehouse — one report
+    row per constraint with checked/violation counts, the contract
+    gate a 100 TB ingest runs BEFORE publishing a snapshot (the
+    engine-side equivalent of Deequ/Great Expectations checks).
+
+    Scale shape: every per-table rule family collapses into ONE
+    conditional aggregate over that table (never a scan per rule), so
+    the audit costs one pass per audited table plus one anti join for
+    the referential-integrity rule — the only rule that fundamentally
+    needs a join. The anti join shuffles both sides on the FK;
+    Catalyst flips its build side broadcast→SMJ by size exactly as in
+    q68's smoke."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10), 1
+            ).otherwise(0)
+        ).alias("v_disc"),
+        F.sum(
+            F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
+        ).alias("v_ship"),
+    ).select(F.expr(
+        "stack(3, "
+        "'lineitem_qty_in_1_50', n, v_qty, "
+        "'lineitem_discount_in_0_10pct', n, v_disc, "
+        "'lineitem_shipdate_not_null', n, v_ship) "
+        "AS (rule, n_checked, n_violations)"
+    ))
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dup"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            .otherwise(0)
+        ).alias("v_status"),
+    ).select(F.expr(
+        "stack(2, "
+        "'orders_pk_unique', n, v_dup, "
+        "'orders_status_in_domain', n, v_status) "
+        "AS (rule, n_checked, n_violations)"
+    ))
+    c_agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)
+        ).alias("v_bal"),
+    ).select(F.expr(
+        "stack(1, 'customer_acctbal_not_null', n, v_bal) "
+        "AS (rule, n_checked, n_violations)"
+    ))
+    fk_total = li.count()
+    fk_orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .count()
+    )
+    fk_row = spark.createDataFrame(
+        [("lineitem_orderkey_fk_orders", fk_total, fk_orphans)],
+        "rule string, n_checked long, n_violations long",
+    )
+    report = li_agg.unionByName(o_agg).unionByName(c_agg).unionByName(fk_row)
+    return report.select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+PIPELINE_QUERIES["pipe_expectations"] = pipe_expectations
+PIPELINE_ORACLE["pipe_expectations"] = (
+    "SELECT 'lineitem_qty_in_1_50' AS rule, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_checked, "
+    "  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem "
+    "UNION ALL "
+    "SELECT 'lineitem_discount_in_0_10pct', CAST(COUNT(*) AS BIGINT), "
+    "  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10 "
+    "    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'lineitem_shipdate_not_null', CAST(COUNT(*) AS BIGINT), "
+    "  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) "
+    "    AS BIGINT) FROM lineitem "
+    "UNION ALL "
+    "SELECT 'orders_pk_unique', CAST(COUNT(*) AS BIGINT), "
+    "  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders "
+    "UNION ALL "
+    "SELECT 'orders_status_in_domain', CAST(COUNT(*) AS BIGINT), "
+    "  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') "
+    "    THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+    "UNION ALL "
+    "SELECT 'customer_acctbal_not_null', CAST(COUNT(*) AS BIGINT), "
+    "  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) "
+    "    AS BIGINT) FROM customer "
+    "UNION ALL "
+    "SELECT 'lineitem_orderkey_fk_orders', "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem), "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
+    "   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))"
+)

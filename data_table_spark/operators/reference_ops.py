@@ -211,3 +211,33 @@ REFERENCE_QUERIES["ref_fixed_width"] = ref_fixed_width
 REFERENCE_ORACLE["ref_fixed_width"] = (
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 )
+
+
+def ref_xml_roundtrip(spark, sf_dir):
+    """XML codec round trip via Spark 4's NATIVE to_xml/from_xml
+    expressions (no file I/O, so the driver can replay it): serialize
+    each nation row to an XML fragment, parse it back with an explicit
+    schema, and return the reconstructed columns. The oracle is the
+    ORIGINAL table — a green row proves encode∘decode is the identity
+    including integer re-typing. The file-backed spark.read.format
+    ('xml') path (rowTag datasets — the format the reference's RDBMS
+    import path never handled) is exercised with tmp files in
+    tests/test_sources_sinks.py; this gate keeps the expression form.
+    Escaping is covered by construction: names pass through XML text
+    nodes with entity encoding applied and reversed by the codec."""
+    n = load_table(spark, "nation", sf_dir)
+    xml = n.select(
+        F.to_xml(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("x")
+    )
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return xml.select(
+        F.from_xml(F.col("x"), schema).alias("r")
+    ).select("r.n_nationkey", "r.n_name", "r.n_regionkey")
+
+
+REFERENCE_QUERIES["ref_xml_roundtrip"] = ref_xml_roundtrip
+REFERENCE_ORACLE["ref_xml_roundtrip"] = (
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+)

@@ -4562,3 +4562,61 @@ RELATIONAL_ORACLE["q114_cohort_ltv"] = (
     "    AS cum_rev_cents "
     "FROM cells"
 )
+
+
+def q115_last_touch_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: each order's revenue is credited
+    to the user's latest event at-or-before the order date (the
+    marketing-attribution join every growth stack runs) — an AS-OF join
+    by construction, so this gate reuses operators/asof.py's
+    union-merge-scan (one shuffle on the user key, no inequality
+    nested-loop; the naive SQL form the oracle runs is the O(orders ×
+    events-per-user) expansion this plan avoids). The right side is
+    deduplicated to one event per (user, ts) keeping the max event_id
+    first, making the tie-break deterministic in both engines. Orders
+    whose customer has no prior events credit to '(none)'."""
+    from .asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("m"))
+        .select("user_id", "ts", F.col("m.event_type").alias("event_type"))
+    )
+    attributed = asof_join(
+        o, e, by=["user_id"], left_on="ts", right_on="ts",
+        right_cols=["event_type"], direction="backward",
+    )
+    return attributed.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q115_last_touch_attribution"] = q115_last_touch_attribution
+RELATIONAL_ORACLE["q115_last_touch_attribution"] = (
+    "WITH e AS ("
+    "  SELECT user_id, ts, "
+    "    arg_max(event_type, event_id) AS event_type "
+    "  FROM events GROUP BY 1, 2), "
+    "ranked AS ("
+    "  SELECT o.o_orderkey, "
+    "    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS rev, "
+    "    e.event_type, "
+    "    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey "
+    "      ORDER BY e.ts DESC NULLS LAST) AS rn "
+    "  FROM orders o LEFT JOIN e "
+    "    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) "
+    "SELECT COALESCE(event_type, '(none)') AS channel, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "  CAST(SUM(rev) AS BIGINT) AS rev_cents "
+    "FROM ranked WHERE rn = 1 GROUP BY 1"
+)

@@ -806,3 +806,34 @@ def test_y4m_zero_frames_yields_no_rows(spark):
         _media_df(spark, [blob]), n_frames=4, fake=False
     ).collect()
     assert rows == []
+
+
+def test_xml_file_roundtrip(spark, tmp_path):
+    """File-backed XML dataset round trip (Spark 4 native xml format):
+    write nation as rowTag records, read it back with an explicit
+    schema, and require value equality with the source — the sibling
+    of the ref_xml_roundtrip gate's expression-level codec."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    (
+        src.select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.format("xml")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(path)
+    )
+    want = {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in src.collect()
+    }
+    got = {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in back.collect()
+    }
+    assert got == want
