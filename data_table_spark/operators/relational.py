@@ -4620,3 +4620,327 @@ RELATIONAL_ORACLE["q115_last_touch_attribution"] = (
     "  CAST(SUM(rev) AS BIGINT) AS rev_cents "
     "FROM ranked WHERE rn = 1 GROUP BY 1"
 )
+
+
+def q116_rolling_slope(spark, sf_dir):
+    """Rolling (trailing-90-day) OLS trend per nation — q109's closed-
+    form fit turned into a moving window: collapse orders to one
+    (nation, day, revenue) row first (map-combinable; the window then
+    runs over the COLLAPSED daily series, bounded by nations × days,
+    not order rows), then accumulate n, Σx, Σy, Σxy, Σx² with a RANGE
+    frame over integer day numbers — RANGE, not ROWS, so missing days
+    genuinely age out of the window. Days are centered on 2024-01-01,
+    which keeps every cross-moment exactly representable (BIGINT and
+    double-exact even at 100× daily revenue); the final ratio is the
+    only double op, identical IEEE in both engines (q109's argument).
+    Output: one row per (nation, day) with the trailing slope in
+    cents/day, floored to e2."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_nationkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("y")
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("x")
+        .rangeBetween(-89, 0)
+    )
+    m = daily.select(
+        "c_nationkey", "x", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).withColumn(
+        "num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).withColumn(
+        "den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("x").cast("long").alias("day_x"),
+        F.col("y").cast("long").alias("rev_cents"),
+        F.col("n").cast("long").alias("n_days_window"),
+        F.when(
+            F.col("den") != 0,
+            F.floor(
+                F.col("num").cast("double") / F.col("den").cast("double")
+                * 100
+            ),
+        ).cast("long").alias("slope_e2"),
+    )
+
+
+RELATIONAL_QUERIES["q116_rolling_slope"] = q116_rolling_slope
+RELATIONAL_ORACLE["q116_rolling_slope"] = (
+    "WITH daily AS ("
+    "  SELECT c_nationkey, "
+    "    CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS BIGINT) "
+    "      AS x, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS y "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey "
+    "  GROUP BY 1, 2), "
+    "m AS ("
+    "  SELECT c_nationkey, x, y, "
+    "    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy, "
+    "    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx "
+    "  FROM daily "
+    "  WINDOW w AS (PARTITION BY c_nationkey ORDER BY x "
+    "    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)), "
+    "s AS ("
+    "  SELECT c_nationkey, x, y, n, "
+    "    CAST(n * sxy - sx * sy AS BIGINT) AS num, "
+    "    CAST(n * sxx - sx * sx AS BIGINT) AS den "
+    "  FROM m) "
+    "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+    "  x AS day_x, y AS rev_cents, CAST(n AS BIGINT) AS n_days_window, "
+    "  CASE WHEN den <> 0 THEN CAST(FLOOR("
+    "    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 100) AS BIGINT) "
+    "  END AS slope_e2 "
+    "FROM s"
+)
+
+
+def q117_association_rules(spark, sf_dir):
+    """Market-basket association rules (support / confidence / lift)
+    from exact counts — the decision layer on top of q79's raw
+    co-occurrence. Baskets are orders; the pair join is basket-bounded
+    (TPC-H caps lines per order at 7, and at scale the same bound
+    comes from capping basket size before pairing — q79's documented
+    guard), item frequencies join back broadcast-until-big. Every
+    reported metric is INTEGER arithmetic end to end: confidence and
+    lift are floored e6 ratios of BIGINT products, so the hash is
+    platform-exact with no float division anywhere. Rules are emitted
+    in both directions for pairs seen ≥ 2 times."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_baskets = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    directed = pairs.select("a", "b", "n_ab").unionAll(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    ia, ib = item.alias("ia"), item.alias("ib")
+    joined = (
+        directed.join(ia, F.col("a") == F.col("ia.item"))
+        .join(ib, F.col("b") == F.col("ib.item"))
+        .select(
+            "a", "b", "n_ab",
+            F.col("ia.n_item").alias("n_a"),
+            F.col("ib.n_item").alias("n_b"),
+        )
+    )
+    return joined.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(F.lit(1_000_000) * F.col("n_ab") / F.col("n_a"))
+        .cast("long").alias("confidence_e6"),
+        F.floor(
+            F.lit(1_000_000) * F.col("n_ab") * F.lit(n_baskets)
+            / (F.col("n_a") * F.col("n_b"))
+        ).cast("long").alias("lift_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q117_association_rules"] = q117_association_rules
+RELATIONAL_ORACLE["q117_association_rules"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li), "
+    "item AS (SELECT l_partkey AS item, COUNT(*) AS n_item "
+    "  FROM li GROUP BY 1), "
+    "pairs AS ("
+    "  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "    AND x.l_partkey < y.l_partkey "
+    "  GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    "directed AS ("
+    "  SELECT a, b, n_ab FROM pairs "
+    "  UNION ALL SELECT b, a, n_ab FROM pairs) "
+    "SELECT d.a AS antecedent, d.b AS consequent, "
+    "  CAST(d.n_ab AS BIGINT) AS n_ab, "
+    "  CAST(ia.n_item AS BIGINT) AS n_a, "
+    "  CAST(ib.n_item AS BIGINT) AS n_b, "
+    "  CAST(FLOOR(1000000 * d.n_ab / ia.n_item) AS BIGINT) "
+    "    AS confidence_e6, "
+    "  CAST(FLOOR(1000000 * d.n_ab * (SELECT n FROM nb) "
+    "    / (ia.n_item * ib.n_item)) AS BIGINT) AS lift_e6 "
+    "FROM directed d "
+    "JOIN item ia ON d.a = ia.item JOIN item ib ON d.b = ib.item"
+)
+
+
+#: floor(1e6·log10(1+1/d)) for d = 1..9, precomputed in Python so
+#: NEITHER engine evaluates a transcendental (log10 is not IEEE-pinned
+#: across libm implementations; a constant table is)
+_BENFORD_E6 = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+def q118_benford(spark, sf_dir):
+    """Benford's-law screen over order totals — the forensic-accounting
+    distribution test: leading-digit frequencies vs log10(1+1/d). The
+    leading digit is extracted from the INTEGER cents rendered as a
+    string (integer→string is locale-free and identical across
+    engines; floor(v/10^floor(log10 v)) would hinge on libm rounding
+    at powers of ten), expected frequencies come from a precomputed
+    constant table, and observed shares are floored e6 integer ratios.
+    One map-combinable aggregate over a single scan; 9 output rows."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    w_all = Window.partitionBy()
+    counted = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_E6]), F.col("digit").cast("int")
+    )
+    return counted.select(
+        "digit",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.floor(
+            F.lit(1_000_000) * F.col("n_orders")
+            / F.sum("n_orders").over(w_all)
+        ).cast("long").alias("observed_e6"),
+        benford.cast("long").alias("benford_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q118_benford"] = q118_benford
+RELATIONAL_ORACLE["q118_benford"] = (
+    "WITH d AS ("
+    "  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+    "    AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+    "  FROM orders), "
+    "c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1) "
+    "SELECT digit, CAST(n AS BIGINT) AS n_orders, "
+    "  CAST(FLOOR(1000000 * n / SUM(n) OVER ()) AS BIGINT) "
+    "    AS observed_e6, "
+    "  CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 "
+    "    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+    "    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 "
+    "    WHEN 9 THEN 45757 END AS benford_e6 "
+    "FROM c"
+)
+
+
+def q119_gini(spark, sf_dir):
+    """Gini concentration coefficient of customer revenue per region —
+    the inequality summary behind q110's Pareto cover (cover answers
+    "how many customers reach 80%"; Gini summarizes the whole curve).
+    Uses the rank formulation over revenue sorted ASCENDING:
+
+        G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n
+
+    with Σ(i·x_i) accumulated as an exact BIGINT under the same
+    low-cardinality per-region window as q103/q110 (collapsed
+    per-customer revenue, never the fact table; ranks over ties are
+    made deterministic by the (rev, custkey) order — any tie order
+    yields the same Σi·x since tied x are equal). Final ratio in
+    doubles from exact moments, floored to e6."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev")
+    )
+    cust = rev.join(
+        F.broadcast(
+            c.select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n_.select("n_nationkey", "n_regionkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r.select("r_regionkey", "r_name")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "r_name")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("r_name", "o_custkey", "rev")
+    w_rank = Window.partitionBy("r_name").orderBy(
+        F.col("rev").asc(), F.col("o_custkey").asc()
+    )
+    ranked = cust.select(
+        "r_name", "rev",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+    )
+    m = ranked.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum(F.col("i") * F.col("rev")).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s").cast("double")
+        / (nd * F.col("t").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return m.select(
+        "r_name",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_rev_cents"),
+        F.floor(gini * 1_000_000).cast("long").alias("gini_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q119_gini"] = q119_gini
+RELATIONAL_ORACLE["q119_gini"] = (
+    "WITH rev AS ("
+    "  SELECT o_custkey, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1), "
+    "cust AS ("
+    "  SELECT r_name, o_custkey, rev "
+    "  FROM rev JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey), "
+    "ranked AS ("
+    "  SELECT r_name, rev, "
+    "    ROW_NUMBER() OVER (PARTITION BY r_name "
+    "      ORDER BY rev ASC, o_custkey ASC) AS i "
+    "  FROM cust), "
+    "m AS ("
+    "  SELECT r_name, COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS t, "
+    "    CAST(SUM(i * rev) AS BIGINT) AS s "
+    "  FROM ranked GROUP BY 1) "
+    "SELECT r_name, CAST(n AS BIGINT) AS n_customers, "
+    "  t AS total_rev_cents, "
+    "  CAST(FLOOR((2.0 * s / (CAST(n AS DOUBLE) * t) "
+    "    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) "
+    "    AS BIGINT) AS gini_e6 "
+    "FROM m"
+)
