@@ -218,6 +218,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # (provenance table in COVERAGE.md). ntile_approx_buckets (NEW this
 # round) is rows-only BY NATURE (GK sketch; golden-tested) and stays
 # out per rule 4.
+#
+# ROUND-6 SESSION ADDITIONS (eighteen oracle-backed gates written
+# after this window was frozen): q105_interval_coverage,
+# q106_triangle_count, q107_mode_per_group, q108_percentile_disc,
+# q109_regression_slope, q110_pareto_cover, q111_session_paths,
+# q112_rrf_fusion, q113_null_semantics, q114_cohort_ltv,
+# q115_last_touch_attribution, q116_rolling_slope,
+# q117_association_rules, q118_benford, q119_gini,
+# pipe_expectations, dedup_survivorship, ref_xml_roundtrip. The
+# round-6 window already holds 42 never-green entries staged since
+# late round 5 (older claims win under rule 1 — a window that churns
+# mid-round would orphan its own staging); all eighteen are
+# pytest-proven against the identical driver-faithful comparator
+# (tests/oracle_util.py, Arrow fetch) and are FIRST IN LINE for the
+# round-7 window together with the four ceded r2 re-proofs
+# (q52_except_all, q53_intersect_all, text_langid,
+# udf_table_function_tokens).
 _PRIORITY = [
     # --- never-green oracle-backed gates (priority rule 1) ---
     "q71_incremental_agg",        # r5 red: HUGEINT oracle typing, fixed
@@ -274,6 +291,25 @@ _PRIORITY = [
     # (the r3-proven cohort's slots all ceded to never-green round-6
     # gates — see header note; every r3 gate keeps its green row +
     # pytest oracle)
+]
+
+#: never-green oracle-backed gates that did NOT fit the 50-slot
+#: round-6 window (written mid-round, after the window froze) — the
+#: explicit round-7 staging queue, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be
+#: in the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    "q52_except_all", "q53_intersect_all",          # ceded r2 re-proofs
+    "text_langid", "udf_table_function_tokens",     # ceded r2 re-proofs
+    "q105_interval_coverage", "q106_triangle_count",
+    "q107_mode_per_group", "q108_percentile_disc",
+    "q109_regression_slope", "q110_pareto_cover",
+    "q111_session_paths", "q112_rrf_fusion",
+    "q113_null_semantics", "q114_cohort_ltv",
+    "q115_last_touch_attribution", "q116_rolling_slope",
+    "q117_association_rules", "q118_benford", "q119_gini",
+    "q120_spatial_grid_join", "q121_tree_closure",
+    "pipe_expectations", "dedup_survivorship", "ref_xml_roundtrip",
 ]
 
 

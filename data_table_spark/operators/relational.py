@@ -4944,3 +4944,151 @@ RELATIONAL_ORACLE["q119_gini"] = (
     "    AS BIGINT) AS gini_e6 "
     "FROM m"
 )
+
+
+def q120_spatial_grid_join(spark, sf_dir):
+    """Spatial neighbor join on a uniform grid — the classic
+    distributed proximity-pairs kernel (geohash/S2-cell bucketing in
+    miniature): find all point pairs within radius r WITHOUT the
+    quadratic cross join. Each point gets an integer grid cell
+    (cell = coord // cellsize with cellsize ≥ r); the LEFT side is
+    replicated into its 3×3 neighborhood, equi-joined on cell against
+    the RIGHT side's home cell, and the exact squared distance (pure
+    BIGINT micro-degrees, no floats) filters the candidates. With
+    cellsize ≥ r every qualifying pair lands in exactly one
+    (replica-cell == home-cell) match, so no dedup pass is needed
+    beyond the a < b ordering. Replication factor is a constant 9 —
+    at 100 TB the shuffle is 9× points, never points², and skew is
+    bounded by the densest single cell.
+
+    The testdata has no coordinates, so points are derived
+    deterministically from md5 of the customer key (48-bit ints →
+    micro-degrees in a 2°×2° region; both engines compute identical
+    values via the pipeline hash idiom). The ORACLE is the naive
+    quadratic join — an algebraically independent construction, so a
+    hash match certifies the grid decomposition itself."""
+    c = _t(spark, sf_dir, "customer")
+
+    def h48(col, salt):
+        return F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))),
+                        1, 12),
+            16, 10,
+        ).cast("bigint")
+
+    cell = 100_000          # 0.1 degree in micro-degrees
+    r2 = cell * cell        # radius == cellsize
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (h48(F.col("c_custkey"), "lat") % 2_000_000).alias("lat"),
+        (h48(F.col("c_custkey"), "lon") % 2_000_000).alias("lon"),
+    )
+    home = pts.select(
+        "id", "lat", "lon",
+        (F.col("lat") / cell).cast("long").alias("cx"),
+        (F.col("lon") / cell).cast("long").alias("cy"),
+    )
+    # floor-div via cast is fine: lat/lon are non-negative here
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        (F.col("id") / 3).cast("long").alias("dy3"),
+    ).select("dx", (F.col("dy3") - 1).alias("dy"))
+    repl = home.crossJoin(F.broadcast(offsets)).select(
+        F.col("id").alias("a"),
+        F.col("lat").alias("alat"), F.col("lon").alias("alon"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    right = home.select(
+        F.col("id").alias("b"),
+        F.col("lat").alias("blat"), F.col("lon").alias("blon"),
+        "cx", "cy",
+    )
+    pairs = repl.join(right, ["cx", "cy"]).where(F.col("a") < F.col("b"))
+    d2 = (
+        (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat"))
+        + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+    )
+    return pairs.select(
+        "a", "b", d2.alias("dist2")
+    ).where(F.col("dist2") <= r2)
+
+
+RELATIONAL_QUERIES["q120_spatial_grid_join"] = q120_spatial_grid_join
+RELATIONAL_ORACLE["q120_spatial_grid_join"] = (
+    "WITH pts AS ("
+    "  SELECT c_custkey AS id, "
+    "    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 12))"
+    "      ::BIGINT % 2000000 AS lat, "
+    "    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 12))"
+    "      ::BIGINT % 2000000 AS lon "
+    "  FROM customer) "
+    "SELECT x.id AS a, y.id AS b, "
+    "  CAST((x.lat - y.lat) * (x.lat - y.lat) "
+    "    + (x.lon - y.lon) * (x.lon - y.lon) AS BIGINT) AS dist2 "
+    "FROM pts x JOIN pts y ON x.id < y.id "
+    "WHERE (x.lat - y.lat) * (x.lat - y.lat) "
+    "  + (x.lon - y.lon) * (x.lon - y.lon) <= 10000000000"
+)
+
+
+def q121_tree_closure(spark, sf_dir):
+    """Hierarchy flattening by POINTER DOUBLING — the O(log depth)
+    rounds algorithm for transitive closure / org-chart / BOM rollup
+    at scale (each round composes every node's known-ancestor pointer
+    with that ancestor's own pointer, doubling the covered distance;
+    a naive parent-walk needs depth rounds and a recursive CTE is
+    sequential per path). The hierarchy is synthesized over the part
+    table as a binary tree (parent = partkey // 2, root = 1) since the
+    testdata has no native hierarchy; the ALGORITHM is the deliverable.
+
+    Each round is one self-equi-join on the pointer key (shuffle on
+    partkey-sized ints); 6 rounds cover depth 64 — far past any real
+    catalog. Matches DuckDB's sequential WITH RECURSIVE walk — an
+    algebraically independent construction (per-path recursion vs
+    parallel doubling), so the hash match certifies the doubling
+    composition including the uneven-depth tail where a pointer
+    already rests at the root. Output: every part's root and depth."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    # ptr = farthest known ancestor; d = its distance. Root points at
+    # itself with d = 0 so composition is a no-op fixpoint for it.
+    state = p.select(
+        "node",
+        F.when(F.col("node") > 1, (F.col("node") / 2).cast("long"))
+        .otherwise(F.lit(1)).alias("ptr"),
+        F.when(F.col("node") > 1, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("d"),
+    )
+    for _ in range(6):  # 2^6 = 64 levels; binary tree over 2M parts = 21
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("ptr").alias("h_ptr"),
+            F.col("d").alias("h_d"),
+        )
+        state = (
+            state.join(hop, F.col("ptr") == F.col("h_node"))
+            .select(
+                "node",
+                F.col("h_ptr").alias("ptr"),
+                (F.col("d") + F.col("h_d")).alias("d"),
+            )
+        )
+    return state.select(
+        "node",
+        F.col("ptr").alias("root"),
+        F.col("d").alias("depth"),
+    )
+
+
+RELATIONAL_QUERIES["q121_tree_closure"] = q121_tree_closure
+RELATIONAL_ORACLE["q121_tree_closure"] = (
+    "WITH RECURSIVE walk(node, cur, d) AS ("
+    "  SELECT p_partkey, p_partkey, 0 FROM part "
+    "  UNION ALL "
+    "  SELECT node, cur // 2, d + 1 FROM walk WHERE cur > 1) "
+    "SELECT node, CAST(1 AS BIGINT) AS root, "
+    "  CAST(MAX(d) AS BIGINT) AS depth "
+    "FROM walk GROUP BY node"
+)

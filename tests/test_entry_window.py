@@ -72,8 +72,18 @@ def test_every_never_green_oracle_gate_is_in_window():
                     green.add(k)
     oracles = entry.oracle_sql()
     never_green = {k for k in entry.queries() if k in oracles} - green
-    out = never_green - set(_window())
+    # the window holds 50 slots; when never-green gates outnumber it
+    # (gates written after the window froze), the overflow must be
+    # EXPLICITLY staged in _NEXT_WINDOW_QUEUE — nothing falls through
+    # silently, and re-proof slots never displace a frozen window
+    # mid-round.
+    out = never_green - set(_window()) - set(entry._NEXT_WINDOW_QUEUE)
     assert not out, f"never-green oracle-backed gates outside the window: {out}"
+    # queued gates must still be real, oracle-backed registry entries
+    stale_queue = [
+        k for k in entry._NEXT_WINDOW_QUEUE if k not in entry.queries()
+    ]
+    assert not stale_queue, f"queue names unknown gates: {stale_queue}"
 
 
 def test_rows_only_set_matches_registry():

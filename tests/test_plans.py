@@ -731,3 +731,55 @@ def test_pagerank_bounded_sides_stay_broadcast(spark, sf_dir):
     p = _plan(RELATIONAL_QUERIES["q100_pagerank"](spark, sf_dir))
     assert p.count("SortMergeJoin") == 0
     assert p.count("BroadcastHashJoin") >= 7
+
+
+def test_triangle_count_no_nested_loop(spark, sf_dir):
+    """q106's wedge/closure joins must all be hash or sort-merge equi
+    joins — a nested-loop/cartesian anywhere means the orientation
+    trick failed to produce equi keys."""
+    p = _plan(RELATIONAL_QUERIES["q106_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the single crossJoin family allowed is the 1x1 scalar assembly of
+    # the three counts at the very top
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """q115's as-of merge-scan must not plan the naive inequality
+    join the oracle runs (no nested loop); the event/order merge is a
+    union + one user-partitioned window."""
+    p = _plan(
+        RELATIONAL_QUERIES["q115_last_touch_attribution"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Union" in p
+
+
+def test_regression_moments_single_pass(spark, sf_dir):
+    """q109: one broadcast dim join, one aggregate — no window, no
+    second fact scan."""
+    p = _plan(RELATIONAL_QUERIES["q109_regression_slope"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 2  # orders + customer, once each
+
+
+def test_rolling_slope_window_over_collapsed(spark, sf_dir):
+    """q116's RANGE-frame window must run AFTER the daily collapse:
+    exactly one partial+final aggregate pair below the window, and the
+    window spec carries the range frame."""
+    p = _plan(RELATIONAL_QUERIES["q116_rolling_slope"](spark, sf_dir))
+    assert "specifiedwindowframe(RangeFrame, -89, currentrow" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_spatial_grid_join_no_quadratic(spark, sf_dir):
+    """q120's pair search must be the cell equi-join, not the oracle's
+    quadratic theta join: no CartesianProduct, and the only nested
+    loop allowed is the constant 9-row offset replication."""
+    p = _plan(RELATIONAL_QUERIES["q120_spatial_grid_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
+        "BroadcastHashJoin" in p
