@@ -4148,7 +4148,8 @@ RELATIONAL_ORACLE["q108_percentile_disc"] = (
 
 def q109_regression_slope(spark, sf_dir):
     """Per-nation OLS fit (order totalprice vs customer account balance)
-    from EXACT integer moments: one broadcast dim join, then a single
+    from EXACT integer moments: one customer join (threshold-broadcast
+    while small — see the hint note below), then a single
     map-combinable aggregate collects n, Σx, Σy, Σxy, Σx² as BIGINTs
     over integer cents — no second pass, no per-group window, no
     sampling. The closed form
@@ -4164,8 +4165,12 @@ def q109_regression_slope(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     x = F.round(F.col("c_acctbal") * 100).cast("long")
     y = F.round(F.col("o_totalprice") * 100).cast("long")
+    # no broadcast HINT on the customer projection: customer SCALES
+    # with SF, and a hint overrides the threshold (the round-5 ADVICE
+    # trap). Below the threshold Catalyst broadcasts it unhinted
+    # (plan-asserted); past it the flip to SMJ is the correct plan.
     j = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey", x.alias("x"))),
+        c.select("c_custkey", "c_nationkey", x.alias("x")),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("c_nationkey", "x", y.alias("y"))
     m = j.groupBy("c_nationkey").agg(
@@ -4239,15 +4244,16 @@ def q110_pareto_cover(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("rev")
     )
+    # nation/region are bounded dims (hint-safe); the customer→region
+    # map scales with SF, so it joins UNHINTED — threshold-broadcast
+    # locally, SMJ at 100 TB (round-5 ADVICE rule)
     cust = rev.join(
-        F.broadcast(
-            c.select("c_custkey", "c_nationkey")
-            .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
-                  F.col("c_nationkey") == F.col("n_nationkey"))
-            .join(F.broadcast(r.select("r_regionkey", "r_name")),
-                  F.col("n_regionkey") == F.col("r_regionkey"))
-            .select("c_custkey", "r_name")
-        ),
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("r_name", "o_custkey", "rev")
     w_prev = (
@@ -4639,7 +4645,9 @@ def q116_rolling_slope(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     daily = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            # unhinted: customer scales with SF (round-5 ADVICE rule);
+            # the threshold broadcasts it while small
+            c.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -4880,14 +4888,14 @@ def q119_gini(spark, sf_dir):
         .alias("rev")
     )
     cust = rev.join(
-        F.broadcast(
-            c.select("c_custkey", "c_nationkey")
-            .join(F.broadcast(n_.select("n_nationkey", "n_regionkey")),
-                  F.col("c_nationkey") == F.col("n_nationkey"))
-            .join(F.broadcast(r.select("r_regionkey", "r_name")),
-                  F.col("n_regionkey") == F.col("r_regionkey"))
-            .select("c_custkey", "r_name")
-        ),
+        # same hint policy as q110: bounded dims hinted, the scaling
+        # customer map threshold-decided
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n_.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("r_name", "o_custkey", "rev")
     w_rank = Window.partitionBy("r_name").orderBy(

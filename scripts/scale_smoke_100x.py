@@ -72,6 +72,23 @@ GATES = [
     "q102_skyline",          # per-x collapse + 2-phase strict cummax
     "q103_weighted_median",  # (group,value)-collapsed cumulative scan
     "q104_chi_square",       # bounded cell table + integer chi2
+    # round-6 session additions — fact-bound shapes only (q120's point
+    # set is customer-derived and does not scale in this synthesis;
+    # q121's part tree likewise — both covered by their plan asserts):
+    "q105_interval_coverage",  # islands scan under hot-user skew
+    "q106_triangle_count",     # edge build is 100× fact joins; the
+                               # distinct edge set (and so the wedge
+                               # join) is node-bounded here — cost must
+                               # stay linear in the fact pass
+    "q111_session_paths",      # two user-keyed windows + bounded paths
+    "q114_cohort_ltv",         # first-order agg + same-key self join —
+                               # the firsts side is fact-derived and
+                               # must flip broadcast→SMJ
+    "q115_last_touch_attribution",  # as-of union under hot-user skew
+    "q116_rolling_slope",      # RANGE window over collapsed daily rows
+    "q117_association_rules",  # basket-bounded pairs; 100× counts pass
+                               # the min-support gate so the rule set
+                               # itself grows ~30× — output-bound tail
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -107,6 +124,14 @@ DIM_BROADCAST_FLOOR = {
                                # explicitly broadcast and bounded by
                                # price-range/span; the frontier↔counts
                                # join may flip
+    "q114_cohort_ltv": 0,      # the firsts build side is fact-derived
+                               # (one row per customer with orders) —
+                               # must leave broadcast at 100×
+    "q116_rolling_slope": 1,   # customer projection is the dim here;
+                               # it does not grow in this synthesis
+    "q106_triangle_count": 0,  # deg/orientation tables are node-
+                               # bounded but sit behind fact-sized
+                               # joins — planner's choice either way
 }
 
 PLAN_NODES = (
