@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -1377,4 +1377,69 @@ PIPELINE_ORACLE["pipe_expectations"] = (
     "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem), "
     "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
     "   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))"
+)
+
+
+def pipe_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch assembly — the pad-waste minimizer every
+    training loader runs: group documents into power-of-two token-
+    length buckets (floor(log2 n) == len(bin(n)) - 1, computed via the
+    binary STRING so neither engine touches libm log2), order each
+    bucket deterministically by md5 rank, and cut fixed-size batches of
+    8. The report prices the batching: per batch, the padded cost is
+    n_docs·max_tokens and the waste is that minus the real token sum —
+    all exact integers. (pipe_pack_sequences concatenates into fixed
+    windows; THIS keeps documents whole and minimizes padding — the
+    two standard loader strategies.)
+
+    Scale note: the ranking window partitions on the ~15 log2 buckets,
+    which is the q22-class low-cardinality caveat — the 100 TB form
+    shards each bucket by a hash prefix first (pipe_shuffle_shards'
+    per-shard windows) and batches within shards, trading global batch
+    numbering for unbounded parallelism; the within-shard construction
+    is IDENTICAL to this gate's."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    base = d.select(
+        "doc_id",
+        F.greatest(n_tok, F.lit(1)).alias("n_tokens"),
+    ).withColumn(
+        "bucket", (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    batched = base.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 8).cast("long")
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long").alias("pad_waste"),
+    )
+
+
+PIPELINE_QUERIES["pipe_bucket_batches"] = pipe_bucket_batches
+PIPELINE_ORACLE["pipe_bucket_batches"] = (
+    "WITH base AS ("
+    "  SELECT doc_id, "
+    "    GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS n_tokens "
+    "  FROM documents), "
+    "b AS ("
+    "  SELECT doc_id, n_tokens, "
+    "    CAST(LENGTH(bin(n_tokens)) - 1 AS BIGINT) AS bucket "
+    "  FROM base), "
+    "r AS ("
+    "  SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY bucket "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 8 "
+    "    AS BIGINT) AS batch_id "
+    "  FROM b) "
+    "SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens, "
+    "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+    "  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) "
+    "    AS pad_waste "
+    "FROM r GROUP BY 1, 2"
 )
