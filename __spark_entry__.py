@@ -309,6 +309,7 @@ _NEXT_WINDOW_QUEUE = [
     "q115_last_touch_attribution", "q116_rolling_slope",
     "q117_association_rules", "q118_benford", "q119_gini",
     "q120_spatial_grid_join", "q121_tree_closure",
+    "q122_mad_outliers", "q123_time_to_convert",
     "pipe_expectations", "pipe_bucket_batches",
     "dedup_survivorship", "ref_xml_roundtrip",
 ]

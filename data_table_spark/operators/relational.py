@@ -5100,3 +5100,191 @@ RELATIONAL_ORACLE["q121_tree_closure"] = (
     "  CAST(MAX(d) AS BIGINT) AS depth "
     "FROM walk GROUP BY node"
 )
+
+
+def q122_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation — the
+    resistant alternative to q77's z-score (one wild value corrupts a
+    mean/stddev fence; the MAD fence shrugs): per event type, median
+    of value, then median of |value − median|, then count points
+    beyond 3×MAD. Both medians run the q103 two-phase scan (collapse
+    to per-(group, value) counts — map-combinable, bounded by the
+    value domain — then a cumulative window over the COLLAPSED table
+    with the integer crossing predicate 2·cum ≥ n). Values live in e4
+    integers end to end, so deviations, fences, and counts are exact
+    BIGINT arithmetic — no float compare anywhere. Three passes over
+    collapsed tables, each shuffle bounded by |type| × |distinct
+    value|, never row count."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+
+    def median_of(df, col):
+        vals = df.groupBy("event_type", F.col(col).alias("mv")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_cum = Window.partitionBy("event_type").orderBy("mv").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_all = Window.partitionBy("event_type")
+        cum = vals.select(
+            "event_type", "mv",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cum.where(2 * F.col("cum") >= F.col("n")).groupBy(
+            "event_type"
+        ).agg(F.min("mv").alias("med"))
+
+    med = median_of(e, "v")
+    dev = e.join(med, "event_type").select(
+        "event_type", "v",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+        "med",
+    )
+    mad = median_of(dev.select("event_type", F.col("d").alias("v")), "v") \
+        .select("event_type", F.col("med").alias("mad"))
+    fenced = dev.join(mad, "event_type")
+    return fenced.groupBy("event_type").agg(
+        F.max("med").cast("long").alias("median_e4"),
+        F.max("mad").cast("long").alias("mad_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+RELATIONAL_QUERIES["q122_mad_outliers"] = q122_mad_outliers
+RELATIONAL_ORACLE["q122_mad_outliers"] = (
+    "WITH e AS ("
+    "  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v "
+    "  FROM events), "
+    "m1v AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2), "
+    "m1c AS ("
+    "  SELECT event_type, v, "
+    "    SUM(c) OVER (PARTITION BY event_type ORDER BY v "
+    "      ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER (PARTITION BY event_type) AS n "
+    "  FROM m1v), "
+    "med AS ("
+    "  SELECT event_type, MIN(v) AS med FROM m1c "
+    "  WHERE 2 * cum >= n GROUP BY 1), "
+    "dev AS ("
+    "  SELECT e.event_type, e.v, ABS(e.v - med.med) AS d, med.med "
+    "  FROM e JOIN med ON e.event_type = med.event_type), "
+    "m2v AS (SELECT event_type, d, COUNT(*) AS c FROM dev GROUP BY 1, 2), "
+    "m2c AS ("
+    "  SELECT event_type, d, "
+    "    SUM(c) OVER (PARTITION BY event_type ORDER BY d "
+    "      ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER (PARTITION BY event_type) AS n "
+    "  FROM m2v), "
+    "mad AS ("
+    "  SELECT event_type, MIN(d) AS mad FROM m2c "
+    "  WHERE 2 * cum >= n GROUP BY 1) "
+    "SELECT dev.event_type, "
+    "  CAST(MAX(dev.med) AS BIGINT) AS median_e4, "
+    "  CAST(MAX(mad.mad) AS BIGINT) AS mad_e4, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "  CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_outliers "
+    "FROM dev JOIN mad ON dev.event_type = mad.event_type "
+    "GROUP BY dev.event_type"
+)
+
+
+def q123_time_to_convert(spark, sf_dir):
+    """Signup→purchase conversion-lag percentiles, DAY-granular — the
+    activation metric a growth stack reads next to q63's funnel. Per
+    user: first signup, then the first purchase AT/after it (equi join
+    on user + min-aggregate over the time residual — never an
+    inequality nested loop); the lag collapses to whole days, which
+    BOUNDS the percentile table by the calendar span (q108's machinery
+    then runs over ≤ a few hundred rows regardless of user count —
+    that's what makes the exact percentile scale; a per-user-value
+    percentile would grow with users and belongs to ntile_approx).
+    Output: one row with cohort sizes and p50/p90 lag days."""
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    signup = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(us).alias("s_us")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    lag = (
+        signup.join(purch, "user_id", "left")
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.min(
+                F.when(F.col("p_us") >= F.col("s_us"), F.col("p_us"))
+            ).alias("c_us")
+        )
+        .select(
+            "user_id",
+            ((F.col("c_us") - F.col("s_us")) / F.lit(86_400_000_000))
+            .cast("long").alias("lag_days"),
+        )
+    )
+    days = lag.where(F.col("lag_days").isNotNull()).groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("lag_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = days.select(
+        "lag_days",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pct = cum.select(
+        F.min(
+            F.when(100 * F.col("cum") >= 50 * F.col("n"), F.col("lag_days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("lag_days"))
+        ).alias("p90_days"),
+    )
+    sizes = signup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signup_users")
+    ).crossJoin(
+        lag.where(F.col("lag_days").isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    )
+    return sizes.crossJoin(pct)
+
+
+RELATIONAL_QUERIES["q123_time_to_convert"] = q123_time_to_convert
+RELATIONAL_ORACLE["q123_time_to_convert"] = (
+    "WITH signup AS ("
+    "  SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events "
+    "  WHERE event_type = 'signup' GROUP BY 1), "
+    "lag AS ("
+    "  SELECT s.user_id, "
+    "    (MIN(CASE WHEN epoch_us(e.ts) >= s.s_us "
+    "       THEN epoch_us(e.ts) END) - s.s_us) // 86400000000 "
+    "      AS lag_days "
+    "  FROM signup s LEFT JOIN events e "
+    "    ON e.user_id = s.user_id AND e.event_type = 'purchase' "
+    "  GROUP BY s.user_id, s.s_us), "
+    "days AS ("
+    "  SELECT lag_days, COUNT(*) AS c FROM lag "
+    "  WHERE lag_days IS NOT NULL GROUP BY 1), "
+    "cum AS ("
+    "  SELECT lag_days, "
+    "    SUM(c) OVER (ORDER BY lag_days ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER () AS n "
+    "  FROM days) "
+    "SELECT "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM signup) AS n_signup_users, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lag "
+    "   WHERE lag_days IS NOT NULL) AS n_converted, "
+    "  MIN(CASE WHEN 100 * cum >= 50 * n THEN lag_days END) AS p50_days, "
+    "  MIN(CASE WHEN 100 * cum >= 90 * n THEN lag_days END) AS p90_days "
+    "FROM cum"
+)
