@@ -3897,34 +3897,54 @@ def q105_interval_coverage(spark, sf_dir):
         .alias("e"),
         "event_id",
     )
+    return interval_union(ev, "user_id", "s", "e", "event_id").select(
+        "user_id",
+        F.col("n_intervals").alias("n_events"),
+        "n_islands",
+        F.col("covered").alias("covered_us"),
+    )
+
+
+def interval_union(
+    df: DataFrame, key_col: str, start_col: str, end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """The reusable islands merge behind q105: per key, merge
+    overlapping-or-touching [start, end] intervals and report interval
+    count, island count, and total covered length. Merge rule: an
+    interval opens a NEW island iff its start lies strictly past the
+    running max(end) of every earlier interval (ordered by start,
+    tiebreak). Property-tested against an imperative sweep in
+    tests/test_properties.py."""
     w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        Window.partitionBy(key_col)
+        .orderBy(start_col, tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        Window.partitionBy(key_col)
+        .orderBy(start_col, tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    marked = ev.withColumn(
+    marked = df.withColumn(
         "new_island",
         F.when(
-            F.col("s") > F.coalesce(
-                F.max("e").over(w_prev), F.lit(-1)
+            F.col(start_col) > F.coalesce(
+                F.max(end_col).over(w_prev),
+                F.lit(None).cast("long"),
             ),
             1,
-        ).otherwise(0),
+        ).when(F.max(end_col).over(w_prev).isNull(), 1).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w_run))
-    islands = marked.groupBy("user_id", "island").agg(
-        F.min("s").alias("i_start"), F.max("e").alias("i_end"),
-        F.count(F.lit(1)).alias("n_ev"),
+    islands = marked.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("i_start"), F.max(end_col).alias("i_end"),
+        F.count(F.lit(1)).alias("n_iv"),
     )
-    return islands.groupBy("user_id").agg(
-        F.sum("n_ev").cast("long").alias("n_events"),
+    return islands.groupBy(key_col).agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum(F.col("i_end") - F.col("i_start"))
-        .cast("long").alias("covered_us"),
+        .cast("long").alias("covered"),
     )
 
 
@@ -3988,6 +4008,15 @@ def q106_triangle_count(spark, sf_dir):
         )
         .distinct()
     )
+    return triangle_count(edges)
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """The reusable degree-ordered triangle kernel behind q106:
+    ``edges`` holds one row per UNDIRECTED edge as (a, b) with a < b,
+    no duplicates, no self-loops. Returns a single row
+    (n_nodes, n_edges, n_triangles). Property-tested against a brute-
+    force combination check in tests/test_properties.py."""
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -4991,6 +5020,18 @@ def q120_spatial_grid_join(spark, sf_dir):
         (h48(F.col("c_custkey"), "lat") % 2_000_000).alias("lat"),
         (h48(F.col("c_custkey"), "lon") % 2_000_000).alias("lon"),
     )
+    return grid_neighbor_pairs(pts, cell, r2)
+
+
+def grid_neighbor_pairs(pts: DataFrame, cell: int, r2: int) -> DataFrame:
+    """The reusable grid kernel behind q120: ``pts`` holds
+    (id, lat, lon) with NON-NEGATIVE integer coordinates; returns all
+    (a < b) pairs with squared distance ≤ r2, where cell² ≥ r2 so the
+    3×3 neighborhood is sufficient. Property-tested against the
+    brute-force quadratic pairing in tests/test_properties.py."""
+    if cell * cell < r2:
+        raise ValueError(f"cell² ({cell * cell}) must cover r2 ({r2})")
+    spark = pts.sparkSession
     home = pts.select(
         "id", "lat", "lon",
         (F.col("lat") / cell).cast("long").alias("cx"),
@@ -5060,8 +5101,6 @@ def q121_tree_closure(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node")
     )
-    # ptr = farthest known ancestor; d = its distance. Root points at
-    # itself with d = 0 so composition is a no-op fixpoint for it.
     state = p.select(
         "node",
         F.when(F.col("node") > 1, (F.col("node") / 2).cast("long"))
@@ -5069,7 +5108,19 @@ def q121_tree_closure(spark, sf_dir):
         F.when(F.col("node") > 1, F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("d"),
     )
-    for _ in range(6):  # 2^6 = 64 levels; binary tree over 2M parts = 21
+    return pointer_doubling(state, rounds=6)
+
+
+def pointer_doubling(state: DataFrame, rounds: int) -> DataFrame:
+    """The reusable doubling kernel behind q121: ``state`` holds one
+    row per node as (node, ptr, d) where ptr is the node's PARENT
+    (d = 1) and roots point at THEMSELVES with d = 0 — the self-loop
+    makes composition a fixpoint for finished chains. Each round
+    composes every pointer with its target's pointer, doubling covered
+    distance; ``rounds`` must satisfy 2^rounds ≥ max depth. Returns
+    (node, root, depth). Property-tested against an imperative parent
+    walk over random forests in tests/test_properties.py."""
+    for _ in range(rounds):
         hop = state.select(
             F.col("node").alias("h_node"),
             F.col("ptr").alias("h_ptr"),

@@ -562,3 +562,132 @@ def test_capped_sessions_laws(spark, offsets, key):
         inside = [t for t in ts_sorted if lo <= t <= hi]
         for x, y in zip(inside, inside[1:]):
             assert y - x <= gap_us
+
+
+@SLOW
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-50, 50), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+def test_interval_union_matches_sweep(spark, iv):
+    """interval_union == imperative sorted sweep: per key, island count
+    and total covered length agree on arbitrary (possibly negative-
+    start, touching, nested, duplicated) intervals."""
+    from data_table_spark.operators.relational import interval_union
+
+    rows = [
+        (k, s, s + ln, i) for i, (k, s, ln) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long, tb long")
+    got = {
+        r["k"]: (r["n_intervals"], r["n_islands"], r["covered"])
+        for r in interval_union(df, "k", "s", "e", "tb").collect()
+    }
+    ref = {}
+    for k in {r[0] for r in rows}:
+        spans = sorted((s, e) for kk, s, e, _ in rows if kk == k)
+        islands, cur_s, cur_e = [], None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        ref[k] = (
+            len(spans), len(islands),
+            sum(e - s for s, e in islands),
+        )
+    assert got == ref
+
+
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Degree-ordered orientation == brute-force triangle enumeration
+    on arbitrary small graphs (hubs, ties in degree, disconnected
+    nodes)."""
+    from itertools import combinations
+
+    from data_table_spark.operators.relational import triangle_count
+
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    row = triangle_count(df).collect()[0]
+    nodes = {n for e in edges for n in e}
+    eset = set(edges)
+    want = sum(
+        1 for x, y, z in combinations(sorted(nodes), 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        len(nodes), len(edges), want
+    )
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=20, unique=True,
+    )
+)
+def test_grid_pairs_match_brute_force(spark, pts):
+    """Grid 3×3 replication finds EXACTLY the brute-force pair set —
+    including boundary pairs at distance == r and cell-edge
+    coordinates — and never duplicates a pair."""
+    from data_table_spark.operators.relational import grid_neighbor_pairs
+
+    cell, r2 = 10, 100
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lat long, lon long")
+    got = sorted(
+        (r["a"], r["b"], r["dist2"])
+        for r in grid_neighbor_pairs(df, cell, r2).collect()
+    )
+    want = sorted(
+        (i, j, (xi - xj) ** 2 + (yi - yj) ** 2)
+        for (i, xi, yi) in rows for (j, xj, yj) in rows
+        if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= r2
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    parents=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+)
+def test_pointer_doubling_matches_walk(spark, parents):
+    """pointer_doubling == imperative parent walk over random FORESTS
+    (multiple roots, shared subtrees, uneven depths). Node i's parent
+    is parents[i] % i (a DAG-free random tree); node 0 is a root, and
+    any node whose draw lands on itself is too."""
+    from data_table_spark.operators.relational import pointer_doubling
+
+    par = {0: 0}
+    for i, p in enumerate(parents[1:], start=1):
+        par[i] = p % i  # strictly smaller → acyclic; may be i-1==... any
+    rows = [
+        (n, pr, 0 if pr == n else 1) for n, pr in par.items()
+    ]
+    df = spark.createDataFrame(rows, "node long, ptr long, d long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in pointer_doubling(df, rounds=5).collect()
+    }
+    ref = {}
+    for n in par:
+        cur, d = n, 0
+        while par[cur] != cur:
+            cur, d = par[cur], d + 1
+        ref[n] = (cur, d)
+    assert got == ref
