@@ -310,6 +310,7 @@ _NEXT_WINDOW_QUEUE = [
     "q117_association_rules", "q118_benford", "q119_gini",
     "q120_spatial_grid_join", "q121_tree_closure",
     "q122_mad_outliers", "q123_time_to_convert",
+    "sim_pq_encode", "sim_pq_adc_topk",
     "pipe_expectations", "pipe_bucket_batches",
     "dedup_survivorship", "ref_xml_roundtrip",
 ]
