@@ -4057,18 +4057,29 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
         "left_semi",
     )
-    # assemble the three scalars via a constant-key equi join (plans as
-    # a broadcast HASH join) — a crossJoin here would put a
-    # BroadcastNestedLoopJoin in an otherwise NLJ-free plan and trip
-    # the scale smoke's blanket no-nested-loop rule
-    k = F.lit(1).alias("_k")
-    return (
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(k, "*")
-        .join(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-              .select(k, "*"), "_k")
-        .join(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-              .select(k, "*"), "_k")
-        .drop("_k")
+    # assemble the three scalars JOIN-FREE: tagged union of the 1-row
+    # aggregates + one conditional aggregate. A crossJoin (or even a
+    # constant-key equi join, which Catalyst folds back into a
+    # cross join) would put a BroadcastNestedLoopJoin in an otherwise
+    # NLJ-free plan and trip the scale smoke's blanket rule.
+    u = (
+        deg.agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("n_nodes").alias("m"), "v")
+        .unionAll(
+            edges.agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit("n_edges").alias("m"), "v")
+        )
+        .unionAll(
+            tri.agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit("n_triangles").alias("m"), "v")
+        )
+    )
+    return u.agg(
+        *[
+            F.max(F.when(F.col("m") == name, F.col("v")))
+            .cast("long").alias(name)
+            for name in ("n_nodes", "n_edges", "n_triangles")
+        ]
     )
 
 
@@ -5309,17 +5320,30 @@ def q123_time_to_convert(spark, sf_dir):
             F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("lag_days"))
         ).alias("p90_days"),
     )
-    # constant-key equi joins for the scalar assembly (see q106's note)
-    k = F.lit(1).alias("_k")
-    return (
-        signup.agg(F.count(F.lit(1)).cast("long").alias("n_signup_users"))
-        .select(k, "*")
-        .join(
+    # join-free scalar assembly (see q106's note: even a constant-key
+    # equi join folds back into a nested loop): tagged union + one
+    # conditional aggregate
+    u = (
+        signup.agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("n_signup_users").alias("m"), "v")
+        .unionAll(
             lag.where(F.col("lag_days").isNotNull())
-            .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
-            .select(k, "*"), "_k")
-        .join(pct.select(k, "*"), "_k")
-        .drop("_k")
+            .agg(F.count(F.lit(1)).alias("v"))
+            .select(F.lit("n_converted").alias("m"), "v")
+        )
+        .unionAll(pct.select(F.expr(
+            "stack(2, 'p50_days', p50_days, 'p90_days', p90_days) "
+            "AS (m, v)"
+        )))
+    )
+    return u.agg(
+        *[
+            F.max(F.when(F.col("m") == name, F.col("v")))
+            .cast("long").alias(name)
+            for name in (
+                "n_signup_users", "n_converted", "p50_days", "p90_days"
+            )
+        ]
     )
 
 

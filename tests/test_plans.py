@@ -739,9 +739,9 @@ def test_triangle_count_no_nested_loop(spark, sf_dir):
     trick failed to produce equi keys."""
     p = _plan(RELATIONAL_QUERIES["q106_triangle_count"](spark, sf_dir))
     assert "CartesianProduct" not in p
-    # the single crossJoin family allowed is the 1x1 scalar assembly of
-    # the three counts at the very top
-    assert p.count("BroadcastNestedLoopJoin") <= 2
+    # the scalar assembly is a tagged union + conditional agg, so the
+    # whole plan is nested-loop-free
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_attribution_single_user_shuffle(spark, sf_dir):
