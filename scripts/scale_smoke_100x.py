@@ -215,6 +215,10 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # same heap policy as bench.py: the sf10 fact joins (q106's wedge
+    # pass in particular) spill-then-OOM on the 8g default heap under
+    # an unlucky AQE layout; half of physical RAM, capped, is safe
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     import __spark_entry__ as entry_mod
     from data_table_spark.session import get_spark
 
@@ -231,47 +235,61 @@ def main() -> None:
     rows, failures = [], []
     for gate in GATES:
         fn = RELATIONAL_QUERIES[gate]
-        materialize(fn(spark, SRC))  # warm codegen
-        t0 = time.perf_counter()
-        materialize(fn(spark, SRC))
-        t_small = time.perf_counter() - t0
-        h_small = node_histogram(fn(spark, SRC))
-        t0 = time.perf_counter()
-        materialize(fn(spark, DEST))
-        t_big = time.perf_counter() - t0
-        h_big = node_histogram(fn(spark, DEST))
-        ratio = t_big / max(t_small, 1e-9)
-        plan_delta = {
-            n: (h_small[n], h_big[n])
-            for n in PLAN_NODES
-            if h_small[n] != h_big[n]
-        }
-        ok = ratio <= COPIES * LINEAR_SLACK
-        if not ok:
-            failures.append(f"{gate}: super-linear ratio {ratio:.1f}x")
-        if h_big["BroadcastNestedLoopJoin"] or h_big["CartesianProduct"]:
-            ok = False
-            failures.append(f"{gate}: nested-loop/cartesian at sf10")
-        flips = max(
-            0, h_small["BroadcastHashJoin"] - h_big["BroadcastHashJoin"]
-        )
-        if h_big["Exchange"] > h_small["Exchange"] + 2 * flips:
-            ok = False
-            failures.append(f"{gate}: new exchanges at sf10 {plan_delta}")
-        floor = DIM_BROADCAST_FLOOR.get(gate, h_small["BroadcastHashJoin"])
-        if h_big["BroadcastHashJoin"] < floor:
-            ok = False
-            failures.append(
-                f"{gate}: dim fell out of broadcast "
-                f"(BHJ {h_big['BroadcastHashJoin']} < floor {floor})"
-            )
-        rows.append((gate, t_small, t_big, ratio, plan_delta, ok))
-        print(
-            f"{gate}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x) "
-            f"plan_delta={plan_delta} {'OK' if ok else 'FAIL'}",
-            file=sys.stderr,
-        )
+        try:
+            _run_gate(gate, fn, spark, rows, failures)
+        except Exception as exc:  # noqa: BLE001 — one gate must not kill the sweep
+            failures.append(f"{gate}: EXC {type(exc).__name__}: {exc}")
+            rows.append((gate, 0.0, 0.0, 0.0, {"EXC": str(exc)[:80]}, False))
+            print(f"{gate}: EXC {exc}", file=sys.stderr)
 
+    _write_report(rows, failures)
+    sys.exit(1 if failures else 0)
+
+
+def _run_gate(gate, fn, spark, rows, failures) -> None:
+    materialize(fn(spark, SRC))  # warm codegen
+    t0 = time.perf_counter()
+    materialize(fn(spark, SRC))
+    t_small = time.perf_counter() - t0
+    h_small = node_histogram(fn(spark, SRC))
+    t0 = time.perf_counter()
+    materialize(fn(spark, DEST))
+    t_big = time.perf_counter() - t0
+    h_big = node_histogram(fn(spark, DEST))
+    ratio = t_big / max(t_small, 1e-9)
+    plan_delta = {
+        n: (h_small[n], h_big[n])
+        for n in PLAN_NODES
+        if h_small[n] != h_big[n]
+    }
+    ok = ratio <= COPIES * LINEAR_SLACK
+    if not ok:
+        failures.append(f"{gate}: super-linear ratio {ratio:.1f}x")
+    if h_big["BroadcastNestedLoopJoin"] or h_big["CartesianProduct"]:
+        ok = False
+        failures.append(f"{gate}: nested-loop/cartesian at sf10")
+    flips = max(
+        0, h_small["BroadcastHashJoin"] - h_big["BroadcastHashJoin"]
+    )
+    if h_big["Exchange"] > h_small["Exchange"] + 2 * flips:
+        ok = False
+        failures.append(f"{gate}: new exchanges at sf10 {plan_delta}")
+    floor = DIM_BROADCAST_FLOOR.get(gate, h_small["BroadcastHashJoin"])
+    if h_big["BroadcastHashJoin"] < floor:
+        ok = False
+        failures.append(
+            f"{gate}: dim fell out of broadcast "
+            f"(BHJ {h_big['BroadcastHashJoin']} < floor {floor})"
+        )
+    rows.append((gate, t_small, t_big, ratio, plan_delta, ok))
+    print(
+        f"{gate}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x) "
+        f"plan_delta={plan_delta} {'OK' if ok else 'FAIL'}",
+        file=sys.stderr,
+    )
+
+
+def _write_report(rows, failures) -> None:
     with open(os.path.join(REPO, "SCALE_SMOKE_100X.md"), "w") as f:
         f.write(
             "# SCALE_SMOKE_100X — sf0.1 → ~sf10 (100× facts, single-pass "
