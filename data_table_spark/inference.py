@@ -201,6 +201,12 @@ def coerce_table(
     "decimal(10,2)") — strings are normalized up front so the
     StringType short-circuit and error paths see real types.
     """
+    if on_error not in ("raise", "string", "null"):
+        # an unrecognized policy must not silently become lenient-null —
+        # the reference's restart names are a closed set (lisp:398-404)
+        raise ValueError(
+            f"on_error must be 'raise', 'string', or 'null'; got {on_error!r}"
+        )
     types = {
         c: (T.DataType.fromDDL(t) if isinstance(t, str) else t)
         for c, t in types.items()

@@ -401,7 +401,16 @@ def encode_y4m_demo(df: DataFrame) -> DataFrame:
             blobs = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = text.encode("utf-8")
-                cyc = data * 3  # len ≥ 48 ⇒ start+64 ≤ 3·len always
+                if not data:
+                    # the Y plane IS the document's bytes — an empty doc
+                    # has no defined frame (and the oracle's modulo
+                    # would divide by zero); fail loud, not truncated
+                    raise ValueError(
+                        "encode_y4m_demo requires non-empty text"
+                    )
+                # enough copies that start+64 fits for ANY len ≥ 1:
+                # reps·len > len + 64 ≥ start + 64 (start ≤ len-1)
+                cyc = data * (2 + 64 // len(data))
                 parts = [_Y4M_DEMO_HEADER]
                 for k in range(1 + int(doc_id) % 3):
                     start = (k * 64) % len(data)
@@ -460,7 +469,7 @@ MULTIMODAL_ORACLE: dict[str, str] = {
         "SELECT doc_id, CAST(k AS INT) AS frame_idx, "
         "  CAST(k * 40 AS BIGINT) AS frame_ts_ms, "
         "  CAST(64 AS BIGINT) AS n_bytes, "
-        "  sha256(substr(repeat(text, 3), "
+        "  sha256(substr(repeat(text, CAST(2 + 64 // length(text) AS INT)), "
         "    CAST((k * 64) % length(text) AS INT) + 1, 64)) AS frame_sha "
         "FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(k)",
 }

@@ -3955,7 +3955,7 @@ RELATIONAL_ORACLE["q105_interval_coverage"] = (
     "    epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e, event_id "
     "  FROM events), "
     "marked AS ("
-    "  SELECT user_id, s, e, "
+    "  SELECT user_id, s, e, event_id, "
     "    CASE WHEN s > COALESCE(MAX(e) OVER ("
     "      PARTITION BY user_id ORDER BY s, event_id "
     "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
@@ -3963,7 +3963,7 @@ RELATIONAL_ORACLE["q105_interval_coverage"] = (
     "  FROM iv), "
     "isl AS ("
     "  SELECT user_id, s, e, "
-    "    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e "
+    "    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id "
     "      ROWS UNBOUNDED PRECEDING) AS island "
     "  FROM marked), "
     "g AS ("
@@ -4513,7 +4513,9 @@ def q113_null_semantics(spark, sf_dir):
     count, one row."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    ov, cv = f"q113_o_{id(o)}", f"q113_c_{id(c)}"
+    # fixed names + createOrReplace ⇒ reruns are idempotent (no view
+    # accumulation across driver replays / best-of-2 bench runs)
+    ov, cv = "q113_orders_probe", "q113_customer_excl"
     o.createOrReplaceTempView(ov)
     c.createOrReplaceTempView(cv)
     return spark.sql(f"""

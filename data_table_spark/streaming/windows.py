@@ -409,14 +409,15 @@ def stream_session_counts(spark, sf_dir):
 STREAMJOIN_QUERIES["stream_session_counts"] = stream_session_counts
 STREAMJOIN_ORACLE["stream_session_counts"] = (
     "WITH g AS ("
-    "  SELECT user_id, ts, "
+    "  SELECT user_id, ts, event_id, "
     "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
     "      PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 "
     "    THEN 1 ELSE 0 END AS brk "
     "  FROM events), "
     "s AS ("
     "  SELECT user_id, ts, SUM(brk) OVER ("
-    "    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+    "    PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS UNBOUNDED PRECEDING) AS sid "
     "  FROM g) "
     "SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS w_start_epoch, "
     "  CAST(FLOOR(epoch(MAX(ts))) + 1800 AS BIGINT) AS w_end_epoch, "

@@ -424,3 +424,15 @@ def test_facade_csv_and_sinks(spark, tmp_path):
     back = spark.read.parquet(out)
     assert dict(back.dtypes) == {"name": "string", "qty": "double"}
     assert sorted(map(tuple, back.collect())) == [("ax", 1000.5), ("bx", None)]
+
+
+def test_coerce_rejects_unknown_on_error_policy(spark):
+    """The restart-name set is closed (lisp:398-404): an unknown
+    on_error must raise, not silently behave like lenient 'null'."""
+    import pytest
+
+    df = spark.createDataFrame([("12",), ("oops",)], ["v"])
+    with pytest.raises(ValueError, match="on_error"):
+        DataTable(df).coerce_types(
+            explicit={"v": "bigint"}, on_error="string-fallback"
+        )
