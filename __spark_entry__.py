@@ -217,6 +217,16 @@ _PRIORITY = [
 #: every never-green oracle gate must be in the window or in this
 #: queue; nothing may silently fall through.
 _NEXT_WINDOW_QUEUE = [
+    # round-7 session additions (written after the r7 window froze),
+    # oldest claims first:
+    "q124_clustering_coefficient",  # per-node triangles, oriented wedge
+    "q125_ks_test",                 # exact integer two-sample KS
+    "q126_hhi_concentration",       # decimal-exact Herfindahl index
+    "q127_mutual_information",      # floored micro-nat MI cells
+    "q128_trimmed_stats",           # exact p10/p90 trimmed mean
+    "q129_decile_lift",             # region-partitioned decile lift
+    "text_hapax_ratio",             # per-source hapax vocabulary share
+    "text_zipf_fit",                # Zipf slope from integer moments
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

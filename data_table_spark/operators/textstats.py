@@ -714,3 +714,149 @@ TEXTSTATS_ORACLE["text_phrase_search"] = (
     "  '% ' || p.phrase || ' %' THEN 1 END) AS BIGINT) AS n_docs "
     "FROM probes p CROSS JOIN norm n GROUP BY p.phrase"
 )
+
+
+def hapax_ratio(docs: DataFrame) -> DataFrame:
+    """Per-source hapax-legomena ratio — the lexical-diversity signal
+    (what fraction of a source's vocabulary occurs exactly once) that
+    separates templated/boilerplate sources from natural text in
+    corpus triage. One explode + one (source, term) count + one
+    per-source aggregate — all map-combinable; the ratio is an exact
+    integer pair with one rounded division."""
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    df_counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return df_counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+def text_hapax_ratio(spark, sf_dir):
+    """Gate: per-source hapax share of the source vocabulary."""
+    from ..sources.registry import load_table
+
+    return hapax_ratio(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_hapax_ratio"] = text_hapax_ratio
+TEXTSTATS_ORACLE["text_hapax_ratio"] = (
+    "WITH tok AS ("
+    "  SELECT source, UNNEST(string_split_regex("
+    "    lower(trim(text)), '\\s+')) AS term FROM documents), "
+    "tf AS ("
+    "  SELECT source, term, COUNT(*) AS tf FROM tok "
+    "  WHERE term <> '' GROUP BY 1, 2) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
+    "  ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "    / COUNT(*), 6) AS hapax_ratio "
+    "FROM tf GROUP BY source"
+)
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) for the top-``top_n`` tokens — the classic
+    naturalness check (natural language sits near slope −1; machine-
+    generated or templated corpora drift off it).
+
+    The vocabulary aggregate is corpus-wide but vocabulary-bounded;
+    the top-N cut is a TakeOrderedAndProject (freq desc, term asc —
+    total order, deterministic under ties). The regression runs on
+    floored micro-nat integers (x = floor(1e6·ln rank),
+    y = floor(1e6·ln freq)) so the moment sums are EXACT longs
+    (|Σxy| ≤ N·(14e6)² ≈ 2e16 ≪ 2^63) and the only floats are the
+    final slope/intercept divisions, rounded once."""
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    # rank within the 100-row cut: bounded single-partition window
+    ranked = vocab.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    ).select(
+        F.floor(F.lit(1_000_000) * F.log(F.col("rk"))).alias("x"),
+        F.floor(F.lit(1_000_000) * F.log(F.col("freq"))).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # the slope ratio FIRST (long / long → double), then sx·slope —
+    # multiplying sx into the long numerator would overflow 2^63
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - F.col("sx") * slope)
+            / F.col("n")
+            / F.lit(1_000_000),
+            6,
+        ).alias("intercept_nats"),
+    )
+
+
+def text_zipf_fit(spark, sf_dir):
+    """Gate: corpus Zipf slope from exact micro-nat integer moments."""
+    from ..sources.registry import load_table
+
+    return zipf_fit(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_zipf_fit"] = text_zipf_fit
+TEXTSTATS_ORACLE["text_zipf_fit"] = (
+    "WITH tok AS ("
+    "  SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) "
+    "    AS term FROM documents), "
+    "vocab AS ("
+    "  SELECT term, COUNT(*) AS freq FROM tok WHERE term <> '' "
+    "  GROUP BY 1 ORDER BY freq DESC, term ASC LIMIT 100), "
+    "ranked AS ("
+    "  SELECT FLOOR(1000000 * LN(ROW_NUMBER() OVER ("
+    "      ORDER BY freq DESC, term ASC))) AS x, "
+    "    FLOOR(1000000 * LN(freq)) AS y "
+    "  FROM vocab), "
+    "m AS ("
+    "  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, "
+    "    CAST(SUM(y) AS BIGINT) AS sy, "
+    "    CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "    CAST(SUM(x * x) AS BIGINT) AS sxx "
+    "  FROM ranked) "
+    "SELECT CAST(n AS BIGINT) AS n_terms, "
+    "  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
+    "    / (n * sxx - sx * sx), 6) AS zipf_slope, "
+    "  ROUND((sy - sx * (CAST(n * sxy - sx * sy AS DOUBLE) "
+    "    / (n * sxx - sx * sx))) / n / 1000000, 6) AS intercept_nats "
+    "FROM m"
+)
