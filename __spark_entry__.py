@@ -227,6 +227,10 @@ _NEXT_WINDOW_QUEUE = [
     "q129_decile_lift",             # region-partitioned decile lift
     "text_hapax_ratio",             # per-source hapax vocabulary share
     "text_zipf_fit",                # Zipf slope from integer moments
+    "sim_mutual_topk",              # reciprocal best-match pairs
+    "pipe_temperature_mix",         # α=1/2 tempered source weights
+    "q130_cusum_changepoint",       # exact integer CUSUM break day
+    "q131_burstiness",              # Fano factor per event type
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -1443,3 +1443,75 @@ PIPELINE_ORACLE["pipe_bucket_batches"] = (
     "    AS pad_waste "
     "FROM r GROUP BY 1, 2"
 )
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixing weights
+# --------------------------------------------------------------------------
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixing weights over sources —
+    the multilingual-LM recipe (sample source i with probability
+    p_i^α / Σ p_j^α, α < 1 upweights the tail): for each source,
+    report its raw share and its α = alpha_num/alpha_den tempered
+    sampling weight, plus the implied duplication factor (tempered
+    target count / raw count — >1 means the source repeats epochs).
+
+    One count aggregate + one broadcast of the source-sized summary:
+    no per-row math beyond the final join. α = 1/2 evaluates via
+    IEEE sqrt (exactly rounded, engine-identical); general rationals
+    would use pow — kept at 1/2 so the gate stays hash-exact. The
+    only floats are sqrt and the final divisions, rounded once."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    assert (alpha_num, alpha_den) == (1, 2), "hash-exact gate pins α=1/2"
+    powed = counts.withColumn(
+        "tempered", F.sqrt(F.col("n_docs").cast("double"))
+    )
+    tot = powed.agg(
+        F.sum("n_docs").alias("tot_docs"),
+        F.sum("tempered").alias("tot_tempered"),
+    )
+    return (
+        powed.join(F.broadcast(tot))
+        .select(
+            source_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("tot_docs"), 6)
+            .alias("raw_share"),
+            F.round(F.col("tempered") / F.col("tot_tempered"), 6)
+            .alias("tempered_weight"),
+            F.round(
+                (F.col("tempered") / F.col("tot_tempered"))
+                * F.col("tot_docs") / F.col("n_docs"),
+                6,
+            ).alias("dup_factor"),
+        )
+    )
+
+
+def pipe_temperature_mix(spark, sf_dir):
+    """Gate: α=1/2 tempered source-mixing weights over documents."""
+    return temperature_weights(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_temperature_mix"] = pipe_temperature_mix
+PIPELINE_ORACLE["pipe_temperature_mix"] = (
+    "WITH counts AS ("
+    "  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1), "
+    "t AS ("
+    "  SELECT SUM(n_docs) AS tot_docs, "
+    "    SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot_tempered "
+    "  FROM counts) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "  ROUND(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS raw_share, "
+    "  ROUND(SQRT(CAST(n_docs AS DOUBLE)) / tot_tempered, 6) "
+    "    AS tempered_weight, "
+    "  ROUND((SQRT(CAST(n_docs AS DOUBLE)) / tot_tempered) "
+    "    * tot_docs / n_docs, 6) AS dup_factor "
+    "FROM counts, t"
+)

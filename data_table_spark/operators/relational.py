@@ -5851,3 +5851,112 @@ RELATIONAL_ORACLE["q129_decile_lift"] = (
     "    AS lift_e6 "
     "FROM per_decile"
 )
+
+
+def q130_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection over the daily revenue series — the
+    monitoring primitive for level shifts, in EXACT integer arithmetic
+    (the q125 cross-multiplication again): the break statistic at day
+    k is |n·S_k − k·S_n| (S = cumulative daily revenue cents, k = day
+    index), maximized with a deterministic earliest-day tie-break.
+    Revenue collapses to the bounded calendar spine first (one
+    map-combinable agg; the cumulative window runs over ~2.4k day
+    rows — the q99 day-spine bound, documented there), and the argmax
+    is one conditional aggregate, not a sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    daily = o.groupBy("day").agg(F.sum("rev_c").alias("rev"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("rev").over(w).alias("s_k"),
+    )
+    tot = cum.agg(
+        F.max("k").alias("n_days"), F.max("s_k").alias("s_n")
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "day", "n_days", "s_n",
+        F.abs(
+            F.col("n_days") * F.col("s_k") - F.col("k") * F.col("s_n")
+        ).alias("stat"),
+    )
+    peak = scored.agg(F.max("stat").alias("cusum_num"))
+    return (
+        scored.join(F.broadcast(peak))
+        .where(F.col("stat") == F.col("cusum_num"))
+        .groupBy()
+        .agg(
+            F.min("day").alias("break_day"),
+            F.max("cusum_num").cast("long").alias("cusum_num"),
+            F.max("n_days").cast("long").alias("n_days"),
+            F.max("s_n").cast("long").alias("total_rev_c"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q130_cusum_changepoint"] = q130_cusum_changepoint
+RELATIONAL_ORACLE["q130_cusum_changepoint"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev "
+    "  FROM orders GROUP BY 1), "
+    "cum AS ("
+    "  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS k, "
+    "    SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_k "
+    "  FROM daily), "
+    "tot AS (SELECT MAX(k) AS n_days, MAX(s_k) AS s_n FROM cum), "
+    "scored AS ("
+    "  SELECT day, n_days, s_n, ABS(n_days * s_k - k * s_n) AS stat "
+    "  FROM cum, tot) "
+    "SELECT MIN(day) AS break_day, "
+    "  CAST(MAX(stat) AS BIGINT) AS cusum_num, "
+    "  CAST(MAX(n_days) AS BIGINT) AS n_days, "
+    "  CAST(MAX(s_n) AS BIGINT) AS total_rev_c "
+    "FROM scored WHERE stat = (SELECT MAX(stat) FROM scored)"
+)
+
+
+def q131_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor: variance-to-mean ratio of the daily
+    count series) per event type — separates steady telemetry from
+    bursty user behavior, and the standard overdispersion check before
+    fitting anything Poisson. Two map-combinable aggregates: daily
+    counts per (type, day), then exact integer moments per type —
+    variance·n² = n·Σx² − (Σx)² stays in longs (counts are small
+    integers), and the Fano ratio (nΣx² − (Σx)²) / (n·Σx) is the one
+    float, rounded once. Days are the type's active days (zero-count
+    days excluded — documented choice, keeps the spine join out)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            )
+            / (F.count(F.lit(1)) * F.sum("x")),
+            6,
+        ).alias("fano"),
+    )
+
+
+RELATIONAL_QUERIES["q131_burstiness"] = q131_burstiness
+RELATIONAL_ORACLE["q131_burstiness"] = (
+    "WITH daily AS ("
+    "  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x "
+    "  FROM events GROUP BY 1, 2) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+    "  CAST(SUM(x) AS BIGINT) AS n_events, "
+    "  ROUND(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) "
+    "    / (COUNT(*) * SUM(x)), 6) AS fano "
+    "FROM daily GROUP BY event_type"
+)

@@ -1382,3 +1382,78 @@ SIMILARITY_QUERIES["sim_pq_adc_topk"] = sim_pq_adc_topk
 _pq_enc_sql, _pq_adc_sql = _pq_oracle_sqls()
 SIMILARITY_ORACLE["sim_pq_encode"] = _pq_enc_sql
 SIMILARITY_ORACLE["sim_pq_adc_topk"] = _pq_adc_sql
+
+
+def mutual_topk_pairs(emb: DataFrame, bound: int = PAIR_BOUND) -> DataFrame:
+    """Reciprocal best-match pairs — the entity-resolution primitive:
+    (a, b) is emitted iff b is a's single best cosine match AND a is
+    b's (mutual nearest neighbors survive noise that one-directional
+    top-1 matching doesn't). Scored over the bounded O(n²) pair set
+    like sim_pairs_threshold; at corpus scale the scorer is replaced
+    by LSH/IVF candidate generation (sim_lsh_topk / sim_ivf_topk) and
+    this reduction runs unchanged on the candidate pairs. Best-match
+    selection is a per-node window over candidate partners ordered by
+    (rounded score desc, partner asc) — fully deterministic; the
+    mutual check is one self-join on the node-sized best table."""
+    from pyspark.sql import Window
+
+    e = emb.where(F.col("vec_id") < bound)
+    a = e.select(F.col("vec_id").alias("n"), F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("partner"), F.col("embedding").alias("vb")
+    )
+    scored = (
+        a.join(b, F.col("n") != F.col("partner"))
+        .select(
+            "n", "partner",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("n").orderBy(
+        F.col("cos_sim").desc(), F.col("partner").asc()
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("n", "partner", "cos_sim")
+    )
+    other = best.select(
+        F.col("n").alias("o_n"), F.col("partner").alias("o_partner")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("partner") == F.col("o_n"))
+            & (F.col("n") == F.col("o_partner")),
+        )
+        .where(F.col("n") < F.col("partner"))
+        .select(
+            F.col("n").alias("a"), F.col("partner").alias("b"), "cos_sim"
+        )
+    )
+
+
+def sim_mutual_topk(spark, sf_dir):
+    """Gate: mutual nearest-neighbor pairs over the bounded vector set."""
+    return mutual_topk_pairs(load_table(spark, "embeddings", sf_dir))
+
+
+SIMILARITY_QUERIES["sim_mutual_topk"] = sim_mutual_topk
+SIMILARITY_ORACLE["sim_mutual_topk"] = (
+    "WITH e AS ("
+    f"  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {PAIR_BOUND}), "
+    "scored AS ("
+    "  SELECT x.vec_id AS n, y.vec_id AS partner, "
+    "    ROUND(list_cosine_similarity("
+    "      x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos_sim "
+    "  FROM e x JOIN e y ON x.vec_id <> y.vec_id), "
+    "best AS ("
+    "  SELECT n, partner, cos_sim FROM ("
+    "    SELECT n, partner, cos_sim, ROW_NUMBER() OVER ("
+    "      PARTITION BY n ORDER BY cos_sim DESC, partner ASC) AS rk "
+    "    FROM scored) WHERE rk = 1) "
+    "SELECT x.n AS a, x.partner AS b, x.cos_sim "
+    "FROM best x JOIN best y "
+    "  ON x.partner = y.n AND x.n = y.partner "
+    "WHERE x.n < x.partner"
+)
