@@ -231,6 +231,10 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_temperature_mix",         # α=1/2 tempered source weights
     "q130_cusum_changepoint",       # exact integer CUSUM break day
     "q131_burstiness",              # Fano factor per event type
+    "q132_mannwhitney_auc",         # exact rank-sum U / ROC AUC
+    "q133_spearman_corr",           # midrank Spearman rho
+    "q134_link_prediction",         # CN / Jaccard / Adamic-Adar
+    "q135_dow_seasonality",         # weekday means + anomaly day
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -5960,3 +5960,430 @@ RELATIONAL_ORACLE["q131_burstiness"] = (
     "    / (COUNT(*) * SUM(x)), 6) AS fano "
     "FROM daily GROUP BY event_type"
 )
+
+
+# --------------------------------------------------------------------------
+# rank statistics: Mann-Whitney U / AUC, Spearman correlation
+# --------------------------------------------------------------------------
+
+def q132_mannwhitney_auc(spark, sf_dir):
+    """Two-sample Mann-Whitney U (equivalently: exact ROC AUC of the
+    grouping variable as a classifier score) over URGENT vs LOW order
+    totals — the rank-based complement of q125's KS and q80's z-test,
+    and THE standard exact evaluation metric for a ranking model.
+
+    Exactness: everything rides DOUBLED midranks, which are integers
+    (midrank of a tie group = (lo+hi)/2, so 2·midrank = 2·cum_before +
+    m + 1 where m is the tie size). 2·R_A = Σ_v ca(v)·(2·cum_tot(v) −
+    m(v) + 1) accumulates in longs (≤ N·(2N+1), inside int64 to N ~
+    2·10⁹); 2·U_A = 2·R_A − n_a(n_a+1) and AUC = U_A/(n_a·n_b) divides
+    ONCE at the end. The tie-correction term Σ(m³−m) (what a z-score
+    variance needs) is emitted as an exact BIGINT so callers can finish
+    significance testing without re-scanning.
+
+    Scale shape = q125's: collapse to per-price-cent counts (map-side
+    combinable, support-bounded), ONE distributed_prefix_sum over the
+    collapsed support with the a/b counters packed into a single
+    64-bit value — no global window; the reduction is a 1-row agg."""
+    from .scale import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0).alias("is_a"),
+    )
+    per_price = o.groupBy("p").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    ).withColumn(
+        "packed", F.col("ca") * F.lit(1 << 32) + F.col("cb")
+    )
+    cum = distributed_prefix_sum(
+        per_price, "p", "packed", out_col="cum_packed",
+        bucket_span=1 << 16,
+    ).select(
+        "ca", "cb",
+        (F.col("ca") + F.col("cb")).alias("m"),
+        (
+            (F.col("cum_packed") / F.lit(1 << 32)).cast("long")
+            + F.col("cum_packed") % F.lit(1 << 32)
+        ).alias("cum_tot"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (F.lit(2) * F.col("cum_tot") - F.col("m") + F.lit(1))
+        ).cast("long").alias("r2_a"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).cast("long").alias("tie_cube"),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .alias("u2_a"),
+        "tie_cube",
+        F.round(
+            (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+            / (F.lit(2.0) * F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("auc"),
+    )
+
+
+RELATIONAL_QUERIES["q132_mannwhitney_auc"] = q132_mannwhitney_auc
+RELATIONAL_ORACLE["q132_mannwhitney_auc"] = (
+    "WITH pc AS ("
+    "  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p, "
+    "    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) "
+    "      AS ca, "
+    "    SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb "
+    "  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW') "
+    "  GROUP BY 1), "
+    "cum AS ("
+    "  SELECT ca, cb, ca + cb AS m, "
+    "    SUM(ca + cb) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) "
+    "      AS cum_tot "
+    "  FROM pc), "
+    "agg AS ("
+    "  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, "
+    "    CAST(SUM(cb) AS BIGINT) AS n_b, "
+    "    CAST(SUM(ca * (2 * cum_tot - m + 1)) AS BIGINT) AS r2_a, "
+    "    CAST(SUM(m * m * m - m) AS BIGINT) AS tie_cube "
+    "  FROM cum) "
+    "SELECT n_a, n_b, "
+    "  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie_cube, "
+    "  ROUND(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) "
+    "    / (2.0 * n_a * n_b), 6) AS auc "
+    "FROM agg"
+)
+
+
+def q133_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between a customer's account balance
+    and their realized order revenue — the distribution-free monotonic
+    association measure (q75's Pearson on RANKS, with exact midrank tie
+    handling). Does wealth predict spend, without assuming linearity?
+
+    Exactness: both variables are ranked via integer DOUBLED midranks
+    (2·midrank = 2·cum_before + m + 1, the q132 identity), computed by
+    collapsing each variable to its distinct-value counts and running
+    ONE distributed_prefix_sum per variable over the collapsed support
+    (acctbal cents are shifted +10⁵ so the prefix-sum's bucket keys
+    stay non-negative). The Pearson moments of the doubled ranks
+    accumulate in DECIMAL(38,0) (q126's overflow posture: Σ rank² ~
+    4N³ leaves int64 near N ~ 1.3·10⁶), and rho = (n·Sxy − Sx·Sy) /
+    (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) converts each exact integer moment
+    to double once — sqrt is IEEE exactly-rounded, so both engines see
+    identical doubles. One float division, rounded once."""
+    from .scale import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev_c")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100_000))
+        .alias("bal_c"),
+    )
+    pairs = c.join(o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "bal_c", "rev_c"
+    )
+
+    def midrank2(col):
+        per_v = pairs.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        cum = distributed_prefix_sum(
+            per_v, "v", "m", out_col="cum", bucket_span=1 << 16
+        )
+        return cum.select(
+            F.col("v").alias(col),
+            (F.lit(2) * F.col("cum") - F.col("m") + F.lit(1))
+            .alias(f"r2_{col}"),
+        )
+
+    # the rank tables are distinct-value-sized (~n rows) — NOT
+    # broadcastable at scale; these are plain equi-joins on the value,
+    # and AQE flips them to broadcast only while the support is small
+    ranked = (
+        pairs.join(midrank2("bal_c"), "bal_c")
+        .join(midrank2("rev_c"), "rev_c")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("r2_bal_c")).alias("sx"),
+        F.sum(dec("r2_rev_c")).alias("sy"),
+        F.sum(dec("r2_bal_c") * dec("r2_bal_c")).alias("sxx"),
+        F.sum(dec("r2_rev_c") * dec("r2_rev_c")).alias("syy"),
+        F.sum(dec("r2_bal_c") * dec("r2_rev_c")).alias("sxy"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return m.select(
+        "n",
+        F.round(
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+RELATIONAL_QUERIES["q133_spearman_corr"] = q133_spearman_corr
+RELATIONAL_ORACLE["q133_spearman_corr"] = (
+    "WITH o AS ("
+    "  SELECT o_custkey, "
+    "    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c "
+    "  FROM orders GROUP BY 1), "
+    "pairs AS ("
+    "  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS bal_c, "
+    "    rev_c "
+    "  FROM customer JOIN o ON c_custkey = o_custkey), "
+    "rx AS ("
+    "  SELECT v AS bal_c, 2 * SUM(m) OVER (ORDER BY v "
+    "      ROWS UNBOUNDED PRECEDING) - m + 1 AS r2x "
+    "  FROM (SELECT bal_c AS v, COUNT(*) AS m FROM pairs GROUP BY 1)), "
+    "ry AS ("
+    "  SELECT v AS rev_c, 2 * SUM(m) OVER (ORDER BY v "
+    "      ROWS UNBOUNDED PRECEDING) - m + 1 AS r2y "
+    "  FROM (SELECT rev_c AS v, COUNT(*) AS m FROM pairs GROUP BY 1)), "
+    "ranked AS ("
+    "  SELECT r2x, r2y FROM pairs "
+    "  JOIN rx USING (bal_c) JOIN ry USING (rev_c)), "
+    "m AS ("
+    "  SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "    SUM(CAST(r2x AS HUGEINT)) AS sx, SUM(CAST(r2y AS HUGEINT)) AS sy, "
+    "    SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx, "
+    "    SUM(CAST(r2y AS HUGEINT) * r2y) AS syy, "
+    "    SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy "
+    "  FROM ranked) "
+    "SELECT n, ROUND("
+    "  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "  / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+    "  AS spearman_rho "
+    "FROM m"
+)
+
+
+# --------------------------------------------------------------------------
+# graph link prediction: common neighbors / Jaccard / Adamic-Adar
+# --------------------------------------------------------------------------
+
+def q134_link_prediction(spark, sf_dir):
+    """Link-prediction scores over the part co-purchase graph (q106's
+    edge set): for NON-adjacent part pairs, the three classic
+    neighborhood scores — common-neighbor count, neighborhood Jaccard
+    (micro-units), and Adamic-Adar (Σ_z 1/ln(deg z), each term floored
+    to integer micro-units BEFORE summing — the text_lm_score
+    exactness trick, so the sum is exact int64 arithmetic). Top-20 by
+    (cn, aa) with a deterministic pair tie-break.
+
+    Scale honesty: common-neighbor enumeration through a center z is
+    inherently Σ d(z)² — the hub-explosion shape that q106's
+    orientation AVOIDS for counting but that pair SCORING cannot,
+    because the pair (x,y) is the output, not a count. The production
+    mitigations are candidate bounding (here: scored endpoints limited
+    to a part-key prefix, mirroring sim_*'s PAIR_BOUND pattern) and
+    hub capping (drop centers above a degree ceiling — biased, so it
+    must be declared); the oracle mirrors the same bound exactly.
+    Degrees stay FULL-graph (node-sized — joined without a forced
+    hint; AQE broadcasts while small) so the scores are true even
+    though the scored pair universe is bounded."""
+    bound = 400
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(
+        F.col("a").alias("n"), F.col("b").alias("z")
+    ).unionAll(edges.select(F.col("b").alias("n"), F.col("a").alias("z")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    # per-center AA term in integer micro-units; deg(z) >= 2 for any
+    # wedge center, so ln > 0
+    aa_term = deg.select(
+        "z",
+        F.floor(F.lit(1_000_000) / F.log(F.col("d").cast("double")))
+        .cast("long").alias("aa_micro_term"),
+        F.col("d").alias("dz"),
+    )
+    l_, r_ = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l_.join(r_, F.col("l.z") == F.col("r.z"))
+        .where(
+            (F.col("l.n") < F.col("r.n"))
+            & (F.col("l.n") < bound) & (F.col("r.n") < bound)
+        )
+        .select(
+            F.col("l.n").alias("px"), F.col("r.n").alias("py"),
+            F.col("l.z").alias("z"),
+        )
+    )
+    # deg/aa are node-sized — unbounded at corpus scale, so no forced
+    # broadcast hint (the q69 lesson); AQE flips these equi-joins to
+    # broadcast while the graph is small
+    scored = (
+        wedges.join(aa_term, "z")
+        .groupBy("px", "py")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("aa_micro_term").cast("long").alias("aa_micro"),
+        )
+    )
+    dd = deg.select(F.col("z").alias("n"), F.col("d"))
+    dx, dy = dd.alias("dx"), dd.alias("dy")
+    non_adj = scored.join(
+        edges,
+        (F.col("px") == F.col("a")) & (F.col("py") == F.col("b")),
+        "left_anti",
+    )
+    return (
+        non_adj.join(dx, F.col("px") == F.col("dx.n"))
+        .join(dy, F.col("py") == F.col("dy.n"))
+        .select(
+            "px", "py", "cn",
+            F.floor(
+                F.lit(1_000_000) * F.col("cn")
+                / (F.col("dx.d") + F.col("dy.d") - F.col("cn"))
+            ).cast("long").alias("jaccard_e6"),
+            "aa_micro",
+        )
+        .orderBy(
+            F.col("cn").desc(), F.col("aa_micro").desc(), "px", "py"
+        )
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q134_link_prediction"] = q134_link_prediction
+RELATIONAL_ORACLE["q134_link_prediction"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "edges AS ("
+    "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "  WHERE x.l_partkey < y.l_partkey), "
+    "adj AS ("
+    "  SELECT a AS n, b AS z FROM edges "
+    "  UNION ALL SELECT b AS n, a AS z FROM edges), "
+    "deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY 1), "
+    "aa AS ("
+    "  SELECT z, CAST(FLOOR(1000000 / LN(CAST(d AS DOUBLE))) AS BIGINT) "
+    "    AS aa_micro_term "
+    "  FROM deg), "
+    "wedges AS ("
+    "  SELECT l.n AS px, r.n AS py, l.z AS z "
+    "  FROM adj l JOIN adj r ON l.z = r.z "
+    "  WHERE l.n < r.n AND l.n < 400 AND r.n < 400), "
+    "scored AS ("
+    "  SELECT px, py, CAST(COUNT(*) AS BIGINT) AS cn, "
+    "    CAST(SUM(aa_micro_term) AS BIGINT) AS aa_micro "
+    "  FROM wedges JOIN aa USING (z) GROUP BY 1, 2), "
+    "non_adj AS ("
+    "  SELECT s.* FROM scored s "
+    "  WHERE NOT EXISTS (SELECT 1 FROM edges e "
+    "    WHERE e.a = s.px AND e.b = s.py)) "
+    "SELECT px, py, cn, "
+    "  CAST(FLOOR(1000000.0 * cn / (dx.d + dy.d - cn)) AS BIGINT) "
+    "    AS jaccard_e6, aa_micro "
+    "FROM non_adj JOIN deg dx ON dx.z = px JOIN deg dy ON dy.z = py "
+    "ORDER BY cn DESC, aa_micro DESC, px, py LIMIT 20"
+)
+
+
+def q135_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonal decomposition of daily order revenue, plus
+    the most seasonally-anomalous day per weekday — the baseline every
+    monitoring system needs before q130's changepoint makes sense
+    (a Sunday dip is seasonality, not a break). Per ISO weekday:
+    day count, exact total revenue cents, mean daily revenue, and the
+    day maximizing |rev·n_dow − tot_dow| (the cross-multiplied
+    deviation-from-mean — no division inside the argmax; exact longs),
+    earliest-day tie-break.
+
+    Scale shape: revenue collapses to the bounded calendar spine first
+    (one map-combinable agg, ~2.4k day rows — the q99/q130 bound);
+    the weekday means are a 7-row aggregate joined back broadcast, and
+    the per-weekday argmax is a rank window over 7 bounded partitions
+    of the day spine."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev")
+        )
+        .withColumn("isodow", (F.weekday("day") + F.lit(1)).cast("int"))
+    )
+    per_dow = daily.groupBy("isodow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("tot"),
+    )
+    scored = daily.join(F.broadcast(per_dow), "isodow").withColumn(
+        "dev_num",
+        F.abs(F.col("rev") * F.col("n_days") - F.col("tot")),
+    )
+    w = Window.partitionBy("isodow").orderBy(
+        F.col("dev_num").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "isodow",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("tot").cast("long").alias("rev_total_c"),
+            F.round(F.col("tot") / F.col("n_days"), 6).alias(
+                "mean_daily_rev_c"
+            ),
+            F.col("day").alias("anomaly_day"),
+            F.col("dev_num").cast("long").alias("anomaly_dev_num"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q135_dow_seasonality"] = q135_dow_seasonality
+RELATIONAL_ORACLE["q135_dow_seasonality"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev "
+    "  FROM orders GROUP BY 1), "
+    "d2 AS (SELECT day, rev, ISODOW(day) AS isodow FROM daily), "
+    "per_dow AS ("
+    "  SELECT isodow, COUNT(*) AS n_days, SUM(rev) AS tot "
+    "  FROM d2 GROUP BY 1), "
+    "scored AS ("
+    "  SELECT d2.isodow, n_days, tot, day, "
+    "    ABS(rev * n_days - tot) AS dev_num, "
+    "    ROW_NUMBER() OVER (PARTITION BY d2.isodow "
+    "      ORDER BY ABS(rev * n_days - tot) DESC, day ASC) AS rk "
+    "  FROM d2 JOIN per_dow USING (isodow)) "
+    "SELECT CAST(isodow AS INT) AS isodow, "
+    "  CAST(n_days AS BIGINT) AS n_days, "
+    "  CAST(tot AS BIGINT) AS rev_total_c, "
+    "  ROUND(CAST(tot AS DOUBLE) / n_days, 6) AS mean_daily_rev_c, "
+    "  day AS anomaly_day, "
+    "  CAST(dev_num AS BIGINT) AS anomaly_dev_num "
+    "FROM scored WHERE rk = 1"
+)
