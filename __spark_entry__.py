@@ -52,6 +52,10 @@ try:
 except Exception:  # pragma: no cover
     UDF_QUERIES, UDF_ORACLE = {}, {}
 try:
+    from data_table_spark.operators.bpe import BPE_ORACLE, BPE_QUERIES
+except Exception:  # pragma: no cover
+    BPE_QUERIES, BPE_ORACLE = {}, {}
+try:
     from data_table_spark.operators.multimodal import (
         MULTIMODAL_ORACLE,
         MULTIMODAL_QUERIES,
@@ -235,6 +239,7 @@ _NEXT_WINDOW_QUEUE = [
     "q133_spearman_corr",           # midrank Spearman rho
     "q134_link_prediction",         # CN / Jaccard / Adamic-Adar
     "q135_dow_seasonality",         # weekday means + anomaly day
+    "pipe_bpe_pair_counts",         # BPE round-0 pair statistics
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17
@@ -272,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ASOF_QUERIES)
     out.update(STATEFUL_QUERIES)
     out.update(PIPELINE_QUERIES)
+    out.update(BPE_QUERIES)
     out.update(STREAMJOIN_QUERIES)
     return _ordered(out)
 
@@ -288,5 +294,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(ASOF_ORACLE)
     out.update(STATEFUL_ORACLE)
     out.update(PIPELINE_ORACLE)
+    out.update(BPE_ORACLE)
     out.update(STREAMJOIN_ORACLE)
     return _ordered(out)

@@ -33,6 +33,12 @@ ROWS_ONLY_BY_NATURE = {
     "sim_ivf_kmeans_topk",
     "ntile_approx_buckets",  # GK quantile sketch has no DuckDB replay;
                              # golden test pins ≥99% agreement w/ exact
+    "pipe_bpe_merges",  # iterative per-round global argmax is not
+                        # single-statement SQL; the pytest golden pins
+                        # the FULL merge table against a pure-Python
+                        # reference BPE (test_bpe_train_matches_reference),
+                        # and pipe_bpe_pair_counts is the oracle-backed
+                        # sibling for the round-0 statistics
     # media_decode_features left this set in round 5: the fake-decode
     # features are byte arithmetic an ASCII fixture lets DuckDB replay
     # exactly (ord(char) == byte), so it now carries a hash oracle.

@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from data_table_spark.operators.bpe import (  # noqa: E402
+    BPE_ORACLE,
+    BPE_QUERIES,
+)
 from data_table_spark.operators.pipeline import (  # noqa: E402
     PIPELINE_ORACLE,
     PIPELINE_QUERIES,
@@ -21,6 +25,9 @@ from data_table_spark.operators.pipeline import (  # noqa: E402
     stratified_sample,
 )
 from tests.oracle_util import compare_to_oracle, duck_connection  # noqa: E402
+
+PIPELINE_QUERIES = {**PIPELINE_QUERIES, **BPE_QUERIES}
+PIPELINE_ORACLE = {**PIPELINE_ORACLE, **BPE_ORACLE}
 
 
 @pytest.fixture(scope="module")
@@ -314,3 +321,90 @@ def test_distributed_prefix_max_law(spark, sf_dir):
                     .count()
                 )
                 assert n_bad == 0, f"desc={desc} incl={incl} span={span}"
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Pure-Python reference BPE (word-frequency form, Sennrich 2016)
+    with the identical (n desc, left, right) tie-break."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_count:
+            break
+        merges.append((rank, left, right, n))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + x
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_smoke):
+    """The distributed trainer's full merge table must equal the
+    pure-Python reference exactly — ranks, pairs, AND counts."""
+    import pyarrow.parquet as pq
+
+    from data_table_spark.operators.bpe import bpe_train
+    from data_table_spark.sources.registry import load_table
+
+    texts = pq.read_table(
+        f"{sf_smoke}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    expected = _ref_bpe(texts, n_merges=12)
+    got = bpe_train(load_table(spark, "documents", sf_smoke), n_merges=12)
+    assert got == expected, (got, expected)
+    assert len(got) == 12, "fixture should sustain 12 merges"
+    # learned order must be usable: later merges may reference tokens
+    # built by earlier ones — check at least one multi-char side showed up
+    assert any(len(left) > 1 or len(right) > 1 for _, left, right, _ in got)
+
+
+def test_bpe_encode_roundtrip(spark, sf_smoke):
+    """Encoding with the learned table must preserve content: symbols
+    concatenate back to the original word, and every multi-char symbol
+    is a learned merge product."""
+    from data_table_spark import functions as _  # noqa: F401
+    from data_table_spark.operators.bpe import bpe_encode, bpe_train
+    from data_table_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_smoke).limit(50)
+    merges = bpe_train(docs, n_merges=6)
+    enc = bpe_encode(docs, merges)
+    bad = enc.where(
+        F.concat_ws("", F.col("symbols")) != F.col("word")
+    ).count()
+    assert bad == 0
+    vocab = {left + right for _, left, right, _ in merges}
+    multi = (
+        enc.select(F.explode("symbols").alias("s"))
+        .where(F.length("s") > 1)
+        .distinct()
+        .collect()
+    )
+    assert all(r["s"] in vocab for r in multi), (sorted(vocab), multi)
