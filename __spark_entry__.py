@@ -240,6 +240,9 @@ _NEXT_WINDOW_QUEUE = [
     "q134_link_prediction",         # CN / Jaccard / Adamic-Adar
     "q135_dow_seasonality",         # weekday means + anomaly day
     "pipe_bpe_pair_counts",         # BPE round-0 pair statistics
+    "q136_countmin_estimate",       # CMS exact-vs-estimate probe
+    "q137_hll_distinct",            # integer-register HLL + LC switch
+    "q138_bootstrap_ci",            # Poisson-bootstrap order-stat CI
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -6387,3 +6387,343 @@ RELATIONAL_ORACLE["q135_dow_seasonality"] = (
     "  CAST(dev_num AS BIGINT) AS anomaly_dev_num "
     "FROM scored WHERE rk = 1"
 )
+
+
+# --------------------------------------------------------------------------
+# sketches: Count-Min, deterministic HyperLogLog, Poisson bootstrap
+# --------------------------------------------------------------------------
+
+def q136_countmin_estimate(spark, sf_dir):
+    """Count-Min sketch frequency estimation, engine-replayable: the
+    production sketch for per-key counts when the key universe is too
+    large to materialize (CMS state is FIXED — depth·width cells —
+    regardless of corpus size; that's the whole 100 TB story). Built
+    here with depth 4 × width 1024 from the md5 hash-bucket family
+    (pipeline.py's hash_bucket — deterministic across engines, unlike
+    either engine's native hash). For the top-10 users by exact event
+    count, report exact vs CMS estimate: CMS never underestimates
+    (estimate = min over rows of the hashed cell counts, each cell a
+    sum that includes the key's own count), and the overestimate is
+    bounded collision mass.
+
+    Scale shape: one explode (×4 rows, map-side) + one hash aggregate
+    into 4096 cells; the sketch table is bounded BY CONSTRUCTION, so
+    the probe join broadcasts it legitimately (not a q69-class guess:
+    4096 rows is a constant)."""
+    depth, width = 4, 1024
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(10)
+
+    def cell(j, key):
+        hex8 = F.substring(
+            F.md5(F.concat(F.lit(f"cms{j}_"), key.cast("string"))), 1, 8
+        )
+        return (F.conv(hex8, 16, 10).cast("bigint") % width).alias("bucket")
+
+    rows = [
+        ev.select(F.lit(j).alias("j"), cell(j, F.col("user_id")))
+        for j in range(depth)
+    ]
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionAll(r)
+    cms = stacked.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n")
+    )
+    probe = top.select(
+        "user_id", "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cell(j, F.col("user_id")).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.j", "p.bucket")
+    return (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("cms_n"))
+    )
+
+
+RELATIONAL_QUERIES["q136_countmin_estimate"] = q136_countmin_estimate
+RELATIONAL_ORACLE["q136_countmin_estimate"] = (
+    "WITH ev AS (SELECT user_id FROM events), "
+    "exact_t AS ("
+    "  SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY 1), "
+    "top_t AS ("
+    "  SELECT user_id, exact_n FROM exact_t "
+    "  ORDER BY exact_n DESC, user_id LIMIT 10), "
+    "stacked AS ("
+    "  SELECT CAST(t.j AS INT) AS j, "
+    "    ('0x' || substr(md5('cms' || t.j || '_' || "
+    "       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket "
+    "  FROM ev, UNNEST(RANGE(4)) AS t(j)), "
+    "cms AS ("
+    "  SELECT j, bucket, COUNT(*) AS cell_n FROM stacked GROUP BY 1, 2), "
+    "probe AS ("
+    "  SELECT user_id, exact_n, CAST(t.j AS INT) AS j, "
+    "    ('0x' || substr(md5('cms' || t.j || '_' || "
+    "       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket "
+    "  FROM top_t, UNNEST(RANGE(4)) AS t(j)) "
+    "SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n, "
+    "  CAST(MIN(cell_n) AS BIGINT) AS cms_n "
+    "FROM probe JOIN cms USING (j, bucket) GROUP BY 1, 2"
+)
+
+
+def q137_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count — built by hand so BOTH
+    engines replay it bit-for-bit (q17's native approx_count_distinct
+    is tolerance-only because Spark's HLL++ internals aren't
+    replayable; this gate is the hash-exact sibling). m = 256 registers
+    keyed by the first md5 byte; rho = leading-zero rank of the next
+    32 hash bits, computed WITHOUT libm via bin() string length
+    (rho = 33 − len(bin(h)) for h>0 — both engines' bin() drops
+    leading zeros). The harmonic mean stays EXACT integer arithmetic:
+    Σ 2^−r is scaled by 2^33 so every term 2^(33−r) with r ∈ [0, 33]
+    is an int64 power of two (empty registers contribute 2^33); the
+    raw-estimate float math (α·m²·2³³/S) happens once, on exact
+    integers < 2^53. No small-range/large-range correction — the gate
+    pins the RAW HLL formula and emits the exact distinct alongside,
+    so the estimate's quality is visible in the row itself — plus the small-range
+    linear-counting correction (m·ln(m/V) when the raw estimate is
+    ≤ 2.5m and empty registers remain — the published HLL regime
+    switch; ln is one libm call on one final value, the micro-nat
+    gates' accepted risk class at round-3 granularity).
+
+    Scale: register table is 256 rows — fixed state; one map-side hash
+    per row + one 256-cell max-aggregate. THE classic pre-aggregable
+    distinct sketch (registers merge by max across partitions — what
+    Spark's partial aggregation does for free here)."""
+    m = 256
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    h = F.md5(F.concat(F.lit("hll_"), F.col("user_id").cast("string")))
+    hashed = ev.select(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint").alias("h32"),
+    )
+    regs = hashed.select(
+        "bucket",
+        F.when(F.col("h32") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("h32"))))
+        .alias("rho"),
+    ).groupBy("bucket").agg(F.max("rho").alias("r"))
+    spine = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    full = spine.join(regs, "bucket", "left").select(
+        F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    harm = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - r)"))
+        .cast("long").alias("s_scaled"),
+        F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+        .cast("long").alias("n_nonzero"),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    # alpha_256 = 0.7213 / (1 + 1.079/256): the published HLL constant,
+    # written as one double literal so both engines parse the same value
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / 256.0) * (256.0 * 256.0)
+    raw = F.lit(alpha_m2) * F.lit(float(1 << 33)) / F.col("s_scaled")
+    est = harm.select(
+        "n_nonzero", "s_scaled",
+        F.round(raw, 3).alias("hll_estimate"),
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("n_nonzero") < m),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_nonzero"))),
+            ).otherwise(raw),
+            3,
+        ).alias("hll_corrected"),
+    )
+    # tagged-union scalar assembly (q106's NLJ-free pattern)
+    u = (
+        est.select(
+            F.lit("e").alias("k"), "n_nonzero", "s_scaled", "hll_estimate",
+            "hll_corrected",
+            F.lit(None).cast("long").alias("exact_distinct"),
+        )
+        .unionAll(
+            exact.select(
+                F.lit("x").alias("k"),
+                F.lit(None).cast("long").alias("n_nonzero"),
+                F.lit(None).cast("long").alias("s_scaled"),
+                F.lit(None).cast("double").alias("hll_estimate"),
+                F.lit(None).cast("double").alias("hll_corrected"),
+                "exact_distinct",
+            )
+        )
+    )
+    return u.agg(
+        F.max("exact_distinct").cast("long").alias("exact_distinct"),
+        F.max("n_nonzero").cast("long").alias("n_nonzero"),
+        F.max("s_scaled").cast("long").alias("s_scaled"),
+        F.max("hll_estimate").alias("hll_estimate"),
+        F.max("hll_corrected").alias("hll_corrected"),
+    )
+
+
+RELATIONAL_QUERIES["q137_hll_distinct"] = q137_hll_distinct
+RELATIONAL_ORACLE["q137_hll_distinct"] = (
+    "WITH hashed AS ("
+    "  SELECT ('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), "
+    "      1, 2))::BIGINT AS bucket, "
+    "    ('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), "
+    "      3, 8))::BIGINT AS h32 "
+    "  FROM events), "
+    "regs AS ("
+    "  SELECT bucket, MAX(CASE WHEN h32 = 0 THEN 33 "
+    "    ELSE 33 - LENGTH(BIN(h32)) END) AS r "
+    "  FROM hashed GROUP BY 1), "
+    "spine AS (SELECT UNNEST(RANGE(256)) AS bucket), "
+    "full_t AS ("
+    "  SELECT COALESCE(r, 0) AS r FROM spine "
+    "  LEFT JOIN regs USING (bucket)), "
+    "harm AS ("
+    "  SELECT CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) "
+    "      AS s_scaled, "
+    "    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "      AS n_nonzero "
+    "  FROM full_t), "
+    "exact_t AS ("
+    "  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct "
+    "  FROM events) "
+    ", raw AS ("
+    "  SELECT n_nonzero, s_scaled, "
+    "    (0.7213 / (1.0 + 1.079 / 256.0)) * (256.0 * 256.0) "
+    "      * 8589934592.0 / s_scaled AS r_est "
+    "  FROM harm) "
+    "SELECT exact_distinct, n_nonzero, s_scaled, "
+    "  ROUND(r_est, 3) AS hll_estimate, "
+    "  ROUND(CASE WHEN r_est <= 640.0 AND n_nonzero < 256 "
+    "    THEN 256.0 * LN(256.0 / (256 - n_nonzero)) "
+    "    ELSE r_est END, 3) AS hll_corrected "
+    "FROM raw, exact_t"
+)
+
+
+def q138_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap (classical resampling needs n draws from
+    a corpus no single node holds; Poisson bootstrap gives each row an
+    independent mean-1 replicate weight, one corpus scan for ALL
+    replicates). Deterministic: replicate b's weight for a row counts
+    the '0'/'1' hex chars among the first 8 of md5(key_b) — 8 trials
+    at p=2/16 each, Binomial(8, 1/8) ≈ Poisson(1) (mean exactly 1; the
+    approximation is documented, not hidden). B = 32 replicates; per
+    replicate the mean is exact integer cents Σw·x / Σw divided once;
+    the interval is the 2nd/31st order statistic of the 32 replicate
+    means (93.75% coverage — order statistics, no normality assumption).
+
+    Scale shape: one explode ×32 (map-side), one 32-group aggregate,
+    then order statistics over a 32-row table (rank window over a
+    CONSTANT-size partition). State is B cells, independent of corpus
+    size."""
+    B = 32
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    rep = o.select(
+        "x",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B - 1)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.length(
+                        F.regexp_replace(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit("boot"), b,
+                                        F.lit("_"),
+                                        F.col("o_orderkey").cast("string"),
+                                    )
+                                ),
+                                1, 8,
+                            ),
+                            "[^01]", "",
+                        )
+                    ).alias("w"),
+                ),
+            )
+        ).alias("r"),
+    ).select("x", "r.b", "r.w")
+    means = rep.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("x"))
+            / F.sum("w")
+        ).alias("rep_mean")
+    )
+    w_lo = Window.orderBy("rep_mean")
+    ranked = means.select(
+        "rep_mean", F.row_number().over(w_lo).alias("rk")
+    )
+    full = o.agg(
+        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("mean_c")
+    )
+    u = (
+        ranked.where(F.col("rk").isin(2, B - 1))
+        .groupBy()
+        .agg(
+            F.round(F.min("rep_mean"), 6).alias("ci_lo_c"),
+            F.round(F.max("rep_mean"), 6).alias("ci_hi_c"),
+        )
+        .select(
+            F.lit("ci").alias("k"), "ci_lo_c", "ci_hi_c",
+            F.lit(None).cast("double").alias("mean_c"),
+        )
+        .unionAll(
+            full.select(
+                F.lit("m").alias("k"),
+                F.lit(None).cast("double").alias("ci_lo_c"),
+                F.lit(None).cast("double").alias("ci_hi_c"),
+                "mean_c",
+            )
+        )
+    )
+    return u.agg(
+        F.max("mean_c").alias("mean_c"),
+        F.max("ci_lo_c").alias("ci_lo_c"),
+        F.max("ci_hi_c").alias("ci_hi_c"),
+        F.lit(B).cast("long").alias("n_replicates"),
+    )
+
+
+RELATIONAL_QUERIES["q138_bootstrap_ci"] = q138_bootstrap_ci
+RELATIONAL_ORACLE["q138_bootstrap_ci"] = (
+    "WITH o AS ("
+    "  SELECT o_orderkey, "
+    "    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x "
+    "  FROM orders), "
+    "rep AS ("
+    "  SELECT x, CAST(t.b AS INT) AS b, "
+    "    LENGTH(REGEXP_REPLACE(SUBSTR(md5('boot' || t.b || '_' || "
+    "      CAST(o_orderkey AS VARCHAR)), 1, 8), '[^01]', '', 'g')) AS w "
+    "  FROM o, UNNEST(RANGE(32)) AS t(b)), "
+    "means AS ("
+    "  SELECT b, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS rep_mean "
+    "  FROM rep GROUP BY 1), "
+    "ranked AS ("
+    "  SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean) AS rk "
+    "  FROM means), "
+    "ci AS ("
+    "  SELECT ROUND(MIN(rep_mean), 6) AS ci_lo_c, "
+    "    ROUND(MAX(rep_mean), 6) AS ci_hi_c "
+    "  FROM ranked WHERE rk IN (2, 31)), "
+    "full_t AS ("
+    "  SELECT ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_c "
+    "  FROM o) "
+    "SELECT mean_c, ci_lo_c, ci_hi_c, "
+    "  CAST(32 AS BIGINT) AS n_replicates "
+    "FROM ci, full_t"
+)
