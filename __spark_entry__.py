@@ -243,6 +243,8 @@ _NEXT_WINDOW_QUEUE = [
     "q136_countmin_estimate",       # CMS exact-vs-estimate probe
     "q137_hll_distinct",            # integer-register HLL + LC switch
     "q138_bootstrap_ci",            # Poisson-bootstrap order-stat CI
+    "q139_bounded_bfs",             # unrolled multi-source BFS
+    "pipe_tokenize_pad",            # vocab-id + pad tensorization
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

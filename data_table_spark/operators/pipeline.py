@@ -1515,3 +1515,125 @@ PIPELINE_ORACLE["pipe_temperature_mix"] = (
     "    * tot_docs / n_docs, 6) AS dup_factor "
     "FROM counts, t"
 )
+
+
+# --------------------------------------------------------------------------
+# tokenize to ids + pad: the tensorization last mile
+# --------------------------------------------------------------------------
+
+def tokenize_pad(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    max_len: int = 16,
+) -> DataFrame:
+    """The last pipeline step before tensors: map each document's
+    whitespace tokens to integer vocabulary ids (top-``vocab_size``
+    corpus tokens by (freq desc, token); id 0 = PAD, 1 = UNK, vocab
+    starts at 2), truncate to ``max_len``, and right-pad with PAD —
+    per doc: the id sequence (csv — the driver's proven scalar
+    surface; arrays stay out of the hash), real-token count, and
+    in-window OOV count.
+
+    Scale shape: the vocabulary is selected with TakeOrdered (a
+    distributed top-k, never a global sort) and id-assigned by a rank
+    window over the ALREADY-LIMITED vocab_size rows — bounded by
+    construction, so its broadcast join against the token stream is
+    legitimate (q136's argument). Token explode filters empties
+    BEFORE posexplode so positions are dense; re-assembly is one
+    grouped sort_array over ≤ max_len rows per doc."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(vocab_size)
+    )
+    vocab = top.select(
+        "token",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), "token")
+            )
+            + F.lit(1)
+        ).cast("int").alias("tok_id"),
+    )
+    window_toks = toks.where(F.col("pos") < max_len)
+    with_ids = window_toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos",
+        F.coalesce(F.col("tok_id"), F.lit(1)).alias("tok_id"),
+    )
+    assembled = with_ids.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "tok_id"))
+            ),
+            lambda s: s["tok_id"],
+        ).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_real"),
+        F.sum(F.when(F.col("tok_id") == 1, 1).otherwise(0))
+        .cast("long").alias("n_oov"),
+    )
+    padded = assembled.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.concat(
+                F.col("ids"),
+                F.array_repeat(
+                    F.lit(0), F.lit(max_len) - F.size("ids")
+                ),
+            ),
+        ).alias("ids_csv"),
+        "n_real", "n_oov",
+    )
+    return padded
+
+
+def pipe_tokenize_pad(spark, sf_dir):
+    """Gate: token-id tensorization (vocab 256, window 16) over
+    documents."""
+    return tokenize_pad(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_tokenize_pad"] = pipe_tokenize_pad
+PIPELINE_ORACLE["pipe_tokenize_pad"] = (
+    "WITH toks0 AS ("
+    "  SELECT doc_id, list_filter(string_split_regex(LOWER(TRIM(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "toks AS ("
+    "  SELECT doc_id, UNNEST(l) AS token, "
+    "    generate_subscripts(l, 1) - 1 AS pos "
+    "  FROM toks0), "
+    "top_v AS ("
+    "  SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1 "
+    "  ORDER BY freq DESC, token LIMIT 256), "
+    "vocab AS ("
+    "  SELECT token, CAST(ROW_NUMBER() OVER ("
+    "    ORDER BY freq DESC, token) + 1 AS INT) AS tok_id "
+    "  FROM top_v), "
+    "with_ids AS ("
+    "  SELECT doc_id, pos, COALESCE(tok_id, 1) AS tok_id "
+    "  FROM toks LEFT JOIN vocab USING (token) WHERE pos < 16), "
+    "assembled AS ("
+    "  SELECT doc_id, LIST(tok_id ORDER BY pos) AS ids, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_real, "
+    "    CAST(SUM(CASE WHEN tok_id = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "      AS n_oov "
+    "  FROM with_ids GROUP BY doc_id) "
+    "SELECT doc_id, "
+    "  array_to_string(ids || list_transform("
+    "    range(16 - len(ids)), x -> 0), ',') AS ids_csv, "
+    "  n_real, n_oov "
+    "FROM assembled"
+)

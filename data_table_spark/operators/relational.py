@@ -6074,7 +6074,12 @@ def q133_spearman_corr(spark, sf_dir):
     collapsing each variable to its distinct-value counts and running
     ONE distributed_prefix_sum per variable over the collapsed support
     (acctbal cents are shifted +10⁵ so the prefix-sum's bucket keys
-    stay non-negative). The Pearson moments of the doubled ranks
+    stay non-negative). Bucket spans are sized per variable — the
+    ledger contract is (key-range / span) ≲ 1e6 driver rows, and the
+    revenue range is ~10³× the balance range (and grows with fact
+    volume), so rev_c scans with a 2²⁴ span vs bal_c's 2¹⁶; per-bucket
+    window width stays bounded by DISTINCT VALUE count per span, which
+    the customer-bounded pair table keeps small either way. The Pearson moments of the doubled ranks
     accumulate in DECIMAL(38,0) (q126's overflow posture: Σ rank² ~
     4N³ leaves int64 near N ~ 1.3·10⁶), and rho = (n·Sxy − Sx·Sy) /
     (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) converts each exact integer moment
@@ -6095,12 +6100,12 @@ def q133_spearman_corr(spark, sf_dir):
         "c_custkey", "bal_c", "rev_c"
     )
 
-    def midrank2(col):
+    def midrank2(col, span):
         per_v = pairs.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("m")
         )
         cum = distributed_prefix_sum(
-            per_v, "v", "m", out_col="cum", bucket_span=1 << 16
+            per_v, "v", "m", out_col="cum", bucket_span=span
         )
         return cum.select(
             F.col("v").alias(col),
@@ -6112,8 +6117,8 @@ def q133_spearman_corr(spark, sf_dir):
     # broadcastable at scale; these are plain equi-joins on the value,
     # and AQE flips them to broadcast only while the support is small
     ranked = (
-        pairs.join(midrank2("bal_c"), "bal_c")
-        .join(midrank2("rev_c"), "rev_c")
+        pairs.join(midrank2("bal_c", 1 << 16), "bal_c")
+        .join(midrank2("rev_c", 1 << 24), "rev_c")
     )
     dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
     m = ranked.agg(
@@ -6726,4 +6731,97 @@ RELATIONAL_ORACLE["q138_bootstrap_ci"] = (
     "SELECT mean_c, ci_lo_c, ci_hi_c, "
     "  CAST(32 AS BIGINT) AS n_replicates "
     "FROM ci, full_t"
+)
+
+
+def q139_bounded_bfs(spark, sf_dir):
+    """Hop-bounded multi-source BFS over the part co-purchase graph:
+    exact shortest hop distance (≤ 3) from the seed set (part keys
+    < 10) to every reachable node, reported as a (distance, n_nodes)
+    histogram — the reachability primitive behind "blast radius"
+    and recommendation-neighborhood queries.
+
+    Scale shape is q100's unrolled message-passing: THREE fixed
+    rounds, each one equi-join (frontier × adjacency) + one min
+    aggregate over node-sized state — O(hops) shuffles, no driver
+    iteration, no recursion. The fact-derived edge list is
+    checkpoint-materialized ONCE (_oriented_graph's rationale) so the
+    three rounds reuse it instead of re-running the basket self-join;
+    distance state stays node-sized throughout. An unbounded-depth
+    BFS at 100 TB runs the same round as a loop with a convergence
+    check (dedup_clusters' pattern); the hop bound here makes the
+    plan statically analyzable — and most product queries ARE
+    hop-bounded."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = adj.select("u").distinct()
+    dist = nodes.select(
+        "u",
+        F.when(F.col("u") < 10, F.lit(0)).otherwise(F.lit(None))
+        .cast("int").alias("d"),
+    )
+    for _hop in range(3):
+        msgs = (
+            dist.where(F.col("d").isNotNull())
+            .join(adj, "u")
+            .select(F.col("v").alias("u"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(msgs)
+            .groupBy("u")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.where(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("d").cast("int").alias("dist"), "n_nodes")
+    )
+
+
+RELATIONAL_QUERIES["q139_bounded_bfs"] = q139_bounded_bfs
+RELATIONAL_ORACLE["q139_bounded_bfs"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "edges AS ("
+    "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "  WHERE x.l_partkey < y.l_partkey), "
+    "adj AS ("
+    "  SELECT a AS u, b AS v FROM edges "
+    "  UNION ALL SELECT b AS u, a AS v FROM edges), "
+    "nodes AS (SELECT DISTINCT u FROM adj), "
+    "d0 AS ("
+    "  SELECT u, CASE WHEN u < 10 THEN 0 END AS d FROM nodes), "
+    "d1 AS ("
+    "  SELECT u, MIN(d) AS d FROM ("
+    "    SELECT u, d FROM d0 UNION ALL "
+    "    SELECT adj.v AS u, d0.d + 1 AS d FROM d0 JOIN adj USING (u) "
+    "    WHERE d0.d IS NOT NULL) GROUP BY u), "
+    "d2 AS ("
+    "  SELECT u, MIN(d) AS d FROM ("
+    "    SELECT u, d FROM d1 UNION ALL "
+    "    SELECT adj.v AS u, d1.d + 1 AS d FROM d1 JOIN adj USING (u) "
+    "    WHERE d1.d IS NOT NULL) GROUP BY u), "
+    "d3 AS ("
+    "  SELECT u, MIN(d) AS d FROM ("
+    "    SELECT u, d FROM d2 UNION ALL "
+    "    SELECT adj.v AS u, d2.d + 1 AS d FROM d2 JOIN adj USING (u) "
+    "    WHERE d2.d IS NOT NULL) GROUP BY u) "
+    "SELECT CAST(d AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+    "FROM d3 WHERE d IS NOT NULL GROUP BY d"
 )

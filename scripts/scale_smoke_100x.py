@@ -111,6 +111,31 @@ GATES = [
                                # per-token df — and with it candidate
                                # count — scales ~linearly; a naive
                                # copy synthesis would square it
+    # round-7 session additions:
+    "q124_clustering_coefficient",  # q106's oriented wedge machinery,
+                               # per-node outputs — node-bounded
+    "q125_ks_test",            # packed-counter prefix sum; the price
+                               # SUPPORT doesn't grow (clones repeat
+                               # values), only the counts do
+    "q130_cusum_changepoint",  # day-spine cumulative scan + 1-row
+                               # broadcast scalars
+    "q132_mannwhitney_auc",    # doubled-midrank U on the same packed
+                               # prefix-sum shape as q125
+    "q133_spearman_corr",      # two per-variable prefix scans with
+                               # range-sized ledger spans (2^16 bal /
+                               # 2^24 rev); pair table customer-bounded
+    "q134_link_prediction",    # unoriented wedge join, endpoint-
+                               # bounded; edge build is the 100× cost
+    "q135_dow_seasonality",    # day-spine + 7-row broadcast means
+    "q136_countmin_estimate",  # ×4 map-side explode into a 4096-cell
+                               # sketch — state fixed by construction
+    "q137_hll_distinct",       # map-side rho + 256-register max-agg;
+                               # partial aggregation IS the merge
+    "q138_bootstrap_ci",       # ×32 map-side explode, one scan for all
+                               # replicates, B-bounded state
+    "pipe_bpe_pair_counts",    # word-freq collapse; ciphered clones
+                               # multiply the vocab ~100× but the pair
+                               # cell space stays letter-bounded
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -171,6 +196,24 @@ DIM_BROADCAST_FLOOR = {
                                # ~100× under the cipher (disjoint
                                # per-clone trigram alphabets) — leaving
                                # broadcast is the correct degradation
+    # round-7 session additions:
+    "q124_clustering_coefficient": 0,  # node-bounded tables behind
+                               # fact-sized joins — planner's choice
+    "q125_ks_test": 1,         # the prefix-sum offsets ledger is
+                               # explicitly broadcast and range-bounded
+    "q130_cusum_changepoint": 2,  # two 1-row scalar broadcasts
+    "q132_mannwhitney_auc": 1, # prefix-sum ledger
+    "q133_spearman_corr": 2,   # one ledger per ranked variable; the
+                               # value-sized rank joins may flip
+    "q134_link_prediction": 0, # deg/aa sides are node-sized, no forced
+                               # hints — planner's choice
+    "q135_dow_seasonality": 1, # the 7-row weekday means broadcast
+    "q136_countmin_estimate": 1,  # the 4096-cell sketch broadcast is
+                               # bounded BY CONSTRUCTION
+    "q137_hll_distinct": 1,    # 256-row spine↔register join stays
+                               # broadcast at any corpus size
+    "q138_bootstrap_ci": 0,    # no joins: union + agg only
+    "pipe_bpe_pair_counts": 0, # no joins at all
 }
 
 PLAN_NODES = (
