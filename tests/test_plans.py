@@ -783,3 +783,43 @@ def test_spatial_grid_join_no_quadratic(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
         "BroadcastHashJoin" in p
+
+
+def test_sketch_gates_plan_shapes(spark, sf_dir):
+    """The sketch family's scale claims must be visible in the plans:
+    CMS probes against a BROADCAST sketch (bounded by construction),
+    HLL registers reduce through partial aggregation with no join
+    explosion, and the bootstrap is join-free (union + agg only)."""
+    p = _plan(RELATIONAL_QUERIES["q136_countmin_estimate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p           # probe × 4096-cell sketch
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    p = _plan(RELATIONAL_QUERIES["q137_hll_distinct"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p           # 256-row spine stays BHJ
+    p = _plan(RELATIONAL_QUERIES["q138_bootstrap_ci"](spark, sf_dir))
+    assert "Join" not in p                    # union + agg, no joins at all
+
+
+def test_tokenize_pad_plan(spark, sf_dir):
+    """Vocabulary selection must compile to a distributed top-k
+    (TakeOrderedAndProject), never a global sort, and the vocab join
+    against the token stream must be broadcast (bounded by the
+    LIMIT)."""
+    from data_table_spark.operators.pipeline import PIPELINE_QUERIES
+
+    p = _plan(PIPELINE_QUERIES["pipe_tokenize_pad"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bounded_bfs_no_nested_loop(spark, sf_dir):
+    """Three unrolled BFS rounds must stay equi-join + hash-agg: no
+    nested loop, no cartesian, and the frontier joins must not stack
+    more than the expected exchanges (edge build + 3 rounds + final
+    histogram)."""
+    p = _plan(RELATIONAL_QUERIES["q139_bounded_bfs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
