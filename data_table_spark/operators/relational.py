@@ -5530,28 +5530,27 @@ def q125_ks_test(spark, sf_dir):
         (F.col("cum_packed") / F.lit(1 << 32)).cast("long").alias("cum_a"),
         (F.col("cum_packed") % F.lit(1 << 32)).alias("cum_b"),
     )
-    totals = cum.agg(
-        F.max("cum_a").cast("long").alias("n_a"),
-        F.max("cum_b").cast("long").alias("n_b"),
-    )
-    # 1-row totals broadcast-crossed into the support rows (q86's
-    # scalar pattern) — never a correlated re-scan
+    # totals fetched as TWO DRIVER LONGS — the prefix-sum ledger's own
+    # bounded-driver-state contract. The former 1-row-broadcast join
+    # planned a BroadcastNestedLoopJoin (no equi key), which the 100×
+    # smoke's blanket rule bans; literals keep the final pass map-only.
+    tot = cum.agg(F.max("cum_a"), F.max("cum_b")).collect()[0]
+    n_a, n_b = int(tot[0]), int(tot[1])
     return (
-        cum.join(F.broadcast(totals))
-        .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
+        cum.agg(
             F.max(
                 F.abs(
-                    F.col("cum_a") * F.col("n_b")
-                    - F.col("cum_b") * F.col("n_a")
+                    F.col("cum_a") * F.lit(n_b)
+                    - F.col("cum_b") * F.lit(n_a)
                 )
             ).cast("long").alias("ks_num"),
         )
         .select(
-            "n_a", "n_b", "ks_num",
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            "ks_num",
             F.round(
-                F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6
+                F.col("ks_num") / F.lit(float(n_a) * float(n_b)), 6
             ).alias("ks_stat"),
         )
     )
@@ -5874,26 +5873,26 @@ def q130_cusum_changepoint(spark, sf_dir):
         F.row_number().over(Window.orderBy("day")).alias("k"),
         F.sum("rev").over(w).alias("s_k"),
     )
-    tot = cum.agg(
-        F.max("k").alias("n_days"), F.max("s_k").alias("s_n")
-    )
-    scored = cum.join(F.broadcast(tot)).select(
-        "day", "n_days", "s_n",
-        F.abs(
-            F.col("n_days") * F.col("s_k") - F.col("k") * F.col("s_n")
-        ).alias("stat"),
-    )
-    peak = scored.agg(F.max("stat").alias("cusum_num"))
-    return (
-        scored.join(F.broadcast(peak))
-        .where(F.col("stat") == F.col("cusum_num"))
-        .groupBy()
-        .agg(
-            F.min("day").alias("break_day"),
-            F.max("cusum_num").cast("long").alias("cusum_num"),
-            F.max("n_days").cast("long").alias("n_days"),
-            F.max("s_n").cast("long").alias("total_rev_c"),
-        )
+    # totals as TWO DRIVER LONGS (the day spine is calendar-bounded;
+    # the former 1-row-broadcast joins planned BroadcastNestedLoopJoins
+    # — the 100× smoke's blanket rule), and the argmax-with-earliest-
+    # day tie-break is ONE struct extremum (stat desc, then min day via
+    # negated epoch-day) — no peak self-join, no sort
+    tot = cum.agg(F.max("k"), F.max("s_k")).collect()[0]
+    n_days, s_n = int(tot[0]), int(tot[1])
+    best = cum.select(
+        F.struct(
+            F.abs(
+                F.lit(n_days) * F.col("s_k") - F.col("k") * F.lit(s_n)
+            ).alias("stat"),
+            (-F.unix_date("day")).alias("negd"),
+        ).alias("cand")
+    ).agg(F.max("cand").alias("b"))
+    return best.select(
+        F.date_from_unix_date(-F.col("b.negd")).alias("break_day"),
+        F.col("b.stat").cast("long").alias("cusum_num"),
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(s_n).cast("long").alias("total_rev_c"),
     )
 
 
@@ -6521,7 +6520,13 @@ def q137_hll_distinct(spark, sf_dir):
         .alias("rho"),
     ).groupBy("bucket").agg(F.max("rho").alias("r"))
     spine = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
-    full = spine.join(regs, "bucket", "left").select(
+    # regs is a groupBy over an m-valued key domain — ≤ 256 rows BY
+    # CONSTRUCTION. Catalyst's estimate for the post-agg side scales
+    # with the 100× fact scan and flipped this join to SMJ in the
+    # smoke; the forced hint is constructional (q136's argument), not
+    # a size guess (the q69 lesson does not apply to domain-bounded
+    # aggregates).
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
         F.coalesce(F.col("r"), F.lit(0)).alias("r")
     )
     harm = full.agg(
