@@ -974,7 +974,16 @@ def prefix_filter_pairs(
             <= t_den * F.least("an", "bn")
         )
         .select("a", "b")
-        .distinct()
+        # dedup partitioned by `a` ALONE: hashpartitioning(a) satisfies
+        # the (a,b) ClusteredDistribution AND pre-positions the stream
+        # for the verify join on `a` — one exchange serves both. With a
+        # plain .distinct(), the sf10 smoke showed the tok-SMJ output
+        # forcing Exchange(a,b) for the dedup and then Exchange(a) for
+        # the join (13 exchanges vs the 12 allowance); at sf0.1 the
+        # repartition collapses into the already-doc-partitioned stream
+        # (measured: 6 exchanges both ways at sf0.1, 13→12 at sf10).
+        .repartition("a")
+        .dropDuplicates()
     )
     verified = (
         cand.join(
