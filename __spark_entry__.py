@@ -245,6 +245,9 @@ _NEXT_WINDOW_QUEUE = [
     "q138_bootstrap_ci",            # Poisson-bootstrap order-stat CI
     "q139_bounded_bfs",             # unrolled multi-source BFS
     "pipe_tokenize_pad",            # vocab-id + pad tensorization
+    "q140_autocorrelation",         # lag-1..7 ACF from exact moments
+    "q141_kl_divergence",           # per-region KL vs global mix
+    "q142_welch_t",                 # Welch t from exact moments
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

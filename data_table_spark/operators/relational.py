@@ -6855,3 +6855,278 @@ RELATIONAL_ORACLE["q139_bounded_bfs"] = (
     "FROM d3 WHERE d IS NOT NULL GROUP BY d"
 )
 
+
+
+def q140_autocorrelation(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily order-count series — the
+    seasonality/momentum readout behind forecasting features and
+    data-drift monitors (a weekly cycle shows up as a lag-7 peak).
+    Exactness discipline: avoid subtracting a float mean by scaling
+    through n — centered value c_t = n·y_t − S is EXACT int64 (n ≈
+    2.4k days, y is a daily count, so c ≲ 1e6 and every product
+    below stays < 2^53, making even the int→double casts exact).
+    r_k = Σ c_t·c_{t+k} / Σ c_t², reported floored to 1e-6 units.
+
+    Scale shape: ONE map-combinable aggregate collapses the fact scan
+    to the bounded day spine (~2.4k rows); the scalar (n, S) and the
+    lead window run over that bounded table only (q99's documented
+    single-reducer day-spine contract), and all 7 lags ride ONE window
+    sort via 7 leads. Output is 7 rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wn = Window.partitionBy()
+    cen = daily.select(
+        "day",
+        (
+            F.sum(F.lit(1)).over(wn) * F.col("y")
+            - F.sum("y").over(wn)
+        ).alias("c"),
+    )
+    w = Window.orderBy("day")
+    led = cen.select(
+        "c",
+        *[F.lead("c", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    mom = led.agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        *[
+            F.sum(F.col("c") * F.col(f"l{k}")).alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    return mom.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.floor(
+                            F.lit(1_000_000)
+                            * F.col(f"num{k}").cast("double")
+                            / F.col("den").cast("double")
+                        ).cast("long").alias("acf_e6"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("r")
+    ).select("r.lag", "r.acf_e6")
+
+
+RELATIONAL_QUERIES["q140_autocorrelation"] = q140_autocorrelation
+RELATIONAL_ORACLE["q140_autocorrelation"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS y "
+    "  FROM orders GROUP BY 1), "
+    "tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s "
+    "  FROM daily), "
+    "cen AS (SELECT day, n * y - s AS c FROM daily, tot), "
+    "led AS ("
+    "  SELECT c, "
+    + ", ".join(
+        f"LEAD(c, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, 8)
+    )
+    + "  FROM cen), "
+    "mom AS ("
+    "  SELECT CAST(SUM(c * c) AS BIGINT) AS den, "
+    + ", ".join(
+        f"CAST(SUM(c * l{k}) AS BIGINT) AS num{k}" for k in range(1, 8)
+    )
+    + "  FROM led) "
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS lag, "
+        f"CAST(FLOOR(1000000 * CAST(num{k} AS DOUBLE) "
+        f"/ CAST(den AS DOUBLE)) AS BIGINT) AS acf_e6 FROM mom"
+        for k in range(1, 8)
+    )
+)
+
+
+def q141_kl_divergence(spark, sf_dir):
+    """Per-region KL divergence of the order-priority distribution
+    against the global distribution — the distribution-shift readout
+    behind corpus-mix monitoring (which region's workload deviates
+    most from the fleet?). KL(P_r ‖ P_g) = Σ_p (c_rp/c_r) ·
+    ln((c_rp·c_g)/(c_r·c_gp)) with every ratio a division of exact
+    sub-2^53 int64 counts, each cell's contribution floored to 1e-6
+    units BEFORE summing (q127's mutual-information discipline — the
+    e6 floor leaves three orders of magnitude between an ulp wobble
+    and a flipped integer).
+
+    Scale shape: the fact scan collapses to (region, priority) cells
+    in one map-combinable aggregate behind a fact⋈customer equi-join
+    (nation/region dims stay broadcast by size); marginals are windows
+    over the BOUNDED 25-cell table, never the fact rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("crp"))
+    )
+    wr = Window.partitionBy("r_name")
+    wp = Window.partitionBy("o_orderpriority")
+    wn = Window.partitionBy()
+    terms = cells.select(
+        "r_name",
+        F.col("crp"),
+        F.sum("crp").over(wr).alias("cr"),
+        F.sum("crp").over(wp).alias("cgp"),
+        F.sum("crp").over(wn).alias("cg"),
+    ).select(
+        "r_name",
+        "cr",
+        F.floor(
+            F.lit(1_000_000)
+            * (F.col("crp") / F.col("cr"))
+            * F.log(
+                (F.col("crp") * F.col("cg"))
+                / (F.col("cr") * F.col("cgp"))
+            )
+        ).alias("term_e6"),
+    )
+    return (
+        terms.groupBy("r_name")
+        .agg(
+            F.max("cr").cast("long").alias("n_orders"),
+            F.sum("term_e6").cast("long").alias("kl_e6"),
+        )
+        .select("r_name", "n_orders", "kl_e6")
+    )
+
+
+RELATIONAL_QUERIES["q141_kl_divergence"] = q141_kl_divergence
+RELATIONAL_ORACLE["q141_kl_divergence"] = (
+    "WITH cells AS ("
+    "  SELECT r_name, o_orderpriority, COUNT(*) AS crp "
+    "  FROM orders "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey "
+    "  GROUP BY 1, 2), "
+    "m AS ("
+    "  SELECT r_name, crp, "
+    "    SUM(crp) OVER (PARTITION BY r_name) AS cr, "
+    "    SUM(crp) OVER (PARTITION BY o_orderpriority) AS cgp, "
+    "    SUM(crp) OVER () AS cg "
+    "  FROM cells), "
+    "t AS ("
+    "  SELECT r_name, cr, "
+    "    FLOOR(1000000 * (CAST(crp AS DOUBLE) / cr) "
+    "      * LN(CAST(crp * cg AS DOUBLE) / CAST(cr * cgp AS DOUBLE))) "
+    "      AS term_e6 "
+    "  FROM m) "
+    "SELECT r_name, CAST(MAX(cr) AS BIGINT) AS n_orders, "
+    "  CAST(SUM(term_e6) AS BIGINT) AS kl_e6 "
+    "FROM t GROUP BY 1"
+)
+
+
+def q142_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t-statistic between the BUILDING and
+    MACHINERY customer segments on account balance — the parametric
+    sibling of q132's Mann-Whitney (same A/B-readout family; rank test
+    vs moment test). Balances are exact cents (int64); the three
+    moments (n, Σx, Σx²) per group are exact integers, every one
+    < 2^53 at test scale, so the double-arithmetic tail — sample
+    variance s² = (n·Σx² − (Σx)²) / (n·(n−1)), t = (m₁−m₂) /
+    √(s₁²/n₁ + s₂²/n₂), and the Welch–Satterthwaite df — is computed
+    from IDENTICAL doubles in both engines; outputs floored at e6/e3.
+    (At 100 TB, Σx² of cents overflows int64 — the shifted-moment
+    form Σ(x−x₀)² with a first-pass pivot is the documented upgrade;
+    sim_quantized_covariance carries the same note.)
+
+    Scale shape: ONE map-combinable conditional aggregate over the
+    customer scan — no join, no window, 1 output row."""
+    seg_a, seg_b = "BUILDING", "MACHINERY"
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    ).select(
+        (F.col("c_mktsegment") == seg_a).alias("is_a"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+
+    def moms(flag):
+        cond = F.col("is_a") if flag else ~F.col("is_a")
+        z = F.when(cond, F.col("x"))
+        return [
+            F.count(z).alias(f"n_{flag}"),
+            F.sum(z).alias(f"s_{flag}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x"))).alias(f"q_{flag}"),
+        ]
+
+    m = c.agg(*moms(True), *moms(False))
+    n1, s1, q1 = F.col("n_True"), F.col("s_True"), F.col("q_True")
+    n2, s2, q2 = F.col("n_False"), F.col("s_False"), F.col("q_False")
+    v1 = (
+        n1.cast("double") * q1.cast("double")
+        - s1.cast("double") * s1.cast("double")
+    ) / (n1.cast("double") * (n1 - 1).cast("double"))
+    v2 = (
+        n2.cast("double") * q2.cast("double")
+        - s2.cast("double") * s2.cast("double")
+    ) / (n2.cast("double") * (n2 - 1).cast("double"))
+    se2_1 = v1 / n1.cast("double")
+    se2_2 = v2 / n2.cast("double")
+    t = (
+        s1.cast("double") / n1.cast("double")
+        - s2.cast("double") / n2.cast("double")
+    ) / F.sqrt(se2_1 + se2_2)
+    df = (
+        (se2_1 + se2_2) * (se2_1 + se2_2)
+        / (
+            se2_1 * se2_1 / (n1 - 1).cast("double")
+            + se2_2 * se2_2 / (n2 - 1).cast("double")
+        )
+    )
+    return m.select(
+        n1.cast("long").alias("n_a"),
+        n2.cast("long").alias("n_b"),
+        F.floor(F.lit(1_000_000) * t).cast("long").alias("t_e6"),
+        F.floor(F.lit(1_000) * df).cast("long").alias("df_e3"),
+    )
+
+
+RELATIONAL_QUERIES["q142_welch_t"] = q142_welch_t
+RELATIONAL_ORACLE["q142_welch_t"] = (
+    "WITH b AS ("
+    "  SELECT c_mktsegment = 'BUILDING' AS is_a, "
+    "    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x "
+    "  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+    "m AS ("
+    "  SELECT "
+    "    CAST(COUNT(CASE WHEN is_a THEN x END) AS BIGINT) AS n1, "
+    "    CAST(SUM(CASE WHEN is_a THEN x END) AS BIGINT) AS s1, "
+    "    CAST(SUM(CASE WHEN is_a THEN x * x END) AS BIGINT) AS q1, "
+    "    CAST(COUNT(CASE WHEN NOT is_a THEN x END) AS BIGINT) AS n2, "
+    "    CAST(SUM(CASE WHEN NOT is_a THEN x END) AS BIGINT) AS s2, "
+    "    CAST(SUM(CASE WHEN NOT is_a THEN x * x END) AS BIGINT) AS q2 "
+    "  FROM b), "
+    "v AS ("
+    "  SELECT n1, n2, "
+    "    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) "
+    "      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+    "      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / n1 AS e1, "
+    "    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) "
+    "      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) "
+    "      / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) / n2 AS e2, "
+    "    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md "
+    "  FROM m) "
+    "SELECT n1 AS n_a, n2 AS n_b, "
+    "  CAST(FLOOR(1000000 * md / SQRT(e1 + e2)) AS BIGINT) AS t_e6, "
+    "  CAST(FLOOR(1000 * (e1 + e2) * (e1 + e2) "
+    "    / (e1 * e1 / (n1 - 1) + e2 * e2 / (n2 - 1))) AS BIGINT) "
+    "    AS df_e3 "
+    "FROM v"
+)
