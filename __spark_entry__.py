@@ -248,6 +248,9 @@ _NEXT_WINDOW_QUEUE = [
     "q140_autocorrelation",         # lag-1..7 ACF from exact moments
     "q141_kl_divergence",           # per-region KL vs global mix
     "q142_welch_t",                 # Welch t from exact moments
+    "pipe_weighted_reservoir",      # Efraimidis-Spirakis fixed-k sample
+    "text_bigram_lm",               # add-1 bigram LM surprisal
+    "er_blocking_pairs",            # union-of-blockings ER candidates
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -1105,3 +1105,118 @@ DEDUP_ORACLE["dedup_survivorship"] = (
     "  CAST(n_members AS BIGINT) AS n_members "
     "FROM ranked WHERE rn = 1"
 )
+
+
+# --------------------------------------------------------------------------
+# multi-key blocking for entity resolution
+# --------------------------------------------------------------------------
+
+ER_BLOCK_LEN = 24       # chars of normalized text per blocking key
+ER_BLOCK_CAP = 64       # hot-block guard: drop blocks larger than this
+ER_VERIFY_LEN = 96      # edit-distance verification prefix
+ER_MAX_DIST = 5
+
+
+def er_blocking_pairs(spark, sf_dir):
+    """Multi-key blocking for entity resolution: candidate pairs from
+    the UNION of two independent blocking functions — same normalized
+    PREFIX block and same normalized SUFFIX block — verified by bounded
+    edit distance. The standard ER recall trick q78's single-key
+    blocking can't give: a pair that diverges at the start of the text
+    (breaking the prefix block) still surfaces through the suffix
+    block, and vice versa; union-of-blockings is how production ER
+    (Fellegi-Sunter pipelines, dedupe.io, Magellan) buys recall
+    without an all-pairs join.
+
+    Guards, both engine-mirrored: blocks larger than ER_BLOCK_CAP are
+    dropped whole (the minhash hot-bucket rule — a generic boilerplate
+    prefix would otherwise quadratically explode one reducer), and
+    levenshtein verifies only the first ER_VERIFY_LEN normalized chars
+    (edit distance is O(len²) per pair; a capped prefix bounds
+    per-pair cost while still separating near-dups from rewrites).
+
+    Scale shape: two map-side key projections → two self-equi-joins
+    inside capped blocks (≤ CAP²/2 pairs per block, shuffle keyed on
+    the block) → union → pair-dedup → one verify pass. Never all-pairs;
+    per-reducer work is bounded by construction."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = d.select(
+        "doc_id",
+        norm.alias("norm"),
+    ).select(
+        "doc_id",
+        "norm",
+        F.substring("norm", 1, ER_BLOCK_LEN).alias("k1"),
+        F.expr(f"right(norm, {ER_BLOCK_LEN})").alias("k2"),
+    )
+
+    def block_pairs(key):
+        keyed = base.select(F.col(key).alias("bk"), "doc_id")
+        sized = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+        ok = keyed.join(
+            sized.where(F.col("bn") <= ER_BLOCK_CAP).select("bk"), "bk"
+        )
+        x, y = ok.alias("x"), ok.alias("y")
+        return (
+            x.join(y, "bk")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("a"),
+                F.col("y.doc_id").alias("b"),
+            )
+        )
+
+    cand = block_pairs("k1").unionAll(block_pairs("k2")).distinct()
+    na = base.select(
+        F.col("doc_id").alias("a"),
+        F.substring("norm", 1, ER_VERIFY_LEN).alias("va"),
+    )
+    nb = base.select(
+        F.col("doc_id").alias("b"),
+        F.substring("norm", 1, ER_VERIFY_LEN).alias("vb"),
+    )
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            F.levenshtein("va", "vb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= ER_MAX_DIST)
+    )
+
+
+DEDUP_QUERIES["er_blocking_pairs"] = er_blocking_pairs
+DEDUP_ORACLE["er_blocking_pairs"] = (
+    "WITH base AS ("
+    "  SELECT doc_id, "
+    "    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+    "  FROM documents), "
+    "keyed AS ("
+    "  SELECT doc_id, norm, "
+    f"    substr(norm, 1, {ER_BLOCK_LEN}) AS k1, "
+    f"    right(norm, {ER_BLOCK_LEN}) AS k2 "
+    "  FROM base), "
+    "p1 AS ("
+    "  SELECT x.doc_id AS a, y.doc_id AS b "
+    "  FROM keyed x JOIN keyed y "
+    "    ON x.k1 = y.k1 AND x.doc_id < y.doc_id "
+    "  WHERE x.k1 IN (SELECT k1 FROM keyed GROUP BY k1 "
+    f"    HAVING COUNT(*) <= {ER_BLOCK_CAP})), "
+    "p2 AS ("
+    "  SELECT x.doc_id AS a, y.doc_id AS b "
+    "  FROM keyed x JOIN keyed y "
+    "    ON x.k2 = y.k2 AND x.doc_id < y.doc_id "
+    "  WHERE x.k2 IN (SELECT k2 FROM keyed GROUP BY k2 "
+    f"    HAVING COUNT(*) <= {ER_BLOCK_CAP})), "
+    "cand AS (SELECT a, b FROM p1 UNION SELECT a, b FROM p2) "
+    "SELECT cand.a, cand.b, "
+    f"  CAST(levenshtein(substr(xa.norm, 1, {ER_VERIFY_LEN}), "
+    f"    substr(xb.norm, 1, {ER_VERIFY_LEN})) AS BIGINT) AS dist "
+    "FROM cand "
+    "JOIN keyed xa ON cand.a = xa.doc_id "
+    "JOIN keyed xb ON cand.b = xb.doc_id "
+    f"WHERE levenshtein(substr(xa.norm, 1, {ER_VERIFY_LEN}), "
+    f"  substr(xb.norm, 1, {ER_VERIFY_LEN})) <= {ER_MAX_DIST}"
+)

@@ -1637,3 +1637,75 @@ PIPELINE_ORACLE["pipe_tokenize_pad"] = (
     "  n_real, n_oov "
     "FROM assembled"
 )
+
+
+# --------------------------------------------------------------------------
+# weighted reservoir sampling (fixed-size k, weight-proportional)
+# --------------------------------------------------------------------------
+
+WEIGHTED_RESERVOIR_K = 100
+
+
+def weighted_reservoir(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Fixed-size weight-proportional sample WITHOUT replacement via the
+    Efraimidis-Spirakis key (Inf. Proc. Letters 2006): each row draws
+    u ∈ (0,1) and keeps key = u^(1/w); the k largest keys are exactly a
+    weighted reservoir sample. Complements the repo's other two
+    samplers: quality_weighted_sample is Bernoulli (random SIZE),
+    topk_per_stratum is unweighted — this one is fixed-k AND weighted.
+
+    Determinism: u = (hash_bucket(key)+0.5)/1e6 — the repo's md5
+    bucket, identical in both engines — and the ordering uses
+    ln(u)/w, monotone in u^(1/w) for w>0, so no pow() call; ln of the
+    same double is engine-identical (q127's contract). Rows with w ≤ 0
+    are excluded by definition (E-S is undefined at w=0).
+
+    Scale shape: map-side key computation + ONE TakeOrderedAndProject
+    (top-k, no global sort, no window) — the same plan Spark uses for
+    any ORDER BY .. LIMIT k, aggregating per-partition heaps."""
+    u = (hash_bucket(F.col(key_col)) + F.lit(0.5)) / F.lit(HASH_BUCKETS)
+    es = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col),
+            F.floor(es * 1_000_000).cast("long").alias("es_key_e6"),
+            es.alias("_es"),
+        )
+        .orderBy(F.col("_es").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es")
+    )
+
+
+def pipe_weighted_reservoir(spark, sf_dir):
+    """Gate: fixed-100 quality-weighted document sample — selection
+    probability proportional to the deterministic text_quality score,
+    exactly k rows (vs pipe_quality_sample's Bernoulli thinning)."""
+    from .textstats import quality_score
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.withColumn("quality_score", quality_score(F.col("text")))
+    return weighted_reservoir(
+        scored, "doc_id", "quality_score", WEIGHTED_RESERVOIR_K
+    )
+
+
+PIPELINE_QUERIES["pipe_weighted_reservoir"] = pipe_weighted_reservoir
+PIPELINE_ORACLE["pipe_weighted_reservoir"] = (
+    "WITH scored AS ({qsub}) "
+    "SELECT doc_id, quality_score, "
+    "  CAST(FLOOR(LN(({b} + 0.5) / {n}) / quality_score * 1000000) "
+    "    AS BIGINT) AS es_key_e6 "
+    "FROM scored WHERE quality_score > 0 "
+    "ORDER BY LN(({b} + 0.5) / {n}) / quality_score DESC, doc_id "
+    "LIMIT {k}"
+).format(
+    qsub=_QUALITY_SCORE_SUBQUERY,
+    b=_bucket_sql("doc_id"),
+    n=HASH_BUCKETS,
+    k=WEIGHTED_RESERVOIR_K,
+)

@@ -860,3 +860,109 @@ TEXTSTATS_ORACLE["text_zipf_fit"] = (
     "    / (n * sxx - sx * sx))) / n / 1000000, 6) AS intercept_nats "
     "FROM m"
 )
+
+
+# --------------------------------------------------------------------------
+# bigram language model scoring (contextual LM quality filter)
+# --------------------------------------------------------------------------
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document bigram surprisal under an add-1-smoothed bigram LM
+    trained on the corpus itself — the contextual upgrade of
+    unigram_lm_score (CCNet-style LM filtering: a doc whose word PAIRS
+    are corpus-typical scores high even when its unigrams are rare;
+    word-salad scores low even over common words). p(w2|w1) =
+    (c(w1,w2) + 1) / (c(w1,·) + V) with V the unigram vocabulary size.
+
+    Engine-exactness: unigram_lm_score's discipline — every count
+    entering the ratio is an exact sub-2^53 integer, so both engines
+    ln() the same double; per-bigram log-probs floor-quantize to
+    integer micro-nats BEFORE the per-doc sum, which is then exact
+    int64 arithmetic.
+
+    Scale shape: one map-side bigram explode feeds both the model
+    (two vocab-bounded aggregates: pair counts, then left-context
+    totals re-aggregated FROM the pair counts — never a second fact
+    scan) and the scoring join. V rides a 1-row broadcast. The model
+    join is left unhinted: at test scale AQE broadcasts it; at
+    open-web scale a bigram model outgrows broadcast and the join
+    correctly shuffles on the pair key."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("l"),
+    )
+    bg = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("tot"))
+    vocab = toks.select(F.explode("l").alias("t")).agg(
+        F.count_distinct("t").alias("vs")
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tot") + F.col("vs")).cast("double")
+                )
+            ).cast("long").alias("logp_micro"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp_micro").cast("long").alias("surprisal_micro"),
+        )
+    )
+
+
+def text_bigram_lm(spark, sf_dir):
+    """Gate: per-doc add-1 bigram LM surprisal in integer micro-nats."""
+    return bigram_lm_score(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_bigram_lm"] = text_bigram_lm
+TEXTSTATS_ORACLE["text_bigram_lm"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "st AS ("
+    "  SELECT doc_id, l, UNNEST(range(1, len(l))) AS i "
+    "  FROM toks WHERE len(l) >= 2), "
+    "bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM st), "
+    "c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS tot "
+    "  FROM c12 GROUP BY 1), "
+    "v AS (SELECT COUNT(DISTINCT t) AS vs FROM ("
+    "  SELECT UNNEST(l) AS t FROM toks)), "
+    "model AS ("
+    "  SELECT w1, w2, CAST(FLOOR(1000000 * LN("
+    "    CAST(c + 1 AS DOUBLE) / CAST(tot + vs AS DOUBLE))) AS BIGINT) "
+    "    AS logp_micro "
+    "  FROM c12 JOIN c1 USING (w1), v) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "  CAST(SUM(logp_micro) AS BIGINT) AS surprisal_micro "
+    "FROM bg JOIN model USING (w1, w2) GROUP BY 1"
+)
