@@ -1117,7 +1117,15 @@ ER_VERIFY_LEN = 96      # edit-distance verification prefix
 ER_MAX_DIST = 5
 
 
-def er_blocking_pairs(spark, sf_dir):
+def multi_key_blocking_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_len: int = ER_BLOCK_LEN,
+    block_cap: int = ER_BLOCK_CAP,
+    verify_len: int = ER_VERIFY_LEN,
+    max_dist: int = ER_MAX_DIST,
+) -> DataFrame:
     """Multi-key blocking for entity resolution: candidate pairs from
     the UNION of two independent blocking functions — same normalized
     PREFIX block and same normalized SUFFIX block — verified by bounded
@@ -1128,34 +1136,33 @@ def er_blocking_pairs(spark, sf_dir):
     (Fellegi-Sunter pipelines, dedupe.io, Magellan) buys recall
     without an all-pairs join.
 
-    Guards, both engine-mirrored: blocks larger than ER_BLOCK_CAP are
+    Guards, both engine-mirrored: blocks larger than ``block_cap`` are
     dropped whole (the minhash hot-bucket rule — a generic boilerplate
     prefix would otherwise quadratically explode one reducer), and
-    levenshtein verifies only the first ER_VERIFY_LEN normalized chars
+    levenshtein verifies only the first ``verify_len`` normalized chars
     (edit distance is O(len²) per pair; a capped prefix bounds
     per-pair cost while still separating near-dups from rewrites).
 
     Scale shape: two map-side key projections → two self-equi-joins
-    inside capped blocks (≤ CAP²/2 pairs per block, shuffle keyed on
+    inside capped blocks (≤ cap²/2 pairs per block, shuffle keyed on
     the block) → union → pair-dedup → one verify pass. Never all-pairs;
     per-reducer work is bounded by construction."""
-    d = load_table(spark, "documents", sf_dir)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = d.select(
-        "doc_id",
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
         norm.alias("norm"),
     ).select(
         "doc_id",
         "norm",
-        F.substring("norm", 1, ER_BLOCK_LEN).alias("k1"),
-        F.expr(f"right(norm, {ER_BLOCK_LEN})").alias("k2"),
+        F.substring("norm", 1, block_len).alias("k1"),
+        F.expr(f"right(norm, {block_len})").alias("k2"),
     )
 
     def block_pairs(key):
         keyed = base.select(F.col(key).alias("bk"), "doc_id")
         sized = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
         ok = keyed.join(
-            sized.where(F.col("bn") <= ER_BLOCK_CAP).select("bk"), "bk"
+            sized.where(F.col("bn") <= block_cap).select("bk"), "bk"
         )
         x, y = ok.alias("x"), ok.alias("y")
         return (
@@ -1170,11 +1177,11 @@ def er_blocking_pairs(spark, sf_dir):
     cand = block_pairs("k1").unionAll(block_pairs("k2")).distinct()
     na = base.select(
         F.col("doc_id").alias("a"),
-        F.substring("norm", 1, ER_VERIFY_LEN).alias("va"),
+        F.substring("norm", 1, verify_len).alias("va"),
     )
     nb = base.select(
         F.col("doc_id").alias("b"),
-        F.substring("norm", 1, ER_VERIFY_LEN).alias("vb"),
+        F.substring("norm", 1, verify_len).alias("vb"),
     )
     return (
         cand.join(na, "a")
@@ -1183,8 +1190,14 @@ def er_blocking_pairs(spark, sf_dir):
             "a", "b",
             F.levenshtein("va", "vb").cast("long").alias("dist"),
         )
-        .where(F.col("dist") <= ER_MAX_DIST)
+        .where(F.col("dist") <= max_dist)
     )
+
+
+def er_blocking_pairs(spark, sf_dir):
+    """Gate: union-of-blockings ER candidates over the documents table
+    (see :func:`multi_key_blocking_pairs`)."""
+    return multi_key_blocking_pairs(load_table(spark, "documents", sf_dir))
 
 
 DEDUP_QUERIES["er_blocking_pairs"] = er_blocking_pairs

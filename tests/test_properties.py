@@ -691,3 +691,147 @@ def test_pointer_doubling_matches_walk(spark, parents):
             cur, d = par[cur], d + 1
         ref[n] = (cur, d)
     assert got == ref
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.integers(-2, 100),  # weight in 1e-2 units; ≤0 excluded
+        ),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 8),
+)
+def test_weighted_reservoir_matches_brute_force(spark, rows, k):
+    """weighted_reservoir == brute-force Efraimidis-Spirakis over the
+    same deterministic md5 bucket: exact top-k set under the
+    ln(u)/w ordering with the id tie-break, w ≤ 0 rows excluded."""
+    import hashlib
+    import math
+
+    from data_table_spark.operators.pipeline import (
+        HASH_BUCKETS, weighted_reservoir,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w / 100.0) for i, w in rows], "id long, w double"
+    )
+    got = [
+        (r["id"], r["es_key_e6"])
+        for r in weighted_reservoir(df, "id", "w", k).collect()
+    ]
+
+    def bucket(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) \
+            % HASH_BUCKETS
+
+    cand = []
+    for i, w100 in rows:
+        w = w100 / 100.0
+        if w <= 0:
+            continue
+        es = math.log((bucket(i) + 0.5) / HASH_BUCKETS) / w
+        cand.append((-es, i, math.floor(es * 1_000_000)))
+    cand.sort()
+    want = [(i, e6) for _, i, e6 in cand[:k]]
+    assert sorted(got) == sorted(want)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_bigram_lm_matches_brute_force(spark, texts):
+    """bigram_lm_score == a pure-Python add-1 bigram LM on arbitrary
+    tiny corpora (empty docs, one-token docs, repeated bigrams)."""
+    import math
+    from collections import Counter
+
+    from data_table_spark.operators.textstats import bigram_lm_score
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_micro"])
+        for r in bigram_lm_score(df).collect()
+    }
+
+    toks = {i: [t for t in x.lower().strip().split() if t] for i, x in
+            enumerate(texts)}
+    bgs = {i: list(zip(l, l[1:])) for i, l in toks.items()}
+    c12 = Counter(b for l in bgs.values() for b in l)
+    c1 = Counter(b[0] for l in bgs.values() for b in l)
+    vs = len({t for l in toks.values() for t in l})
+    want = {}
+    for i, l in bgs.items():
+        if not l:
+            continue
+        s = sum(
+            math.floor(1_000_000 * math.log((c12[b] + 1) / (c1[b[0]] + vs)))
+            for b in l
+        )
+        want[i] = (len(l), s)
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=10),
+        min_size=1, max_size=10,
+    )
+)
+def test_blocking_pairs_match_brute_force(spark, texts):
+    """multi_key_blocking_pairs == brute-force union-of-blockings +
+    DP levenshtein on arbitrary tiny corpora (tiny block_len/cap force
+    both the hot-block drop and the suffix-block recall path)."""
+    from data_table_spark.operators.dedup import multi_key_blocking_pairs
+
+    BLEN, BCAP, VLEN, MAXD = 3, 3, 6, 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in multi_key_blocking_pairs(
+            df, block_len=BLEN, block_cap=BCAP,
+            verify_len=VLEN, max_dist=MAXD,
+        ).collect()
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", x.lower()).strip()
+            for i, x in enumerate(texts)}
+    k1 = {i: n[:BLEN] for i, n in norm.items()}
+    k2 = {i: n[-BLEN:] if n else "" for i, n in norm.items()}
+    from collections import Counter
+    n1, n2 = Counter(k1.values()), Counter(k2.values())
+    cand = {
+        (a, b)
+        for a in norm for b in norm if a < b
+        if (k1[a] == k1[b] and n1[k1[a]] <= BCAP)
+        or (k2[a] == k2[b] and n2[k2[a]] <= BCAP)
+    }
+    want = sorted(
+        (a, b, lev(norm[a][:VLEN], norm[b][:VLEN]))
+        for a, b in cand
+        if lev(norm[a][:VLEN], norm[b][:VLEN]) <= MAXD
+    )
+    assert got == want
