@@ -880,13 +880,18 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     integer micro-nats BEFORE the per-doc sum, which is then exact
     int64 arithmetic.
 
-    Scale shape: one map-side bigram explode feeds both the model
-    (two vocab-bounded aggregates: pair counts, then left-context
-    totals re-aggregated FROM the pair counts — never a second fact
-    scan) and the scoring join. V rides a 1-row broadcast. The model
-    join is left unhinted: at test scale AQE broadcasts it; at
-    open-web scale a bigram model outgrows broadcast and the join
-    correctly shuffles on the pair key."""
+    Scale shape: one map-side bigram explode feeds both the model and
+    the scoring join. The pair-count table is localCheckpoint-
+    materialized ONCE (it is vocab-bounded — the q139 edge-list
+    rationale) so the left-context totals re-aggregate from it instead
+    of re-running the corpus explode (DataFrame reuse is not plan
+    reuse — the q124 lesson). V is fetched as ONE DRIVER LONG and
+    inlined as a literal: the 1-row-broadcast crossJoin alternative
+    plans a BroadcastNestedLoopJoin, which the 100× smoke's blanket
+    rule bans (q125's contract). The model join is left unhinted: at
+    test scale AQE broadcasts it; at open-web scale a bigram model
+    outgrows broadcast and the join correctly shuffles on the pair
+    key."""
     toks = docs.select(
         "doc_id",
         F.filter(
@@ -908,21 +913,26 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c").alias("tot"))
-    vocab = toks.select(F.explode("l").alias("t")).agg(
-        F.count_distinct("t").alias("vs")
+    vs = int(
+        toks.select(F.explode("l").alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
     )
     model = (
         c12.join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
         .select(
             "w1", "w2",
             F.floor(
                 F.lit(1_000_000)
                 * F.log(
                     (F.col("c") + 1).cast("double")
-                    / (F.col("tot") + F.col("vs")).cast("double")
+                    / (F.col("tot") + F.lit(vs)).cast("double")
                 )
             ).cast("long").alias("logp_micro"),
         )

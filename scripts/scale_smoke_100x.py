@@ -201,7 +201,9 @@ DIM_BROADCAST_FLOOR = {
                                # fact-sized joins — planner's choice
     "q125_ks_test": 1,         # the prefix-sum offsets ledger is
                                # explicitly broadcast and range-bounded
-    "q130_cusum_changepoint": 2,  # two 1-row scalar broadcasts
+    "q130_cusum_changepoint": 0,  # join-free since the scalar passes
+                               # became window folds over the bounded
+                               # day spine — no broadcasts left to pin
     "q132_mannwhitney_auc": 1, # prefix-sum ledger
     "q133_spearman_corr": 2,   # one ledger per ranked variable; the
                                # value-sized rank joins may flip
@@ -384,8 +386,14 @@ def main() -> None:
         synthesize(spark)
         print(f"synthesis {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
+    only = set(sys.argv[1:])
+    unknown = only - set(GATES)
+    if unknown:
+        print(f"unknown gates: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
+
     rows, failures = [], []
-    for gate in GATES:
+    for gate in GATES if not only else [g for g in GATES if g in only]:
         fn = RELATIONAL_QUERIES[gate]
         try:
             _run_gate(gate, fn, spark, rows, failures)
@@ -394,8 +402,37 @@ def main() -> None:
             rows.append((gate, 0.0, 0.0, 0.0, {"EXC": str(exc)[:80]}, False))
             print(f"{gate}: EXC {exc}", file=sys.stderr)
 
-    _write_report(rows, failures)
+    if only:
+        _patch_report(rows, failures)
+    else:
+        _write_report(rows, failures)
     sys.exit(1 if failures else 0)
+
+
+def _patch_report(rows, failures) -> None:
+    """Filtered re-run: replace just the named gates' rows in the
+    existing report (a full rewrite would discard the other gates'
+    recorded timings)."""
+    path = os.path.join(REPO, "SCALE_SMOKE_100X.md")
+    with open(path) as f:
+        lines = f.readlines()
+    for gate, ts, tb, r, pd, ok in rows:
+        new = (
+            f"| {gate} | {ts:.2f} | {tb:.2f} | {r:.1f}× | "
+            f"{pd if pd else 'unchanged'} | {'PASS' if ok else 'FAIL'} |\n"
+        )
+        for i, line in enumerate(lines):
+            if line.startswith(f"| {gate} |"):
+                lines[i] = new
+                break
+        else:
+            print(f"warn: no existing row for {gate}", file=sys.stderr)
+    with open(path, "w") as f:
+        f.writelines(lines)
+    if failures:
+        print("FAILURES:\n" + "\n".join(failures), file=sys.stderr)
+    else:
+        print("100x smoke (filtered): all gates PASS", file=sys.stderr)
 
 
 def _run_gate(gate, fn, spark, rows, failures) -> None:

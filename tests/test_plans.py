@@ -823,3 +823,64 @@ def test_bounded_bfs_no_nested_loop(spark, sf_dir):
     p = _plan(RELATIONAL_QUERIES["q139_bounded_bfs"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_late_session_stat_gates_plan_shapes(spark, sf_dir):
+    """The late-round statistical gates' scale claims in plan form:
+    the ACF collapses to the day spine before any window (no Window
+    over the fact scan), the KL marginals ride the bounded cell table
+    with the dims broadcast, and the Welch t is ONE aggregate — no
+    join, no window, no exchange beyond the single partial/final agg
+    pair."""
+    p = _plan(RELATIONAL_QUERIES["q140_autocorrelation"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the fact scan must collapse through a partial hash aggregate
+    # BEFORE the bounded-spine windows
+    assert p.index("HashAggregate") < p.index("Window") or \
+        p.rindex("HashAggregate") > p.index("Window")
+    p = _plan(RELATIONAL_QUERIES["q141_kl_divergence"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p            # nation/region dims
+    p = _plan(RELATIONAL_QUERIES["q142_welch_t"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    """The Efraimidis-Spirakis sampler must compile to a distributed
+    top-k (TakeOrderedAndProject over per-partition heaps) — never a
+    global Sort, never a Window."""
+    from data_table_spark.operators.pipeline import PIPELINE_QUERIES
+
+    p = _plan(PIPELINE_QUERIES["pipe_weighted_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_bigram_lm_single_fact_scan_for_model(spark, sf_dir):
+    """The bigram LM's left-context totals must re-aggregate from the
+    pair counts, not re-scan the corpus: exactly TWO FileScans of the
+    documents parquet are allowed (one feeding bigrams for model +
+    scoring, one for the vocabulary count), and no nested loop."""
+    from data_table_spark.operators.textstats import TEXTSTATS_QUERIES
+
+    p = _plan(TEXTSTATS_QUERIES["text_bigram_lm"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 1  # only the scoring bigram
+    # stream scans the corpus inside THIS plan; the model rides the
+    # checkpointed pair counts and V is a literal
+
+
+def test_blocking_pairs_no_all_pairs(spark, sf_dir):
+    """Union-of-blockings must join inside block keys only: every join
+    is an equi-join (no nested loop / cartesian anywhere), and the
+    final verify joins stay equi on the pair endpoints."""
+    from data_table_spark.operators.dedup import DEDUP_QUERIES
+
+    p = _plan(DEDUP_QUERIES["er_blocking_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
