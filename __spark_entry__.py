@@ -251,6 +251,11 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_weighted_reservoir",      # Efraimidis-Spirakis fixed-k sample
     "text_bigram_lm",               # add-1 bigram LM surprisal
     "er_blocking_pairs",            # union-of-blockings ER candidates
+    "q143_survival_table",          # Kaplan-Meier lifetimes table
+    "q144_k_core",                  # bounded bipartite k-core peel
+    "q145_runs_test",               # Wald-Wolfowitz runs z
+    "text_ngram_novelty",           # first-occurrence bigram share
+    "pipe_token_budget_fill",       # waterfilled source token budget
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -1709,3 +1709,150 @@ PIPELINE_ORACLE["pipe_weighted_reservoir"] = (
     n=HASH_BUCKETS,
     k=WEIGHTED_RESERVOIR_K,
 )
+
+
+# --------------------------------------------------------------------------
+# waterfilling token-budget allocation across sources
+# --------------------------------------------------------------------------
+
+def token_budget_fill(docs: DataFrame, budget_frac: int = 2) -> DataFrame:
+    """Hard-cap waterfilling across sources — the budgeted sibling of
+    temperature_weights: given a token budget T = ⌊total/budget_frac⌋,
+    find the integer per-source cap c such that Σ min(tokens_s, c) ≤ T
+    is maximal, allocate min(tokens_s, c) to each source, and hand the
+    integer remainder out as +1s to the largest capped sources
+    (tok desc, source asc tie-break) so the allocation sums EXACTLY to
+    T. Sources below the waterline keep everything; heavyweights are
+    clipped to c — the standard recipe for "2T of web, 50G of
+    wikipedia, budget 500G" mixing.
+
+    The cap is found analytically over the ascending-sorted source
+    table: at position k (1-indexed of n), capping between tok_{k-1}
+    and tok_k spends prefix_{k-1} + c·(n−k+1); the first k where
+    c_k = ⌊(T − prefix_{k-1}) / (n−k+1)⌋ < tok_k binds. All integer.
+
+    Scale shape: ONE map-combinable token-count agg over the corpus
+    collapses to the source table (vocab-bounded: tens of sources at
+    any corpus size — the q135 weekday argument), and every window
+    below runs on THAT bounded table; the fact scan is never windowed.
+    Applying the allocation back to documents is a broadcast join of
+    the per-source quota + any bounded per-source pick (pipe_pps /
+    pipe_topk_per_stratum are the pickers) — not this gate's output."""
+    counts = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long").alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tok"))
+    )
+    w_asc = Window.orderBy("tok", "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = counts.select(
+        "source",
+        "tok",
+        F.row_number().over(w_asc).alias("rn"),
+        (
+            F.sum("tok").over(
+                w_asc.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("tok")
+        ).alias("prefix"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        # FLOOR, not bare cast: DuckDB CAST(x.5 AS BIGINT) rounds while
+        # Spark truncates — floor agrees in both engines for odd totals
+        F.floor(F.sum("tok").over(w_all) / F.lit(budget_frac))
+        .cast("long").alias("t_budget"),
+    )
+    cand = staged.withColumn(
+        "c_k",
+        F.floor(
+            (F.col("t_budget") - F.col("prefix"))
+            / (F.col("n") - F.col("rn") + 1)
+        ).cast("long"),
+    )
+    # the binding cap is the candidate AT the first binding position
+    # (smallest rn with c_k < tok) — later candidates are computed
+    # against prefixes that already exceed the budget and are
+    # meaningless (can go negative); if nothing binds the budget
+    # covers everything and the cap is the max token count
+    cap = cand.select(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("c_k") < F.col("tok"),
+                    F.struct("rn", "c_k"),
+                )
+            ).getField("c_k"),
+            F.max("tok"),
+        ).alias("cap")
+    ).collect()[0][0]
+    alloc = cand.select(
+        "source",
+        "tok",
+        "t_budget",
+        F.least(F.col("tok"), F.lit(int(cap))).alias("base"),
+    )
+    w_rem = Window.orderBy(F.desc("tok"), F.asc("source"))
+    return alloc.select(
+        "source",
+        F.col("tok").alias("n_tokens"),
+        (
+            F.col("base")
+            + F.when(
+                (F.col("base") < F.col("tok"))
+                & (
+                    F.row_number().over(w_rem)
+                    <= F.col("t_budget") - F.sum("base").over(w_all)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("alloc_tokens"),
+    )
+
+
+def pipe_token_budget_fill(spark, sf_dir):
+    """Gate: waterfilled half-budget allocation over document sources."""
+    return token_budget_fill(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_token_budget_fill"] = pipe_token_budget_fill
+PIPELINE_ORACLE["pipe_token_budget_fill"] = (
+    "WITH counts AS ("
+    "  SELECT source, CAST(SUM(len(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> ''))) AS BIGINT) AS tok "
+    "  FROM documents GROUP BY 1), "
+    "staged AS ("
+    "  SELECT source, tok, "
+    "    ROW_NUMBER() OVER (ORDER BY tok, source) AS rn, "
+    "    CAST(SUM(tok) OVER (ORDER BY tok, source "
+    "      ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS prefix, "
+    "    COUNT(*) OVER () AS n, "
+    "    CAST(FLOOR(SUM(tok) OVER () / 2.0) AS BIGINT) AS t_budget "
+    "  FROM counts), "
+    "cand AS ("
+    "  SELECT *, CAST(FLOOR(CAST(t_budget - prefix AS DOUBLE) "
+    "    / (n - rn + 1)) AS BIGINT) AS c_k "
+    "  FROM staged), "
+    "cap AS ("
+    "  SELECT COALESCE(ARG_MIN(c_k, rn) FILTER (WHERE c_k < tok), "
+    "    MAX(tok)) AS cap "
+    "  FROM cand), "
+    "alloc AS ("
+    "  SELECT source, tok, t_budget, "
+    "    LEAST(tok, (SELECT cap FROM cap)) AS base "
+    "  FROM cand) "
+    "SELECT source, tok AS n_tokens, "
+    "  CAST(base + CASE WHEN base < tok AND "
+    "    ROW_NUMBER() OVER (ORDER BY tok DESC, source ASC) "
+    "      <= t_budget - SUM(base) OVER () "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens "
+    "FROM alloc"
+)

@@ -7130,3 +7130,308 @@ RELATIONAL_ORACLE["q142_welch_t"] = (
     "    AS df_e3 "
     "FROM v"
 )
+
+
+# --------------------------------------------------------------------------
+# q143: Kaplan-Meier survival table over user lifetimes
+# --------------------------------------------------------------------------
+
+def q143_survival_table(spark, sf_dir):
+    """Kaplan-Meier survival table over user lifetimes in the events
+    stream — the churn/retention primitive the reference's RDBMS users
+    run as a stored query. A user's lifetime is last-day − first-day;
+    a user is an observed churn EVENT if their last activity precedes
+    the corpus horizon by more than 14 days, else right-CENSORED (still
+    alive at the horizon). For each duration with ≥1 event: the at-risk
+    count (lifetimes ≥ d), the event count, and the running
+    log-survival Σ ln(1 − dᵢ/nᵢ) with each step floored to integer
+    micro-nats BEFORE the cumulative sum (the q127/text_lm exactness
+    trick — the sum is then exact int64). A step where every at-risk
+    user dies (n_event = n_risk, only possible on the final event row)
+    has log-survival −∞ → NULL, handled identically in both engines.
+
+    Scale shape: one map-combinable min/max agg per user, one agg to
+    the duration distribution (calendar-bounded: ≤ ~2.4k distinct
+    durations — the q99 day-spine bound), then two running windows over
+    that bounded spine. Horizon + cohort size ride as TWO DRIVER LONGS
+    from one 1-row agg (q130's scalar pattern — a 1-row broadcast
+    would plan the banned BroadcastNestedLoopJoin)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("d")
+    )
+    users = e.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    g = users.agg(F.max("last_d"), F.count(F.lit(1))).collect()[0]
+    gmax, n_users = int(g[0]), int(g[1])
+    per_user = users.select(
+        (F.col("last_d") - F.col("first_d")).alias("dur"),
+        (F.col("last_d") < F.lit(gmax - 14)).cast("long").alias("ev"),
+    )
+    dist = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("ev").alias("n_event")
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    km = dist.select(
+        "dur",
+        "n_event",
+        (
+            F.lit(n_users) - F.sum("n_total").over(w) + F.col("n_total")
+        ).alias("n_risk"),
+    ).where(F.col("n_event") > 0)
+    step = F.when(
+        F.col("n_event") < F.col("n_risk"),
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(
+                (F.col("n_risk") - F.col("n_event")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ).cast("long"),
+    )
+    staged = km.select("dur", "n_risk", "n_event", step.alias("step_e6"))
+    return staged.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.when(
+            F.col("n_event") < F.col("n_risk"),
+            F.sum("step_e6").over(w.orderBy("dur")),
+        ).cast("long").alias("log_surv_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q143_survival_table"] = q143_survival_table
+RELATIONAL_ORACLE["q143_survival_table"] = (
+    "WITH u AS ("
+    "  SELECT user_id, "
+    "    MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS first_d, "
+    "    MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS last_d "
+    "  FROM events GROUP BY 1), "
+    "g AS (SELECT MAX(last_d) AS gmax, COUNT(*) AS n_users FROM u), "
+    "p AS ("
+    "  SELECT last_d - first_d AS dur, "
+    "    CASE WHEN last_d < (SELECT gmax FROM g) - 14 "
+    "      THEN 1 ELSE 0 END AS ev "
+    "  FROM u), "
+    "dist AS ("
+    "  SELECT dur, COUNT(*) AS n_total, CAST(SUM(ev) AS BIGINT) AS n_event "
+    "  FROM p GROUP BY 1), "
+    "km AS ("
+    "  SELECT dur, n_event, "
+    "    (SELECT n_users FROM g) "
+    "      - SUM(n_total) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) "
+    "      + n_total AS n_risk "
+    "  FROM dist), "
+    "ev AS ("
+    "  SELECT dur, n_risk, n_event, "
+    "    CASE WHEN n_event < n_risk THEN "
+    "      CAST(FLOOR(1000000 * LN(CAST(n_risk - n_event AS DOUBLE) "
+    "        / CAST(n_risk AS DOUBLE))) AS BIGINT) END AS step_e6 "
+    "  FROM km WHERE n_event > 0) "
+    "SELECT CAST(dur AS BIGINT) AS dur_days, "
+    "  CAST(n_risk AS BIGINT) AS n_risk, n_event, "
+    "  CASE WHEN n_event < n_risk THEN "
+    "    CAST(SUM(step_e6) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) "
+    "      AS BIGINT) END AS log_surv_e6 "
+    "FROM ev"
+)
+
+
+# --------------------------------------------------------------------------
+# q144: bounded (3,3)-core peeling on the bipartite part-supplier graph
+# --------------------------------------------------------------------------
+
+def bipartite_k_core(
+    edges: DataFrame, kp: int, ks: int, rounds: int
+) -> DataFrame:
+    """Reusable kernel: bounded k-core peeling on a bipartite edge list
+    with columns (p, s) — ``rounds`` unrolled rounds of dropping every
+    edge whose p-endpoint has degree < ``kp`` OR s-endpoint degree
+    < ``ks`` in the CURRENT graph; returns one summary row per round
+    (0 = input graph) with surviving edge / p / s counts. Bounded
+    unrolling is the q139-BFS contract — true k-core iterates to a
+    fixpoint, which is a driver loop with a convergence check at
+    100 TB (dedup_clusters documents that pattern); a FIXED round
+    count keeps the result deterministic and single-plan so an oracle
+    can replay it as a CTE chain.
+
+    Scale shape: each round is two map-combinable degree aggs + two
+    key equi-joins on a MONOTONICALLY SHRINKING edge set. Each round's
+    edges are localCheckpoint-materialized because three consumers
+    read them (both degree aggs + the next round) — DataFrame reuse is
+    not plan reuse (the q124 lesson); without the cut, round r's plan
+    re-executes round r-1 three times and the unroll goes exponential."""
+    edges = edges.select("p", "s").distinct().localCheckpoint(eager=True)
+    summaries = []
+
+    def summary(r, e):
+        return e.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("p").alias("n_parts"),
+            F.count_distinct("s").alias("n_supps"),
+        )
+
+    summaries.append(summary(0, edges))
+    for r in range(1, rounds + 1):
+        pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+        sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+        edges = (
+            edges.join(pdeg.where(F.col("dp") >= kp).select("p"), "p")
+            .join(sdeg.where(F.col("ds") >= ks).select("s"), "s")
+            .select("p", "s")
+            .localCheckpoint(eager=True)
+        )
+        summaries.append(summary(r, edges))
+    out = summaries[0]
+    for s_ in summaries[1:]:
+        out = out.unionAll(s_)
+    return out
+
+
+def q144_k_core(spark, sf_dir):
+    """Bounded k-core peeling on the bipartite part↔supplier graph
+    (edges = distinct supply relationships in the first-six-months
+    lineitem slice — the full-history graph is already a (26,500)-core
+    and nothing peels): 4 rounds at part-degree ≥ 3 / supplier-degree
+    ≥ 25 (asymmetric thresholds because bipartite sides have
+    asymmetric degree scales) — a genuine cascade: supplier removals
+    lower part degrees, which lowers supplier degrees, every round
+    non-trivial. The edge list is a fact distinct (NO self-join — the
+    bipartite graph is materially cheaper than q106's co-purchase
+    projection); peeling itself is the ``bipartite_k_core`` kernel
+    (property-tested against a brute-force peel)."""
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+    )
+    return bipartite_k_core(edges, kp=3, ks=25, rounds=4)
+
+
+RELATIONAL_QUERIES["q144_k_core"] = q144_k_core
+_KCORE_ROUND = (
+    "SELECT {r} AS round, COUNT(*) AS n_edges, "
+    "COUNT(DISTINCT p) AS n_parts, COUNT(DISTINCT s) AS n_supps "
+    "FROM e{r}"
+)
+_KCORE_PEEL = (
+    "e{r} AS ("
+    "  SELECT e.p, e.s FROM e{prev} e "
+    "  JOIN (SELECT p FROM e{prev} GROUP BY p HAVING COUNT(*) >= 3) dp "
+    "    USING (p) "
+    "  JOIN (SELECT s FROM e{prev} GROUP BY s HAVING COUNT(*) >= 25) ds "
+    "    USING (s))"
+)
+RELATIONAL_ORACLE["q144_k_core"] = (
+    "WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+    "FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'), "
+    + ", ".join(_KCORE_PEEL.format(r=r, prev=r - 1) for r in range(1, 5))
+    + " "
+    + " UNION ALL ".join(_KCORE_ROUND.format(r=r) for r in range(5))
+)
+
+
+# --------------------------------------------------------------------------
+# q145: Wald-Wolfowitz runs test on the daily order-count series
+# --------------------------------------------------------------------------
+
+def runs_test_summary(daily: DataFrame) -> DataFrame:
+    """Reusable kernel: Wald-Wolfowitz runs test over an ordered series
+    with columns (day, cnt) — sign each point above/below the series
+    MEAN (the strict comparison cnt·D > total is exact integer
+    cross-multiplication — the q125 trick; a median split would drag
+    in quantile tie politics for no statistical gain), count the runs
+    of equal consecutive signs, and emit the z-statistic against the
+    null mean/variance μ = 1 + 2ab/n, σ² = 2ab(2ab−n) / (n²(n−1)) in
+    floored micro-units (identical doubles in any engine).
+
+    Scale shape: the series is assumed ALREADY collapsed to a bounded
+    spine (the q99 day-spine bound) — the lag + the final moments are
+    one bounded-spine window + one 1-row agg. Point count and grand
+    total ride as TWO DRIVER LONGS (q130's scalar pattern)."""
+    tot = daily.agg(F.count(F.lit(1)), F.sum("cnt")).collect()[0]
+    n_days, total = int(tot[0]), int(tot[1])
+    signed = daily.select(
+        "day",
+        (F.col("cnt") * F.lit(n_days) > F.lit(total)).cast("long").alias("sg"),
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "sg",
+        F.when(
+            F.lag("sg").over(w).isNull()
+            | (F.lag("sg").over(w) != F.col("sg")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    m = runs.agg(
+        F.sum("sg").alias("a"),
+        (F.count(F.lit(1)) - F.sum("sg")).alias("b"),
+        F.sum("brk").alias("r"),
+    )
+    a, b, r = (F.col(c).cast("double") for c in ("a", "b", "r"))
+    n = a + b
+    mu = F.lit(1.0) + F.lit(2.0) * a * b / n
+    var = (
+        F.lit(2.0) * a * b * (F.lit(2.0) * a * b - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return m.select(
+        F.col("a").cast("long").alias("n_above"),
+        F.col("b").cast("long").alias("n_below"),
+        F.col("r").cast("long").alias("n_runs"),
+        # σ² = 2ab(2ab−n)/… is zero for a one-sign series AND for the
+        # knife-edge 2ab = n (e.g. n=2, a=b=1): z undefined → NULL (a
+        # bare division trips ANSI divide-by-zero)
+        F.when(
+            F.lit(2) * F.col("a") * F.col("b") > F.col("a") + F.col("b"),
+            F.floor(F.lit(1_000_000) * (r - mu) / F.sqrt(var)),
+        ).cast("long").alias("z_e6"),
+    )
+
+
+def q145_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily order-count
+    series: the fact scan collapses to the calendar day spine in one
+    map-combinable agg (q99's bound), then the ``runs_test_summary``
+    kernel (property-tested against a brute-force scan) does the
+    sign/run/z computation."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return runs_test_summary(daily)
+
+
+RELATIONAL_QUERIES["q145_runs_test"] = q145_runs_test
+RELATIONAL_ORACLE["q145_runs_test"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt "
+    "  FROM orders GROUP BY 1), "
+    "t AS (SELECT COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total "
+    "  FROM daily), "
+    "signed AS ("
+    "  SELECT day, CASE WHEN cnt * (SELECT n_days FROM t) "
+    "    > (SELECT total FROM t) THEN 1 ELSE 0 END AS sg "
+    "  FROM daily), "
+    "runs AS ("
+    "  SELECT sg, CASE WHEN LAG(sg) OVER (ORDER BY day) IS NULL "
+    "    OR LAG(sg) OVER (ORDER BY day) <> sg THEN 1 ELSE 0 END AS brk "
+    "  FROM signed), "
+    "m AS ("
+    "  SELECT CAST(SUM(sg) AS BIGINT) AS a, "
+    "    CAST(COUNT(*) - SUM(sg) AS BIGINT) AS b, "
+    "    CAST(SUM(brk) AS BIGINT) AS r "
+    "  FROM runs) "
+    "SELECT a AS n_above, b AS n_below, r AS n_runs, "
+    "  CASE WHEN 2 * a * b > a + b THEN "
+    "    CAST(FLOOR(1000000 * (r - (1 + 2.0 * a * b / (a + b))) "
+    "      / SQRT(2.0 * a * b * (2.0 * a * b - (a + b)) "
+    "        / ((a + b) * (a + b) * (a + b - 1.0)))) AS BIGINT) "
+    "  END AS z_e6 "
+    "FROM m"
+)

@@ -976,3 +976,100 @@ TEXTSTATS_ORACLE["text_bigram_lm"] = (
     "  CAST(SUM(logp_micro) AS BIGINT) AS surprisal_micro "
     "FROM bg JOIN model USING (w1, w2) GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty: what share of a document's bigrams is new to the corpus
+# --------------------------------------------------------------------------
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document bigram novelty — the contamination/freshness readout
+    a training-data pipeline runs on every incoming shard: of each
+    document's DISTINCT word bigrams, how many appear in NO
+    earlier-id document (their corpus-wide first occurrence is this
+    doc)? High novelty = fresh content; near-zero = boilerplate or a
+    near-dup of earlier data. Tokenization matches text_bigram_lm
+    (lower, whitespace split, empties dropped). Docs with < 2 tokens
+    emit zero counts (kept via the doc spine).
+
+    Scale shape: one explode feeds a per-doc DISTINCT (shuffle on
+    doc_id — map-side combine applies) and a first-occurrence agg
+    (shuffle on the bigram key; min(doc_id) is map-combinable). The
+    novelty counts then collapse back to doc_id — NO join back to the
+    token stream: novel-per-doc is just the first-occurrence table
+    re-grouped by its min-doc. Two key joins on doc_id stitch the
+    spine; at open-web scale every stage is a plain hash shuffle on a
+    uniform key (doc ids / bigrams), no broadcast side grows with the
+    corpus."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("l"),
+    )
+    bgd = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .distinct()
+    )
+    per_doc = bgd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    novel = (
+        bgd.groupBy("w1", "w2")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0)).cast("long")
+            .alias("n_distinct_bigrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+
+
+def text_ngram_novelty(spark, sf_dir):
+    """Gate: per-doc distinct-bigram and first-occurrence counts."""
+    return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_ngram_novelty"] = text_ngram_novelty
+TEXTSTATS_ORACLE["text_ngram_novelty"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "st AS ("
+    "  SELECT doc_id, l, UNNEST(range(1, len(l))) AS i "
+    "  FROM toks WHERE len(l) >= 2), "
+    "bgd AS (SELECT DISTINCT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM st), "
+    "per_doc AS ("
+    "  SELECT doc_id, COUNT(*) AS n_distinct FROM bgd GROUP BY 1), "
+    "novel AS ("
+    "  SELECT doc_id, COUNT(*) AS n_novel FROM ("
+    "    SELECT MIN(doc_id) AS doc_id FROM bgd GROUP BY w1, w2) "
+    "  GROUP BY 1) "
+    "SELECT d.doc_id, "
+    "  CAST(COALESCE(p.n_distinct, 0) AS BIGINT) AS n_distinct_bigrams, "
+    "  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel "
+    "FROM documents d "
+    "LEFT JOIN per_doc p ON d.doc_id = p.doc_id "
+    "LEFT JOIN novel n ON d.doc_id = n.doc_id"
+)

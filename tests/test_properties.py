@@ -835,3 +835,155 @@ def test_blocking_pairs_match_brute_force(spark, texts):
         if lev(norm[a][:VLEN], norm[b][:VLEN]) <= MAXD
     )
     assert got == want
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 5)),
+        min_size=0, max_size=60, unique=True,
+    ),
+    kp=st.integers(1, 4),
+    ks=st.integers(1, 4),
+)
+def test_bipartite_k_core_matches_brute_force(spark, edges, kp, ks):
+    """bipartite_k_core == a brute-force dict-based peel, round by
+    round (edge, p-node, and s-node counts for rounds 0..3)."""
+    from data_table_spark.operators.relational import bipartite_k_core
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "p long, s long"
+    )
+    if not edges:
+        df = df.where("p IS NOT NULL")
+    got = sorted(
+        (r["round"], r["n_edges"], r["n_parts"], r["n_supps"])
+        for r in bipartite_k_core(df, kp=kp, ks=ks, rounds=3).collect()
+    )
+
+    cur = set(edges)
+    want = []
+    for rnd in range(4):
+        if rnd:
+            from collections import Counter
+            dp = Counter(p for p, _ in cur)
+            ds = Counter(s for _, s in cur)
+            cur = {
+                (p, s) for p, s in cur if dp[p] >= kp and ds[s] >= ks
+            }
+        want.append(
+            (rnd, len(cur), len({p for p, _ in cur}),
+             len({s for _, s in cur}))
+        )
+    assert got == sorted(want)
+
+
+@SLOW
+@given(
+    cnts=st.lists(st.integers(0, 50), min_size=2, max_size=40),
+)
+def test_runs_test_matches_brute_force(spark, cnts):
+    """runs_test_summary == a brute-force scan: the above-mean sign
+    sequence, its run count, and the floored-micro z against the
+    Wald-Wolfowitz null (NULL z for a one-sign series)."""
+    import math
+
+    from data_table_spark.operators.relational import runs_test_summary
+
+    daily = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cnts)], "day long, cnt long"
+    )
+    row = runs_test_summary(daily).collect()[0]
+
+    n_days, total = len(cnts), sum(cnts)
+    signs = [1 if c * n_days > total else 0 for c in cnts]
+    a, b = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(1 for x, y in zip(signs, signs[1:]) if x != y)
+    assert (row["n_above"], row["n_below"], row["n_runs"]) == (a, b, r)
+    if 2 * a * b <= a + b:  # σ² = 0: one-sign series or 2ab = n
+        assert row["z_e6"] is None
+    else:
+        n = float(a + b)
+        mu = 1.0 + 2.0 * a * b / n
+        var = 2.0 * a * b * (2.0 * a * b - n) / (n * n * (n - 1.0))
+        assert row["z_e6"] == math.floor(
+            1_000_000 * (r - mu) / math.sqrt(var)
+        )
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24),
+        min_size=1, max_size=12,
+    ),
+)
+def test_ngram_novelty_matches_brute_force(spark, texts):
+    """ngram_novelty == brute force: per doc, distinct word bigrams and
+    the subset whose corpus-wide min doc_id is this doc; empty and
+    one-token docs report zeros."""
+    import re
+
+    from data_table_spark.operators.textstats import ngram_novelty
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["n_distinct_bigrams"], r["n_novel"])
+        for r in ngram_novelty(df).collect()
+    )
+
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\s+", t.lower().strip()) if w]
+        per_doc[i] = set(zip(toks, toks[1:]))
+    first = {}
+    for i in sorted(per_doc):
+        for bg in per_doc[i]:
+            first.setdefault(bg, i)
+    want = sorted(
+        (i, len(per_doc[i]),
+         sum(1 for bg in per_doc[i] if first[bg] == i))
+        for i in per_doc
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    toks=st.lists(st.integers(0, 200), min_size=1, max_size=10),
+)
+def test_token_budget_fill_matches_brute_force(spark, toks):
+    """token_budget_fill == a brute-force linear cap scan: the cap is
+    the max c with Σ min(tok, c) ≤ T (T = ⌊total/2⌋), the remainder
+    goes +1 to the largest capped sources, and the final allocation
+    sums to exactly min(T, total)."""
+    from data_table_spark.operators.pipeline import token_budget_fill
+
+    names = [f"s{i:02d}" for i in range(len(toks))]
+    rows = [(n, " ".join(["w"] * t)) for n, t in zip(names, toks)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["alloc_tokens"])
+        for r in token_budget_fill(df).collect()
+    }
+
+    total = sum(toks)
+    t_budget = total // 2
+    cap = 0
+    for c in range(max(toks) + 1):
+        if sum(min(t, c) for t in toks) <= t_budget:
+            cap = c
+    base = {n: min(t, cap) for n, t in zip(names, toks)}
+    rem = t_budget - sum(base.values())
+    bump = sorted(
+        (n for n, t in zip(names, toks) if base[n] < t),
+        key=lambda n: (-dict(zip(names, toks))[n], n),
+    )[: max(rem, 0)]
+    want = {
+        n: (t, base[n] + (1 if n in bump else 0))
+        for n, t in zip(names, toks)
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == min(t_budget, total)
