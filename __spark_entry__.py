@@ -256,6 +256,9 @@ _NEXT_WINDOW_QUEUE = [
     "q145_runs_test",               # Wald-Wolfowitz runs z
     "text_ngram_novelty",           # first-occurrence bigram share
     "pipe_token_budget_fill",       # waterfilled source token budget
+    "q146_sax_motifs",              # quartile-letter motif mining
+    "q147_interarrival_hist",       # digit-bucket gap histogram
+    "sim_prefix_dim_topk",          # prefix-dim coarse cosine top-k
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -7435,3 +7435,138 @@ RELATIONAL_ORACLE["q145_runs_test"] = (
     "  END AS z_e6 "
     "FROM m"
 )
+
+
+# --------------------------------------------------------------------------
+# q146: SAX-style motif counts over the daily revenue series
+# --------------------------------------------------------------------------
+
+def q146_sax_motifs(spark, sf_dir):
+    """SAX-style symbolization + motif mining over the daily revenue
+    series: each day gets a quartile letter a-d (NTILE(4) ordered by
+    (revenue, day) — RANK-based discretization instead of the classic
+    z-score breakpoints, so the letters are exact integers with a
+    deterministic tie-break; NTILE remainder semantics are identical
+    in Spark and DuckDB), then every 3 consecutive calendar-spine rows
+    form a motif word and the top-5 motifs by (count desc, motif asc)
+    are reported — the repeated-shape readout (e.g. 'dad' = spike-dip-
+    spike) a monitoring pipeline mines for recurring patterns.
+
+    Scale shape: the fact scan collapses to the bounded day spine
+    first (q99's bound); the NTILE and the two LEADs are windows over
+    that spine; the motif count is one map-combinable agg over ≤ 64
+    motif cells and the top-5 a TakeOrdered."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    lettered = daily.select(
+        "day",
+        F.element_at(
+            F.split(F.lit("a,b,c,d"), ","),
+            F.ntile(4).over(Window.orderBy("rev", "day")),
+        ).alias("sym"),
+    )
+    w_day = Window.orderBy("day")
+    motifs = lettered.select(
+        F.concat(
+            "sym", F.lead("sym", 1).over(w_day), F.lead("sym", 2).over(w_day)
+        ).alias("motif")
+    ).where(F.col("motif").isNotNull())
+    return (
+        motifs.groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("motif"))
+        .limit(5)
+    )
+
+
+RELATIONAL_QUERIES["q146_sax_motifs"] = q146_sax_motifs
+RELATIONAL_ORACLE["q146_sax_motifs"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1), "
+    "lettered AS ("
+    "  SELECT day, ['a','b','c','d'][NTILE(4) OVER (ORDER BY rev, day)] "
+    "    AS sym "
+    "  FROM daily), "
+    "motifs AS ("
+    "  SELECT sym || LEAD(sym, 1) OVER (ORDER BY day) "
+    "    || LEAD(sym, 2) OVER (ORDER BY day) AS motif "
+    "  FROM lettered) "
+    "SELECT motif, COUNT(*) AS cnt FROM motifs "
+    "WHERE motif IS NOT NULL "
+    "GROUP BY 1 ORDER BY cnt DESC, motif LIMIT 5"
+)
+
+
+# --------------------------------------------------------------------------
+# q147: per-user inter-arrival histogram in decimal-digit buckets
+# --------------------------------------------------------------------------
+
+def q147_interarrival_hist(spark, sf_dir):
+    """Inter-arrival-time histogram across all users: consecutive
+    same-user event gaps in whole seconds, bucketed by DECIMAL DIGIT
+    COUNT (order of magnitude: bucket 0 = same-second, 1 = 1-9 s,
+    2 = 10-99 s, …) — digit-count bucketing is exact string arithmetic
+    in both engines, where a log2/log10 float bucket could flip at a
+    boundary ulp between JVM and C libm. Per bucket: gap count and
+    distinct users exhibiting it — the burstiness-profile readout
+    (q131's Fano factor is the scalar cousin).
+
+    Scale shape: one LAG window per user key (keyed shuffle — the
+    legitimate per-key window), then a map-combinable agg over ≤ ~12
+    bucket cells. Epoch micros via timestampdiff against the NTZ epoch
+    (the q105 idiom — unix_timestamp would re-interpret in session
+    zone)."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", us.alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.col("t") - F.lag("t").over(w)) / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.select(
+            "user_id",
+            F.when(F.col("gap_s") <= 0, F.lit(0))
+            .otherwise(F.length(F.col("gap_s").cast("string")))
+            .cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q147_interarrival_hist"] = q147_interarrival_hist
+RELATIONAL_ORACLE["q147_interarrival_hist"] = (
+    "WITH gaps AS ("
+    "  SELECT user_id, "
+    "    CAST((epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+    "      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) "
+    "      // 1000000 AS BIGINT) AS gap_s "
+    "  FROM events), "
+    "b AS ("
+    "  SELECT user_id, CASE WHEN gap_s <= 0 THEN 0 "
+    "    ELSE length(CAST(gap_s AS VARCHAR)) END AS bucket "
+    "  FROM gaps WHERE gap_s IS NOT NULL) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_gaps, "
+    "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM b GROUP BY 1"
+)

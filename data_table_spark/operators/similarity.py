@@ -1457,3 +1457,103 @@ SIMILARITY_ORACLE["sim_mutual_topk"] = (
     "  ON x.partner = y.n AND x.n = y.partner "
     "WHERE x.n < x.partner"
 )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style prefix-dimension serving: coarse top-k on a dim prefix
+# --------------------------------------------------------------------------
+
+PREFIX_DIMS = 16
+
+
+def sim_prefix_dim_topk(spark, sf_dir):
+    """Matryoshka-style prefix-dimension serving gate: exact integer
+    cosine top-k computed on only the FIRST 16 quantized dimensions of
+    each vector, with the full-dimension integer cosine reported
+    alongside — the 4×-fewer-FLOPs coarse ranking a 1B-vector serving
+    tier runs before full-precision re-rank (PQ's ADC is the
+    codebook-trained cousin; this is the zero-training variant for
+    models with importance-ordered dims). Scale factors cancel in
+    cosine per vector, so prefix and full scores are pure int64
+    dot/norm arithmetic + one sqrt/div on identical doubles in both
+    engines — hash-exact. Zero-norm prefixes (a vector whose first 16
+    dims quantize to zeros) cannot rank and are filtered on both
+    sides.
+
+    Scale shape: map-only corpus scan + broadcast 1-row query +
+    TakeOrderedAndProject — identical to sim_quantized_topk; the
+    prefix slice prunes 3/4 of the multiply-adds per candidate, which
+    at serving scale is the whole point."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q8 = quantize_int8(e)
+    pfx = lambda c: F.slice(c, 1, PREFIX_DIMS)
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    qv = q8.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qvec").alias("qq"),
+        idot(F.col("qvec"), F.col("qvec")).alias("nq_full"),
+        idot(pfx(F.col("qvec")), pfx(F.col("qvec"))).alias("nq_pfx"),
+    )
+    cand = q8.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(qv)
+    )
+    d_pfx = idot(pfx(F.col("qvec")), pfx(F.col("qq")))
+    n_pfx = idot(pfx(F.col("qvec")), pfx(F.col("qvec")))
+    d_full = idot(F.col("qvec"), F.col("qq"))
+    n_full = idot(F.col("qvec"), F.col("qvec"))
+    cos = lambda d, na, nb: F.round(
+        d.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        6,
+    )
+    return (
+        cand.where(
+            (F.col("nq_pfx") > 0) & (n_pfx > 0)
+            & (F.col("nq_full") > 0) & (n_full > 0)
+        )
+        .select(
+            "vec_id",
+            cos(d_pfx, F.col("nq_pfx"), n_pfx).alias("prefix_cos"),
+            cos(d_full, F.col("nq_full"), n_full).alias("full_cos"),
+        )
+        .orderBy(F.col("prefix_cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_prefix_dim_topk"] = sim_prefix_dim_topk
+SIMILARITY_ORACLE["sim_prefix_dim_topk"] = (
+    "WITH m AS ("
+    "  SELECT vec_id, embedding::DOUBLE[] v, "
+    "  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) mx "
+    "  FROM embeddings"
+    "), q8 AS ("
+    "  SELECT vec_id, "
+    "  CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT) "
+    "  ELSE list_transform(v, x -> FLOOR(x / (mx / 127))::BIGINT) END qv "
+    "  FROM m"
+    "), qq AS ("
+    f"  SELECT qv AS q FROM q8 WHERE vec_id = {QUERY_VEC_ID}"
+    "), scored AS ("
+    "  SELECT c.vec_id, "
+    f"  list_dot_product(c.qv[1:{PREFIX_DIMS}], qq.q[1:{PREFIX_DIMS}]) "
+    "    AS dp, "
+    f"  list_sum(list_transform(qq.q[1:{PREFIX_DIMS}], x -> x * x))"
+    "    ::DOUBLE AS nqp, "
+    f"  list_sum(list_transform(c.qv[1:{PREFIX_DIMS}], x -> x * x))"
+    "    ::DOUBLE AS ncp, "
+    "  list_dot_product(c.qv, qq.q) AS df, "
+    "  list_sum(list_transform(qq.q, x -> x * x))::DOUBLE AS nqf, "
+    "  list_sum(list_transform(c.qv, x -> x * x))::DOUBLE AS ncf "
+    f"  FROM q8 c, qq WHERE c.vec_id <> {QUERY_VEC_ID}"
+    ") "
+    "SELECT vec_id, "
+    "  ROUND(dp / (SQRT(nqp) * SQRT(ncp)), 6) AS prefix_cos, "
+    "  ROUND(df / (SQRT(nqf) * SQRT(ncf)), 6) AS full_cos "
+    "FROM scored "
+    "WHERE nqp > 0 AND ncp > 0 AND nqf > 0 AND ncf > 0 "
+    f"ORDER BY prefix_cos DESC, vec_id LIMIT {TOP_K}"
+)

@@ -136,6 +136,16 @@ GATES = [
     "pipe_bpe_pair_counts",    # word-freq collapse; ciphered clones
                                # multiply the vocab ~100× but the pair
                                # cell space stays letter-bounded
+    "q143_survival_table",     # user min/max collapse; duration spine
+                               # calendar-bounded
+    "q144_k_core",             # 4-round peel: shrinking equi-joins
+    "q145_runs_test",          # day-spine collapse; two driver longs
+    "text_ngram_novelty",      # two aggs + doc-spine joins, no window
+    "pipe_token_budget_fill",  # corpus collapses to the source table;
+                               # all windows bounded by construction
+    "q146_sax_motifs",         # day-spine collapse; ≤64 motif cells
+    "q147_interarrival_hist",  # keyed LAG + ≤12 bucket cells; hot-user
+                               # skew lands on this window
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -216,6 +226,17 @@ DIM_BROADCAST_FLOOR = {
                                # broadcast at any corpus size
     "q138_bootstrap_ci": 0,    # no joins: union + agg only
     "pipe_bpe_pair_counts": 0, # no joins at all
+    # round-7 second batch:
+    "q143_survival_table": 0,  # scalars are driver longs; no joins
+    "q144_k_core": 0,          # degree tables scale with the graph —
+                               # planner's choice (AQE broadcasts
+                               # while small)
+    "q145_runs_test": 0,       # no joins at all
+    "text_ngram_novelty": 0,   # doc-spine + first-occurrence joins
+                               # are corpus-sized — planner's choice
+    "pipe_token_budget_fill": 0,  # no joins at all
+    "q146_sax_motifs": 0,      # no joins at all
+    "q147_interarrival_hist": 0,  # no joins at all
 }
 
 PLAN_NODES = (
@@ -426,7 +447,11 @@ def _patch_report(rows, failures) -> None:
                 lines[i] = new
                 break
         else:
-            print(f"warn: no existing row for {gate}", file=sys.stderr)
+            # first run for this gate: append to the end of the table
+            last = max(
+                i for i, ln in enumerate(lines) if ln.startswith("| ")
+            )
+            lines.insert(last + 1, new)
     with open(path, "w") as f:
         f.writelines(lines)
     if failures:

@@ -884,3 +884,81 @@ def test_blocking_pairs_no_all_pairs(spark, sf_dir):
     p = _plan(DEDUP_QUERIES["er_blocking_pairs"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_survival_and_runs_collapse_before_window(spark, sf_dir):
+    """q143/q145 must collapse the fact scan through a hash aggregate
+    BEFORE any (bounded-spine) window, and plan no nested loop — the
+    scalar passes ride driver longs, not 1-row broadcasts."""
+    for gate in ("q143_survival_table", "q145_runs_test"):
+        p = _plan(RELATIONAL_QUERIES[gate](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, gate
+        assert "CartesianProduct" not in p, gate
+        if "Window" in p:
+            # plan text prints parents first: an aggregate BELOW the
+            # window (feeding it) appears after it textually
+            assert p.rindex("HashAggregate") > p.index("Window"), gate
+
+
+def test_k_core_equi_joins_only(spark, sf_dir):
+    """The bounded peel must be pure equi-joins on the shrinking edge
+    set: no nested loop, no cartesian, and the per-round degree
+    aggregates are hash aggregates."""
+    p = _plan(RELATIONAL_QUERIES["q144_k_core"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_ngram_novelty_no_window_no_nlj(spark, sf_dir):
+    """Novelty is two aggregates + doc-spine joins — never a window,
+    never a nested loop (novel-per-doc re-groups the first-occurrence
+    table instead of joining back to the token stream)."""
+    from data_table_spark.operators.textstats import TEXTSTATS_QUERIES
+
+    p = _plan(TEXTSTATS_QUERIES["text_ngram_novelty"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_token_budget_fill_windows_bounded(spark, sf_dir):
+    """Waterfilling windows run over the ALREADY-AGGREGATED source
+    table, never the corpus scan: the token-count hash aggregate must
+    appear before the first Window, and no nested loop (the cap is a
+    driver long, not a 1-row broadcast)."""
+    from data_table_spark.operators.pipeline import PIPELINE_QUERIES
+
+    p = _plan(PIPELINE_QUERIES["pipe_token_budget_fill"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # parents print first: the token-count aggregate FEEDING the
+    # windows must sit deeper than the first Window in the text
+    assert p.rindex("HashAggregate") > p.index("Window")
+
+
+def test_sax_and_interarrival_plan_shapes(spark, sf_dir):
+    """q146 collapses to the day spine before its windows; q147's only
+    window is keyed by user_id (never an unpartitioned fact window);
+    neither plans a nested loop."""
+    p = _plan(RELATIONAL_QUERIES["q146_sax_motifs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.rindex("HashAggregate") > p.index("Window")
+    p = _plan(RELATIONAL_QUERIES["q147_interarrival_hist"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\]", p):
+        assert "user_id" in m.group(0)
+
+
+def test_prefix_dim_topk_is_take_ordered(spark, sf_dir):
+    """Coarse prefix-dim serving must stay the broadcast-probe top-k
+    shape: TakeOrderedAndProject over the map-only corpus scan, one
+    broadcast for the 1-row query, no sort-merge join."""
+    from data_table_spark.operators.similarity import SIMILARITY_QUERIES
+
+    p = _plan(SIMILARITY_QUERIES["sim_prefix_dim_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
