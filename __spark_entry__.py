@@ -259,6 +259,8 @@ _NEXT_WINDOW_QUEUE = [
     "q146_sax_motifs",              # quartile-letter motif mining
     "q147_interarrival_hist",       # digit-bucket gap histogram
     "sim_prefix_dim_topk",          # prefix-dim coarse cosine top-k
+    "q148_mann_kendall",            # pairwise-sign trend z
+    "q149_theil_sen",               # median pairwise slope
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

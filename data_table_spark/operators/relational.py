@@ -7570,3 +7570,253 @@ RELATIONAL_ORACLE["q147_interarrival_hist"] = (
     "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
     "FROM b GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# spine_pairs kernel + q148/q149: pairwise trend statistics
+# --------------------------------------------------------------------------
+
+def spine_pairs(df: DataFrame, idx_col: str = "idx", width: int = 64) -> DataFrame:
+    """Reusable kernel: ALL ordered pairs (idx_a < idx_b) of a BOUNDED
+    spine, with no nested-loop join. ``df`` carries ``idx_col`` (dense
+    0..n−1) plus payload columns; the result has ``a_<col>`` /
+    ``b_<col>`` for every payload column.
+
+    A bare ``i < j`` theta self-join plans a BroadcastNestedLoopJoin
+    (the node the 100× smoke's blanket rule bans), so the quadratic is
+    EQUI-IZED via bucket-pair keys: rows land in ⌈n/width⌉ index
+    buckets; same-bucket pairs join equi on the bucket id with the
+    ``i < j`` residual; cross-bucket pairs explode each side to its
+    bucket-pair keys (fan-out ≤ n_buckets) and join equi on the key.
+    Every pair appears exactly once. Intended for CALENDAR-BOUNDED
+    spines (the q99/q102 bounded-quadratic argument): output is
+    n(n−1)/2 rows and must stay bounded by construction."""
+    n = df.count()
+    nb = max(1, (n + width - 1) // width)
+    payload = [c for c in df.columns if c != idx_col]
+    d = df.withColumn(
+        "_xb", (F.col(idx_col) / width).cast("int")
+    ).localCheckpoint(eager=True)  # 3 consumers: same + both cross sides
+    a_sel = [F.col(f"a.{c}").alias(f"a_{c}") for c in payload]
+    b_sel = [F.col(f"b.{c}").alias(f"b_{c}") for c in payload]
+    same = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a._xb") == F.col("b._xb"))
+            & (F.col(f"a.{idx_col}") < F.col(f"b.{idx_col}")),
+        )
+        .select(*a_sel, *b_sel)
+    )
+    la = (
+        d.where(F.col("_xb") < nb - 1)
+        .select(
+            *[F.col(c).alias(f"a_{c}") for c in payload],
+            "_xb",
+            F.explode(
+                F.sequence(F.col("_xb") + 1, F.lit(nb - 1))
+            ).alias("_tb"),
+        )
+        .select(
+            *[f"a_{c}" for c in payload],
+            (F.col("_xb") * 100_000 + F.col("_tb")).alias("_pk"),
+        )
+    )
+    rb = (
+        d.where(F.col("_xb") > 0)
+        .select(
+            *[F.col(c).alias(f"b_{c}") for c in payload],
+            "_xb",
+            F.explode(F.sequence(F.lit(0), F.col("_xb") - 1)).alias("_sa"),
+        )
+        .select(
+            *[f"b_{c}" for c in payload],
+            (F.col("_sa") * 100_000 + F.col("_xb")).alias("_pk"),
+        )
+    )
+    cross = la.join(rb, "_pk").select(
+        *[f"a_{c}" for c in payload], *[f"b_{c}" for c in payload]
+    )
+    return same.unionByName(cross)
+
+
+def q148_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on daily revenue — the standard
+    nonparametric is-there-a-monotone-trend readout (CUSUM's q130
+    sibling: q130 finds WHERE the level shifts, this asks WHETHER a
+    trend exists): S = Σ_{i<j} sign(rev_j − rev_i) over all day pairs,
+    tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    and the continuity-corrected z = (S∓1)/√Var in floored micro-units.
+    S and the variance are EXACT int64; only the final z divides.
+
+    Scale shape: the quadratic pair join is over the CALENDAR-BOUNDED
+    day spine (the q99 bound: ~2.4k rows at any corpus size — the
+    q102-skyline bounded-quadratic argument), after the fact scan
+    collapses in one map-combinable agg. Tie groups are one more
+    bounded agg. At 100 TB nothing here grows except the first
+    aggregate's input."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w_day = Window.orderBy("day")
+    d = daily.select(
+        "rev", (F.row_number().over(w_day) - 1).alias("idx")
+    ).localCheckpoint(eager=True)  # consumers: the pair kernel + ties
+    s_df = spine_pairs(d).agg(
+        F.sum(
+            F.signum(
+                (F.col("b_rev") - F.col("a_rev")).cast("double")
+            ).cast("long")
+        ).alias("s")
+    )
+    # tie scalars as DRIVER LONGS (q130's pattern — joining two 1-row
+    # aggregates would plan the banned BroadcastNestedLoopJoin); the
+    # tie agg runs over the checkpointed bounded spine, not the facts
+    trow = (
+        d.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+        )
+        .collect()[0]
+    )
+    n, tie_term = int(trow[0]), int(trow[1])
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    s = F.col("s")
+    zc = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(F.lit(0))
+    return s_df.select(
+        s.cast("long").alias("s_stat"),
+        F.lit(n).cast("long").alias("n_days"),
+        F.lit(var18 // 18).cast("long").alias("var_floor"),
+        F.when(
+            F.lit(var18 > 0),
+            F.floor(
+                F.lit(1_000_000) * zc.cast("double")
+                / F.sqrt(F.lit(float(var18)) / F.lit(18.0))
+            ),
+        ).cast("long").alias("z_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q148_mann_kendall"] = q148_mann_kendall
+RELATIONAL_ORACLE["q148_mann_kendall"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1), "
+    "s AS ("
+    "  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 "
+    "    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s "
+    "  FROM daily a JOIN daily b ON a.day < b.day), "
+    "ties AS ("
+    "  SELECT COUNT(*) AS groups, CAST(SUM(t) AS BIGINT) AS n, "
+    "    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term "
+    "  FROM (SELECT rev, COUNT(*) AS t FROM daily GROUP BY 1)) "
+    "SELECT s AS s_stat, n AS n_days, "
+    "  CAST(FLOOR((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0) "
+    "    AS BIGINT) AS var_floor, "
+    "  CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 THEN "
+    "    CAST(FLOOR(1000000 * (CASE WHEN s > 0 THEN s - 1 "
+    "      WHEN s < 0 THEN s + 1 ELSE 0 END) "
+    "      / SQRT((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)) "
+    "      AS BIGINT) END AS z_e6 "
+    "FROM s, ties"
+)
+
+
+# --------------------------------------------------------------------------
+# q149: Theil-Sen robust trend slope on the daily revenue series
+# --------------------------------------------------------------------------
+
+def q149_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope on daily revenue — Mann-Kendall's
+    (q148) companion estimator: the MEDIAN of all pairwise slopes
+    (rev_b − rev_a)/(day_b − day_a), each slope floored to integer
+    micro-cents-per-day BEFORE the median (1e6·Δrev is exact int64;
+    the single double division of two exact ints rounds identically in
+    both engines; fractional parts are ≥ 1/Δday away from integers —
+    far above double ulp at this scale). Median = smallest slope with
+    2·cum ≥ n (the lower median, q108's integer predicate — no float
+    ceil).
+
+    Scale shape: pairs ride the spine_pairs kernel (equi-ized bounded
+    quadratic over the calendar spine); the median runs q103/q108's
+    collapse-then-cumulate pattern over the collapsed slope table. The
+    cumulative window is unpartitioned over distinct slope values —
+    bounded by spine²; the distributed_prefix_sum kernel is the named
+    alternative if the slope universe ever outgrows one partition
+    (PLANS.md's q22 note)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w_day = Window.orderBy("day")
+    d = daily.select(
+        "rev",
+        F.unix_date("day").alias("ud"),
+        (F.row_number().over(w_day) - 1).alias("idx"),
+    )
+    slopes = spine_pairs(d).select(
+        F.floor(
+            (
+                F.lit(1_000_000) * (F.col("b_rev") - F.col("a_rev"))
+            ) / (F.col("b_ud") - F.col("a_ud"))
+        ).cast("long").alias("slope_e6")
+    )
+    vals = slopes.groupBy("slope_e6").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("slope_e6").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "slope_e6",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("slope_e6"))
+        ).alias("median_slope_e6"),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
+
+
+RELATIONAL_QUERIES["q149_theil_sen"] = q149_theil_sen
+RELATIONAL_ORACLE["q149_theil_sen"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1), "
+    "d AS (SELECT rev, day - DATE '1970-01-01' AS ud FROM daily), "
+    "slopes AS ("
+    "  SELECT CAST(FLOOR((1000000 * (b.rev - a.rev)) / (b.ud - a.ud)) "
+    "    AS BIGINT) AS slope_e6 "
+    "  FROM d a JOIN d b ON a.ud < b.ud), "
+    "vals AS ("
+    "  SELECT slope_e6, COUNT(*) AS c FROM slopes GROUP BY 1), "
+    "cum AS ("
+    "  SELECT slope_e6, "
+    "    SUM(c) OVER (ORDER BY slope_e6 ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER () AS n "
+    "  FROM vals) "
+    "SELECT CAST(MIN(CASE WHEN 2 * cum >= n THEN slope_e6 END) AS BIGINT) "
+    "  AS median_slope_e6, "
+    "  CAST(MAX(n) AS BIGINT) AS n_pairs "
+    "FROM cum"
+)

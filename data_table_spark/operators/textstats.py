@@ -1073,3 +1073,60 @@ TEXTSTATS_ORACLE["text_ngram_novelty"] = (
     "LEFT JOIN per_doc p ON d.doc_id = p.doc_id "
     "LEFT JOIN novel n ON d.doc_id = n.doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal (zlib) — the classic boilerplate filter
+# --------------------------------------------------------------------------
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal for LLM corpus filtering: highly repetitive/boilerplate text
+    compresses far below prose (pair with text_repetition's n-gram
+    form; this one sees ALL redundancy, not just trigram repeats).
+    Emits utf-8 byte count, level-6 zlib deflate size, and the ratio
+    in floored micro-units (NULL for empty docs). zlib at a FIXED
+    level is deterministic for a given zlib build, which is why the
+    proof is a golden test against the Python zlib directly rather
+    than a DuckDB oracle (SQL has no deflate) — the same contract as
+    pipe_bpe_merges.
+
+    Scale shape: mapInPandas over Arrow batches — map-only, zero
+    shuffle, embarrassingly parallel; the canonical legitimate Python
+    hot path (a real codec, like the multimodal decoders)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    schema = (
+        "doc_id long, n_bytes long, n_compressed long, ratio_e6 long"
+    )
+
+    def fn(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                c = len(zlib.compress(b, 6))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        c,
+                        (1_000_000 * c) // len(b) if b else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "n_compressed", "ratio_e6"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
+
+
+def text_compression_ratio(spark, sf_dir):
+    """Gate: per-doc zlib-deflate quality signal (rows-only + golden)."""
+    return compression_ratio(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_compression_ratio"] = text_compression_ratio

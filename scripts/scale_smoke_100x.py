@@ -146,6 +146,10 @@ GATES = [
     "q146_sax_motifs",         # day-spine collapse; ≤64 motif cells
     "q147_interarrival_hist",  # keyed LAG + ≤12 bucket cells; hot-user
                                # skew lands on this window
+    "q148_mann_kendall",       # spine_pairs quadratic is calendar-
+                               # bounded: pair count CONSTANT at 100×
+    "q149_theil_sen",          # same bounded-pair argument + q108
+                               # collapse-then-cumulate median
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -237,6 +241,9 @@ DIM_BROADCAST_FLOOR = {
     "pipe_token_budget_fill": 0,  # no joins at all
     "q146_sax_motifs": 0,      # no joins at all
     "q147_interarrival_hist": 0,  # no joins at all
+    "q148_mann_kendall": 0,    # spine-sized pair joins — planner's
+                               # choice (AQE broadcasts the buckets)
+    "q149_theil_sen": 0,       # same
 }
 
 PLAN_NODES = (

@@ -39,6 +39,10 @@ ROWS_ONLY_BY_NATURE = {
                         # reference BPE (test_bpe_train_matches_reference),
                         # and pipe_bpe_pair_counts is the oracle-backed
                         # sibling for the round-0 statistics
+    "text_compression_ratio",  # zlib deflate size has no SQL replay;
+                                # the golden test compares the FULL
+                                # output against Python zlib directly
+                                # (same contract as pipe_bpe_merges)
     # media_decode_features left this set in round 5: the fake-decode
     # features are byte arithmetic an ASCII fixture lets DuckDB replay
     # exactly (ord(char) == byte), so it now carries a hash oracle.

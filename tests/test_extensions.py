@@ -582,3 +582,34 @@ def test_pq_argmin_separation_and_fidelity(sf_dir):
     rank_of = np.empty(len(ids))
     rank_of[order_true] = np.arange(len(ids))
     assert rank_of[adc_top].mean() < len(ids) / 3
+
+
+def test_compression_ratio_golden(spark, sf_dir):
+    """text_compression_ratio == Python zlib computed directly on the
+    same parquet — full-output equality (the gate's oracle substitute;
+    zlib at a fixed level is deterministic for the container's zlib
+    build)."""
+    import zlib
+
+    import duckdb
+
+    from data_table_spark.operators.textstats import TEXTSTATS_QUERIES
+
+    got = sorted(
+        (r["doc_id"], r["n_bytes"], r["n_compressed"], r["ratio_e6"])
+        for r in TEXTSTATS_QUERIES["text_compression_ratio"](
+            spark, sf_dir
+        ).collect()
+    )
+    import os
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchall()
+    want = []
+    for doc_id, text in rows:
+        b = (text or "").encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        want.append(
+            (doc_id, len(b), c, (1_000_000 * c) // len(b) if b else None)
+        )
+    assert got == sorted(want)

@@ -962,3 +962,14 @@ def test_prefix_dim_topk_is_take_ordered(spark, sf_dir):
     p = _plan(SIMILARITY_QUERIES["sim_prefix_dim_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
+
+
+def test_trend_pair_gates_no_nested_loop(spark, sf_dir):
+    """The bounded-quadratic trend gates must ride spine_pairs'
+    equi-ized pair join: no BroadcastNestedLoopJoin, no
+    CartesianProduct anywhere (the bare i<j theta join would plan
+    one)."""
+    for gate in ("q148_mann_kendall", "q149_theil_sen"):
+        p = _plan(RELATIONAL_QUERIES[gate](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, gate
+        assert "CartesianProduct" not in p, gate

@@ -987,3 +987,30 @@ def test_token_budget_fill_matches_brute_force(spark, toks):
     }
     assert got == want
     assert sum(v[1] for v in got.values()) == min(t_budget, total)
+
+
+@SLOW
+@given(
+    n=st.integers(0, 40),
+    width=st.integers(1, 8),
+)
+def test_spine_pairs_complete_and_exact(spark, n, width):
+    """spine_pairs emits EVERY ordered pair (i < j) exactly once —
+    both the same-bucket and cross-bucket paths — for any spine size
+    and bucket width."""
+    from data_table_spark.operators.relational import spine_pairs
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(n)] or [(None, None)],
+        "idx long, v long",
+    )
+    if n == 0:
+        df = df.where("idx IS NOT NULL")
+    got = sorted(
+        (r["a_v"], r["b_v"])
+        for r in spine_pairs(df, width=width).collect()
+    )
+    want = sorted(
+        (i * 10, j * 10) for i in range(n) for j in range(i + 1, n)
+    )
+    assert got == want
