@@ -1794,6 +1794,8 @@ def token_budget_fill(docs: DataFrame, budget_frac: int = 2) -> DataFrame:
             F.max("tok"),
         ).alias("cap")
     ).collect()[0][0]
+    if cap is None:  # empty corpus: no sources, no rows to allocate
+        cap = 0
     alloc = cand.select(
         "source",
         "tok",

@@ -7196,7 +7196,7 @@ def q143_survival_table(spark, sf_dir):
         F.col("n_event").cast("long").alias("n_event"),
         F.when(
             F.col("n_event") < F.col("n_risk"),
-            F.sum("step_e6").over(w.orderBy("dur")),
+            F.sum("step_e6").over(w),
         ).cast("long").alias("log_surv_e6"),
     )
 
@@ -7350,8 +7350,11 @@ def runs_test_summary(daily: DataFrame) -> DataFrame:
     Scale shape: the series is assumed ALREADY collapsed to a bounded
     spine (the q99 day-spine bound) — the lag + the final moments are
     one bounded-spine window + one 1-row agg. Point count and grand
-    total ride as TWO DRIVER LONGS (q130's scalar pattern)."""
+    total ride as TWO DRIVER LONGS (q130's scalar pattern). An empty
+    series yields one all-NULL row (the agg over zero rows)."""
     tot = daily.agg(F.count(F.lit(1)), F.sum("cnt")).collect()[0]
+    if tot[1] is None:  # empty series: SUM over zero rows is NULL
+        tot = (0, 0)
     n_days, total = int(tot[0]), int(tot[1])
     signed = daily.select(
         "day",
@@ -7441,6 +7444,31 @@ RELATIONAL_ORACLE["q145_runs_test"] = (
 # q146: SAX-style motif counts over the daily revenue series
 # --------------------------------------------------------------------------
 
+def _daily_rev_cents(spark, sf_dir) -> DataFrame:
+    """Shared collapse for the daily-series gates (q146/q148/q149):
+    orders → (day, exact revenue cents) on the calendar-bounded spine.
+    One definition so a future rounding change cannot drift between
+    the gates (and _DAILY_REV_CTE is its oracle twin)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev").alias("rev"))
+    )
+
+
+_DAILY_REV_CTE = (
+    "daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders GROUP BY 1)"
+)
+
+
 def q146_sax_motifs(spark, sf_dir):
     """SAX-style symbolization + motif mining over the daily revenue
     series: each day gets a quartile letter a-d (NTILE(4) ordered by
@@ -7456,15 +7484,7 @@ def q146_sax_motifs(spark, sf_dir):
     first (q99's bound); the NTILE and the two LEADs are windows over
     that spine; the motif count is one map-combinable agg over ≤ 64
     motif cells and the top-5 a TakeOrdered."""
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.to_date("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
-        )
-        .groupBy("day")
-        .agg(F.sum("rev").alias("rev"))
-    )
+    daily = _daily_rev_cents(spark, sf_dir)
     lettered = daily.select(
         "day",
         F.element_at(
@@ -7488,11 +7508,7 @@ def q146_sax_motifs(spark, sf_dir):
 
 RELATIONAL_QUERIES["q146_sax_motifs"] = q146_sax_motifs
 RELATIONAL_ORACLE["q146_sax_motifs"] = (
-    "WITH daily AS ("
-    "  SELECT CAST(o_orderdate AS DATE) AS day, "
-    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
-    "      AS rev "
-    "  FROM orders GROUP BY 1), "
+    "WITH " + _DAILY_REV_CTE + ", "
     "lettered AS ("
     "  SELECT day, ['a','b','c','d'][NTILE(4) OVER (ORDER BY rev, day)] "
     "    AS sym "
@@ -7587,16 +7603,26 @@ def spine_pairs(df: DataFrame, idx_col: str = "idx", width: int = 64) -> DataFra
     EQUI-IZED via bucket-pair keys: rows land in ⌈n/width⌉ index
     buckets; same-bucket pairs join equi on the bucket id with the
     ``i < j`` residual; cross-bucket pairs explode each side to its
-    bucket-pair keys (fan-out ≤ n_buckets) and join equi on the key.
-    Every pair appears exactly once. Intended for CALENDAR-BOUNDED
-    spines (the q99/q102 bounded-quadratic argument): output is
-    n(n−1)/2 rows and must stay bounded by construction."""
-    n = df.count()
-    nb = max(1, (n + width - 1) // width)
+    bucket-pair keys (long-typed ``a·1e9 + b`` — collision-free and
+    overflow-safe up to 1e9 buckets, with a fail-fast beyond) and join
+    equi on the key. Every pair appears exactly once. Intended for
+    CALENDAR-BOUNDED spines (the q99/q102 bounded-quadratic argument):
+    output is n(n−1)/2 rows and must stay bounded by construction."""
     payload = [c for c in df.columns if c != idx_col]
+    # checkpoint BEFORE the count: counting first would execute the
+    # input lineage once for n and again for the materialization — the
+    # q124 double-execution class
     d = df.withColumn(
-        "_xb", (F.col(idx_col) / width).cast("int")
+        "_xb", (F.col(idx_col) / width).cast("long")
     ).localCheckpoint(eager=True)  # 3 consumers: same + both cross sides
+    n = d.count()
+    nb = max(1, (n + width - 1) // width)
+    if nb > 1_000_000_000:
+        raise ValueError(
+            f"spine_pairs: {nb} buckets exceeds the pair-key capacity "
+            "(the kernel is for BOUNDED spines; a quadratic this size "
+            "is the wrong tool regardless)"
+        )
     a_sel = [F.col(f"a.{c}").alias(f"a_{c}") for c in payload]
     b_sel = [F.col(f"b.{c}").alias(f"b_{c}") for c in payload]
     same = (
@@ -7614,12 +7640,12 @@ def spine_pairs(df: DataFrame, idx_col: str = "idx", width: int = 64) -> DataFra
             *[F.col(c).alias(f"a_{c}") for c in payload],
             "_xb",
             F.explode(
-                F.sequence(F.col("_xb") + 1, F.lit(nb - 1))
+                F.sequence(F.col("_xb") + 1, F.lit(nb - 1).cast("long"))
             ).alias("_tb"),
         )
         .select(
             *[f"a_{c}" for c in payload],
-            (F.col("_xb") * 100_000 + F.col("_tb")).alias("_pk"),
+            (F.col("_xb") * 1_000_000_000 + F.col("_tb")).alias("_pk"),
         )
     )
     rb = (
@@ -7627,11 +7653,13 @@ def spine_pairs(df: DataFrame, idx_col: str = "idx", width: int = 64) -> DataFra
         .select(
             *[F.col(c).alias(f"b_{c}") for c in payload],
             "_xb",
-            F.explode(F.sequence(F.lit(0), F.col("_xb") - 1)).alias("_sa"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_xb") - 1)
+            ).alias("_sa"),
         )
         .select(
             *[f"b_{c}" for c in payload],
-            (F.col("_sa") * 100_000 + F.col("_xb")).alias("_pk"),
+            (F.col("_sa") * 1_000_000_000 + F.col("_xb")).alias("_pk"),
         )
     )
     cross = la.join(rb, "_pk").select(
@@ -7655,15 +7683,7 @@ def q148_mann_kendall(spark, sf_dir):
     collapses in one map-combinable agg. Tie groups are one more
     bounded agg. At 100 TB nothing here grows except the first
     aggregate's input."""
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.to_date("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
-        )
-        .groupBy("day")
-        .agg(F.sum("rev").alias("rev"))
-    )
+    daily = _daily_rev_cents(spark, sf_dir)
     w_day = Window.orderBy("day")
     d = daily.select(
         "rev", (F.row_number().over(w_day) - 1).alias("idx")
@@ -7707,11 +7727,7 @@ def q148_mann_kendall(spark, sf_dir):
 
 RELATIONAL_QUERIES["q148_mann_kendall"] = q148_mann_kendall
 RELATIONAL_ORACLE["q148_mann_kendall"] = (
-    "WITH daily AS ("
-    "  SELECT CAST(o_orderdate AS DATE) AS day, "
-    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
-    "      AS rev "
-    "  FROM orders GROUP BY 1), "
+    "WITH " + _DAILY_REV_CTE + ", "
     "s AS ("
     "  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 "
     "    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s "
@@ -7740,12 +7756,13 @@ def q149_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend slope on daily revenue — Mann-Kendall's
     (q148) companion estimator: the MEDIAN of all pairwise slopes
     (rev_b − rev_a)/(day_b − day_a), each slope floored to integer
-    micro-cents-per-day BEFORE the median (1e6·Δrev is exact int64;
-    the single double division of two exact ints rounds identically in
-    both engines; fractional parts are ≥ 1/Δday away from integers —
-    far above double ulp at this scale). Median = smallest slope with
-    2·cum ≥ n (the lower median, q108's integer predicate — no float
-    ceil).
+    micro-cents-per-day BEFORE the median. Δrev is cast to double
+    BEFORE the 1e6 scale-up so the expression cannot overflow int64 at
+    any corpus size (review finding: daily deltas beyond ~$92B would
+    ANSI-abort the integer form); below 2^53 the arithmetic is exact,
+    above it both engines run the identical IEEE sequence so the
+    floors still hash-match. Median = smallest slope with 2·cum ≥ n
+    (the lower median, q108's integer predicate — no float ceil).
 
     Scale shape: pairs ride the spine_pairs kernel (equi-ized bounded
     quadratic over the calendar spine); the median runs q103/q108's
@@ -7754,15 +7771,7 @@ def q149_theil_sen(spark, sf_dir):
     bounded by spine²; the distributed_prefix_sum kernel is the named
     alternative if the slope universe ever outgrows one partition
     (PLANS.md's q22 note)."""
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.to_date("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("rev"),
-        )
-        .groupBy("day")
-        .agg(F.sum("rev").alias("rev"))
-    )
+    daily = _daily_rev_cents(spark, sf_dir)
     w_day = Window.orderBy("day")
     d = daily.select(
         "rev",
@@ -7771,9 +7780,9 @@ def q149_theil_sen(spark, sf_dir):
     )
     slopes = spine_pairs(d).select(
         F.floor(
-            (
-                F.lit(1_000_000) * (F.col("b_rev") - F.col("a_rev"))
-            ) / (F.col("b_ud") - F.col("a_ud"))
+            F.lit(1_000_000)
+            * (F.col("b_rev") - F.col("a_rev")).cast("double")
+            / (F.col("b_ud") - F.col("a_ud"))
         ).cast("long").alias("slope_e6")
     )
     vals = slopes.groupBy("slope_e6").agg(F.count(F.lit(1)).alias("c"))
@@ -7798,15 +7807,11 @@ def q149_theil_sen(spark, sf_dir):
 
 RELATIONAL_QUERIES["q149_theil_sen"] = q149_theil_sen
 RELATIONAL_ORACLE["q149_theil_sen"] = (
-    "WITH daily AS ("
-    "  SELECT CAST(o_orderdate AS DATE) AS day, "
-    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
-    "      AS rev "
-    "  FROM orders GROUP BY 1), "
+    "WITH " + _DAILY_REV_CTE + ", "
     "d AS (SELECT rev, day - DATE '1970-01-01' AS ud FROM daily), "
     "slopes AS ("
-    "  SELECT CAST(FLOOR((1000000 * (b.rev - a.rev)) / (b.ud - a.ud)) "
-    "    AS BIGINT) AS slope_e6 "
+    "  SELECT CAST(FLOOR(1000000 * CAST(b.rev - a.rev AS DOUBLE) "
+    "    / (b.ud - a.ud)) AS BIGINT) AS slope_e6 "
     "  FROM d a JOIN d b ON a.ud < b.ud), "
     "vals AS ("
     "  SELECT slope_e6, COUNT(*) AS c FROM slopes GROUP BY 1), "
