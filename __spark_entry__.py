@@ -261,6 +261,7 @@ _NEXT_WINDOW_QUEUE = [
     "sim_prefix_dim_topk",          # prefix-dim coarse cosine top-k
     "q148_mann_kendall",            # pairwise-sign trend z
     "q149_theil_sen",               # median pairwise slope
+    "pipe_k_anonymity",             # quasi-identifier group audit
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -1858,3 +1858,58 @@ PIPELINE_ORACLE["pipe_token_budget_fill"] = (
     "    THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens "
     "FROM alloc"
 )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations
+# --------------------------------------------------------------------------
+
+def k_anonymity_audit(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-source k-anonymity audit — the governance sibling of
+    pipe_pii_scrub: bucket every document by its quasi-identifier
+    combination (source, lang, length-in-hundreds) and report, per
+    source, how many quasi-groups and documents sit in groups smaller
+    than ``k`` — the re-identification surface a privacy review wants
+    BEFORE release (a group of 1 means that document is unique on its
+    quasi-identifiers alone).
+
+    Scale shape: one map-combinable count per quasi-group, then one
+    conditional re-aggregate of the GROUP table (quasi-cardinality-
+    bounded, far below row count) to per-source rollups — the fact
+    scan is touched exactly once, no join anywhere."""
+    groups = docs.select(
+        "source",
+        "lang",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+    ).groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("gc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("gc") < k, 1).otherwise(0))
+        .cast("long").alias("n_small_groups"),
+        F.sum(F.when(F.col("gc") < k, F.col("gc")).otherwise(0))
+        .cast("long").alias("n_exposed_docs"),
+    )
+
+
+def pipe_k_anonymity(spark, sf_dir):
+    """Gate: k=5 anonymity audit over (source, lang, length-bucket)."""
+    return k_anonymity_audit(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_k_anonymity"] = pipe_k_anonymity
+PIPELINE_ORACLE["pipe_k_anonymity"] = (
+    "WITH groups AS ("
+    "  SELECT source, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) "
+    "    AS len_bucket, COUNT(*) AS gc "
+    "  FROM documents GROUP BY 1, 2, 3) "
+    "SELECT source, CAST(SUM(gc) AS BIGINT) AS n_docs, "
+    "  COUNT(*) AS n_groups, "
+    "  CAST(SUM(CASE WHEN gc < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_small_groups, "
+    "  CAST(SUM(CASE WHEN gc < 5 THEN gc ELSE 0 END) AS BIGINT) "
+    "    AS n_exposed_docs "
+    "FROM groups GROUP BY 1"
+)
