@@ -262,6 +262,7 @@ _NEXT_WINDOW_QUEUE = [
     "q148_mann_kendall",            # pairwise-sign trend z
     "q149_theil_sen",               # median pairwise slope
     "pipe_k_anonymity",             # quasi-identifier group audit
+    "q150_fk_integrity",            # anti-join FK violation audit
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

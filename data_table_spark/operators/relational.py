@@ -7825,3 +7825,83 @@ RELATIONAL_ORACLE["q149_theil_sen"] = (
     "  CAST(MAX(n) AS BIGINT) AS n_pairs "
     "FROM cum"
 )
+
+
+# --------------------------------------------------------------------------
+# q150: referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+
+def q150_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit — the warehouse health check a
+    data-table user runs before trusting any join: orphaned lineitems
+    (no parent order), childless orders (no lineitems), orders with a
+    dangling customer key, and customers with a dangling nation key,
+    plus the base cardinalities, in ONE result row. Each violation
+    count is an anti-join (left-anti: the null-safe 'no match exists'
+    form — q113 documents the NOT-IN/NAAJ contrast).
+
+    Scale shape: four key anti-joins, each shuffling only its two key
+    columns (projection pushdown keeps the scans skinny); counts are
+    map-combinable; dims broadcast where small. Scalars are assembled
+    by a tagged union + conditional agg — the q106/q123 join-free
+    pattern (per-count crossJoins would stack nested loops)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def tagged(df, tag):
+        return df.select(F.lit(tag).alias("tag"))
+
+    counts = (
+        tagged(li, "lineitems")
+        .unionAll(tagged(o, "orders"))
+        .unionAll(
+            tagged(li.join(o, li["l_orderkey"] == o["o_orderkey"],
+                           "left_anti"), "orphan_lineitems")
+        )
+        .unionAll(
+            tagged(o.join(li, o["o_orderkey"] == li["l_orderkey"],
+                          "left_anti"), "childless_orders")
+        )
+        .unionAll(
+            tagged(o.join(c, o["o_custkey"] == c["c_custkey"],
+                          "left_anti"), "dangling_custkeys")
+        )
+        .unionAll(
+            tagged(c.join(F.broadcast(n),
+                          c["c_nationkey"] == n["n_nationkey"],
+                          "left_anti"), "dangling_nationkeys")
+        )
+    )
+
+    def pick(tag):
+        return F.coalesce(
+            F.sum(F.when(F.col("tag") == tag, 1)), F.lit(0)
+        ).cast("long").alias(f"n_{tag}")
+
+    return counts.agg(
+        pick("lineitems"), pick("orders"), pick("orphan_lineitems"),
+        pick("childless_orders"), pick("dangling_custkeys"),
+        pick("dangling_nationkeys"),
+    )
+
+
+RELATIONAL_QUERIES["q150_fk_integrity"] = q150_fk_integrity
+RELATIONAL_ORACLE["q150_fk_integrity"] = (
+    "SELECT "
+    "  (SELECT COUNT(*) FROM lineitem) AS n_lineitems, "
+    "  (SELECT COUNT(*) FROM orders) AS n_orders, "
+    "  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS ("
+    "    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+    "    AS n_orphan_lineitems, "
+    "  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS ("
+    "    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) "
+    "    AS n_childless_orders, "
+    "  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS ("
+    "    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+    "    AS n_dangling_custkeys, "
+    "  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS ("
+    "    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) "
+    "    AS n_dangling_nationkeys"
+)
