@@ -263,6 +263,7 @@ _NEXT_WINDOW_QUEUE = [
     "q149_theil_sen",               # median pairwise slope
     "pipe_k_anonymity",             # quasi-identifier group audit
     "q150_fk_integrity",            # anti-join FK violation audit
+    "q151_survival_by_cohort",      # keyed per-cohort KM curves
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -7139,34 +7139,40 @@ RELATIONAL_ORACLE["q142_welch_t"] = (
 def q143_survival_table(spark, sf_dir):
     """Kaplan-Meier survival table over user lifetimes in the events
     stream — the churn/retention primitive the reference's RDBMS users
-    run as a stored query. A user's lifetime is last-day − first-day;
-    a user is an observed churn EVENT if their last activity precedes
-    the corpus horizon by more than 14 days, else right-CENSORED (still
-    alive at the horizon). For each duration with ≥1 event: the at-risk
-    count (lifetimes ≥ d), the event count, and the running
-    log-survival Σ ln(1 − dᵢ/nᵢ) with each step floored to integer
-    micro-nats BEFORE the cumulative sum (the q127/text_lm exactness
-    trick — the sum is then exact int64). A step where every at-risk
-    user dies (n_event = n_risk, only possible on the final event row)
-    has log-survival −∞ → NULL, handled identically in both engines.
+    run as a stored query. A user's lifetime is last − first activity
+    in WHOLE HOURS (exact integer `div` of epoch-microsecond spans —
+    day granularity is degenerate on this corpus: every user is active
+    within a day of the horizon); a user is an observed churn EVENT if
+    their last activity precedes the corpus horizon by more than 12
+    hours (the median last-gap is ~7 h, so both classes are populated),
+    else right-CENSORED (still alive at the horizon). For each duration
+    with ≥1 event: the at-risk count (lifetimes ≥ d), the event count,
+    and the running log-survival Σ ln(1 − dᵢ/nᵢ) with each step floored
+    to integer micro-nats BEFORE the cumulative sum (the q127/text_lm
+    exactness trick — the sum is then exact int64). A step where every
+    at-risk user dies (n_event = n_risk, only possible on the final
+    event row) has log-survival −∞ → NULL, handled identically in both
+    engines.
 
     Scale shape: one map-combinable min/max agg per user, one agg to
-    the duration distribution (calendar-bounded: ≤ ~2.4k distinct
-    durations — the q99 day-spine bound), then two running windows over
-    that bounded spine. Horizon + cohort size ride as TWO DRIVER LONGS
-    from one 1-row agg (q130's scalar pattern — a 1-row broadcast
-    would plan the banned BroadcastNestedLoopJoin)."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", F.unix_date(F.to_date("ts")).alias("d")
+    the duration distribution (hour-bounded: ≤ ~720 distinct durations
+    on a 30-day corpus — the q99 spine bound), then two running windows
+    over that bounded spine. Horizon + cohort size ride as TWO DRIVER
+    LONGS from one 1-row agg (q130's scalar pattern — a 1-row
+    broadcast would plan the banned BroadcastNestedLoopJoin)."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
+    e = _t(spark, sf_dir, "events").select("user_id", us.alias("t"))
     users = e.groupBy("user_id").agg(
-        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+        F.min("t").alias("first_t"), F.max("t").alias("last_t")
     )
-    g = users.agg(F.max("last_d"), F.count(F.lit(1))).collect()[0]
+    g = users.agg(F.max("last_t"), F.count(F.lit(1))).collect()[0]
     gmax, n_users = int(g[0]), int(g[1])
     per_user = users.select(
-        (F.col("last_d") - F.col("first_d")).alias("dur"),
-        (F.col("last_d") < F.lit(gmax - 14)).cast("long").alias("ev"),
+        F.expr("(last_t - first_t) div 3600000000").alias("dur"),
+        (F.col("last_t") < F.lit(gmax - 12 * 3_600_000_000))
+        .cast("long").alias("ev"),
     )
     dist = per_user.groupBy("dur").agg(
         F.count(F.lit(1)).alias("n_total"), F.sum("ev").alias("n_event")
@@ -7205,13 +7211,13 @@ RELATIONAL_QUERIES["q143_survival_table"] = q143_survival_table
 RELATIONAL_ORACLE["q143_survival_table"] = (
     "WITH u AS ("
     "  SELECT user_id, "
-    "    MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS first_d, "
-    "    MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS last_d "
+    "    MIN(epoch_us(ts)) AS first_t, "
+    "    MAX(epoch_us(ts)) AS last_t "
     "  FROM events GROUP BY 1), "
-    "g AS (SELECT MAX(last_d) AS gmax, COUNT(*) AS n_users FROM u), "
+    "g AS (SELECT MAX(last_t) AS gmax, COUNT(*) AS n_users FROM u), "
     "p AS ("
-    "  SELECT last_d - first_d AS dur, "
-    "    CASE WHEN last_d < (SELECT gmax FROM g) - 14 "
+    "  SELECT (last_t - first_t) // 3600000000 AS dur, "
+    "    CASE WHEN last_t < (SELECT gmax FROM g) - 43200000000 "
     "      THEN 1 ELSE 0 END AS ev "
     "  FROM u), "
     "dist AS ("
@@ -7904,4 +7910,120 @@ RELATIONAL_ORACLE["q150_fk_integrity"] = (
     "  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS ("
     "    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) "
     "    AS n_dangling_nationkeys"
+)
+
+
+# --------------------------------------------------------------------------
+# q151: Kaplan-Meier survival per signup cohort (the keyed, 100 TB form)
+# --------------------------------------------------------------------------
+
+def q151_survival_by_cohort(spark, sf_dir):
+    """Kaplan-Meier survival tables PER SIGNUP COHORT (first-event
+    day) — q143's scalable sibling and the form a retention dashboard
+    actually wants (compare cohorts' curves): every window is
+    PARTITIONED BY cohort, so unlike q143's global bounded-spine
+    windows this shape scales keyed — per-cohort spine rows shuffle to
+    their cohort's reducer and no single partition ever sees the whole
+    table. Per-cohort user totals come from a keyed full-frame window
+    (cohort cardinality is calendar-bounded); only the global censoring
+    horizon rides as a driver long (q130's scalar pattern). Hour-
+    granular lifetimes, 12 h churn horizon, and per-step floored
+    log-survival are exactly q143's semantics."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", us.alias("t"))
+    users = e.groupBy("user_id").agg(
+        F.min("t").alias("first_t"), F.max("t").alias("last_t")
+    )
+    gmax = int(users.agg(F.max("last_t")).collect()[0][0])
+    per_user = users.select(
+        F.date_from_unix_date(
+            F.expr("first_t div 86400000000").cast("int")
+        ).alias("cohort"),
+        F.expr("(last_t - first_t) div 3600000000").alias("dur"),
+        (F.col("last_t") < F.lit(gmax - 12 * 3_600_000_000))
+        .cast("long").alias("ev"),
+    )
+    dist = per_user.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("ev").alias("n_event")
+    )
+    w_cum = Window.partitionBy("cohort").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("cohort")
+    km = dist.select(
+        "cohort",
+        "dur",
+        "n_event",
+        (
+            F.sum("n_total").over(w_all)
+            - F.sum("n_total").over(w_cum)
+            + F.col("n_total")
+        ).alias("n_risk"),
+    ).where(F.col("n_event") > 0)
+    step = F.when(
+        F.col("n_event") < F.col("n_risk"),
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(
+                (F.col("n_risk") - F.col("n_event")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ).cast("long"),
+    )
+    staged = km.select(
+        "cohort", "dur", "n_risk", "n_event", step.alias("step_e6")
+    )
+    return staged.select(
+        "cohort",
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.when(
+            F.col("n_event") < F.col("n_risk"),
+            F.sum("step_e6").over(w_cum),
+        ).cast("long").alias("log_surv_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q151_survival_by_cohort"] = q151_survival_by_cohort
+RELATIONAL_ORACLE["q151_survival_by_cohort"] = (
+    "WITH u AS ("
+    "  SELECT user_id, "
+    "    MIN(epoch_us(ts)) AS first_t, "
+    "    MAX(epoch_us(ts)) AS last_t "
+    "  FROM events GROUP BY 1), "
+    "g AS (SELECT MAX(last_t) AS gmax FROM u), "
+    "p AS ("
+    "  SELECT DATE '1970-01-01' "
+    "      + CAST(first_t // 86400000000 AS INTEGER) AS cohort, "
+    "    (last_t - first_t) // 3600000000 AS dur, "
+    "    CASE WHEN last_t < (SELECT gmax FROM g) - 43200000000 "
+    "      THEN 1 ELSE 0 END AS ev "
+    "  FROM u), "
+    "dist AS ("
+    "  SELECT cohort, dur, COUNT(*) AS n_total, "
+    "    CAST(SUM(ev) AS BIGINT) AS n_event "
+    "  FROM p GROUP BY 1, 2), "
+    "km AS ("
+    "  SELECT cohort, dur, n_event, "
+    "    SUM(n_total) OVER (PARTITION BY cohort) "
+    "      - SUM(n_total) OVER (PARTITION BY cohort ORDER BY dur "
+    "        ROWS UNBOUNDED PRECEDING) "
+    "      + n_total AS n_risk "
+    "  FROM dist), "
+    "ev AS ("
+    "  SELECT cohort, dur, n_risk, n_event, "
+    "    CASE WHEN n_event < n_risk THEN "
+    "      CAST(FLOOR(1000000 * LN(CAST(n_risk - n_event AS DOUBLE) "
+    "        / CAST(n_risk AS DOUBLE))) AS BIGINT) END AS step_e6 "
+    "  FROM km WHERE n_event > 0) "
+    "SELECT CAST(cohort AS DATE) AS cohort, "
+    "  CAST(dur AS BIGINT) AS dur_days, "
+    "  CAST(n_risk AS BIGINT) AS n_risk, n_event, "
+    "  CASE WHEN n_event < n_risk THEN "
+    "    CAST(SUM(step_e6) OVER (PARTITION BY cohort ORDER BY dur "
+    "      ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS log_surv_e6 "
+    "FROM ev"
 )

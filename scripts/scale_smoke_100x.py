@@ -137,7 +137,9 @@ GATES = [
                                # multiply the vocab ~100× but the pair
                                # cell space stays letter-bounded
     "q143_survival_table",     # user min/max collapse; duration spine
-                               # calendar-bounded
+                               # hour-bounded
+    "q151_survival_by_cohort", # the keyed form: every window
+                               # PARTITIONED BY cohort
     "q144_k_core",             # 4-round peel: shrinking equi-joins
     "q145_runs_test",          # day-spine collapse; two driver longs
     "text_ngram_novelty",      # two aggs + doc-spine joins, no window
@@ -232,6 +234,7 @@ DIM_BROADCAST_FLOOR = {
     "pipe_bpe_pair_counts": 0, # no joins at all
     # round-7 second batch:
     "q143_survival_table": 0,  # scalars are driver longs; no joins
+    "q151_survival_by_cohort": 0,  # same
     "q144_k_core": 0,          # degree tables scale with the graph —
                                # planner's choice (AQE broadcasts
                                # while small)
