@@ -264,6 +264,12 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_k_anonymity",             # quasi-identifier group audit
     "q150_fk_integrity",            # anti-join FK violation audit
     "q151_survival_by_cohort",      # keyed per-cohort KM curves
+    # rule-2 re-grades (semantics changed late in round 7 after the
+    # zero-row degeneracy audit — their old green rows are stale):
+    "q09_anti_join",                # now 'no URGENT order' (non-empty)
+    "q26_except",                   # now ship-days ∖ order-days
+    # (q143_survival_table also changed — hour-granular, 12 h horizon —
+    # but already holds a queue slot above as a never-green gate)
 ]
 
 #: round-8 re-proof claim order (round-6 judge item 4): the 17

@@ -123,9 +123,17 @@ def q08_semi_join(spark, sf_dir):
 
 
 def q09_anti_join(spark, sf_dir):
-    """NOT EXISTS → left_anti."""
+    """NOT EXISTS → left_anti: customers with no URGENT order. (The
+    original unfiltered form — customers with no orders at all — is
+    EMPTY at every sf in this synthesis, so the gate was matching its
+    oracle on zero rows and proving nothing; the priority filter keeps
+    the anti-join shape and populates both sides.)"""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey")
 
 
@@ -286,11 +294,19 @@ def q25_intersect(spark, sf_dir):
 
 
 def q26_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_nationkey")
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("c_nationkey")
+    """EXCEPT (set difference with dedup): calendar days on which
+    something SHIPPED but nothing was ORDERED — guaranteed non-empty
+    because ship dates trail order dates by up to ~4 months. (The
+    original nation-key difference was EMPTY at every sf — suppliers
+    cover every customer nation — so the gate matched its oracle on
+    zero rows.)"""
+    ship = _t(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("day")
     )
-    return c.subtract(s)
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    return ship.subtract(ordered)
 
 
 # --------------------------------------------------------------------------
@@ -437,7 +453,8 @@ RELATIONAL_ORACLE: dict[str, str] = {
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
     "q09_anti_join":
         "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')",
     "q10_cross_join":
         "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2",
     "q11_theta_join":
@@ -494,7 +511,8 @@ RELATIONAL_ORACLE: dict[str, str] = {
     "q25_intersect":
         "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
     "q26_except":
-        "SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+        "SELECT CAST(l_shipdate AS DATE) AS day FROM lineitem "
+        "EXCEPT SELECT CAST(o_orderdate AS DATE) FROM orders",
     "q27_strings":
         "SELECT p_partkey, UPPER(p_brand) ub, LOWER(p_type) lt, "
         "SUBSTR(p_name,1,5) s5, CAST(LENGTH(p_name) AS BIGINT) ln, "
