@@ -266,6 +266,7 @@ _NEXT_WINDOW_QUEUE = [
     "q151_survival_by_cohort",      # keyed per-cohort KM curves
     # rule-2 re-grades (semantics changed late in round 7 after the
     # zero-row degeneracy audit — their old green rows are stale):
+    "stream_tumbling_distinct",     # two-stage exact distinct reach
     "q09_anti_join",                # now 'no URGENT order' (non-empty)
     "q26_except",                   # now ship-days ∖ order-days
     # (q143_survival_table also changed — hour-granular, 12 h horizon —

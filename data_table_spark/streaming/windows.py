@@ -424,3 +424,58 @@ STREAMJOIN_ORACLE["stream_session_counts"] = (
     "  user_id, COUNT(*)::BIGINT AS cnt "
     "FROM s GROUP BY user_id, sid"
 )
+
+
+def tumbling_distinct_users(
+    events: DataFrame, width: str = "10 minutes"
+) -> DataFrame:
+    """S2b: tumbling-window DISTINCT-USER counts — the audience-reach
+    sibling of sliding_counts. Streaming forbids COUNT(DISTINCT), so
+    this is the STREAMING-LEGAL two-stage form (the production recipe):
+    stage 1 aggregates per (window, type, user) — the state IS the
+    distinct set, keyed and watermark-evicted; stage 2 re-windows the
+    stage-1 rows via window_time() and counts them — the Spark 3.4+
+    chained-stateful-operator pattern. On batch input the same plan
+    collapses to two hash aggregates. At 100 TB the stage-1 state is
+    user-bounded per window; approx_count_distinct is the documented
+    sketch alternative when even that is too wide."""
+    per_user = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"), "event_type", "user_id")
+        .agg(F.count("*").alias("events_in_window"))
+    )
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("w"), width).alias("w2"), "event_type"
+        )
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("w2.start").alias("w_start"),
+            F.col("w2.end").alias("w_end"),
+            "event_type", "n_users",
+        )
+    )
+
+
+def stream_tumbling_distinct(spark, sf_dir):
+    """Gate: batch form of S2b through the SAME two-stage transform the
+    stream runs; the oracle replays tumbling epoch alignment with a
+    plain COUNT(DISTINCT)."""
+    from ..sources.registry import load_table
+
+    out = tumbling_distinct_users(load_table(spark, "events", sf_dir))
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        F.unix_timestamp("w_end").cast("long").alias("w_end_epoch"),
+        "event_type",
+        "n_users",
+    )
+
+
+STREAMJOIN_QUERIES["stream_tumbling_distinct"] = stream_tumbling_distinct
+STREAMJOIN_ORACLE["stream_tumbling_distinct"] = (
+    "SELECT (FLOOR(epoch(ts) / 600) * 600)::BIGINT AS w_start_epoch, "
+    "  (FLOOR(epoch(ts) / 600) * 600 + 600)::BIGINT AS w_end_epoch, "
+    "  event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users "
+    "FROM events GROUP BY 1, 2, 3"
+)

@@ -26,6 +26,7 @@ from data_table_spark.streaming.windows import (  # noqa: E402
     run_stream_over_files,
     session_counts,
     sliding_counts,
+    tumbling_distinct_users,
     tumbling_counts,
 )
 
@@ -91,6 +92,8 @@ def _is_sentinel(row):
         ("s1_tumbling", tumbling_counts,
          ["w_start", "w_end", "event_type", "cnt", "sum_value"]),
         ("s2_sliding", sliding_counts, ["w_start", "w_end", "event_type", "cnt"]),
+        ("s2b_tumbling_distinct", tumbling_distinct_users,
+         ["w_start", "w_end", "event_type", "n_users"]),
         ("s3_session", session_counts, ["w_start", "w_end", "user_id", "cnt"]),
     ],
 )
