@@ -264,6 +264,8 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_k_anonymity",             # quasi-identifier group audit
     "q150_fk_integrity",            # anti-join FK violation audit
     "q151_survival_by_cohort",      # keyed per-cohort KM curves
+    "pipe_dataset_card",            # one-scan GROUPING SETS cover sheet
+    "q152_lateral_topk",            # correlated LATERAL LIMIT decorrelation
     # rule-2 re-grades (semantics changed late in round 7 after the
     # zero-row degeneracy audit — their old green rows are stale):
     "stream_tumbling_distinct",     # two-stage exact distinct reach

@@ -1913,3 +1913,64 @@ PIPELINE_ORACLE["pipe_k_anonymity"] = (
     "    AS n_exposed_docs "
     "FROM groups GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# dataset card: the release-notes summary block, one scan
+# --------------------------------------------------------------------------
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Dataset-card summary block — the numbers every dataset release
+    note leads with, per source AND overall, from ONE scan via
+    GROUPING SETS ((source), ()): document/char/token counts, distinct
+    languages, and empty-doc count. The overall row carries source
+    '__all__' (COALESCE over the grouping null). Exact integers
+    throughout; quality/dedup depth live in their own gates
+    (pipe_quality_report, dedup_*) — this is the cover sheet.
+
+    Scale shape: one map-combinable aggregate with a 2-set Expand
+    (rollup(source) IS GROUPING SETS ((source), ())) — per-row cost
+    ×2, zero joins, zero windows; distinct-language state is
+    vocabulary-bounded per group."""
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars_doc"),
+        toks.cast("long").alias("n_toks_doc"),
+        (F.length(F.trim(F.col("text"))) == 0).cast("long").alias("is_empty"),
+    )
+    return base.rollup("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_doc").cast("long").alias("n_chars"),
+        F.sum("n_toks_doc").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("is_empty").cast("long").alias("n_empty"),
+    ).select(
+        F.coalesce("source", F.lit("__all__")).alias("source"),
+        "n_docs", "n_chars", "n_tokens", "n_langs", "n_empty",
+    )
+
+
+def pipe_dataset_card(spark, sf_dir):
+    """Gate: one-scan dataset-card rollup over documents."""
+    return dataset_card(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_dataset_card"] = pipe_dataset_card
+PIPELINE_ORACLE["pipe_dataset_card"] = (
+    "SELECT COALESCE(source, '__all__') AS source, "
+    "  COUNT(*) AS n_docs, "
+    "  CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+    "  CAST(SUM(len(list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens, "
+    "  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_empty "
+    "FROM documents GROUP BY GROUPING SETS ((source), ())"
+)

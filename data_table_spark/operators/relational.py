@@ -8045,3 +8045,59 @@ RELATIONAL_ORACLE["q151_survival_by_cohort"] = (
     "      ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS log_surv_e6 "
     "FROM ev"
 )
+
+
+# --------------------------------------------------------------------------
+# q152: correlated LATERAL top-k — the SQL surface Spark decorrelates
+# --------------------------------------------------------------------------
+
+def q152_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-3
+    customers by account balance per region, written as the SQL-standard
+    ``FROM region r, LATERAL (SELECT ... WHERE n_regionkey =
+    r.r_regionkey ORDER BY ... LIMIT 3)`` — the surface a reference
+    user would reach for before knowing the window idiom
+    (data-table's get-data-table passthrough, data-table.lisp:33-39,
+    lets users run exactly this class of vendor SQL).
+
+    What Spark does with it (observed, sf0.01 plan): Catalyst
+    DECORRELATES the per-row subquery into a row_number window over
+    the correlation key — no per-outer-row re-execution, both joins
+    broadcast. The wart worth knowing: the rewrite FIRST materializes
+    the subquery's ORDER BY as a global rangepartitioning sort over
+    ALL customers, then hash-exchanges by the correlation key for the
+    window — one exchange more than the handwritten form. At 100 TB
+    write q90_latest_n_per_key's direct window (one hash shuffle, per
+    -key local sort) instead; this gate pins the semantics of the
+    lateral surface and PERF_NOTES records the plan delta."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q152_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q152_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("q152_region")
+    return spark.sql("""
+        SELECT r.r_name AS region, t.c_name AS c_name,
+               t.c_acctbal AS c_acctbal
+        FROM q152_region r,
+        LATERAL (
+          SELECT c.c_name, c.c_acctbal
+          FROM q152_customer c
+          JOIN q152_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey
+          LIMIT 3
+        ) t
+    """)
+
+
+RELATIONAL_QUERIES["q152_lateral_topk"] = q152_lateral_topk
+RELATIONAL_ORACLE["q152_lateral_topk"] = (
+    "SELECT r.r_name AS region, t.c_name AS c_name, "
+    "  t.c_acctbal AS c_acctbal "
+    "FROM region r, "
+    "LATERAL ("
+    "  SELECT c.c_name, c.c_acctbal "
+    "  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "  WHERE n.n_regionkey = r.r_regionkey "
+    "  ORDER BY c.c_acctbal DESC, c.c_custkey "
+    "  LIMIT 3"
+    ") t"
+)

@@ -973,3 +973,29 @@ def test_trend_pair_gates_no_nested_loop(spark, sf_dir):
         p = _plan(RELATIONAL_QUERIES[gate](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in p, gate
         assert "CartesianProduct" not in p, gate
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """q152's correlated LATERAL (ORDER BY .. LIMIT 3) must be
+    decorrelated by Catalyst into a row_number window over the
+    correlation key — per-outer-row re-execution would show up as a
+    nested loop / cartesian node. (PERF_NOTES records the rewrite's
+    extra global-sort exchange vs the direct q90 form.)"""
+    p = _plan(RELATIONAL_QUERIES["q152_lateral_topk"](spark, sf_dir))
+    assert "Window" in p
+    assert "row_number" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dataset_card_is_single_expand_agg(spark, sf_dir):
+    """pipe_dataset_card must stay ONE scan: rollup(source) plans as a
+    single Expand + aggregate — no joins, no windows, exactly one
+    parquet scan."""
+    from data_table_spark.operators.pipeline import PIPELINE_QUERIES
+
+    p = _plan(PIPELINE_QUERIES["pipe_dataset_card"](spark, sf_dir))
+    assert "Expand" in p
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Scan parquet") == 1, p[:800]
