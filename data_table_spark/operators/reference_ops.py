@@ -253,3 +253,88 @@ REFERENCE_ORACLE["ref_xml_roundtrip"] = (
     "SELECT n_nationkey, n_name, n_regionkey, "
     "'<a & \"' || n_name || ''' é✓>' AS n_marked FROM nation"
 )
+
+
+# --------------------------------------------------------------------------
+# R11 at scale: order-independent whole-table fingerprint
+# --------------------------------------------------------------------------
+
+#: (table, canonical columns) — integer/string/date-free projections so
+#: the canonical string is byte-identical across engines (doubles and
+#: timestamps render differently and are excluded by design).
+_FP_TABLES = [
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]),
+    ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]),
+    ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+]
+
+_FP_P = 1_000_000_007  # sum lanes reduced mod p so partials never overflow
+
+
+def table_fingerprint(df: DataFrame, cols: list[str], label: str) -> DataFrame:
+    """Order-independent whole-table fingerprint — the 100 TB form of
+    R11 data-table-data-compare (data-table.lisp:210-216): comparing
+    two copies of a huge table needs no join and no order, just equal
+    (n_rows, fp1, fp2). Each row's canonical string (columns joined
+    with '|', NULL → a sentinel the data can't contain) is hashed twice
+    (md5 and a salted md5), the top 56 bits taken as an integer, and
+    the rows combined by commutative modular SUM — any single changed,
+    added, or dropped row flips both lanes with collision odds ~2^-60.
+
+    Scale shape: ONE map-combinable aggregate per table — zero joins,
+    zero windows, zero shuffles beyond the 1-row partial merge; the
+    mod-p reduction keeps every partial in BIGINT range at any row
+    count (sum of <=9e9 per-row residues < 2^63 needs ~9e9 rows; the
+    DECIMAL(38,0) accumulator removes even that bound)."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+               for c in cols]
+    )
+    lane1 = F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("long")
+    lane2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fp2|"), canon)), 1, 14), 16, 10
+    ).cast("long")
+    return df.select(
+        (lane1 % _FP_P).cast("decimal(38,0)").alias("v1"),
+        (lane2 % _FP_P).cast("decimal(38,0)").alias("v2"),
+    ).agg(
+        F.lit(label).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("v1") % _FP_P).cast("long").alias("fp1"),
+        (F.sum("v2") % _FP_P).cast("long").alias("fp2"),
+    ).select("table_name", "n_rows", "fp1", "fp2")
+
+
+def ref_table_fingerprint(spark, sf_dir):
+    """Gate: fingerprint three tables; the union's branches scan
+    DIFFERENT tables, so no shared-subtree re-execution applies."""
+    parts = [
+        table_fingerprint(load_table(spark, t, sf_dir), cols, t)
+        for t, cols in _FP_TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+REFERENCE_QUERIES["ref_table_fingerprint"] = ref_table_fingerprint
+
+_FP_ORACLE_PARTS = []
+for _t_name, _cols in _FP_TABLES:
+    _canon = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in _cols
+    )
+    _FP_ORACLE_PARTS.append(
+        f"SELECT '{_t_name}' AS table_name, COUNT(*) AS n_rows, "
+        f"CAST(CAST(SUM(CAST(('0x' || substring(md5({_canon}), 1, 14)) "
+        f"  AS BIGINT) % {_FP_P}) AS HUGEINT) % {_FP_P} AS BIGINT) AS fp1, "
+        f"CAST(CAST(SUM(CAST(('0x' || substring(md5('fp2|' || {_canon}), "
+        f"  1, 14)) AS BIGINT) % {_FP_P}) AS HUGEINT) % {_FP_P} AS BIGINT) "
+        f"  AS fp2 "
+        f"FROM {_t_name}"
+    )
+REFERENCE_ORACLE["ref_table_fingerprint"] = " UNION ALL ".join(
+    _FP_ORACLE_PARTS
+)

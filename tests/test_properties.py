@@ -1014,3 +1014,38 @@ def test_spine_pairs_complete_and_exact(spark, n, width):
         (i * 10, j * 10) for i in range(n) for j in range(i + 1, n)
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.text(alphabet="abc|", max_size=4)),
+        min_size=1, max_size=8,
+    ),
+    idx=st.data(),
+)
+def test_table_fingerprint_order_free_and_tamper_sensitive(spark, rows, idx):
+    """ref_table_fingerprint's kernel: (1) any row order gives the same
+    (n_rows, fp1, fp2); (2) changing one cell, dropping a row, or
+    duplicating a row flips at least one lane. '|' appears in the value
+    alphabet on purpose — the NUL-sentinel canonicalization, not the
+    delimiter, is what carries NULL-safety."""
+    from data_table_spark.operators.reference_ops import table_fingerprint
+
+    def fp(rws):
+        df = spark.createDataFrame(rws or [(0, "")], "k long, s string")
+        if not rws:
+            df = df.limit(0)
+        return tuple(
+            table_fingerprint(df, ["k", "s"], "t").collect()[0]
+        )
+
+    base = fp(rows)
+    assert fp(list(reversed(rows))) == base
+    i = idx.draw(st.integers(0, len(rows) - 1))
+    k, s = rows[i]
+    tampered = rows[:i] + [(k + 1, s)] + rows[i + 1:]
+    assert fp(tampered) != base
+    assert fp(rows[:i] + rows[i + 1:]) != base       # dropped row
+    assert fp(rows + [rows[i]]) != base              # duplicated row
