@@ -152,6 +152,19 @@ GATES = [
                                # bounded: pair count CONSTANT at 100×
     "q149_theil_sen",          # same bounded-pair argument + q108
                                # collapse-then-cumulate median
+    # round-7 third batch (q152_lateral_topk is EXCLUDED by design:
+    # its cost side is customer, a dim this synthesis leaves unscaled,
+    # so the 100× run would measure nothing — the plan assert + the
+    # PERF_NOTES lateral-decorrelation entry carry its scale story):
+    "q150_fk_integrity",       # four anti joins; lineitem→orders build
+                               # side is fact-sized and must flip,
+                               # customer/nation stay dim broadcasts
+    "stream_tumbling_distinct",  # two chained hash aggs over events —
+                               # partial agg IS the distinct merge
+    "pipe_dataset_card",       # rollup(source): one Expand aggregate
+                               # over the ciphered 100× corpus
+    "ref_table_fingerprint",   # map-only modular hash lanes per table;
+                               # orders is the 100× side
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -247,6 +260,16 @@ DIM_BROADCAST_FLOOR = {
     "q148_mann_kendall": 0,    # spine-sized pair joins — planner's
                                # choice (AQE broadcasts the buckets)
     "q149_theil_sen": 0,       # same
+    # round-7 third batch:
+    "q150_fk_integrity": 2,    # customer + nation anti-join build
+                               # sides are true dims and must stay
+                               # broadcast; the lineitem→orders and
+                               # orders→lineitem builds are fact-sized
+                               # and may flip
+    "stream_tumbling_distinct": 0,  # no joins at all
+    "pipe_dataset_card": 0,    # no joins at all
+    "ref_table_fingerprint": 0,  # no joins at all (union of three
+                               # independent 1-row aggregates)
 }
 
 PLAN_NODES = (
