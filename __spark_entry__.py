@@ -267,6 +267,7 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_dataset_card",            # one-scan GROUPING SETS cover sheet
     "q152_lateral_topk",            # correlated LATERAL LIMIT decorrelation
     "ref_table_fingerprint",        # order-independent R11 scale form
+    "stream_left_attribution",      # LEFT OUTER stream-stream interval join
     # rule-2 re-grades (semantics changed late in round 7 after the
     # zero-row degeneracy audit — their old green rows are stale):
     "stream_tumbling_distinct",     # two-stage exact distinct reach

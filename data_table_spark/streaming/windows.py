@@ -130,6 +130,41 @@ def attribution_join(events: DataFrame, lookback: str = "30 minutes") -> DataFra
     )
 
 
+def left_attribution_join(events: DataFrame, lookback: str = "30 minutes") -> DataFrame:
+    """S7b: LEFT OUTER stream-stream interval join — every purchase
+    emits, attributed to the click(s) within `lookback` before it or
+    with NULL click columns when no click exists. The outer side is the
+    semantically distinct streaming surface: Structured Streaming holds
+    an unmatched purchase in state and emits its NULL row only once the
+    CLICK-side watermark proves no matching click can still arrive
+    (watermark-delayed emission — inner matches stream out immediately,
+    outer nulls are late by construction). Both watermarks + the
+    two-sided time bound keep the state bounded exactly as in the inner
+    form. Works identically on a batch DataFrame (batch left join;
+    watermarks are no-ops) — the oracle form.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_over_files(
     spark,
     source_dir: str,
@@ -206,8 +241,18 @@ def stream_dedup_counts(spark, sf_dir):
     )
 
 
+def stream_left_attribution(spark, sf_dir):
+    """Gate: batch form of the S7b LEFT OUTER stream-stream join (the
+    streaming application — watermark-delayed NULL emission — is
+    batch-equivalence-tested in tests/test_streaming.py)."""
+    from ..sources.registry import load_table
+
+    return left_attribution_join(load_table(spark, "events", sf_dir))
+
+
 STREAMJOIN_QUERIES = {
     "stream_attribution": stream_attribution,
+    "stream_left_attribution": stream_left_attribution,
     "stream_dedup_counts": stream_dedup_counts,
 }
 
@@ -219,6 +264,14 @@ STREAMJOIN_ORACLE = {
         "FROM events p JOIN events c "
         "ON p.event_type = 'purchase' AND c.event_type = 'click' "
         "AND c.user_id = p.user_id "
+        "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts",
+    "stream_left_attribution":
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, "
+        "p.value AS purchase_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON c.user_id = p.user_id "
         "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts",
     "stream_dedup_counts":
         "WITH d AS ("

@@ -694,3 +694,51 @@ def test_s8_streaming_ewma_matches_batch(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert finals == expected
+
+
+def test_s7b_left_outer_attribution_join(spark, replay, tmp_path):
+    """S7b: LEFT OUTER stream-stream interval join equals its batch
+    application — including the UNMATCHED purchases, whose NULL rows
+    only emit after the click-side watermark proves no match can still
+    arrive. The +30d sentinel advances that watermark past every real
+    purchase, flushing all withheld NULL rows; the sentinel's own row
+    (event_id -1, emitted unmatched if the latest real event was a
+    purchase) is excluded on both sides."""
+    from data_table_spark.streaming.windows import left_attribution_join
+
+    src, events = replay
+    # the shared replay sentinel carries ONE event_type — but each
+    # outer-join side computes its watermark AFTER its type filter, and
+    # the query's global watermark is the MIN of both sides, so a
+    # single-type sentinel stalls the other side's watermark at its
+    # last real event and the final unmatched purchases never flush.
+    # Build a private source with a both-types sentinel file instead.
+    src2 = str(tmp_path / "src_s7b")
+    spark.read.parquet(src).where(F.col("event_id") != -1).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src2)
+    time.sleep(1.1)
+    base = _sentinel_df(events)
+    both = base.withColumn("event_type", F.lit("click")).unionByName(
+        base.withColumn("event_type", F.lit("purchase"))
+    )
+    both.coalesce(1).write.mode("append").parquet(src2)
+    _stamp_mtimes(src2)
+    got = run_stream_over_files(
+        spark, src2, left_attribution_join, events.schema,
+        str(tmp_path / "ck_s7b"),
+    )
+    keys = ["purchase_id", "click_id", "user_id", "purchase_ts",
+            "click_ts", "purchase_value"]
+    g = sorted(
+        tuple(r) for r in got.select(*keys).collect()
+        if r["purchase_id"] != -1
+    )
+    e = sorted(
+        tuple(r)
+        for r in left_attribution_join(events).select(*keys).collect()
+    )
+    unmatched = [t for t in g if t[1] is None]
+    assert g and g == e
+    # the gate is only non-degenerate if BOTH row classes appear
+    assert unmatched and len(unmatched) < len(g)
