@@ -268,6 +268,8 @@ _NEXT_WINDOW_QUEUE = [
     "q152_lateral_topk",            # correlated LATERAL LIMIT decorrelation
     "ref_table_fingerprint",        # order-independent R11 scale form
     "stream_left_attribution",      # LEFT OUTER stream-stream interval join
+    "pipe_l_diversity",             # sensitive-attribute diversity audit
+    "ref_orc_roundtrip",            # native ORC sink/source identity
     # rule-2 re-grades (semantics changed late in round 7 after the
     # zero-row degeneracy audit — their old green rows are stale):
     "stream_tumbling_distinct",     # two-stage exact distinct reach

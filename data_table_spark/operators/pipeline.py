@@ -1974,3 +1974,57 @@ PIPELINE_ORACLE["pipe_dataset_card"] = (
     "    AS BIGINT) AS n_empty "
     "FROM documents GROUP BY GROUPING SETS ((source), ())"
 )
+
+
+def l_diversity_audit(docs: DataFrame, l_min: int = 2) -> DataFrame:
+    """Per-source l-diversity audit — k-anonymity's sibling: a
+    quasi-group can be large (k-anonymous) yet still leak its SENSITIVE
+    attribute if every member shares one value. Here the quasi-group is
+    (source, length-in-hundreds) and the sensitive attribute is
+    ``lang``: per source, report the groups whose distinct-language
+    count falls below ``l_min`` and the documents exposed in them,
+    plus the worst (minimum) diversity seen.
+
+    Scale shape: same contract as k_anonymity_audit — one count-
+    distinct aggregate per quasi-group over a single fact scan, then a
+    conditional re-aggregate of the group table (quasi-cardinality-
+    bounded); distinct-language state is vocabulary-bounded per
+    group; no join anywhere."""
+    groups = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        "lang",
+    ).groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("gc"),
+        F.count_distinct("lang").alias("dv"),
+    )
+    return groups.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("dv").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("dv") < l_min, 1).otherwise(0))
+        .cast("long").alias("n_low_groups"),
+        F.sum(F.when(F.col("dv") < l_min, F.col("gc")).otherwise(0))
+        .cast("long").alias("n_exposed_docs"),
+    )
+
+
+def pipe_l_diversity(spark, sf_dir):
+    """Gate: l=2 diversity audit, sensitive attribute lang."""
+    return l_diversity_audit(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_l_diversity"] = pipe_l_diversity
+PIPELINE_ORACLE["pipe_l_diversity"] = (
+    "WITH groups AS ("
+    "  SELECT source, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket, "
+    "    COUNT(*) AS gc, COUNT(DISTINCT lang) AS dv "
+    "  FROM documents GROUP BY 1, 2) "
+    "SELECT source, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_groups, "
+    "  CAST(MIN(dv) AS BIGINT) AS min_diversity, "
+    "  CAST(SUM(CASE WHEN dv < 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_low_groups, "
+    "  CAST(SUM(CASE WHEN dv < 2 THEN gc ELSE 0 END) AS BIGINT) "
+    "    AS n_exposed_docs "
+    "FROM groups GROUP BY 1"
+)

@@ -9,6 +9,7 @@ parquet file order both engines preserve (single small file).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -337,4 +338,39 @@ for _t_name, _cols in _FP_TABLES:
     )
 REFERENCE_ORACLE["ref_table_fingerprint"] = " UNION ALL ".join(
     _FP_ORACLE_PARTS
+)
+
+
+def ref_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source round trip — the OTHER first-class columnar lake
+    format Spark ships natively (R33's storage surface widened the way
+    a warehouse migration would need): write nation to ORC (zlib, the
+    default), read it back, and return the reconstructed columns plus a
+    marker column holding ``&``, ``<``, ``"``, ``'`` and non-ASCII so
+    string encoding is proven, not assumed. The oracle is the ORIGINAL
+    table — a green row proves write∘read is the identity including
+    types. The write targets a fixed per-sf tmp path with
+    mode=overwrite so driver replays and best-of-2 bench runs are
+    idempotent; at scale the same two lines write a partitioned ORC
+    lake (.option + partitionBy compose unchanged)."""
+    import tempfile
+
+    n = load_table(spark, "nation", sf_dir).withColumn(
+        "n_marked",
+        F.concat(F.lit('<o & "'), F.col("n_name"), F.lit("' é✓>")),
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        f"dts_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    n.write.mode("overwrite").orc(dest)
+    return spark.read.orc(dest).select(
+        "n_nationkey", "n_name", "n_regionkey", "n_marked"
+    )
+
+
+REFERENCE_QUERIES["ref_orc_roundtrip"] = ref_orc_roundtrip
+REFERENCE_ORACLE["ref_orc_roundtrip"] = (
+    "SELECT n_nationkey, n_name, n_regionkey, "
+    "'<o & \"' || n_name || ''' é✓>' AS n_marked FROM nation"
 )
