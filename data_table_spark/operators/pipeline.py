@@ -44,6 +44,22 @@ def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
     return F.conv(hex8, 16, 10).cast("bigint") % buckets
 
 
+def ws_tokens(text: Column) -> Column:
+    """THE whitespace token definition every pipe_* token count shares
+    (lowercase, trim, split on \\s+, drop empties) — one definition so
+    a tokenizer tweak cannot silently desynchronize gates; the paired
+    DuckDB rendering is ``list_filter(string_split_regex(lower(trim(t)),
+    '\\s+'), x -> x <> '')``."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != ""
+    )
+
+
+def n_tokens(text: Column) -> Column:
+    """Non-empty whitespace token count (long) over :func:`ws_tokens`."""
+    return F.size(ws_tokens(text)).cast("long")
+
+
 def _bucket_sql(key_sql: str, buckets: int = HASH_BUCKETS) -> str:
     """DuckDB rendering of :func:`hash_bucket` for the oracles."""
     return (
@@ -1545,12 +1561,7 @@ def tokenize_pad(
 
     toks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda x: x != "",
-            )
-        ).alias("pos", "token"),
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "token"),
     )
     top = (
         toks.groupBy("token")
@@ -1739,15 +1750,7 @@ def token_budget_fill(docs: DataFrame, budget_frac: int = 2) -> DataFrame:
     the per-source quota + any bounded per-source pick (pipe_pps /
     pipe_topk_per_stratum are the pickers) — not this gate's output."""
     counts = (
-        docs.select(
-            "source",
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                    lambda x: x != "",
-                )
-            ).cast("long").alias("tok"),
-        )
+        docs.select("source", n_tokens(F.col("text")).alias("tok"))
         .groupBy("source")
         .agg(F.sum("tok").alias("tok"))
     )
@@ -1924,35 +1927,36 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     note leads with, per source AND overall, from ONE scan via
     GROUPING SETS ((source), ()): document/char/token counts, distinct
     languages, and empty-doc count. The overall row carries source
-    '__all__' (COALESCE over the grouping null). Exact integers
-    throughout; quality/dedup depth live in their own gates
+    '__all__' — labeled via GROUPING(source), NOT by coalescing the
+    grouping null, so a genuine NULL-source group (labeled '__null__')
+    can never be confused with the grand total (review caught the
+    COALESCE ambiguity; latent here since testdata has no NULL
+    sources, but this is a general cover-sheet utility). Exact
+    integers throughout; quality/dedup depth live in their own gates
     (pipe_quality_report, dedup_*) — this is the cover sheet.
 
     Scale shape: one map-combinable aggregate with a 2-set Expand
     (rollup(source) IS GROUPING SETS ((source), ())) — per-row cost
     ×2, zero joins, zero windows; distinct-language state is
     vocabulary-bounded per group."""
-    toks = F.size(
-        F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            lambda x: x != "",
-        )
-    )
     base = docs.select(
         "source",
         "lang",
         F.length("text").alias("n_chars_doc"),
-        toks.cast("long").alias("n_toks_doc"),
+        n_tokens(F.col("text")).alias("n_toks_doc"),
         (F.length(F.trim(F.col("text"))) == 0).cast("long").alias("is_empty"),
     )
     return base.rollup("source").agg(
+        F.grouping("source").alias("_is_total"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars_doc").cast("long").alias("n_chars"),
         F.sum("n_toks_doc").cast("long").alias("n_tokens"),
         F.count_distinct("lang").alias("n_langs"),
         F.sum("is_empty").cast("long").alias("n_empty"),
     ).select(
-        F.coalesce("source", F.lit("__all__")).alias("source"),
+        F.when(F.col("_is_total") == 1, F.lit("__all__"))
+        .otherwise(F.coalesce("source", F.lit("__null__")))
+        .alias("source"),
         "n_docs", "n_chars", "n_tokens", "n_langs", "n_empty",
     )
 
@@ -1964,7 +1968,8 @@ def pipe_dataset_card(spark, sf_dir):
 
 PIPELINE_QUERIES["pipe_dataset_card"] = pipe_dataset_card
 PIPELINE_ORACLE["pipe_dataset_card"] = (
-    "SELECT COALESCE(source, '__all__') AS source, "
+    "SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__' "
+    "  ELSE COALESCE(source, '__null__') END AS source, "
     "  COUNT(*) AS n_docs, "
     "  CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
     "  CAST(SUM(len(list_filter(string_split_regex(lower(trim(text)), "

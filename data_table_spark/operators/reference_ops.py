@@ -10,6 +10,7 @@ parquet file order both engines preserve (single small file).
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -277,21 +278,29 @@ def table_fingerprint(df: DataFrame, cols: list[str], label: str) -> DataFrame:
     """Order-independent whole-table fingerprint — the 100 TB form of
     R11 data-table-data-compare (data-table.lisp:210-216): comparing
     two copies of a huge table needs no join and no order, just equal
-    (n_rows, fp1, fp2). Each row's canonical string (columns joined
-    with '|', NULL → a sentinel the data can't contain) is hashed twice
-    (md5 and a salted md5), the top 56 bits taken as an integer, and
-    the rows combined by commutative modular SUM — any single changed,
-    added, or dropped row flips both lanes with collision odds ~2^-60.
+    (n_rows, fp1, fp2). Each row's canonical string is built from
+    LENGTH-PREFIXED cells (``len:value`` joined with '|', NULL → a
+    length-prefixed sentinel) so the encoding is injective — a bare
+    '|' join would collide ('x|','y') with ('x','|y') deterministically
+    when values contain the delimiter. The canonical string is hashed
+    twice (md5 and a salted md5), the top 56 bits taken as an integer,
+    and the rows combined by commutative modular SUM — any single
+    changed, added, or dropped row flips both lanes with collision
+    odds ~2^-60 (now genuinely: review caught the docstring
+    overclaiming this under the ambiguous encoding).
 
     Scale shape: ONE map-combinable aggregate per table — zero joins,
     zero windows, zero shuffles beyond the 1-row partial merge; the
     mod-p reduction keeps every partial in BIGINT range at any row
     count (sum of <=9e9 per-row residues < 2^63 needs ~9e9 rows; the
     DECIMAL(38,0) accumulator removes even that bound)."""
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-               for c in cols]
-    )
+
+    def cell(c):
+        v = F.col(c).cast("string")
+        pref = F.concat(F.length(v).cast("string"), F.lit(":"), v)
+        return F.coalesce(pref, F.lit("-1:null"))
+
+    canon = F.concat_ws("|", *[cell(c) for c in cols])
     lane1 = F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("long")
     lane2 = F.conv(
         F.substring(F.md5(F.concat(F.lit("fp2|"), canon)), 1, 14), 16, 10
@@ -325,7 +334,8 @@ REFERENCE_QUERIES["ref_table_fingerprint"] = ref_table_fingerprint
 _FP_ORACLE_PARTS = []
 for _t_name, _cols in _FP_TABLES:
     _canon = " || '|' || ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in _cols
+        f"COALESCE(length(CAST({c} AS VARCHAR)) || ':' "
+        f"|| CAST({c} AS VARCHAR), '-1:null')" for c in _cols
     )
     _FP_ORACLE_PARTS.append(
         f"SELECT '{_t_name}' AS table_name, COUNT(*) AS n_rows, "
@@ -349,19 +359,20 @@ def ref_orc_roundtrip(spark, sf_dir):
     marker column holding ``&``, ``<``, ``"``, ``'`` and non-ASCII so
     string encoding is proven, not assumed. The oracle is the ORIGINAL
     table — a green row proves write∘read is the identity including
-    types. The write targets a fixed per-sf tmp path with
-    mode=overwrite so driver replays and best-of-2 bench runs are
-    idempotent; at scale the same two lines write a partitioned ORC
-    lake (.option + partitionBy compose unchanged)."""
-    import tempfile
-
+    types. The write targets a per-(application, sf) tmp path with
+    mode=overwrite: replays WITHIN a driver/bench session (same
+    applicationId) stay idempotent, while concurrent sessions on the
+    same host get disjoint paths instead of racing one directory; at
+    scale the same two lines write a partitioned ORC lake (.option +
+    partitionBy compose unchanged)."""
     n = load_table(spark, "nation", sf_dir).withColumn(
         "n_marked",
         F.concat(F.lit('<o & "'), F.col("n_name"), F.lit("' é✓>")),
     )
     dest = os.path.join(
         tempfile.gettempdir(),
-        f"dts_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"dts_orc_roundtrip_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
     n.write.mode("overwrite").orc(dest)
     return spark.read.orc(dest).select(

@@ -1029,8 +1029,8 @@ def test_table_fingerprint_order_free_and_tamper_sensitive(spark, rows, idx):
     """ref_table_fingerprint's kernel: (1) any row order gives the same
     (n_rows, fp1, fp2); (2) changing one cell, dropping a row, or
     duplicating a row flips at least one lane. '|' appears in the value
-    alphabet on purpose — the NUL-sentinel canonicalization, not the
-    delimiter, is what carries NULL-safety."""
+    alphabet on purpose — the LENGTH-PREFIXED cell encoding, not the
+    delimiter, is what carries injectivity."""
     from data_table_spark.operators.reference_ops import table_fingerprint
 
     def fp(rws):
@@ -1049,3 +1049,20 @@ def test_table_fingerprint_order_free_and_tamper_sensitive(spark, rows, idx):
     assert fp(tampered) != base
     assert fp(rows[:i] + rows[i + 1:]) != base       # dropped row
     assert fp(rows + [rows[i]]) != base              # duplicated row
+
+
+def test_table_fingerprint_boundary_shift_detected(spark):
+    """The review-found collision class: under a bare '|' join,
+    ('x|','y') and ('x','|y') canonicalize identically and a
+    cross-column boundary shift is undetectable WITH PROBABILITY 1.
+    The length-prefixed encoding must separate them (and the NULL
+    sentinel must stay distinct from the literal string 'null')."""
+    from data_table_spark.operators.reference_ops import table_fingerprint
+
+    def fp(rws):
+        df = spark.createDataFrame(rws, "a string, b string")
+        return tuple(table_fingerprint(df, ["a", "b"], "t").collect()[0])
+
+    assert fp([("x|", "y")]) != fp([("x", "|y")])
+    assert fp([("x|y", "")]) != fp([("x", "|y")])
+    assert fp([(None, "y")]) != fp([("null", "y")])
