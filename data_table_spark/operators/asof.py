@@ -143,8 +143,44 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+def asof_forward_events(spark, sf_dir):
+    """Gate for the FORWARD direction + tolerance paths (previously
+    implemented but never oracle-gated): for every click, the NEXT
+    purchase by the same user at-or-after the click, voided when it is
+    more than 7 days out (time-to-next-purchase — the conversion-lag
+    primitive). Purchases are pre-deduplicated per (user_id, ts) so
+    the match is deterministic; the oracle replays the semantics with
+    a correlated LATERAL min-pick plus the same 7-day CASE voiding."""
+    e = load_table(spark, "events", sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols=["purchase_id"],
+        direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_right").alias("purchase_ts"),
+        "purchase_id",
+    )
+
+
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": asof_join_events,
+    "asof_forward_events": asof_forward_events,
 }
 
 ASOF_ORACLE: dict[str, str] = {
@@ -157,4 +193,18 @@ ASOF_ORACLE: dict[str, str] = {
         "c.ts click_ts, c.click_id "
         "FROM p ASOF LEFT JOIN c "
         "ON p.user_id = c.user_id AND p.ts >= c.ts",
+    "asof_forward_events":
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "           WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts, MAX(event_id) purchase_id FROM events "
+        "      WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT c.event_id, c.user_id, "
+        "CASE WHEN epoch(n.ts) - epoch(c.ts) <= 604800 THEN n.ts END "
+        "  AS purchase_ts, "
+        "CASE WHEN epoch(n.ts) - epoch(c.ts) <= 604800 THEN n.purchase_id "
+        "  END AS purchase_id "
+        "FROM c LEFT JOIN LATERAL ("
+        "  SELECT p.ts, p.purchase_id FROM p "
+        "  WHERE p.user_id = c.user_id AND p.ts >= c.ts "
+        "  ORDER BY p.ts LIMIT 1) n ON TRUE",
 }
