@@ -165,6 +165,16 @@ GATES = [
                                # over the ciphered 100× corpus
     "ref_table_fingerprint",   # map-only modular hash lanes per table;
                                # orders is the 100× side
+    # round-7 fourth batch (ref_orc_roundtrip is EXCLUDED: it writes
+    # nation, a dim this synthesis leaves unscaled — no 100× signal):
+    "asof_forward_events",     # the as-of union+window kernel in its
+                               # forward+tolerance form, under the
+                               # planted hot-user skew
+    "stream_left_attribution", # LEFT OUTER interval join: BOTH sides
+                               # are events-derived and fact-sized —
+                               # broadcast must flip to SMJ
+    "pipe_l_diversity",        # count-distinct per quasi-group, then
+                               # a group-table reaggregate
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -270,6 +280,12 @@ DIM_BROADCAST_FLOOR = {
     "pipe_dataset_card": 0,    # no joins at all
     "ref_table_fingerprint": 0,  # no joins at all (union of three
                                # independent 1-row aggregates)
+    # round-7 fourth batch:
+    "asof_forward_events": 0,  # union+window kernel — no join at all
+    "stream_left_attribution": 0,  # both interval-join sides are
+                               # events-derived — leaving broadcast at
+                               # 100× is the correct degradation
+    "pipe_l_diversity": 0,     # no joins at all
 }
 
 PLAN_NODES = (
