@@ -271,6 +271,7 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_l_diversity",             # sensitive-attribute diversity audit
     "ref_orc_roundtrip",            # native ORC sink/source identity
     "asof_forward_events",          # forward as-of + tolerance voiding
+    "q153_native_recursive_cte",    # Spark 4 WITH RECURSIVE vs doubling
     # rule-2 re-grades (semantics changed late in round 7 after the
     # zero-row degeneracy audit — their old green rows are stale):
     "stream_tumbling_distinct",     # two-stage exact distinct reach

@@ -8101,3 +8101,51 @@ RELATIONAL_ORACLE["q152_lateral_topk"] = (
     "  LIMIT 3"
     ") t"
 )
+
+
+# --------------------------------------------------------------------------
+# q153: Spark 4 native WITH RECURSIVE — the same walk, engine-recursive
+# --------------------------------------------------------------------------
+
+def q153_native_recursive_cte(spark, sf_dir):
+    """Spark 4's native ``WITH RECURSIVE`` (new engine surface in 4.x)
+    running q121's exact parent walk: per part, climb parent =
+    node DIV 2 to the root, emit (node, root, depth). Together with
+    q121 this triple-proves the hierarchy semantics — Spark native
+    recursion == DuckDB RECURSIVE CTE (this gate's hash) and pointer
+    doubling == DuckDB (q121's hash) — by three algebraically
+    independent constructions.
+
+    Scale verdict, pinned here so the two gates stay a deliberate
+    pair: the native recursive CTE executes one DISTRIBUTED JOIN
+    ROUND PER DEPTH LEVEL (O(depth) sequential shuffles; iteration
+    cap spark.sql.cteRecursionLevelLimit), which is fine for the
+    shallow hierarchies real catalogs have — while pointer_doubling
+    (q121) needs only O(log depth) rounds and is the 100 TB form for
+    deep or unknown-depth graphs. Use the native surface for
+    readability on shallow data; the kernel for scale."""
+    _t(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
+        "q153_part"
+    )
+    return spark.sql("""
+        WITH RECURSIVE walk(node, cur, d) AS (
+          SELECT p_partkey, p_partkey, 0 FROM q153_part
+          UNION ALL
+          SELECT node, cur DIV 2, d + 1 FROM walk WHERE cur > 1
+        )
+        SELECT node, CAST(1 AS BIGINT) AS root,
+               CAST(MAX(d) AS BIGINT) AS depth
+        FROM walk GROUP BY node
+    """)
+
+
+RELATIONAL_QUERIES["q153_native_recursive_cte"] = q153_native_recursive_cte
+RELATIONAL_ORACLE["q153_native_recursive_cte"] = (
+    "WITH RECURSIVE walk(node, cur, d) AS ("
+    "  SELECT p_partkey, p_partkey, 0 FROM part "
+    "  UNION ALL "
+    "  SELECT node, cur // 2, d + 1 FROM walk WHERE cur > 1) "
+    "SELECT node, CAST(1 AS BIGINT) AS root, "
+    "  CAST(MAX(d) AS BIGINT) AS depth "
+    "FROM walk GROUP BY node"
+)
