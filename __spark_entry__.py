@@ -116,113 +116,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-7 window: drains the staged backlog (round-6 judge item 1).
-# 29 never-green oracle-backed gates enter under rule 1, oldest claims
-# first: the four r2 re-proofs that ceded their round-6 slots
-# (q52_except_all, q53_intersect_all, text_langid,
-# udf_table_function_tokens — each rested on its r2 row + pytest
-# oracle with family siblings in the r6 window), then the 25 gates
-# written after the round-6 window froze: q105_interval_coverage
-# (islands interval-union kernel; oracle tie-break aligned to
-# (s, event_id) this round per ADVICE), q106_triangle_count
-# (degree-ordered orientation wedge join), q107_mode_per_group,
-# q108_percentile_disc, q109_regression_slope, q110_pareto_cover,
-# q111_session_paths, q112_rrf_fusion, q113_null_semantics (temp
-# views now fixed-name idempotent per ADVICE), q114_cohort_ltv,
-# q115_last_touch_attribution, q116_rolling_slope,
-# q117_association_rules, q118_benford, q119_gini,
-# q120_spatial_grid_join, q121_tree_closure (pointer doubling),
-# q122_mad_outliers, q123_time_to_convert, sim_pq_encode +
-# sim_pq_adc_topk (product quantization encode + asymmetric-distance
-# top-k), pipe_expectations, pipe_bucket_batches, dedup_survivorship,
-# and ref_xml_roundtrip (fixture HARDENED this round: the serialized
-# n_marked column now carries &, <, >, ", ' and non-ASCII so the
-# identity oracle actually exercises entity encode/decode — judge
-# item 5).
-# + 2 changed gates under rule 2: stream_session_counts (oracle's
-# SUM(brk) window gained the event_id tie-break so both windows share
-# one total order — ADVICE) and media_video_frames (encode_y4m_demo
-# now cycles the text to cover start+64 for ANY non-empty length and
-# fails loud on empty docs — ADVICE; oracle repeat count matched).
-# + 19 re-proofs under rule 3, stalest first: the r3-proven cohort is
-# four rounds old (round-6 judge item 4 — the same staleness the r5
-# judge flagged for the r2 cohort); 36 gates rest on r3 rows and 19
-# fit: text_quality, text_tfidf_top_terms, text_oov_rate, text_vocab,
-# sim_lsh_topk_twins, sim_knn_join_twins, sim_centroid_per_label,
-# sim_ivf_topk, dedup_simhash_planted_pairs, dedup_embedding_pairs,
-# dedup_clusters_star_bounded, udf_python_udtf_words, q54_unpivot,
-# q56_map_entries, pipe_quality_sample, pipe_source_mix,
-# pipe_chunk_documents, pipe_pack_global, pipe_contamination.
-# The remaining 17 r3-resting gates are pinned FIRST IN LINE for the
-# round-8 re-proof slots in _R8_REPROOF_QUEUE below (enforced by
-# tests/test_entry_window.py) — the claim order the judge asked to
-# pin now. Every r4/r5/r6-proven gate keeps its fresher green row and
-# cedes (provenance table in COVERAGE.md). Rows-only-by-nature gates
-# stay out per rule 4.
+# Round-8 window: drains the staged backlog again (round-7 judge item
+# 1 — its sole "missing" entry). ALL 50 slots go to rule 1: the queue
+# held 52 entries (49 round-7 session additions + 3 rule-2 re-grades
+# whose semantics changed after the round-7 zero-row degeneracy audit),
+# and the judge's instruction is to take the 50 oldest and spill the
+# rest. The 50 below are exactly _NEXT_WINDOW_QUEUE[0:50] from round 7,
+# order preserved (oldest claims first). The 2 spilled re-grades
+# (q09_anti_join, q26_except — both hold stale-but-green r4 rows under
+# the OLD semantics) plus the 17 r3-resting re-proofs in
+# _R9_REPROOF_QUEUE are first in line for round 9. No rule-3 slots
+# exist this round; every previously-green gate keeps its prior row
+# (provenance table in COVERAGE.md). Rows-only-by-nature gates stay
+# out per rule 4.
 _PRIORITY = [
     # --- rule 1: never-green oracle-backed gates, oldest claims first ---
-    "q52_except_all",             # ceded r2 re-proof (EXCEPT ALL)
-    "q53_intersect_all",          # ceded r2 re-proof (INTERSECT ALL)
-    "text_langid",                # ceded r2 re-proof (n-gram langid)
-    "udf_table_function_tokens",  # ceded r2 re-proof (UDTF explode)
-    "q105_interval_coverage",     # islands interval-union kernel
-    "q106_triangle_count",        # degree-ordered wedge join
-    "q107_mode_per_group",        # exact per-group mode, tie-broken
-    "q108_percentile_disc",       # discrete percentile, no interpolation
-    "q109_regression_slope",      # OLS slope from exact moments
-    "q110_pareto_cover",          # 80/20 cover via integer predicate
-    "q111_session_paths",         # top session transition paths
-    "q112_rrf_fusion",            # reciprocal-rank fusion of rankers
-    "q113_null_semantics",        # NOT IN vs NOT EXISTS under NULLs
-    "q114_cohort_ltv",            # cohort LTV triangle + running sum
-    "q115_last_touch_attribution",  # arg-max last touch per conversion
-    "q116_rolling_slope",         # windowed OLS over moment frames
-    "q117_association_rules",     # support/confidence/lift pairs
-    "q118_benford",               # first-digit law deviation
-    "q119_gini",                  # exact Gini from sorted prefix sums
-    "q120_spatial_grid_join",     # grid-bucketed radius join
-    "q121_tree_closure",          # pointer-doubling ancestor closure
-    "q122_mad_outliers",          # median-absolute-deviation outliers
-    "q123_time_to_convert",       # conversion-lag percentiles
-    "sim_pq_encode",              # product-quantization codes
-    "sim_pq_adc_topk",            # PQ asymmetric-distance top-k
-    "pipe_expectations",          # data-quality expectations audit
-    "pipe_bucket_batches",        # length-bucketed batch assembly
-    "dedup_survivorship",         # per-cluster golden-record merge
-    "ref_xml_roundtrip",          # to_xml/from_xml identity, entity-hard
-    # --- rule 2: changed this round ---
-    "stream_session_counts",      # oracle tie-break alignment (ADVICE)
-    "media_video_frames",         # y4m encoder length guard (ADVICE)
-    # --- rule 3: re-proofs, stalest first (r3 cohort, 19 of 36) ---
-    "text_quality",
-    "text_tfidf_top_terms",
-    "text_oov_rate",
-    "text_vocab",
-    "sim_lsh_topk_twins",
-    "sim_knn_join_twins",
-    "sim_centroid_per_label",
-    "sim_ivf_topk",
-    "dedup_simhash_planted_pairs",
-    "dedup_embedding_pairs",
-    "dedup_clusters_star_bounded",
-    "udf_python_udtf_words",
-    "q54_unpivot",
-    "q56_map_entries",
-    "pipe_quality_sample",
-    "pipe_source_mix",
-    "pipe_chunk_documents",
-    "pipe_pack_global",
-    "pipe_contamination",
-]
-
-#: never-green oracle-backed gates that do NOT fit the 50-slot
-#: round-7 window (operators written after the window froze land
-#: here, oldest claims first). Enforced by tests/test_entry_window.py:
-#: every never-green oracle gate must be in the window or in this
-#: queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # round-7 session additions (written after the r7 window froze),
-    # oldest claims first:
     "q124_clustering_coefficient",  # per-node triangles, oriented wedge
     "q125_ks_test",                 # exact integer two-sample KS
     "q126_hhi_concentration",       # decimal-exact Herfindahl index
@@ -272,22 +180,37 @@ _NEXT_WINDOW_QUEUE = [
     "ref_orc_roundtrip",            # native ORC sink/source identity
     "asof_forward_events",          # forward as-of + tolerance voiding
     "q153_native_recursive_cte",    # Spark 4 WITH RECURSIVE vs doubling
-    # rule-2 re-grades (semantics changed late in round 7 after the
-    # zero-row degeneracy audit — their old green rows are stale):
     "stream_tumbling_distinct",     # two-stage exact distinct reach
-    "q09_anti_join",                # now 'no URGENT order' (non-empty)
-    "q26_except",                   # now ship-days ∖ order-days
-    # (q143_survival_table also changed — hour-granular, 12 h horizon —
-    # but already holds a queue slot above as a never-green gate)
 ]
 
-#: round-8 re-proof claim order (round-6 judge item 4): the 17
-#: r3-proven gates whose slots did not fit behind round 7's 29
-#: never-green entries. They keep their r3 green rows + pytest
-#: oracles this round and are FIRST IN LINE for round 8's rule-3
-#: slots. Enforced by tests/test_entry_window.py: every gate whose
-#: freshest green row is r3 must be in this round's window or here.
-_R8_REPROOF_QUEUE = [
+#: never-green or stale-row oracle-backed gates that do NOT fit the
+#: 50-slot round-8 window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be
+#: in the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # rule-2 re-grades spilled from round 8 (semantics changed late in
+    # round 7 after the zero-row degeneracy audit — their r4 rows are
+    # green but grade the OLD semantics):
+    "q09_anti_join",                # now 'no URGENT order' (non-empty)
+    "q26_except",                   # now ship-days ∖ order-days
+    # rule-2 re-grades from round-8 session changes (implementation
+    # changed; outputs proven unchanged vs oracle + property test):
+    "dedup_prefix_filter_pairs",    # PPJoin positional filter added
+    # round-8 session additions (written after the r8 window froze)
+    # append below as implemented, oldest first:
+    "q154_window_funnel",           # first-touch 24h windowFunnel levels
+    "q155_rfm_segments",            # RFM quintile segmentation, exact cents
+    "text_pmi_bigrams",             # PMI collocations, floored micro-nats
+    "stream_static_enrich",         # S9 stream-static dim join (two-stage)
+]
+
+#: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
+#: the round-8 window spent all 50 slots on never-green gates): the 17
+#: r3-proven gates keep their r3 green rows + pytest oracles and are
+#: FIRST IN LINE for round 9's rule-3 slots. Enforced by
+#: tests/test_entry_window.py: every gate whose freshest green row is
+#: r3 must be in this round's window or here.
+_R9_REPROOF_QUEUE = [
     "q55_time_rollup", "q57_rank_ratios", "q58_tpch_q10_shape",
     "q59_latest_per_key", "ref_compare", "sim_pairs_threshold",
     "stream_dedup_counts", "dedup_clusters_bounded",

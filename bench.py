@@ -151,6 +151,20 @@ def main() -> None:
         print(f"# bench sf={out['sf']}: BENCH_LOCAL.json not updated "
               "(canonical baseline is sf0.1)", file=sys.stderr)
     print(json.dumps(out))
+    # SECOND, compact stdout line (round-7 judge item: the driver keeps
+    # only the last 2000 chars of stdout, and the full line above is
+    # ~10 KB at 267 gates, so its head — metric/value — was truncated
+    # away and BENCH_r6/r7 recorded "parsed": null). Any tail capture
+    # now ends with a complete, parseable headline record.
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "n": sum(1 for v in timings.values() if v is not None),
+        "n_errors": sum(1 for v in timings.values() if v is None),
+        "bench_methodology": out["bench_methodology"],
+        "sf": out["sf"],
+    }))
 
 
 def _latest_bench(repo_dir: str) -> dict | None:

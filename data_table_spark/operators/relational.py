@@ -8149,3 +8149,181 @@ RELATIONAL_ORACLE["q153_native_recursive_cte"] = (
     "  CAST(MAX(d) AS BIGINT) AS depth "
     "FROM walk GROUP BY node"
 )
+
+
+# --------------------------------------------------------------------------
+# q154: time-bounded conversion funnel (windowFunnel), first-touch anchored
+# --------------------------------------------------------------------------
+
+def q154_window_funnel(spark, sf_dir):
+    """Time-bounded three-step funnel (the windowFunnel readout every
+    product-analytics engine ships): per user, anchor at the FIRST
+    'view', chain to the earliest 'click' strictly after it, then the
+    earliest 'purchase' strictly after that; the user's level is the
+    deepest step whose timestamp still fits inside 24 h of the anchor.
+    First-touch anchoring + earliest-next-step chaining makes the level
+    a pure function of per-user MINs — deterministic on both engines
+    with no tie policy needed (MIN is order-free), unlike q63's
+    strict-ordering funnel which counts step rows.
+
+    Scale shape: ONE shuffle — three stacked Window nodes share the
+    user_id partitioning (t2's predicate consumes t1's frame, t3's
+    consumes t2's; Catalyst plans them over a single Exchange), then
+    the per-user level collapses through a distinct + global count
+    whose cardinality is 4 levels. No collect_list state: memory per
+    row is three timestamps, so a hot user costs sort time, not heap
+    (the skewed 100x events synthesis is the target shape)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    horizon = F.col("t1") + F.expr("INTERVAL 24 HOURS")
+    lv = t3.select(
+        "user_id",
+        F.when(F.col("t3").isNotNull() & (F.col("t3") <= horizon), 3)
+        .when(F.col("t2").isNotNull() & (F.col("t2") <= horizon), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("level"),
+    ).distinct()
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+RELATIONAL_QUERIES["q154_window_funnel"] = q154_window_funnel
+RELATIONAL_ORACLE["q154_window_funnel"] = (
+    "WITH t1 AS ("
+    "  SELECT user_id, MIN(ts) AS ts1 FROM events "
+    "  WHERE event_type = 'view' GROUP BY 1), "
+    "t2 AS ("
+    "  SELECT e.user_id, MIN(e.ts) AS ts2 "
+    "  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1 "
+    "  WHERE e.event_type = 'click' GROUP BY 1), "
+    "t3 AS ("
+    "  SELECT e.user_id, MIN(e.ts) AS ts3 "
+    "  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2 "
+    "  WHERE e.event_type = 'purchase' GROUP BY 1), "
+    "u AS (SELECT DISTINCT user_id FROM events), "
+    "lv AS ("
+    "  SELECT u.user_id, CASE "
+    "    WHEN ts3 IS NOT NULL AND ts3 <= ts1 + INTERVAL 24 HOUR THEN 3 "
+    "    WHEN ts2 IS NOT NULL AND ts2 <= ts1 + INTERVAL 24 HOUR THEN 2 "
+    "    WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS level "
+    "  FROM u LEFT JOIN t1 ON u.user_id = t1.user_id "
+    "  LEFT JOIN t2 ON u.user_id = t2.user_id "
+    "  LEFT JOIN t3 ON u.user_id = t3.user_id) "
+    "SELECT CAST(level AS BIGINT) AS level, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM lv GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# q155: RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+def q155_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing rollup: per
+    customer, days since last order (R), order count (F), lifetime
+    spend in exact cents (M); each dimension quintiled with ntile(5)
+    under a fully tie-broken total order (metric, then custkey — SQL
+    ntile is deterministic only given a total order), then segments
+    aggregated to (r,f,m) cells. Spend is summed in integer cents so
+    both engines rank the same exact values (q128's cents discipline;
+    a double SUM could flip a quintile edge on an ulp).
+
+    Scale shape: one shuffle to the per-customer rollup (map-side
+    combinable aggs), then three ntile windows over the CUSTOMER
+    dimension — bounded by |customers|, not facts. The single-reducer
+    global windows are the documented dim-sized exception (the q99
+    day-spine rationale); at open-web customer counts swap ntile for
+    q108's two-phase exact-percentile split on the same cents values."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum("cents").alias("m_cents"),
+    )
+    anchored = per_cust.withColumn(
+        "r_days",
+        F.datediff(
+            F.max("last_order").over(Window.partitionBy()), F.col("last_order")
+        ).cast("long"),
+    )
+    scored = anchored.select(
+        "o_custkey", "r_days", "f_cnt", "m_cents",
+        F.ntile(5).over(
+            Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
+        ).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("f_cnt").asc(), F.col("o_custkey"))
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("m_cents").asc(), F.col("o_custkey"))
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("m_cents").cast("long").alias("segment_cents"),
+    ).select(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        "n_customers", "segment_cents",
+    )
+
+
+RELATIONAL_QUERIES["q155_rfm_segments"] = q155_rfm_segments
+RELATIONAL_ORACLE["q155_rfm_segments"] = (
+    "WITH per_cust AS ("
+    "  SELECT o_custkey, MAX(o_orderdate) AS last_order, "
+    "    COUNT(*) AS f_cnt, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS m_cents "
+    "  FROM orders GROUP BY 1), "
+    "anchored AS ("
+    "  SELECT *, CAST(DATEDIFF('day', last_order, "
+    "    MAX(last_order) OVER ()) AS BIGINT) AS r_days "
+    "  FROM per_cust), "
+    "scored AS ("
+    "  SELECT o_custkey, m_cents, "
+    "    NTILE(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_score, "
+    "    NTILE(5) OVER (ORDER BY f_cnt ASC, o_custkey) AS f_score, "
+    "    NTILE(5) OVER (ORDER BY m_cents ASC, o_custkey) AS m_score "
+    "  FROM anchored) "
+    "SELECT CAST(r_score AS BIGINT) AS r_score, "
+    "  CAST(f_score AS BIGINT) AS f_score, "
+    "  CAST(m_score AS BIGINT) AS m_score, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "  CAST(SUM(m_cents) AS BIGINT) AS segment_cents "
+    "FROM scored GROUP BY 1, 2, 3"
+)

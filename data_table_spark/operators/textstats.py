@@ -1130,3 +1130,102 @@ def text_compression_ratio(spark, sf_dir):
 
 
 TEXTSTATS_QUERIES["text_compression_ratio"] = text_compression_ratio
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations (phrase detection for tokenizer/vocab curation)
+# --------------------------------------------------------------------------
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus-level pointwise mutual information for adjacent word
+    pairs — the collocation detector behind phrase-merged vocabularies
+    (word2phrase, tokenizer pre-merge curation): PMI = ln(p(xy) /
+    (p(x)·p(y))) over the bigram event space, reported for every pair
+    seen at least ``min_count`` times. High-PMI pairs ("hong kong")
+    co-occur far above chance and are merge candidates; the threshold
+    kills the degenerate 1/c·N spikes of singleton pairs.
+
+    Engine-exactness (q127's discipline): marginals and N are exact
+    sub-2^53 integers, the single ln() argument c_xy·N/(c_x·c_y) is one
+    division of exact integer products, so both engines floor-quantize
+    the same double to integer micro-nats.
+
+    Scale shape: one map-side bigram explode (zip_with over the token
+    array — no join to form pairs) feeds a pair-count aggregate,
+    localCheckpointed ONCE because both marginals re-aggregate from it
+    (vocab-bounded, the bigram_lm_score rationale). Marginal joins are
+    left unhinted: vocab-sized tables broadcast under AQE at test
+    scale and correctly shuffle at open-web vocab. Nothing in the plan
+    touches the corpus twice."""
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("l"),
+    )
+    bg = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("cxy").alias("cx"))
+    c2 = c12.groupBy("w2").agg(F.sum("cxy").alias("cy"))
+    n = c12.agg(F.sum("cxy").alias("n"))
+    return (
+        c12.where(F.col("cxy") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    (F.col("cxy") * F.col("n"))
+                    / (F.col("cx") * F.col("cy"))
+                )
+            ).cast("long").alias("pmi_e6"),
+        )
+    )
+
+
+def text_pmi_bigrams(spark, sf_dir):
+    """Gate: PMI collocations over the documents corpus, support >= 5."""
+    return pmi_bigrams(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_pmi_bigrams"] = text_pmi_bigrams
+TEXTSTATS_ORACLE["text_pmi_bigrams"] = (
+    "WITH toks AS ("
+    "  SELECT list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "st AS ("
+    "  SELECT l, UNNEST(range(1, len(l))) AS i "
+    "  FROM toks WHERE len(l) >= 2), "
+    "bg AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM st), "
+    "c12 AS (SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM c12 GROUP BY 1), "
+    "c2 AS (SELECT w2, CAST(SUM(cxy) AS BIGINT) AS cy FROM c12 GROUP BY 1), "
+    "n AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM c12) "
+    "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, "
+    "  CAST(FLOOR(1000000 * LN("
+    "    (CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))) "
+    "    AS BIGINT) AS pmi_e6 "
+    "FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n "
+    "WHERE cxy >= 5"
+)

@@ -532,3 +532,84 @@ STREAMJOIN_ORACLE["stream_tumbling_distinct"] = (
     "  event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users "
     "FROM events GROUP BY 1, 2, 3"
 )
+
+
+# --------------------------------------------------------------------------
+# S9: stream-static enrichment join (the dimension-join half of streaming)
+# --------------------------------------------------------------------------
+
+def static_enriched_counts(events, customers, streaming: bool = False):
+    """Stream-STATIC join — the remaining Structured Streaming join
+    surface (S7/S7b cover stream-stream): a live event stream enriched
+    against a static dimension, then windowed per enriched attribute.
+    Spark plans the static side as a broadcast rebuilt per micro-batch,
+    so the stream never shuffles for the join — the canonical "enrich
+    events with a dim table" deployment shape at any scale (the dim is
+    dim-sized; were it fact-sized the right design is a stream-stream
+    join or a pre-materialized mapping, not this operator).
+
+    Counts + exact distinct users per (hour window, segment), via the
+    S2b two-stage streaming-legal distinct (streaming forbids
+    COUNT(DISTINCT)): stage 1 keys state by (window, segment, user),
+    stage 2 re-windows and counts the stage-1 rows while summing their
+    per-user event counts back to the window total. Distinct-per-window
+    is deterministic on both engines, unlike a double SUM over the
+    stream's float values (ulp-order-sensitive; excluded from the hash
+    surface deliberately)."""
+    if streaming:
+        events = events.withWatermark("ts", "10 minutes")
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    per_user = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "c_mktsegment", "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("events_in_window"))
+    )
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("w2"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.sum("events_in_window").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .select(
+            F.col("w2.start").alias("w_start"),
+            F.col("w2.end").alias("w_end"),
+            "c_mktsegment", "n_events", "n_users",
+        )
+    )
+
+
+def stream_static_enrich(spark, sf_dir):
+    """Gate: batch form of the S9 stream-static enrichment (the
+    streaming application is batch-equivalence-tested in
+    tests/test_streaming.py::test_s9_stream_static_enrich)."""
+    from ..sources.registry import load_table
+
+    out = static_enriched_counts(
+        load_table(spark, "events", sf_dir),
+        load_table(spark, "customer", sf_dir),
+    )
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        F.unix_timestamp("w_end").cast("long").alias("w_end_epoch"),
+        "c_mktsegment",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+STREAMJOIN_QUERIES["stream_static_enrich"] = stream_static_enrich
+STREAMJOIN_ORACLE["stream_static_enrich"] = (
+    "SELECT (FLOOR(epoch(e.ts) / 3600) * 3600)::BIGINT AS w_start_epoch, "
+    "  (FLOOR(epoch(e.ts) / 3600) * 3600 + 3600)::BIGINT AS w_end_epoch, "
+    "  c.c_mktsegment, COUNT(*)::BIGINT AS n_events, "
+    "  COUNT(DISTINCT e.user_id)::BIGINT AS n_users "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY 1, 2, 3"
+)

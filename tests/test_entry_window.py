@@ -120,19 +120,19 @@ def _latest_green():
     return latest
 
 
-def test_stalest_cohort_is_in_window_or_staged_for_r8():
+def test_stalest_cohort_is_in_window_or_staged_for_r9():
     """Round-6 judge item 4: the r3-proven cohort is the stalest green
     set. Every gate whose FRESHEST green row is round 3 must either be
-    re-proven in this round's window or hold an explicit round-8
+    re-proven in this round's window or hold an explicit round-9
     re-proof claim — the claim order is pinned here, not improvised
     next round."""
     latest = _latest_green()
     stalest_round = min(latest.values())
     stale = {k for k, r in latest.items() if r <= 3}
-    out = stale - set(_window()) - set(entry._R8_REPROOF_QUEUE)
+    out = stale - set(_window()) - set(entry._R9_REPROOF_QUEUE)
     assert not out, (
         f"r{stalest_round}-resting gates neither in window nor staged: {out}"
     )
     # queue entries must be real registry gates (no stale names)
-    unknown = [k for k in entry._R8_REPROOF_QUEUE if k not in entry.queries()]
-    assert not unknown, f"r8 queue names unknown gates: {unknown}"
+    unknown = [k for k in entry._R9_REPROOF_QUEUE if k not in entry.queries()]
+    assert not unknown, f"r9 queue names unknown gates: {unknown}"

@@ -742,3 +742,22 @@ def test_s7b_left_outer_attribution_join(spark, replay, tmp_path):
     assert g and g == e
     # the gate is only non-degenerate if BOTH row classes appear
     assert unmatched and len(unmatched) < len(g)
+
+
+def test_s9_stream_static_enrich(spark, replay, tmp_path, sf_smoke):
+    """S9: stream-STATIC dimension join equals its batch application.
+    The static customer dim is read once (batch) and closed over by the
+    transform; the sentinel joins (its user_id is real) but its window
+    never finalizes, so append mode emits exactly the real windows."""
+    from data_table_spark.streaming.windows import static_enriched_counts
+
+    src, events = replay
+    customers = load_table(spark, "customer", sf_smoke)
+    got = run_stream_over_files(
+        spark, src,
+        lambda s: static_enriched_counts(s, customers, streaming=True),
+        events.schema,
+        str(tmp_path / "ck_s9"),
+    )
+    keys = ["w_start", "w_end", "c_mktsegment", "n_events", "n_users"]
+    _compare(got, static_enriched_counts(events, customers), keys)
