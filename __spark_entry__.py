@@ -202,6 +202,8 @@ _NEXT_WINDOW_QUEUE = [
     "q155_rfm_segments",            # RFM quintile segmentation, exact cents
     "text_pmi_bigrams",             # PMI collocations, floored micro-nats
     "stream_static_enrich",         # S9 stream-static dim join (two-stage)
+    "q156_decay_score",             # exp time-decay engagement, e6-floored
+    "media_ahash_groups",           # netpbm aHash image-dedup groups
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -81,11 +81,11 @@ def media_byte_stats(spark, sf_dir):
     )
 
 
-def _decode_netpbm(blob: bytes) -> list[float]:
-    """REAL netpbm decode (binary P5 grayscale / P6 RGB): parse the
-    whitespace/comment-delimited header, view the raster with numpy.
-    Features: [width, height, maxval, mean_pixel]. Raises ValueError on
-    a malformed raster (caller converts per policy)."""
+def _netpbm_raster(blob: bytes):
+    """Parse a binary netpbm blob (P5 grayscale / P6 RGB) to
+    (width, height, maxval, channels, raster) — the shared REAL codec
+    under both the feature decoder and the perceptual hash. Raises
+    ValueError on a malformed raster (caller converts per policy)."""
     import numpy as np
 
     # header tokens: magic, width, height, maxval — '#' comments legal
@@ -109,6 +109,13 @@ def _decode_netpbm(blob: bytes) -> list[float]:
     raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * ch, offset=i)
     if raster.size != w * h * ch:
         raise ValueError("truncated netpbm raster")
+    return w, h, maxval, ch, raster
+
+
+def _decode_netpbm(blob: bytes) -> list[float]:
+    """REAL netpbm decode (binary P5 grayscale / P6 RGB): header via
+    _netpbm_raster, features [width, height, maxval, mean_pixel]."""
+    w, h, maxval, _ch, raster = _netpbm_raster(blob)
     return [float(w), float(h), float(maxval), float(raster.mean())]
 
 
@@ -442,10 +449,98 @@ def media_video_frames(spark, sf_dir):
     )
 
 
+def encode_netpbm_demo(df: DataFrame) -> DataFrame:
+    """Synthesis half of the image-dedup gate: build a REAL binary P5
+    netpbm (8×8 grayscale) per document, pixels = the document's own
+    bytes cycled to 64 — valid images any netpbm tool opens, and a
+    deterministic construction the DuckDB oracle replays per-char
+    (the fixture is pure ASCII, so code points ARE bytes)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                if not data:
+                    raise ValueError(
+                        "encode_netpbm_demo requires non-empty text"
+                    )
+                cyc = data * (1 + 64 // len(data))
+                blobs.append(b"P5\n8 8\n255\n" + cyc[:64])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return df.mapInPandas(batches, "doc_id long, media binary")
+
+
+def ahash_media(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the binary image column —
+    the image-dedup primitive: decode via the REAL netpbm codec
+    (_netpbm_raster), luma-collapse RGB with the ITU-R 601 integer
+    weights, then bit i = 64·p_i > Σp (an EXACT integer comparison, no
+    float mean) emitted as a 64-char row-major bitstring. Identical
+    images hash identically; near-identical ones differ in few bits, so
+    the production dedup is a group-by on the hash (exact twins) or a
+    banded Hamming join on its 16-bit lanes (near-twins — the SimHash
+    machinery in dedup.py applies unchanged).
+
+    Scale shape: map-only (Arrow-batched mapInPandas), no shuffle; the
+    downstream group-by shuffles 8-byte hashes, never pixels."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash_bits", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = bytes(blob)
+                if blob[:2] not in (b"P5", b"P6"):
+                    raise ValueError("ahash_media expects netpbm input")
+                _w, _h, _mx, ch, raster = _netpbm_raster(blob)
+                if ch == 3:  # integer 601 luma ×1000 (exact)
+                    px = raster.reshape(-1, 3).astype("int64")
+                    luma = px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114
+                else:
+                    luma = raster.astype("int64") * 1000
+                total = int(luma.sum())
+                bits = "".join(
+                    "1" if int(p) * luma.size > total else "0"
+                    for p in luma
+                )
+                out.append((int(doc_id), bits))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash_bits"])
+
+    return df.mapInPandas(batches, schema)
+
+
+def media_ahash_groups(spark, sf_dir):
+    """Driver gate for the image-dedup path: synthesize real 8×8 P5
+    images from document bytes (encode_netpbm_demo), average-hash them
+    through the REAL netpbm codec (ahash_media — no fakes on this
+    path), and collapse to per-hash duplicate groups. The oracle
+    rebuilds every pixel via repeat+substr ASCII cycling and replays
+    the exact 64·p > Σp bit rule — a hash match proves decode and
+    hash byte-exact end-to-end."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    hashed = ahash_media(encode_netpbm_demo(d))
+    return hashed.groupBy("ahash_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_stats": media_byte_stats,
     "media_decode_features": media_decode_features,
     "media_video_frames": media_video_frames,
+    "media_ahash_groups": media_ahash_groups,
 }
 
 MULTIMODAL_ORACLE: dict[str, str] = {
@@ -472,6 +567,24 @@ MULTIMODAL_ORACLE: dict[str, str] = {
         "  sha256(substr(repeat(text, CAST(2 + 64 // length(text) AS INT)), "
         "    CAST((k * 64) % length(text) AS INT) + 1, 64)) AS frame_sha "
         "FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(k)",
+    # rebuild every pixel via repeat+substr ASCII cycling (chars ARE
+    # bytes) and replay the exact 64·p > Σp bit rule, then group —
+    # P5 grayscale means the ×1000 luma scaling cancels from both sides
+    "media_ahash_groups":
+        "WITH px AS ("
+        "  SELECT doc_id, k, "
+        "    ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+        "      CAST(k + 1 AS INT), 1)) AS p "
+        "  FROM documents, UNNEST(range(64)) AS t(k)), "
+        "s AS (SELECT doc_id, SUM(p) AS tot FROM px GROUP BY 1), "
+        "b AS ("
+        "  SELECT px.doc_id, string_agg("
+        "    CASE WHEN 64 * p > tot THEN '1' ELSE '0' END, '' ORDER BY k) "
+        "    AS ahash_bits "
+        "  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1) "
+        "SELECT ahash_bits, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(MIN(doc_id) AS BIGINT) AS min_doc "
+        "FROM b GROUP BY 1",
 }
 
 

@@ -8327,3 +8327,66 @@ RELATIONAL_ORACLE["q155_rfm_segments"] = (
     "  CAST(SUM(m_cents) AS BIGINT) AS segment_cents "
     "FROM scored GROUP BY 1, 2, 3"
 )
+
+
+# --------------------------------------------------------------------------
+# q156: exponential time-decay engagement score (feature-store rollup)
+# --------------------------------------------------------------------------
+
+def q156_decay_score(spark, sf_dir):
+    """Exponentially time-decayed engagement per market segment — the
+    feature-store rollup behind churn/LTV features: each order
+    contributes exp(-age_days/30), so last week's order counts ~30x a
+    five-month-old one, and the segment score is the sum. Decay weights
+    floor-quantize to integer micro-units PER ROW before the sum
+    (q127's transcendental discipline: the exp() argument -k/30 is a
+    division of exact integers, so both engines evaluate the same
+    double, and the e6 floor leaves three orders of magnitude between
+    an ulp wobble and a flipped integer; the sum is then exact int64).
+
+    Scale shape: the global anchor (max order date) is a scalar
+    aggregate broadcast-joined in (1-row broadcast crossJoin, the q119
+    pattern); weights are map-side expressions; the customer join
+    broadcasts the dim, and the segment rollup is the only shuffle.
+    Decayed sums are associative, so at 100 TB this runs as partial
+    aggregates with map-side combine — and an incremental refresh only
+    rescales yesterday's total by exp(-1/30), which is the operational
+    reason decay features use exponentials at all."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    weighted = (
+        o.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.floor(
+                F.lit(1_000_000)
+                * F.exp(
+                    -F.datediff(F.col("anchor"), F.col("o_orderdate"))
+                    / F.lit(30.0)
+                )
+            ).cast("long").alias("w_e6"),
+        )
+    )
+    return (
+        weighted.join(F.broadcast(c), weighted["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("w_e6").cast("long").alias("decayed_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q156_decay_score"] = q156_decay_score
+RELATIONAL_ORACLE["q156_decay_score"] = (
+    "WITH anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders), "
+    "w AS ("
+    "  SELECT o_custkey, CAST(FLOOR(1000000 * EXP("
+    "    -DATEDIFF('day', o_orderdate, anchor) / 30.0)) AS BIGINT) AS w_e6 "
+    "  FROM orders, anchor) "
+    "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "  CAST(SUM(w_e6) AS BIGINT) AS decayed_e6 "
+    "FROM w JOIN customer c ON w.o_custkey = c.c_custkey "
+    "GROUP BY 1"
+)

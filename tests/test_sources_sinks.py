@@ -867,3 +867,33 @@ def test_jpeg_decode_via_pillow_branch():
     w, h, depth, mean = _decode_real(buf.getvalue())
     assert (w, h, depth) == (8.0, 8.0, 255.0)
     assert abs(mean - 112.0) < 8.0  # lossy codec: approximate luma mean
+
+
+def test_media_ahash_golden(spark):
+    """ahash_media bit rule (64·p > Σp) against hand-computed hashes,
+    through the REAL netpbm codec on BOTH color paths: P5 grayscale
+    (luma = p·1000 — the scaling cancels) and P6 RGB (integer ITU-R 601
+    luma ×1000). Identical blobs must collapse to one hash."""
+    from data_table_spark.operators.multimodal import ahash_media
+
+    gray_px = bytes((i * 4) % 256 for i in range(64))
+    p5 = b"P5\n8 8\n255\n" + gray_px
+    tot = sum(gray_px)
+    exp_gray = "".join("1" if p * 64 > tot else "0" for p in gray_px)
+
+    rgb_px = bytes((i * 7 + c * 31) % 256 for i in range(64) for c in range(3))
+    p6 = b"P6\n8 8\n255\n" + rgb_px
+    luma = [
+        rgb_px[3 * i] * 299 + rgb_px[3 * i + 1] * 587 + rgb_px[3 * i + 2] * 114
+        for i in range(64)
+    ]
+    tot_l = sum(luma)
+    exp_rgb = "".join("1" if v * 64 > tot_l else "0" for v in luma)
+
+    df = spark.createDataFrame(
+        [(0, p5), (1, p6), (2, p5)], "doc_id long, media binary"
+    )
+    out = {r["doc_id"]: r["ahash_bits"] for r in ahash_media(df).collect()}
+    assert out[0] == exp_gray
+    assert out[1] == exp_rgb
+    assert out[2] == out[0]  # identical image -> identical hash
