@@ -204,6 +204,9 @@ _NEXT_WINDOW_QUEUE = [
     "stream_static_enrich",         # S9 stream-static dim join (two-stage)
     "q156_decay_score",             # exp time-decay engagement, e6-floored
     "media_ahash_groups",           # netpbm aHash image-dedup groups
+    "dedup_incremental_new_shard",  # incoming shard vs indexed corpus
+    "pipe_quality_calibration",     # per-source decile score calibration
+    "q157_price_volume_mix",        # additive revenue bridge per brand
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

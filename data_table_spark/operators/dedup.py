@@ -1261,3 +1261,120 @@ DEDUP_ORACLE["er_blocking_pairs"] = (
     f"WHERE levenshtein(substr(xa.norm, 1, {ER_VERIFY_LEN}), "
     f"  substr(xb.norm, 1, {ER_VERIFY_LEN})) <= {ER_MAX_DIST}"
 )
+
+
+# --------------------------------------------------------------------------
+# incremental shard dedup (new data vs an already-indexed corpus)
+# --------------------------------------------------------------------------
+
+def incremental_new_shard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup — the nightly-shard question every
+    training-data pipeline asks: of the INCOMING documents, which are
+    exact copies of the indexed corpus, which are near-dups of it, and
+    which survive? The corpus split is deterministic (even ids =
+    indexed corpus, odd ids = incoming shard) so the gate is stable at
+    every sf. Exact dups match on sha2(text) (dedup_exact's 32-byte
+    shuffle key); near-dups are trigram-Jaccard >= 1/2 against ANY
+    indexed doc, found with the SAME prefix-filtered exact join the
+    full-corpus gate proves (prefix_filter_pairs), then restricted to
+    cross-split pairs. Within-shard near-dups do NOT disqualify — both
+    rows land and the standing dedup family arbitrates them, the usual
+    production split of duties.
+
+    Scale shape: the exact check is a semi join on fixed-width hashes;
+    the near check inherits prefix filtering's O(true pairs) candidate
+    bound (a dedicated cross form would also drop same-split candidates
+    at the prefix index — noted, not needed for correctness). Flags
+    are anti-join-free: two left-semi-derived 0/1 columns via left
+    joins on the shard spine."""
+    oddness = (F.col(id_col) % 2 == 1)
+    new = docs.where(oddness).select(F.col(id_col).alias("doc"))
+    new_h = docs.where(oddness).select(
+        F.col(id_col).alias("doc"), F.sha2(F.col(text_col), 256).alias("h")
+    )
+    old_h = (
+        docs.where(~oddness)
+        .select(F.sha2(F.col(text_col), 256).alias("h"))
+        .distinct()
+    )
+    exact = new_h.join(old_h, "h", "left_semi").select("doc").withColumn(
+        "is_exact", F.lit(1).cast("long")
+    )
+    pairs = prefix_filter_pairs(docs, id_col=id_col, text_col=text_col)
+    near = (
+        pairs.where((F.col("a") % 2) + (F.col("b") % 2) == 1)
+        .select(
+            F.when(F.col("a") % 2 == 1, F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("doc")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(1).cast("long"))
+    )
+    return (
+        new.join(exact, "doc", "left")
+        .join(near, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce("is_exact", F.lit(0)).alias("exact_dup"),
+            F.coalesce("is_near", F.lit(0)).alias("near_dup"),
+            F.when(
+                F.coalesce("is_exact", F.lit(0))
+                + F.coalesce("is_near", F.lit(0))
+                == 0,
+                1,
+            ).otherwise(0).cast("long").alias("survivor"),
+        )
+    )
+
+
+def dedup_incremental_new_shard(spark, sf_dir):
+    """Gate: incremental shard dedup (odd ids incoming, even indexed)."""
+    return incremental_new_shard(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_incremental_new_shard"] = dedup_incremental_new_shard
+DEDUP_ORACLE["dedup_incremental_new_shard"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct("
+    "    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "     FOR i IN range(1, len(t) - 1)]) s "
+    "  FROM toks), "
+    "tok AS (SELECT DISTINCT doc_id, UNNEST(s) AS tok FROM sh), "
+    "sz AS (SELECT doc_id, len(s) AS n FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+    "  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2), "
+    "near_pairs AS ("
+    "  SELECT inter.a, inter.b FROM inter "
+    "  JOIN sz sa ON inter.a = sa.doc_id "
+    "  JOIN sz sb ON inter.b = sb.doc_id "
+    "  WHERE 2 * i >= (sa.n + sb.n - i)), "
+    "near AS ("
+    "  SELECT DISTINCT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id "
+    "  FROM near_pairs WHERE (a % 2) + (b % 2) = 1), "
+    "exact AS ("
+    "  SELECT DISTINCT n.doc_id "
+    "  FROM documents n JOIN documents o "
+    "    ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0 "
+    "    AND sha256(n.text) = sha256(o.text)) "
+    "SELECT d.doc_id, "
+    "  CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+    "    AS exact_dup, "
+    "  CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+    "    AS near_dup, "
+    "  CAST(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS survivor "
+    "FROM documents d "
+    "LEFT JOIN exact e ON d.doc_id = e.doc_id "
+    "LEFT JOIN near nr ON d.doc_id = nr.doc_id "
+    "WHERE d.doc_id % 2 = 1"
+)

@@ -2033,3 +2033,73 @@ PIPELINE_ORACLE["pipe_l_diversity"] = (
     "    AS n_exposed_docs "
     "FROM groups GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# per-source quality calibration (cross-source score comparability)
+# --------------------------------------------------------------------------
+
+def quality_calibration(docs: DataFrame) -> DataFrame:
+    """Per-source quality-score calibration — the step before any
+    cross-source mixing: raw quality scores are NOT comparable across
+    sources (a boilerplate-heavy source's 0.6 may be its best content),
+    so each document is re-expressed as its rank decile WITHIN its
+    source. Decile = ((rank-1)·10) div n — pure integer arithmetic on
+    the per-source row_number (ties broken by doc_id, making the rank,
+    and hence every downstream number, fully deterministic); no float
+    percent_rank boundary can flip a bucket. The output profiles each
+    (source, decile) cell with its count and exact score range —
+    min/max are single already-truncated doubles, never a float SUM.
+
+    Scale shape: one shuffle on source for the two stacked windows
+    (row_number + count share the partition), one map-combinable
+    rollup. Per-source windows are as wide as the largest source —
+    at open-web scale swap row_number for q108's two-phase order
+    statistics on the same (score, doc_id) key; the decile arithmetic
+    is unchanged."""
+    from .textstats import quality_score
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality_score")
+    )
+    ranked = scored.select(
+        "source", "quality_score",
+        ((F.row_number().over(w) - 1) * 10).alias("r10"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "source", "quality_score",
+        (F.col("r10") / F.col("n")).cast("long").alias("decile"),
+    )
+    return ranked.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )
+
+
+def pipe_quality_calibration(spark, sf_dir):
+    """Gate: per-(source, decile) calibrated quality profile."""
+    return quality_calibration(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_quality_calibration"] = pipe_quality_calibration
+PIPELINE_ORACLE["pipe_quality_calibration"] = (
+    "WITH scored AS ({qsub}), "
+    "src AS (SELECT doc_id, source FROM documents), "
+    "ranked AS ("
+    "  SELECT src.source, scored.quality_score, "
+    "    (ROW_NUMBER() OVER (PARTITION BY src.source "
+    "       ORDER BY scored.quality_score DESC, scored.doc_id) - 1) * 10 "
+    "      AS r10, "
+    "    COUNT(*) OVER (PARTITION BY src.source) AS n "
+    "  FROM scored JOIN src ON scored.doc_id = src.doc_id) "
+    "SELECT source, CAST(r10 // n AS BIGINT) AS decile, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  MIN(quality_score) AS min_score, "
+    "  MAX(quality_score) AS max_score "
+    "FROM ranked GROUP BY 1, 2"
+).format(qsub=_QUALITY_SCORE_SUBQUERY)

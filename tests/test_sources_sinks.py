@@ -897,3 +897,37 @@ def test_media_ahash_golden(spark):
     assert out[0] == exp_gray
     assert out[1] == exp_rgb
     assert out[2] == out[0]  # identical image -> identical hash
+
+
+def test_synthetic_corpus_stream_reader(spark, tmp_path):
+    """The streaming half of the synthetic corpus (Spark 4
+    SimpleDataSourceStreamReader): a capped stream drained with
+    processAllAvailable must equal the batch read of the same
+    (rows, seed) row-for-row, across multiple micro-batches
+    (batch_rows < rows forces >1 batch and exercises offset chaining)."""
+    from data_table_spark.sources.synthetic import register
+
+    register(spark)
+    batch = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 230).option("seed", 9).load()
+    )
+    stream = (
+        spark.readStream.format("synthetic_corpus")
+        .option("rows", 230).option("seed", 9).option("batch_rows", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_syn"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("syn_stream").collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert len(got) == 230
+    assert got == exp
