@@ -207,6 +207,9 @@ _NEXT_WINDOW_QUEUE = [
     "dedup_incremental_new_shard",  # incoming shard vs indexed corpus
     "pipe_quality_calibration",     # per-source decile score calibration
     "q157_price_volume_mix",        # additive revenue bridge per brand
+    "sim_filtered_topk",            # metadata-predicate filtered k-NN
+    "media_wav_energy",             # REAL WAV decode + windowed energy
+    "q158_new_vs_returning",        # daily actives growth accounting
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -777,3 +777,110 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def encode_wav_demo(df: DataFrame) -> DataFrame:
+    """Synthesis half of the audio-energy gate: build a REAL PCM16 mono
+    WAV per document — 64 samples at 8 kHz, sample k = (byte_k − 128)
+    · 256 over the document's bytes cycled (the netpbm/Y4M synthesis
+    discipline: valid files any audio tool opens, constructed so the
+    DuckDB oracle can rebuild every sample from the ASCII text)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                if not data:
+                    raise ValueError("encode_wav_demo requires non-empty text")
+                cyc = (data * (1 + 64 // len(data)))[:64]
+                pcm = struct.pack("<64h", *((b - 128) * 256 for b in cyc))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(pcm)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return df.mapInPandas(batches, "doc_id long, media binary")
+
+
+def wav_window_energy(df: DataFrame, window: int = 16) -> DataFrame:
+    """Windowed audio energy — the segmentation primitive under VAD,
+    silence trimming, and audio near-dup: decode PCM via the REAL
+    stdlib codec, split into fixed windows, emit each window's EXACT
+    integer sum of squared samples (no float RMS — the sqrt adds
+    nothing for thresholding and costs engine exactness). 1→N window
+    fan-out stays inside the Arrow batch; no shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_idx", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(blob))) as wv:
+                    if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                        raise ValueError("energy gate expects PCM16 mono")
+                    pcm = wv.readframes(wv.getnframes())
+                x = np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+                for w in range(0, len(x), window):
+                    seg = x[w : w + window]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w // window,
+                            len(seg),
+                            int((seg * seg).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_idx", "n_samples", "energy"]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def media_wav_energy(spark, sf_dir):
+    """Driver gate for the REAL audio path: synthesize valid PCM16 WAV
+    per document (encode_wav_demo), decode with the stdlib codec and
+    window the samples (wav_window_energy — no fakes on this path).
+    The oracle rebuilds each sample as (ord(char) − 128)·256 via ASCII
+    cycling and sums squares per 16-sample window — equality proves the
+    encode → decode → window chain byte-exact."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return wav_window_energy(encode_wav_demo(d))
+
+
+MULTIMODAL_QUERIES["media_wav_energy"] = media_wav_energy
+MULTIMODAL_ORACLE["media_wav_energy"] = (
+    "WITH px AS ("
+    "  SELECT doc_id, k, "
+    "    (ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+    "      CAST(k + 1 AS INT), 1)) - 128) * 256 AS s "
+    "  FROM documents, UNNEST(range(64)) AS t(k)) "
+    "SELECT doc_id, CAST(k // 16 AS INT) AS win_idx, "
+    "  CAST(16 AS BIGINT) AS n_samples, "
+    "  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy "
+    "FROM px GROUP BY doc_id, k // 16"
+)

@@ -8344,29 +8344,30 @@ def q156_decay_score(spark, sf_dir):
     double, and the e6 floor leaves three orders of magnitude between
     an ulp wobble and a flipped integer; the sum is then exact int64).
 
-    Scale shape: the global anchor (max order date) is a scalar
-    aggregate broadcast-joined in (1-row broadcast crossJoin, the q119
-    pattern); weights are map-side expressions; the customer join
-    broadcasts the dim, and the segment rollup is the only shuffle.
+    Scale shape: the global anchor (max order date) is fetched as ONE
+    DRIVER SCALAR and inlined as a literal (the bigram_lm precedent —
+    the 1-row-broadcast crossJoin alternative plans a
+    BroadcastNestedLoopJoin, which the 100x smoke's blanket rule bans);
+    weights are map-side expressions; the customer join broadcasts the
+    dim, and the segment rollup is the only shuffle.
     Decayed sums are associative, so at 100 TB this runs as partial
     aggregates with map-side combine — and an incremental refresh only
     rescales yesterday's total by exp(-1/30), which is the operational
     reason decay features use exponentials at all."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
-    weighted = (
-        o.crossJoin(F.broadcast(anchor))
-        .select(
-            "o_custkey",
-            F.floor(
-                F.lit(1_000_000)
-                * F.exp(
-                    -F.datediff(F.col("anchor"), F.col("o_orderdate"))
-                    / F.lit(30.0)
+    anchor = o.agg(F.max("o_orderdate")).collect()[0][0]
+    weighted = o.select(
+        "o_custkey",
+        F.floor(
+            F.lit(1_000_000)
+            * F.exp(
+                -F.datediff(
+                    F.lit(anchor).cast("timestamp"), F.col("o_orderdate")
                 )
-            ).cast("long").alias("w_e6"),
-        )
+                / F.lit(30.0)
+            )
+        ).cast("long").alias("w_e6"),
     )
     return (
         weighted.join(F.broadcast(c), weighted["o_custkey"] == c["c_custkey"])
@@ -8408,11 +8409,11 @@ def q157_price_volume_mix(spark, sf_dir):
     ratio of sub-2^53 integers, identical on both engines (q127's
     discipline); the midpoint is integer epoch arithmetic.
 
-    Scale shape: lineitem joins the part dim (broadcast), the global
-    min/max epoch is one scalar aggregate broadcast back (1-row
-    crossJoin, the q119/q156 pattern), and the whole decomposition
-    collapses in ONE conditional aggregate per brand — no second fact
-    scan, no window."""
+    Scale shape: lineitem joins the part dim (broadcast); the global
+    min/max epoch is fetched as TWO DRIVER LONGS inlined as literals
+    (bigram_lm/q156 precedent — a 1-row crossJoin would plan the BNLJ
+    the 100x smoke bans), and the whole decomposition collapses in ONE
+    conditional aggregate per brand — no second fact scan, no window."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.unix_timestamp("l_shipdate").alias("ep"),
@@ -8420,14 +8421,9 @@ def q157_price_volume_mix(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    span = li.agg(
-        F.min("ep").alias("lo"), F.max("ep").alias("hi")
-    )
+    lo, hi = li.agg(F.min("ep"), F.max("ep")).collect()[0]
     tagged = (
-        li.crossJoin(F.broadcast(span))
-        .withColumn(
-            "p1", (F.col("ep") >= (F.col("lo") + F.col("hi")) / 2)
-        )
+        li.withColumn("p1", F.col("ep") >= F.lit((lo + hi) / 2))
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     )
 
@@ -8483,4 +8479,58 @@ RELATIONAL_ORACLE["q157_price_volume_mix"] = (
     "    - FLOOR((qty1 - qty0) * (CAST(rev0_cents AS DOUBLE) / qty0)) "
     "    AS BIGINT) AS price_effect_cents "
     "FROM agg WHERE qty0 > 0"
+)
+
+
+# --------------------------------------------------------------------------
+# q158: daily active users split new vs returning (product health metric)
+# --------------------------------------------------------------------------
+
+def q158_new_vs_returning(spark, sf_dir):
+    """Daily actives split into NEW (first-ever event lands today) vs
+    RETURNING — the growth-accounting readout behind every DAU chart:
+    growth is new + resurrected... this fixture has no gaps long enough
+    for a resurrection bucket, so the canonical two-way split. A user's
+    first day comes from ONE min-aggregate; each active (user, day) then
+    classifies by equality — no window over the event stream.
+
+    Scale shape: distinct (user, day) collapse (map-combinable), a
+    per-user min over the COLLAPSED table (second shuffle on user), and
+    a broadcast-size daily rollup. The firsts table is user-bounded and
+    fact-derived: its join back to the collapsed actives shares the
+    user partitioning, so AQE keeps it to the same exchange."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    active = e.distinct()
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("long").alias("new_users"),
+            F.sum(F.when(F.col("d") != F.col("first_d"), 1).otherwise(0))
+            .cast("long").alias("returning_users"),
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "new_users", "returning_users",
+        )
+    )
+
+
+RELATIONAL_QUERIES["q158_new_vs_returning"] = q158_new_vs_returning
+RELATIONAL_ORACLE["q158_new_vs_returning"] = (
+    "WITH active AS ("
+    "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+    "firsts AS ("
+    "  SELECT user_id, MIN(d) AS first_d FROM active GROUP BY 1) "
+    "SELECT CAST(a.d AS VARCHAR) AS day, "
+    "  CAST(SUM(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS new_users, "
+    "  CAST(SUM(CASE WHEN a.d <> f.first_d THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS returning_users "
+    "FROM active a JOIN firsts f ON a.user_id = f.user_id "
+    "GROUP BY 1"
 )

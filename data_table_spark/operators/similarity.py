@@ -1557,3 +1557,57 @@ SIMILARITY_ORACLE["sim_prefix_dim_topk"] = (
     "WHERE nqp > 0 AND ncp > 0 AND nqf > 0 AND ncf > 0 "
     f"ORDER BY prefix_cos DESC, vec_id LIMIT {TOP_K}"
 )
+
+
+# --------------------------------------------------------------------------
+# filtered vector search (metadata predicate + exact cosine top-k)
+# --------------------------------------------------------------------------
+
+FILTER_LABEL = 1  # the metadata predicate for the filtered-search gate
+
+
+def sim_filtered_topk(spark, sf_dir):
+    """Filtered vector search — the production ANN feature brute force
+    demonstrates exactly: top-k restricted to rows passing a metadata
+    predicate (label = FILTER_LABEL), the "filtered k-NN" every vector
+    store ships. The predicate applies BEFORE scoring (pre-filter), so
+    selectivity cuts compute instead of truncating results — the
+    semantics post-filtered ANN gets wrong when fewer than k survivors
+    pass. The filter is a plain Catalyst predicate on the scan, so
+    parquet row-group stats prune it for free.
+
+    Scale shape: identical to sim_bruteforce_topk (broadcast 1-row
+    probe, map-only scoring, TakeOrderedAndProject partial top-k); the
+    LSH/IVF serving paths take the same predicate as a bucket-side
+    filter — this gate pins the exact answer they approximate."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        e.where(
+            (F.col("label") == FILTER_LABEL)
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SIMILARITY_QUERIES["sim_filtered_topk"] = sim_filtered_topk
+SIMILARITY_ORACLE["sim_filtered_topk"] = (
+    "WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = "
+    f"{QUERY_VEC_ID}) "
+    "SELECT vec_id, CAST(label AS BIGINT) AS label, "
+    "  ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) "
+    "  AS cos_sim "
+    f"FROM embeddings, q WHERE label = {FILTER_LABEL} "
+    f"AND vec_id != {QUERY_VEC_ID} "
+    f"ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}"
+)

@@ -1183,19 +1183,23 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
     c1 = c12.groupBy("w1").agg(F.sum("cxy").alias("cx"))
     c2 = c12.groupBy("w2").agg(F.sum("cxy").alias("cy"))
-    n = c12.agg(F.sum("cxy").alias("n"))
+    # N is ONE DRIVER LONG inlined as a literal (bigram_lm_score's
+    # rationale verbatim: the 1-row-broadcast crossJoin alternative
+    # plans a BroadcastNestedLoopJoin, which the scale smokes' blanket
+    # rule bans — this gate FAILED the 10x smoke on exactly that node
+    # before the switch)
+    n = int(c12.agg(F.sum("cxy")).collect()[0][0])
     return (
         c12.where(F.col("cxy") >= min_count)
         .join(c1, "w1")
         .join(c2, "w2")
-        .crossJoin(F.broadcast(n))
         .select(
             "w1", "w2",
             F.col("cxy").cast("long").alias("cxy"),
             F.floor(
                 F.lit(1_000_000)
                 * F.log(
-                    (F.col("cxy") * F.col("n"))
+                    (F.col("cxy") * F.lit(n))
                     / (F.col("cx") * F.col("cy"))
                 )
             ).cast("long").alias("pmi_e6"),

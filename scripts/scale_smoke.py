@@ -73,6 +73,16 @@ GATES = [
     # exact similarity join: candidates must scale with true near-dup
     # pairs (the prefix join prunes the hot token tail), never O(n²)
     ("dedup_prefix_filter_pairs", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    # round-8 corpus gates: incremental shard dedup (cross-split exact +
+    # near checks must inherit the prefix filter's candidate bound), the
+    # per-source calibration windows (as wide as the largest source),
+    # the PMI pair-count aggregate (vocab-bounded marginals), and the
+    # aHash mapInPandas path (map-only; the group-by shuffles 64-bit
+    # strings, never pixels)
+    ("dedup_incremental_new_shard", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    ("pipe_quality_calibration", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("text_pmi_bigrams", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("media_ahash_groups", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -205,9 +215,17 @@ def main() -> None:
 
     import importlib
 
+    only = set(sys.argv[1:])
+    unknown = only - {g for g, _, _ in GATES}
+    if unknown:
+        print(f"unknown gates: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
+
     rows = []
     failures = []
     for gate, mod, reg in GATES:
+        if only and gate not in only:
+            continue
         fn = getattr(importlib.import_module(mod), reg)[gate]
         # warm once at the small scale so codegen/JIT is out of the timing
         materialize(fn(spark, SRC))
@@ -275,6 +293,33 @@ def main() -> None:
         print(f"{gate}: {t_small:.2f}s -> {t_big:.2f}s ({ratio:.1f}x) "
               f"plan_delta={plan_delta} {'OK' if ok else 'FAIL'}",
               file=sys.stderr)
+
+    if only:
+        # filtered re-run: patch just the named gates' rows in place
+        path = os.path.join(REPO, "SCALE_SMOKE.md")
+        with open(path) as f:
+            lines = f.readlines()
+        for gate, ts, tb, r, pd, ok in rows:
+            new = (
+                f"| {gate} | {ts:.2f} | {tb:.2f} | {r:.1f}× | "
+                f"{pd if pd else 'unchanged'} | {'PASS' if ok else 'FAIL'} |\n"
+            )
+            for i, line in enumerate(lines):
+                if line.startswith(f"| {gate} |"):
+                    lines[i] = new
+                    break
+            else:
+                last = max(
+                    i for i, ln in enumerate(lines) if ln.startswith("| ")
+                )
+                lines.insert(last + 1, new)
+        with open(path, "w") as f:
+            f.writelines(lines)
+        if failures:
+            print("FAILURES:\n" + "\n".join(failures), file=sys.stderr)
+            sys.exit(1)
+        print("scale smoke (filtered): all gates PASS", file=sys.stderr)
+        return
 
     with open(os.path.join(REPO, "SCALE_SMOKE.md"), "w") as f:
         f.write(

@@ -175,6 +175,21 @@ GATES = [
                                # broadcast must flip to SMJ
     "pipe_l_diversity",        # count-distinct per quasi-group, then
                                # a group-table reaggregate
+    # round-8 session additions — fact-bound shapes (media_ahash /
+    # dedup_incremental / pipe_quality_calibration are documents-bound
+    # and belong to scale_smoke.py's 10× corpus domain):
+    "q154_window_funnel",      # three stacked windows over ONE user_id
+                               # exchange, under planted hot-user skew
+    "q155_rfm_segments",       # orders collapse per customer FIRST;
+                               # the ntile windows run over the
+                               # customer-bounded rollup
+    "q156_decay_score",        # map-side exp weights; anchor is a
+                               # driver literal; customer stays dim
+    "q157_price_volume_mix",   # one conditional agg over lineitem;
+                               # span is two driver literals; part
+                               # stays dim
+    "stream_static_enrich",    # two chained hash aggs (streaming-legal
+                               # distinct) against a broadcast dim
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -286,6 +301,15 @@ DIM_BROADCAST_FLOOR = {
                                # events-derived — leaving broadcast at
                                # 100× is the correct degradation
     "pipe_l_diversity": 0,     # no joins at all
+    # round-8 session additions:
+    "q154_window_funnel": 0,   # no joins at all (stacked windows)
+    "q155_rfm_segments": 0,    # no joins at all (rollup + ntile)
+    "q156_decay_score": 1,     # customer is the dim and must stay
+                               # broadcast against 100× orders
+    "q157_price_volume_mix": 1,  # part is the dim and must stay
+                               # broadcast against 100× lineitem
+    "stream_static_enrich": 1, # customer dim must stay broadcast
+                               # against 100× events
 }
 
 PLAN_NODES = (
