@@ -210,6 +210,7 @@ _NEXT_WINDOW_QUEUE = [
     "sim_filtered_topk",            # metadata-predicate filtered k-NN
     "media_wav_energy",             # REAL WAV decode + windowed energy
     "q158_new_vs_returning",        # daily actives growth accounting
+    "q159_cusum_by_key",            # per-series CUSUM break days
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

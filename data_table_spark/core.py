@@ -618,6 +618,34 @@ class DataTable:
         return [list(r) for r in
                 self._df.orderBy(ROW_ID).select(*self.column_names).collect()]
 
+    def to_arrow(self):
+        """table → pyarrow.Table in row order (Spark 4 ``df.toArrow``) —
+        the zero-copy interchange surface toward pandas/polars/duckdb,
+        the columnar sibling of to_records. Driver-side; small results
+        only (same contract as to_records)."""
+        return self._df.orderBy(ROW_ID).select(*self.column_names).toArrow()
+
+    @classmethod
+    def from_arrow(
+        cls,
+        spark: SparkSession,
+        table,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ) -> "DataTable":
+        """pyarrow.Table → DataTable, preserving row order (inverse of
+        to_arrow; Arrow-native ``createDataFrame`` path, no Python-row
+        materialization). Column names are deduped with the same
+        duplicate policy every other ingest uses."""
+        names = dedupe_names(
+            [str(n) for n in table.column_names], config.on_duplicate_column
+        )
+        df = spark.createDataFrame(table.rename_columns(names))
+        # stamp ingest order via a monotonic id over the ARRIVAL order:
+        # Arrow tables are single-node in-memory, so the coalesce(1) is
+        # free and keeps ids dense and deterministic
+        df = df.coalesce(1).withColumn(ROW_ID, F.monotonically_increasing_id())
+        return cls(df, config=config, _has_row_id=True)
+
     # ---------- mutating (!) variants ----------
     # The reference splits copy-vs-mutate APIs (symbolize-column-names!,
     # sql-escape-column-names!, …, data-table.lisp:114-117 etc.). The

@@ -8534,3 +8534,84 @@ RELATIONAL_ORACLE["q158_new_vs_returning"] = (
     "FROM active a JOIN firsts f ON a.user_id = f.user_id "
     "GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q159: keyed CUSUM changepoints (per-series monitoring at fleet scale)
+# --------------------------------------------------------------------------
+
+def q159_cusum_by_key(spark, sf_dir):
+    """Per-key CUSUM changepoint — q130's level-shift detector in the
+    form a monitoring fleet actually runs it: one break day PER SERIES
+    (here per event type over daily counts), thousands of series in one
+    pass (the q143→q151 keyed-sibling pattern). Same exact integer
+    statistic |n·S_k − k·S_n|; the per-key totals that q130 fetched as
+    driver scalars become two more windows over the SAME (type)
+    partition — every window shares one exchange, and the spine is
+    bounded by types × calendar days. Argmax per key is one struct
+    extremum with the earliest-day tie-break; no sort, no self-join."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "day",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("cnt").over(w_cum).alias("s_k"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("s_n"),
+    )
+    best = cum.select(
+        "event_type", "n", "s_n",
+        F.struct(
+            F.abs(
+                F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")
+            ).alias("stat"),
+            (-F.unix_date("day")).alias("negd"),
+        ).alias("cand"),
+    ).groupBy("event_type").agg(
+        F.max("cand").alias("b"),
+        F.max("n").cast("long").alias("n_days"),
+        F.max("s_n").cast("long").alias("total_events"),
+    )
+    return best.select(
+        "event_type",
+        F.date_from_unix_date(-F.col("b.negd")).cast("string").alias("break_day"),
+        F.col("b.stat").cast("long").alias("cusum_num"),
+        "n_days", "total_events",
+    )
+
+
+RELATIONAL_QUERIES["q159_cusum_by_key"] = q159_cusum_by_key
+RELATIONAL_ORACLE["q159_cusum_by_key"] = (
+    "WITH daily AS ("
+    "  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt "
+    "  FROM events GROUP BY 1, 2), "
+    "cum AS ("
+    "  SELECT event_type, day, "
+    "    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k, "
+    "    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day "
+    "      ROWS UNBOUNDED PRECEDING) AS s_k, "
+    "    COUNT(*) OVER (PARTITION BY event_type) AS n, "
+    "    SUM(cnt) OVER (PARTITION BY event_type) AS s_n "
+    "  FROM daily), "
+    "scored AS ("
+    "  SELECT event_type, day, n, s_n, "
+    "    ABS(n * s_k - k * s_n) AS stat "
+    "  FROM cum), "
+    "mx AS ("
+    "  SELECT event_type, MAX(stat) AS mstat FROM scored GROUP BY 1) "
+    "SELECT s.event_type, "
+    "  CAST(MIN(s.day) AS VARCHAR) AS break_day, "
+    "  CAST(MAX(s.stat) AS BIGINT) AS cusum_num, "
+    "  CAST(MAX(s.n) AS BIGINT) AS n_days, "
+    "  CAST(MAX(s.s_n) AS BIGINT) AS total_events "
+    "FROM scored s JOIN mx ON s.event_type = mx.event_type "
+    "  AND s.stat = mx.mstat "
+    "GROUP BY 1"
+)

@@ -254,6 +254,75 @@ def write_sorted_ranges(
     )
 
 
+def zorder_key(cols: list, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of 2+ numeric columns — the
+    multi-column generalization of write_sorted_ranges' single-column
+    clustering. Each column is first rank-normalized by the CALLER
+    (pass ntile/percent-rank buckets, or raw non-negative integers with
+    comparable ranges); this helper bit-interleaves the low ``bits``
+    bits of each: out bit (i·k + j) = bit i of column j. Rows close in
+    Z-value are close in EVERY interleaved dimension, so sorting by the
+    key clusters row groups tightly in all of them at once — one layout
+    serves predicates on either column (where a single-column sort
+    serves only its own).
+
+    Pure integer expression (shifts + masks via SHIFTLEFT/BITWISE OR),
+    whole-stage-codegen-able, no UDF."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    num_ranges: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: bucket each clustering column to
+    a bounded integer rank (ntile over the column — rank-normalization
+    makes the interleave scale-free, so a [0,1] double and an epoch
+    timestamp cluster equally), Morton-interleave the buckets
+    (zorder_key), then range-partition + sort on the key and drop it
+    before writing. Row groups end up tight in EVERY clustering column's
+    [min,max] footer stats, so predicate pushdown skips row groups for
+    filters on ANY of them — the layout Delta/Iceberg OPTIMIZE ZORDER
+    produces, from two shuffles of plain DataFrame ops.
+
+    The ntile rank is a global window: bounded by 2^bits buckets but
+    single-reducer over the input. At 100 TB swap it for ntile_approx
+    (same module) — the two-pass approx-quantile bucketing — keeping
+    the interleave/sort identical; this writer is the exact-layout
+    form."""
+    from pyspark.sql import Window
+
+    n_buckets = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        rc = f"__zr_{c}"
+        ranked = ranked.withColumn(
+            rc, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+        )
+        rank_cols.append(rc)
+    keyed = ranked.withColumn("__zkey", zorder_key(rank_cols, bits))
+    (
+        keyed.repartitionByRange(num_ranges, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *rank_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark,
     path: str,

@@ -42,14 +42,27 @@ def main() -> int:
     fails = []
     for name, fn in sorted(qs.items()):
         t0 = time.time()
-        try:
+
+        def run_once():
             df = fn(spark, sf)
             if name not in oracles:
-                ok, msg = df.count() >= 0, "rows-only"
-            else:
-                ok, msg = compare_to_oracle(df, con, oracles[name])
+                return df.count() >= 0, "rows-only"
+            return compare_to_oracle(df, con, oracles[name])
+
+        try:
+            ok, msg = run_once()
         except Exception as e:  # noqa: BLE001
-            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+            # one retry: a ~280-gate session occasionally hits JVM infra
+            # flakes (observed: TorrentBroadcast store failure →
+            # STAGE_MATERIALIZATION_MULTIPLE_FAILURES on a gate green in
+            # four surrounding drives). A LOGIC error is deterministic
+            # and fails the retry too; the retry is printed, never
+            # silent, so flakes stay visible in the log.
+            try:
+                ok, msg = run_once()
+                msg = f"{msg} (ok-after-retry; first: {type(e).__name__})"
+            except Exception as e2:  # noqa: BLE001
+                ok, msg = False, f"EXC {type(e2).__name__}: {e2}"
         print(
             f"{name:34s} {'ok' if ok else 'FAIL':4s} "
             f"{time.time() - t0:6.2f}s  {msg[:160]}"

@@ -999,3 +999,61 @@ def test_dataset_card_is_single_expand_agg(spark, sf_dir):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("Scan parquet") == 1, p[:800]
+
+
+def test_write_zordered_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """write_zordered must leave row-group [min,max] footer spans tight
+    in BOTH clustering columns: a narrow predicate on EITHER column
+    overlaps strictly fewer row groups than under a hash-scrambled
+    layout of the same data — the property Delta/Iceberg OPTIMIZE
+    ZORDER exists for, checked against the real parquet statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_table_spark.operators.scale import write_zordered
+    from data_table_spark.sources.registry import load_table
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+
+    def overlap_frac(path_glob, col, lo, hi):
+        total = overlapping = 0
+        for part in glob.glob(path_glob):
+            md = pq.ParquetFile(part).metadata
+            if md.num_row_groups == 0:
+                continue
+            idx = [
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            ][0]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                assert st is not None and st.has_min_max
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    overlapping += 1
+        return overlapping / total, total
+
+    z_path = str(tmp_path / "ev_z")
+    write_zordered(e, z_path, ["event_id", "user_id"], num_ranges=8, bits=8)
+    plain_path = str(tmp_path / "ev_hash")
+    e.repartition(8, "value").write.mode("overwrite").parquet(plain_path)
+
+    # the z-written data must be the same multiset
+    assert (
+        spark.read.parquet(z_path).orderBy("event_id").collect()
+        == e.orderBy("event_id").collect()
+    )
+
+    ids = [r["event_id"] for r in e.select("event_id").collect()]
+    users = sorted({r["user_id"] for r in e.select("user_id").collect()})
+    id_lo, id_hi = sorted(ids)[0], sorted(ids)[len(ids) // 16]
+    u_lo = u_hi = users[len(users) // 2]
+
+    for col, lo, hi in (("event_id", id_lo, id_hi), ("user_id", u_lo, u_hi)):
+        zf, zn = overlap_frac(z_path + "/*.parquet", col, lo, hi)
+        pf, pn = overlap_frac(plain_path + "/*.parquet", col, lo, hi)
+        assert zn > 1 and pn > 1
+        assert zf < pf, (
+            f"{col}: z-order overlap {zf:.2f} not better than hash {pf:.2f}"
+        )

@@ -436,3 +436,32 @@ def test_coerce_rejects_unknown_on_error_policy(spark):
         DataTable(df).coerce_types(
             explicit={"v": "bigint"}, on_error="string-fallback"
         )
+
+
+def test_arrow_round_trip(spark):
+    """to_arrow/from_arrow: the columnar interchange surface must
+    round-trip rows, order, names (incl. duplicate-name dedup on
+    ingest), and survive mixed nulls."""
+    import pyarrow as pa
+
+    from data_table_spark.core import DataTable
+
+    t = DataTable.from_records(
+        spark,
+        [
+            {"a": 1, "b": "x"},
+            {"a": None, "b": "y"},
+            {"a": 3, "b": None},
+        ],
+    )
+    at = t.to_arrow()
+    assert at.column_names == ["a", "b"]
+    assert at.num_rows == 3
+    back = DataTable.from_arrow(spark, at)
+    assert back.rows() == t.rows()
+    # duplicate Arrow names follow the standard dedup policy
+    dup = pa.table({"x": [1, 2]}).append_column("x_", pa.array([3, 4]))
+    dup = dup.rename_columns(["A", "A"])
+    d = DataTable.from_arrow(spark, dup)
+    assert d.column_names == ["A", "A_1"]
+    assert d.rows() == [[1, 3], [2, 4]]
