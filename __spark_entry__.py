@@ -211,6 +211,9 @@ _NEXT_WINDOW_QUEUE = [
     "media_wav_energy",             # REAL WAV decode + windowed energy
     "q158_new_vs_returning",        # daily actives growth accounting
     "q159_cusum_by_key",            # per-series CUSUM break days
+    "q160_share_of_parent",         # hierarchy contribution shares
+    "text_sentence_stats",          # sentence segmentation readability
+    "q161_key_skew_profile",        # per-key cardinality distribution
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -8615,3 +8615,155 @@ RELATIONAL_ORACLE["q159_cusum_by_key"] = (
     "  AND s.stat = mx.mstat "
     "GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q160: share-of-parent contribution in a dimension hierarchy
+# --------------------------------------------------------------------------
+
+def q160_share_of_parent(spark, sf_dir):
+    """Contribution analysis down a dimension hierarchy — the "% of
+    parent" column every BI drill-down shows: revenue per nation, as a
+    share of its region and of the total, in e6-floored integer ratios
+    of exact cent sums (the one division per level happens inside
+    FLOOR of a ratio of sub-2^53 integers — q127's discipline, so both
+    engines agree bit-for-bit).
+
+    Scale shape: ONE fact aggregate to the (region, nation) grain (the
+    hierarchy is dim-bounded), then region/total shares come from two
+    windows over that bounded rollup — never a second fact pass. Dims
+    broadcast; the rollup is the only fact shuffle."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    grain = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return grain.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("rev_c").cast("long").alias("rev_cents"),
+        F.floor(
+            F.lit(1_000_000) * F.col("rev_c") / F.sum("rev_c").over(w_r)
+        ).cast("long").alias("share_of_region_e6"),
+        F.floor(
+            F.lit(1_000_000) * F.col("rev_c") / F.sum("rev_c").over(w_all)
+        ).cast("long").alias("share_of_total_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q160_share_of_parent"] = q160_share_of_parent
+RELATIONAL_ORACLE["q160_share_of_parent"] = (
+    "WITH grain AS ("
+    "  SELECT r.r_name AS region, n.n_name AS nation, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev_c "
+    "  FROM orders o "
+    "  JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "  JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "  GROUP BY 1, 2) "
+    "SELECT region, nation, rev_c AS rev_cents, "
+    "  CAST(FLOOR(1000000 * rev_c / "
+    "    SUM(rev_c) OVER (PARTITION BY region)) AS BIGINT) "
+    "    AS share_of_region_e6, "
+    "  CAST(FLOOR(1000000 * rev_c / SUM(rev_c) OVER ()) AS BIGINT) "
+    "    AS share_of_total_e6 "
+    "FROM grain"
+)
+
+
+# --------------------------------------------------------------------------
+# q161: key-skew profile (per-key cardinality distribution readout)
+# --------------------------------------------------------------------------
+
+def q161_key_skew_profile(spark, sf_dir):
+    """Key-skew profile of events.user_id — the diagnostic a 100 TB
+    operator reads BEFORE choosing salting/AQE strategies for any
+    user-keyed shuffle: exact p50/p90/p99/max of per-key row counts,
+    distinct keys, and the share of all rows owned by the single
+    hottest key (hot_share in e6). Two-phase exact order statistics on
+    the COUNTS' distribution (q108's collapse-then-cumulate: per-key
+    counts collapse again to (count, n_keys) — the support is tiny —
+    then one cumulative window + conditional min per percentile).
+
+    Scale shape: one fact shuffle (the per-key count), then windows
+    over the collapsed count-of-counts table, bounded by distinct
+    per-key counts, not keys."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    dist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("keys"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select(
+        "c", "keys",
+        F.sum("keys").over(w).alias("cum_keys"),
+        F.sum(F.col("c") * F.col("keys")).over(
+            Window.orderBy("c").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_rows"),
+        F.sum("keys").over(
+            Window.orderBy("c").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_keys"),
+    )
+
+    def pct(p):
+        # smallest count whose cumulative key coverage reaches p%
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum_keys") >= F.lit(p) * F.col("n_keys"),
+                F.col("c"),
+            )
+        ).cast("long")
+
+    return cum.agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("total_rows").cast("long").alias("n_rows"),
+        pct(50).alias("p50_rows_per_key"),
+        pct(90).alias("p90_rows_per_key"),
+        pct(99).alias("p99_rows_per_key"),
+        F.max("c").cast("long").alias("max_rows_per_key"),
+        F.floor(
+            F.lit(1_000_000) * F.max("c") / F.max("total_rows")
+        ).cast("long").alias("hot_share_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q161_key_skew_profile"] = q161_key_skew_profile
+RELATIONAL_ORACLE["q161_key_skew_profile"] = (
+    "WITH per_key AS ("
+    "  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1), "
+    "dist AS (SELECT c, COUNT(*) AS keys FROM per_key GROUP BY 1), "
+    "cum AS ("
+    "  SELECT c, keys, "
+    "    SUM(keys) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_keys, "
+    "    SUM(c * keys) OVER () AS total_rows, "
+    "    SUM(keys) OVER () AS n_keys "
+    "  FROM dist) "
+    "SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys, "
+    "  CAST(MAX(total_rows) AS BIGINT) AS n_rows, "
+    "  CAST(MIN(CASE WHEN 100 * cum_keys >= 50 * n_keys THEN c END) "
+    "    AS BIGINT) AS p50_rows_per_key, "
+    "  CAST(MIN(CASE WHEN 100 * cum_keys >= 90 * n_keys THEN c END) "
+    "    AS BIGINT) AS p90_rows_per_key, "
+    "  CAST(MIN(CASE WHEN 100 * cum_keys >= 99 * n_keys THEN c END) "
+    "    AS BIGINT) AS p99_rows_per_key, "
+    "  CAST(MAX(c) AS BIGINT) AS max_rows_per_key, "
+    "  CAST(FLOOR(1000000 * MAX(c) / MAX(total_rows)) AS BIGINT) "
+    "    AS hot_share_e6 "
+    "FROM cum"
+)

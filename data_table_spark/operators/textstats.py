@@ -1233,3 +1233,71 @@ TEXTSTATS_ORACLE["text_pmi_bigrams"] = (
     "FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n "
     "WHERE cxy >= 5"
 )
+
+
+# --------------------------------------------------------------------------
+# sentence segmentation stats (readability / boilerplate features)
+# --------------------------------------------------------------------------
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats — the readability
+    features (sentence count, mean words per sentence, longest
+    sentence) under fluency filters and boilerplate screens: terminator
+    split on [.!?]+, empty segments dropped, words = whitespace tokens
+    per segment. All expression-level (split + transform + filter —
+    whole-stage codegen, no UDF); the mean is the only float, floored
+    to 4dp (the _trunc4 engine-parity rule). Documents without a
+    terminator count as ONE sentence (the whole text).
+
+    Scale shape: map-only."""
+    segs = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    words_per = F.transform(
+        segs, lambda s: F.size(F.split(s, r"\s+"))
+    )
+    n_sent = F.size(segs)
+    n_words = F.aggregate(
+        words_per, F.lit(0), lambda acc, v: acc + v
+    )
+    return docs.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_seg_words"),
+        F.when(n_sent > 0, _trunc4(n_words.cast("double") / n_sent))
+        .otherwise(None).alias("words_per_sentence"),
+        F.when(
+            n_sent > 0, F.array_max(words_per).cast("long")
+        ).otherwise(None).alias("max_sentence_words"),
+    )
+
+
+def text_sentence_stats(spark, sf_dir):
+    """Gate: per-doc sentence segmentation statistics."""
+    return sentence_stats(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_sentence_stats"] = text_sentence_stats
+TEXTSTATS_ORACLE["text_sentence_stats"] = (
+    "WITH segs AS ("
+    "  SELECT doc_id, list_filter(list_transform("
+    "    string_split_regex(text, '[.!?]+'), s -> trim(s)), "
+    "    s -> s <> '') AS sg "
+    "  FROM documents), "
+    "wp AS ("
+    "  SELECT doc_id, sg, list_transform(sg, "
+    "    s -> len(string_split_regex(s, '\\s+'))) AS w "
+    "  FROM segs) "
+    "SELECT doc_id, CAST(len(sg) AS BIGINT) AS n_sentences, "
+    "  CAST(COALESCE(list_sum(w), 0) AS BIGINT) AS n_seg_words, "
+    "  CASE WHEN len(sg) > 0 THEN "
+    "    FLOOR(CAST(list_sum(w) AS DOUBLE) / len(sg) * 10000) / 10000 "
+    "    END AS words_per_sentence, "
+    "  CASE WHEN len(sg) > 0 THEN CAST(list_max(w) AS BIGINT) "
+    "    END AS max_sentence_words "
+    "FROM wp"
+)
