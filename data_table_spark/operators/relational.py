@@ -8651,16 +8651,24 @@ def q160_share_of_parent(spark, sf_dir):
     )
     w_r = Window.partitionBy("r_name")
     w_all = Window.partitionBy()
+
+    def share(total):
+        # DECIMAL(38,0) numerator: 1e6·rev_c overflows int64 once a
+        # parent's cents pass ~9.2e12 (the 100× smoke found exactly
+        # this — ARITHMETIC_OVERFLOW under ANSI mode); decimal keeps
+        # the product exact to 38 digits at any realistic scale
+        return F.floor(
+            F.col("rev_c").cast("decimal(38,0)")
+            * F.lit(1_000_000)
+            / total.cast("decimal(38,0)")
+        ).cast("long")
+
     return grain.select(
         F.col("r_name").alias("region"),
         F.col("n_name").alias("nation"),
         F.col("rev_c").cast("long").alias("rev_cents"),
-        F.floor(
-            F.lit(1_000_000) * F.col("rev_c") / F.sum("rev_c").over(w_r)
-        ).cast("long").alias("share_of_region_e6"),
-        F.floor(
-            F.lit(1_000_000) * F.col("rev_c") / F.sum("rev_c").over(w_all)
-        ).cast("long").alias("share_of_total_e6"),
+        share(F.sum("rev_c").over(w_r)).alias("share_of_region_e6"),
+        share(F.sum("rev_c").over(w_all)).alias("share_of_total_e6"),
     )
 
 

@@ -190,6 +190,12 @@ GATES = [
                                # stays dim
     "stream_static_enrich",    # two chained hash aggs (streaming-legal
                                # distinct) against a broadcast dim
+    "q159_cusum_by_key",       # keyed CUSUM: all windows share the
+                               # (type) partition; spine = types x days
+    "q160_share_of_parent",    # one fact aggregate; shares come from
+                               # windows over the dim-bounded rollup
+    "q161_key_skew_profile",   # per-key count + count-of-counts
+                               # collapse; windows over the tiny support
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -310,6 +316,10 @@ DIM_BROADCAST_FLOOR = {
                                # broadcast against 100× lineitem
     "stream_static_enrich": 1, # customer dim must stay broadcast
                                # against 100× events
+    "q159_cusum_by_key": 0,    # no joins at all (stacked windows)
+    "q160_share_of_parent": 3, # customer/nation/region are all dims
+                               # and must stay broadcast
+    "q161_key_skew_profile": 0,  # no joins at all
 }
 
 PLAN_NODES = (
