@@ -8775,3 +8775,111 @@ RELATIONAL_ORACLE["q161_key_skew_profile"] = (
     "    AS hot_share_e6 "
     "FROM cum"
 )
+
+
+# --------------------------------------------------------------------------
+# q162: geospatial radius join (grid-cell candidates + haversine verify)
+# --------------------------------------------------------------------------
+
+def q162_geo_radius_join(spark, sf_dir):
+    """Geospatial radius self-join — find customer pairs within 10 km —
+    via the cell-bucket pattern every spatial engine uses at scale:
+    quantize each point to a 1° grid cell, explode one side into its
+    3×3 neighbor cells, equi-join on the cell, then verify candidates
+    with the exact haversine distance. Coordinates are synthesized
+    deterministically from c_custkey (Knuth multiplicative hash —
+    plain integer arithmetic both engines replay), points densified
+    into a 5°×10° region around 45-50°N (a planet-wide spread made the
+    gate zero-row — the round-7 degeneracy audit's lesson) where a 1°
+    lon cell is ≥ 71 km wide, so the 3×3 neighborhood provably covers
+    the 10 km radius, far from any wraparound.
+
+    Engine-exactness: synthesis is exact integer math; the haversine's
+    trig runs on IDENTICAL doubles and the meter distance floors to an
+    integer (the q127 transcendental discipline — an ulp wobble sits
+    eight orders of magnitude under the floor).
+
+    Scale shape: candidates are bounded by cell occupancy (9·avg
+    density per point), never O(n²); the join is a plain equi-join on
+    the cell key, shuffled both sides — the geohash recipe at any
+    scale. Skewed cells (cities) would salt exactly like any hot key."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    h1 = F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1 << 31))
+    h2 = F.pmod(
+        (F.col("c_custkey") + F.lit(7)) * F.lit(2246822519), F.lit(1 << 31)
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(45.0) + F.lit(5.0) * h1 / F.lit(float(1 << 31))).alias("lat"),
+        (F.lit(0.0) + F.lit(10.0) * h2 / F.lit(float(1 << 31))).alias("lon"),
+    ).select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    probe = pts.select(
+        F.col("id").alias("a"), F.col("lat").alias("la"),
+        F.col("lon").alias("oa"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1,1), dy -> "
+                   "transform(sequence(-1,1), dx -> "
+                   "struct(cy + dy AS y, cx + dx AS x))))")
+        ).alias("cell"),
+    )
+    build = pts.select(
+        F.col("id").alias("b"), F.col("lat").alias("lb"),
+        F.col("lon").alias("ob"),
+        F.struct(F.col("cy").alias("y"), F.col("cx").alias("x")).alias("cell"),
+    )
+    rad = 3.141592653589793 / 180.0
+    dist = (
+        F.lit(2.0 * 6371000.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("lb") - F.col("la")) * rad / 2), 2)
+                + F.cos(F.col("la") * rad)
+                * F.cos(F.col("lb") * rad)
+                * F.pow(F.sin((F.col("ob") - F.col("oa")) * rad / 2), 2)
+            )
+        )
+    )
+    return (
+        probe.join(build, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.floor(dist).cast("long").alias("dist_m")
+        )
+        .where(F.col("dist_m") <= 10_000)
+    )
+
+
+RELATIONAL_QUERIES["q162_geo_radius_join"] = q162_geo_radius_join
+RELATIONAL_ORACLE["q162_geo_radius_join"] = (
+    "WITH pts AS ("
+    "  SELECT c_custkey AS id, "
+    "    45.0 + 5.0 * ((c_custkey * 2654435761) % 2147483648) "
+    "      / 2147483648.0 AS lat, "
+    "    0.0 + 10.0 * (((c_custkey + 7) * 2246822519) % 2147483648) "
+    "      / 2147483648.0 AS lon "
+    "  FROM customer), "
+    "cells AS ("
+    "  SELECT id, lat, lon, "
+    "    CAST(FLOOR(lat) AS BIGINT) AS cy, CAST(FLOOR(lon) AS BIGINT) AS cx "
+    "  FROM pts), "
+    "probe AS ("
+    "  SELECT id AS a, lat AS la, lon AS oa, cy + dy AS y, cx + dx AS x "
+    "  FROM cells, UNNEST([-1, 0, 1]) t1(dy), UNNEST([-1, 0, 1]) t2(dx)), "
+    "cand AS ("
+    "  SELECT p.a, c.id AS b, p.la, p.oa, c.lat AS lb, c.lon AS ob "
+    "  FROM probe p JOIN cells c ON p.y = c.cy AND p.x = c.cx "
+    "  WHERE p.a < c.id) "
+    "SELECT a, b, CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT("
+    "  POW(SIN((lb - la) * PI() / 180.0 / 2), 2) "
+    "  + COS(la * PI() / 180.0) * COS(lb * PI() / 180.0) "
+    "  * POW(SIN((ob - oa) * PI() / 180.0 / 2), 2)))) AS BIGINT) AS dist_m "
+    "FROM cand "
+    "WHERE FLOOR(2.0 * 6371000.0 * ASIN(SQRT("
+    "  POW(SIN((lb - la) * PI() / 180.0 / 2), 2) "
+    "  + COS(la * PI() / 180.0) * COS(lb * PI() / 180.0) "
+    "  * POW(SIN((ob - oa) * PI() / 180.0 / 2), 2)))) <= 10000"
+)

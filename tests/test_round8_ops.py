@@ -185,3 +185,47 @@ def test_filtered_topk_respects_predicate(spark, sf_smoke):
     assert [(h["vec_id"], h["cos_sim"]) for h in hits] == [
         (b["vec_id"], b["s"]) for b in brute
     ]
+
+
+def test_geo_radius_join_matches_bruteforce(spark, sf_dir):
+    """q162: the cell-bucketed join must find EXACTLY the brute-force
+    all-pairs-within-radius set (completeness: the 3x3 neighborhood
+    covers the radius; soundness: the haversine verify). Runs at sf0.01
+    - the sf0.001 customer set is too sparse for any pair inside 10 km
+    (zero-row degeneracy)."""
+    import math
+
+    rows = RELATIONAL_QUERIES["q162_geo_radius_join"](
+        spark, sf_dir
+    ).collect()
+    got = {(r["a"], r["b"]) for r in rows}
+
+    ids = [
+        r["c_custkey"]
+        for r in load_table(spark, "customer", sf_dir)
+        .select("c_custkey").collect()
+    ]
+
+    def pt(k):
+        la = 45.0 + 5.0 * ((k * 2654435761) % (1 << 31)) / float(1 << 31)
+        lo = 0.0 + 10.0 * (((k + 7) * 2246822519) % (1 << 31)) / float(1 << 31)
+        return la, lo
+
+    def hav(p, q):
+        r = math.pi / 180.0
+        dla, dlo = (q[0] - p[0]) * r / 2, (q[1] - p[1]) * r / 2
+        x = (
+            math.sin(dla) ** 2
+            + math.cos(p[0] * r) * math.cos(q[0] * r) * math.sin(dlo) ** 2
+        )
+        return 2.0 * 6371000.0 * math.asin(math.sqrt(x))
+
+    pts = {k: pt(k) for k in ids}
+    exp = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if math.floor(hav(pts[min(a, b)], pts[max(a, b)])) <= 10000
+        for a, b in [(min(a, b), max(a, b))]
+    }
+    assert got == exp and got
