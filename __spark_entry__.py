@@ -215,6 +215,7 @@ _NEXT_WINDOW_QUEUE = [
     "text_sentence_stats",          # sentence segmentation readability
     "q161_key_skew_profile",        # per-key cardinality distribution
     "q162_geo_radius_join",         # grid-cell + haversine radius join
+    "stream_full_attribution",      # S7c FULL OUTER stream-stream join
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

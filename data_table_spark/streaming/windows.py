@@ -613,3 +613,63 @@ STREAMJOIN_ORACLE["stream_static_enrich"] = (
     "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
     "GROUP BY 1, 2, 3"
 )
+
+
+def full_attribution_join(events: DataFrame, lookback: str = "30 minutes") -> DataFrame:
+    """S7c: FULL OUTER stream-stream interval join — the remaining join
+    mode after S7 (inner) and S7b (left): every purchase emits (matched
+    or NULL-click), AND every never-matched click emits with NULL
+    purchase columns — the both-sides audit ("which purchases lack
+    clicks AND which clicks never converted") run as one streaming
+    query. Both unmatched sides are watermark-delayed: a row's NULL
+    emission waits until the OTHER side's watermark proves no partner
+    can still arrive; both watermarks + the two-sided time bound keep
+    state bounded exactly as in the inner form. Identical on a batch
+    DataFrame (batch full join) — the oracle form.
+
+    The user_id output column coalesces the two sides (on an unmatched
+    click only c_user is non-null) so the result has ONE user key
+    regardless of which side matched."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(clicks, cond, "full_outer").select(
+        "purchase_id", "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        "purchase_ts", "click_ts", "purchase_value",
+    )
+
+
+def stream_full_attribution(spark, sf_dir):
+    """Gate: batch form of the S7c FULL OUTER stream-stream interval
+    join (the streaming application — both-sides watermark-delayed NULL
+    emission — is batch-equivalence-tested in tests/test_streaming.py)."""
+    from ..sources.registry import load_table
+
+    return full_attribution_join(load_table(spark, "events", sf_dir))
+
+
+STREAMJOIN_QUERIES["stream_full_attribution"] = stream_full_attribution
+STREAMJOIN_ORACLE["stream_full_attribution"] = (
+    "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+    "COALESCE(p.user_id, c.user_id) AS user_id, "
+    "p.ts AS purchase_ts, c.ts AS click_ts, "
+    "p.value AS purchase_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON c.user_id = p.user_id "
+    "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts"
+)

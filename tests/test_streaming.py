@@ -761,3 +761,50 @@ def test_s9_stream_static_enrich(spark, replay, tmp_path, sf_smoke):
     )
     keys = ["w_start", "w_end", "c_mktsegment", "n_events", "n_users"]
     _compare(got, static_enriched_counts(events, customers), keys)
+
+
+def test_s7c_full_outer_attribution_join(spark, replay, tmp_path):
+    """S7c: FULL OUTER stream-stream interval join equals its batch
+    application — matched rows, NULL-click purchases, AND NULL-purchase
+    clicks all emit exactly once. The sentinel is click-typed only if
+    its event_type says so; filter it by its -1 id on both sides."""
+    from data_table_spark.streaming.windows import full_attribution_join
+
+    src, events = replay
+    # both-types sentinel (the S7b lesson): each side's watermark is
+    # computed after its type filter and the global watermark is their
+    # MIN, so BOTH sides need a far-future row to flush the tail's
+    # unmatched NULL emissions.
+    src2 = str(tmp_path / "src_s7c")
+    spark.read.parquet(src).where(F.col("event_id") != -1).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src2)
+    time.sleep(1.1)
+    base = _sentinel_df(events)
+    both = base.withColumn("event_type", F.lit("click")).unionByName(
+        base.withColumn("event_type", F.lit("purchase"))
+    )
+    both.coalesce(1).write.mode("append").parquet(src2)
+    _stamp_mtimes(src2)
+    got = run_stream_over_files(
+        spark, src2, full_attribution_join, events.schema,
+        str(tmp_path / "ck_s7c"),
+    )
+    keys = ["purchase_id", "click_id", "user_id", "purchase_ts",
+            "click_ts", "purchase_value"]
+
+    from collections import Counter
+
+    def clean(df):
+        # multiset compare (None mixes with ints, so tuples don't sort)
+        return Counter(
+            tuple(r) for r in df.select(*keys).collect()
+            if r["purchase_id"] != -1 and r["click_id"] != -1
+        )
+
+    g = clean(got)
+    e = clean(full_attribution_join(events))
+    assert g and g == e
+    # both outer sides must actually occur
+    assert any(r[1] is None for r in g), "no NULL-click purchases emitted"
+    assert any(r[0] is None for r in g), "no NULL-purchase clicks emitted"
