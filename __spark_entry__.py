@@ -216,6 +216,9 @@ _NEXT_WINDOW_QUEUE = [
     "q161_key_skew_profile",        # per-key cardinality distribution
     "q162_geo_radius_join",         # grid-cell + haversine radius join
     "stream_full_attribution",      # S7c FULL OUTER stream-stream join
+    "udf_arrow_scalar_tax",         # Arrow-optimized Python UDF flavor
+    "q163_agg_breadth",             # count_if/bool_and/bool_or/FILTER
+    "pipe_shard_manifest",          # per-shard verifiable checksums
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -2103,3 +2103,73 @@ PIPELINE_ORACLE["pipe_quality_calibration"] = (
     "  MAX(quality_score) AS max_score "
     "FROM ranked GROUP BY 1, 2"
 ).format(qsub=_QUALITY_SCORE_SUBQUERY)
+
+
+# --------------------------------------------------------------------------
+# shard manifest (verifiable data delivery)
+# --------------------------------------------------------------------------
+
+SHARD_COUNT = 16
+
+
+def shard_manifest(docs: DataFrame, shards: int = SHARD_COUNT) -> DataFrame:
+    """Shard manifest — the verifiable-delivery artifact a corpus hand-
+    off ships next to the data: deterministic shard assignment (md5 of
+    doc_id, the pipe_shuffle_shards dealing rule) plus per-shard counts,
+    byte totals, and an ORDER-INDEPENDENT content checksum (sum of each
+    doc's md5-prefix int64 mod 2^61-1 — the ref_table_fingerprint lane
+    construction). The receiving side recomputes the manifest after
+    copy; equality proves per-shard completeness AND content integrity
+    without comparing a single row.
+
+    Scale shape: one map-side hash pass, one shuffle to shards (the
+    output is shards-bounded), every aggregate map-combinable."""
+    m = F.lit((1 << 61) - 1)
+    lane = F.pmod(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long"),
+        m,
+    )
+    return (
+        docs.select(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("long"),
+                F.lit(shards),
+            ).alias("shard"),
+            F.length("text").alias("n_chars"),
+            # DECIMAL(38,0) accumulator (the table_fingerprint rule):
+            # int64 residues < 2^61 overflow a LONG sum past ~4 rows'
+            # worth of headroom; decimal sums stay exact at any count
+            lane.cast("decimal(38,0)").alias("lane"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.pmod(F.sum("lane"), m.cast("decimal(38,0)"))
+            .cast("long").alias("content_sum"),
+        )
+    )
+
+
+def pipe_shard_manifest(spark, sf_dir):
+    """Gate: per-shard manifest (count, bytes, order-free checksum)."""
+    return shard_manifest(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_shard_manifest"] = pipe_shard_manifest
+PIPELINE_ORACLE["pipe_shard_manifest"] = (
+    "WITH lanes AS ("
+    "  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+    "    AS BIGINT) % {sh} AS BIGINT) AS shard, "
+    "    length(text) AS n_chars, "
+    "    CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) "
+    "      % 2305843009213693951 AS BIGINT) AS lane "
+    "  FROM documents) "
+    "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(n_chars) AS BIGINT) AS n_chars, "
+    "  CAST(SUM(lane) % 2305843009213693951 AS BIGINT) AS content_sum "
+    "FROM lanes GROUP BY 1"
+).format(sh=SHARD_COUNT)

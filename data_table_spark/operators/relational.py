@@ -8883,3 +8883,39 @@ RELATIONAL_ORACLE["q162_geo_radius_join"] = (
     "  + COS(la * PI() / 180.0) * COS(lb * PI() / 180.0) "
     "  * POW(SIN((ob - oa) * PI() / 180.0 / 2), 2)))) <= 10000"
 )
+
+
+# --------------------------------------------------------------------------
+# q163: boolean/conditional aggregate breadth (count_if, bool_and/or, FILTER)
+# --------------------------------------------------------------------------
+
+def q163_agg_breadth(spark, sf_dir):
+    """Boolean/conditional aggregate surface in one gate: count_if,
+    bool_and/bool_or (ANSI every/any), and the FILTER-clause pattern
+    (expressed as conditional aggregation — the portable form, exactly
+    how q35 treats PIVOT) — per order priority over orders. These are
+    the idioms BI tools emit constantly; each is map-combinable, one
+    shuffle total."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200_000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).cast("long").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.bool_or(big).alias("any_big"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_f"),
+        F.min(F.when(big, F.col("o_orderkey"))).cast("long")
+        .alias("first_big_key"),
+    )
+
+
+RELATIONAL_QUERIES["q163_agg_breadth"] = q163_agg_breadth
+RELATIONAL_ORACLE["q163_agg_breadth"] = (
+    "SELECT o_orderpriority, "
+    "  CAST(COUNT(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big, "
+    "  BOOL_AND(o_totalprice > 900) AS all_over_900, "
+    "  BOOL_OR(o_totalprice > 200000) AS any_big, "
+    "  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f, "
+    "  CAST(MIN(o_orderkey) FILTER (o_totalprice > 200000) AS BIGINT) "
+    "    AS first_big_key "
+    "FROM orders GROUP BY 1"
+)

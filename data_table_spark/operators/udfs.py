@@ -312,3 +312,47 @@ UDF_ORACLE["udf_capped_sessions"] = (
     "  CAST(MAX(t) AS BIGINT) AS end_us "
     "FROM r GROUP BY user_id, sid"
 )
+
+
+# --------------------------------------------------------------------------
+# Arrow-optimized Python UDF (the third UDF flavor, Spark 3.5+/4 useArrow)
+# --------------------------------------------------------------------------
+
+def udf_arrow_scalar_tax(spark, sf_dir):
+    """Arrow-optimized Python UDF (``@F.udf(..., useArrow=True)``) — the
+    third UDF execution flavor after pandas_udf (vectorized batches,
+    udf_scalar_net_price) and row-at-a-time pickled UDFs (deliberately
+    absent from this repo's hot paths): the function still receives ONE
+    row's values, but the JVM⇄Python transfer rides Arrow batches
+    instead of pickle — the drop-in accelerator for legacy row UDF code
+    that can't be vectorized. Integer-exact body (cents arithmetic) so
+    the oracle replays it; the sibling docstrings' advice stands — a
+    formula this simple belongs in built-in expressions, the execution
+    surface is the point."""
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def tax_cents(price, tax):
+        # cents via nearest-integer rounding: the 2dp-rounded double
+        # times 100 sits within float noise of an integer, so round()
+        # (Python) and CAST(.. AS BIGINT) (DuckDB) pick the same one —
+        # int() truncation picked the integer BELOW for x.9999.. floats
+        # (caught by the oracle on first run)
+        return int(round(price * 100)) * int(round(tax * 100)) // 100
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        tax_cents(
+            F.round(F.col("l_extendedprice"), 2),
+            F.round(F.col("l_tax"), 2),
+        ).alias("tax_cents"),
+    )
+
+
+UDF_QUERIES["udf_arrow_scalar_tax"] = udf_arrow_scalar_tax
+UDF_ORACLE["udf_arrow_scalar_tax"] = (
+    "SELECT l_orderkey, l_linenumber, "
+    "  CAST((CAST(ROUND(l_extendedprice, 2) * 100 AS BIGINT) "
+    "    * CAST(ROUND(l_tax, 2) * 100 AS BIGINT)) // 100 AS BIGINT) "
+    "    AS tax_cents "
+    "FROM lineitem"
+)
