@@ -219,6 +219,10 @@ _NEXT_WINDOW_QUEUE = [
     "udf_arrow_scalar_tax",         # Arrow-optimized Python UDF flavor
     "q163_agg_breadth",             # count_if/bool_and/bool_or/FILTER
     "pipe_shard_manifest",          # per-shard verifiable checksums
+    "q164_repeat_purchase_interval",  # inter-order gap percentiles
+    "q165_gini_by_region",          # keyed Gini concentration
+    "media_tile_hashes",            # crop-robust quadrant aHash tiles
+    "text_boilerplate_prefixes",    # dominant leading trigram / source
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -884,3 +884,72 @@ MULTIMODAL_ORACLE["media_wav_energy"] = (
     "  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy "
     "FROM px GROUP BY doc_id, k // 16"
 )
+
+
+def tile_hash_media(df: DataFrame) -> DataFrame:
+    """Quadrant tile hashes — the crop-robust extension of ahash_media:
+    split the decoded 8×8 luma raster into four 4×4 quadrants and
+    average-hash each independently (same exact 16·p > Σp integer bit
+    rule per tile). A cropped or quadrant-overlaid near-dup still
+    matches on the untouched tiles, so the dedup join is per-TILE (doc
+    pairs sharing ≥k tile hashes), which plain aHash's whole-image bit
+    flip misses. Map-only; the downstream join shuffles 16-bit strings
+    per tile, never pixels."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tile", T.IntegerType()),
+            T.StructField("tile_bits", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = bytes(blob)
+                w, h, _mx, ch, raster = _netpbm_raster(blob)
+                if (w, h, ch) != (8, 8, 1):
+                    raise ValueError("tile_hash_media expects 8x8 P5 input")
+                px = raster.reshape(8, 8).astype("int64")
+                for t in range(4):
+                    q = px[(t // 2) * 4:(t // 2) * 4 + 4,
+                           (t % 2) * 4:(t % 2) * 4 + 4].ravel()
+                    tot = int(q.sum())
+                    bits = "".join(
+                        "1" if int(p) * 16 > tot else "0" for p in q
+                    )
+                    rows.append((int(doc_id), t, bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "tile", "tile_bits"])
+
+    return df.mapInPandas(batches, schema)
+
+
+def media_tile_hashes(spark, sf_dir):
+    """Driver gate for the crop-robust tile-hash path: the same real
+    P5 synthesis as media_ahash_groups, quadrant-hashed. The oracle
+    rebuilds each quadrant's pixels from the row-major cycled ASCII
+    layout (pixel (r,c) = char at 8r+c) and replays the exact
+    16·p > Σp rule per tile."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return tile_hash_media(encode_netpbm_demo(d))
+
+
+MULTIMODAL_QUERIES["media_tile_hashes"] = media_tile_hashes
+MULTIMODAL_ORACLE["media_tile_hashes"] = (
+    "WITH px AS ("
+    "  SELECT doc_id, t, r, c, "
+    "    ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+    "      CAST(((t // 2) * 4 + r) * 8 + (t % 2) * 4 + c + 1 AS INT), 1)) "
+    "      AS p "
+    "  FROM documents, UNNEST(range(4)) t1(t), UNNEST(range(4)) t2(r), "
+    "    UNNEST(range(4)) t3(c)), "
+    "s AS (SELECT doc_id, t, SUM(p) AS tot FROM px GROUP BY 1, 2) "
+    "SELECT px.doc_id, CAST(px.t AS INT) AS tile, "
+    "  string_agg(CASE WHEN 16 * p > tot THEN '1' ELSE '0' END, '' "
+    "    ORDER BY r, c) AS tile_bits "
+    "FROM px JOIN s ON px.doc_id = s.doc_id AND px.t = s.t "
+    "GROUP BY 1, 2"
+)

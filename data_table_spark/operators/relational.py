@@ -8919,3 +8919,160 @@ RELATIONAL_ORACLE["q163_agg_breadth"] = (
     "    AS first_big_key "
     "FROM orders GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q164: repeat-purchase interval (inter-order gap percentiles per segment)
+# --------------------------------------------------------------------------
+
+def q164_repeat_purchase_interval(spark, sf_dir):
+    """Repeat-purchase cadence — the replenishment readout behind CRM
+    timing: per market segment, the exact p50/p90 of days between a
+    customer's consecutive orders. One LAG per customer (orders sorted
+    within the customer partition), gaps collapse to (segment, days)
+    counts, and the percentiles run q108's collapse-then-cumulate scan
+    over that bounded table — never a window over raw gaps.
+
+    Scale shape: one shuffle on custkey (LAG), one map-combinable
+    collapse, windows over the (segment × distinct gap) support."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.datediff("o_orderdate", "prev").alias("d"),
+        )
+    )
+    dist = gaps.groupBy("c_mktsegment", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("c_mktsegment").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("c_mktsegment")
+    cum = dist.select(
+        "c_mktsegment", "d",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wa).alias("tot"),
+    )
+
+    def pct(p):
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(p) * F.col("tot"),
+                F.col("d"),
+            )
+        ).cast("long")
+
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("tot").cast("long").alias("n_gaps"),
+        pct(50).alias("p50_days"),
+        pct(90).alias("p90_days"),
+    )
+
+
+RELATIONAL_QUERIES["q164_repeat_purchase_interval"] = (
+    q164_repeat_purchase_interval
+)
+RELATIONAL_ORACLE["q164_repeat_purchase_interval"] = (
+    "WITH gaps AS ("
+    "  SELECT c.c_mktsegment, DATEDIFF('day', "
+    "    LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+    "      ORDER BY o_orderdate), o_orderdate) AS d "
+    "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), "
+    "dist AS ("
+    "  SELECT c_mktsegment, d, COUNT(*) AS n FROM gaps "
+    "  WHERE d IS NOT NULL GROUP BY 1, 2), "
+    "cum AS ("
+    "  SELECT c_mktsegment, d, "
+    "    SUM(n) OVER (PARTITION BY c_mktsegment ORDER BY d "
+    "      ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(n) OVER (PARTITION BY c_mktsegment) AS tot "
+    "  FROM dist) "
+    "SELECT c_mktsegment, CAST(MAX(tot) AS BIGINT) AS n_gaps, "
+    "  CAST(MIN(CASE WHEN 100 * cum >= 50 * tot THEN d END) AS BIGINT) "
+    "    AS p50_days, "
+    "  CAST(MIN(CASE WHEN 100 * cum >= 90 * tot THEN d END) AS BIGINT) "
+    "    AS p90_days "
+    "FROM cum GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# q165: keyed Gini (revenue concentration per region — q119's keyed sibling)
+# --------------------------------------------------------------------------
+
+def q165_gini_by_region(spark, sf_dir):
+    """Per-region Gini of customer revenue — q119's exact integer Gini
+    in the keyed form a marketplace actually monitors (concentration
+    per market, thousands at once; the q143→q151 / q130→q159 keyed-
+    sibling pattern). Exact integers end-to-end: per-customer cents
+    collapse, rank+cumsum windows over the REGION partition, and the
+    Gini numerator/denominator (n+1−2·Σcum/Σrev forms) assembled from
+    window sums — emitted as e6-floored ratio of two exact longs."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("rev", "o_custkey")
+    wa = Window.partitionBy("r_name")
+    ranked = per_cust.select(
+        "r_name",
+        F.row_number().over(w).alias("i"),
+        F.col("rev"),
+        F.count(F.lit(1)).over(wa).alias("nn"),
+    )
+    # G = (2·Σ(i·rev) − (n+1)·Σrev) / (n·Σrev), exact integer num/den
+    agg = ranked.groupBy("r_name").agg(
+        F.max("nn").alias("nn"),
+        F.sum(F.col("i") * F.col("rev")).alias("s_irev"),
+        F.sum("rev").alias("s_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    num = F.lit(2) * F.col("s_irev") - (F.col("nn") + 1) * F.col("s_rev")
+    den = F.col("nn") * F.col("s_rev")
+    return agg.select(
+        F.col("r_name").alias("region"),
+        "n_customers",
+        F.col("s_rev").cast("long").alias("total_cents"),
+        F.floor(F.lit(1_000_000) * num / den).cast("long").alias("gini_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q165_gini_by_region"] = q165_gini_by_region
+RELATIONAL_ORACLE["q165_gini_by_region"] = (
+    "WITH per_cust AS ("
+    "  SELECT r.r_name, o.o_custkey, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders o "
+    "  JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "  JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "  GROUP BY 1, 2), "
+    "ranked AS ("
+    "  SELECT r_name, rev, "
+    "    ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY rev, o_custkey) "
+    "      AS i, "
+    "    COUNT(*) OVER (PARTITION BY r_name) AS nn "
+    "  FROM per_cust) "
+    "SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "  CAST(SUM(rev) AS BIGINT) AS total_cents, "
+    "  CAST(FLOOR(1000000 * (2 * SUM(i * rev) - (MAX(nn) + 1) * SUM(rev)) "
+    "    / (MAX(nn) * SUM(rev))) AS BIGINT) AS gini_e6 "
+    "FROM ranked GROUP BY 1"
+)

@@ -1301,3 +1301,80 @@ TEXTSTATS_ORACLE["text_sentence_stats"] = (
     "    END AS max_sentence_words "
     "FROM wp"
 )
+
+
+# --------------------------------------------------------------------------
+# boilerplate prefix detection (repeated leading n-grams per source)
+# --------------------------------------------------------------------------
+
+def boilerplate_prefixes(docs: DataFrame, n_tokens: int = 3) -> DataFrame:
+    """Dominant leading n-gram per source — the boilerplate-header
+    detector a scrape cleanup runs first: a source whose most common
+    first-3-token prefix covers a large share of its documents opens
+    with template text ("subscribe to our newsletter"), not content.
+    Emits each source's TOP prefix with its count and e2 share — the
+    top-1 form is never degenerate at any sf (a fixed threshold emitted
+    ZERO rows on this corpus: max trigram share 8% — the round-7
+    degeneracy audit's lesson applied at design time), and the share
+    column IS the threshold decision, made by the reader. Ties break
+    deterministically (count desc, prefix asc). Tokenization matches
+    the corpus family; docs shorter than n_tokens contribute their
+    whole text.
+
+    Scale shape: map-side prefix extraction, one (source, prefix)
+    count, one rank window over the counts table (bounded by distinct
+    prefixes per source)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    prefix = F.concat_ws(" ", F.slice(toks, 1, n_tokens))
+    counts = (
+        docs.select("source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    rk = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("prefix")
+    )
+    return (
+        counts.withColumn("tot", F.sum("n_docs").over(w))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "source", "prefix",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.floor(F.lit(10_000) * F.col("n_docs") / F.col("tot"))
+            .cast("long").alias("pct_e2"),
+        )
+    )
+
+
+def text_boilerplate_prefixes(spark, sf_dir):
+    """Gate: each source's dominant leading trigram with its share."""
+    return boilerplate_prefixes(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_boilerplate_prefixes"] = text_boilerplate_prefixes
+TEXTSTATS_ORACLE["text_boilerplate_prefixes"] = (
+    "WITH toks AS ("
+    "  SELECT source, list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "pref AS ("
+    "  SELECT source, array_to_string(l[1:3], ' ') AS prefix FROM toks), "
+    "counts AS ("
+    "  SELECT source, prefix, COUNT(*) AS n_docs "
+    "  FROM pref GROUP BY 1, 2), "
+    "tot AS ("
+    "  SELECT *, SUM(n_docs) OVER (PARTITION BY source) AS t, "
+    "    ROW_NUMBER() OVER (PARTITION BY source "
+    "      ORDER BY n_docs DESC, prefix) AS rk "
+    "  FROM counts) "
+    "SELECT source, prefix, CAST(n_docs AS BIGINT) AS n_docs, "
+    "  CAST(FLOOR(10000 * n_docs / t) AS BIGINT) AS pct_e2 "
+    "FROM tot WHERE rk = 1"
+)
