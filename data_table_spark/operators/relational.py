@@ -9043,13 +9043,19 @@ def q165_gini_by_region(spark, sf_dir):
         F.sum("rev").alias("s_rev"),
         F.count(F.lit(1)).cast("long").alias("n_customers"),
     )
-    num = F.lit(2) * F.col("s_irev") - (F.col("nn") + 1) * F.col("s_rev")
-    den = F.col("nn") * F.col("s_rev")
+    # DECIMAL(38,0) ratio (the q160 lesson, caught by its fresh-JVM
+    # bench run at sf0.1): 1e6 x the Gini numerator passes int64 once a
+    # region's n x Σrev reaches ~9.2e12
+    num = (
+        F.lit(2) * F.col("s_irev").cast("decimal(38,0)")
+        - (F.col("nn") + 1) * F.col("s_rev").cast("decimal(38,0)")
+    )
+    den = F.col("nn") * F.col("s_rev").cast("decimal(38,0)")
     return agg.select(
         F.col("r_name").alias("region"),
         "n_customers",
         F.col("s_rev").cast("long").alias("total_cents"),
-        F.floor(F.lit(1_000_000) * num / den).cast("long").alias("gini_e6"),
+        F.floor(num * F.lit(1_000_000) / den).cast("long").alias("gini_e6"),
     )
 
 
