@@ -83,6 +83,13 @@ GATES = [
     ("pipe_quality_calibration", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("text_pmi_bigrams", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
     ("media_ahash_groups", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
+    # round-8 final corpus gates: quadrant tile hashes (map-only x4
+    # fan-out), dominant-prefix boilerplate (rank window over the
+    # prefix-bounded counts), shard manifests (map-side hash lanes +
+    # shards-bounded rollup)
+    ("media_tile_hashes", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
+    ("text_boilerplate_prefixes", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("pipe_shard_manifest", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an

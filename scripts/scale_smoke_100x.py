@@ -196,6 +196,13 @@ GATES = [
                                # windows over the dim-bounded rollup
     "q161_key_skew_profile",   # per-key count + count-of-counts
                                # collapse; windows over the tiny support
+    "q163_agg_breadth",        # one conditional hash aggregate
+    "q164_repeat_purchase_interval",  # custkey LAG + collapse-then-
+                               # cumulate over the gap support
+    "q165_gini_by_region",     # rank windows over the customer-bounded
+                               # per-region rollup; DECIMAL38 ratio
+    "udf_arrow_scalar_tax",    # Arrow row-UDF over 100x lineitem —
+                               # map-only, no shuffle
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -320,6 +327,10 @@ DIM_BROADCAST_FLOOR = {
     "q160_share_of_parent": 3, # customer/nation/region are all dims
                                # and must stay broadcast
     "q161_key_skew_profile": 0,  # no joins at all
+    "q163_agg_breadth": 0,     # no joins at all
+    "q164_repeat_purchase_interval": 1,  # customer dim stays broadcast
+    "q165_gini_by_region": 3,  # customer/nation/region all dims
+    "udf_arrow_scalar_tax": 0, # no joins at all
 }
 
 PLAN_NODES = (

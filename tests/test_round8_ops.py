@@ -229,3 +229,57 @@ def test_geo_radius_join_matches_bruteforce(spark, sf_dir):
         for a, b in [(min(a, b), max(a, b))]
     }
     assert got == exp and got
+
+
+def test_gini_by_region_bounds_and_global_consistency(spark, sf_smoke):
+    """q165: every region's Gini lies in [0, 1e6) and regions with more
+    unequal revenue must not be NEGATIVE; totals reconcile with orders."""
+    rows = RELATIONAL_QUERIES["q165_gini_by_region"](spark, sf_smoke).collect()
+    assert rows
+    total = sum(r["total_cents"] for r in rows)
+    orders = load_table(spark, "orders", sf_smoke)
+    exp = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert total == exp
+    for r in rows:
+        assert 0 <= r["gini_e6"] < 1_000_000, r
+
+
+def test_tile_hashes_consistent_with_whole_image(spark, sf_smoke):
+    """media_tile_hashes: identical documents (identical synthesized
+    images) must share all four tile hashes; every doc yields exactly
+    4 tiles of 16 bits."""
+    from data_table_spark.operators.multimodal import MULTIMODAL_QUERIES
+
+    rows = MULTIMODAL_QUERIES["media_tile_hashes"](spark, sf_smoke).collect()
+    per_doc: dict = {}
+    for r in rows:
+        assert len(r["tile_bits"]) == 16
+        per_doc.setdefault(r["doc_id"], {})[r["tile"]] = r["tile_bits"]
+    docs = load_table(spark, "documents", sf_smoke).select(
+        "doc_id", "text"
+    ).collect()
+    by_text: dict = {}
+    for d in docs:
+        assert set(per_doc[d["doc_id"]].keys()) == {0, 1, 2, 3}
+        by_text.setdefault(d["text"], []).append(d["doc_id"])
+    for _text, ids in by_text.items():
+        sigs = {tuple(sorted(per_doc[i].items())) for i in ids}
+        assert len(sigs) == 1, "identical images hashed differently"
+
+
+def test_repeat_purchase_interval_monotone(spark, sf_smoke):
+    """q164: p50 <= p90 per segment, and gap counts equal orders minus
+    first-orders (every non-first order contributes one gap)."""
+    rows = RELATIONAL_QUERIES["q164_repeat_purchase_interval"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"], r
+    o = load_table(spark, "orders", sf_smoke)
+    c = load_table(spark, "customer", sf_smoke)
+    n_orders = o.count()
+    n_buyers = o.select("o_custkey").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_buyers
