@@ -1066,3 +1066,93 @@ def test_table_fingerprint_boundary_shift_detected(spark):
     assert fp([("x|", "y")]) != fp([("x", "|y")])
     assert fp([("x|y", "")]) != fp([("x", "|y")])
     assert fp([(None, "y")]) != fp([("null", "y")])
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=8,
+    )
+)
+@SLOW
+def test_zorder_key_interleave_roundtrip_property(spark, vals):
+    """zorder_key is an exact Morton interleave: de-interleaving the key
+    recovers every input bucket bit-for-bit (bits=16, 2 columns), and
+    the key is monotone under doubling both coordinates' leading bit."""
+    from data_table_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame(vals, "x long, y long")
+    out = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=16).alias("z")
+    ).collect()
+    for r in out:
+        x = y = 0
+        for i in range(16):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                    # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 60 * 60 * 72),         # seconds offset (3 days)
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@SLOW
+def test_window_funnel_property(spark, events):
+    """q154's funnel kernel vs a python recompute on ARBITRARY event
+    sets — duplicate timestamps, missing steps, >24h gaps, multi-user
+    interleavings (the fixture test only sees the generated corpus)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, k, base + dt.timedelta(seconds=s))
+        for i, (u, k, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    path = f"/tmp/funnel_prop_{abs(hash(tuple(events))) % 10**9}"
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    got = {
+        r["level"]: r["n_users"]
+        for r in RELATIONAL_QUERIES["q154_window_funnel"](
+            spark, path
+        ).collect()
+    }
+    by_user: dict = {}
+    for _i, u, k, t in rows:
+        by_user.setdefault(u, []).append((t, k))
+    exp: dict = {}
+    for u, evs in by_user.items():
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        t2 = (
+            min((t for t, k in evs if k == "click" and t > t1), default=None)
+            if t1 else None
+        )
+        t3 = (
+            min(
+                (t for t, k in evs if k == "purchase" and t > t2),
+                default=None,
+            )
+            if t2 else None
+        )
+        lim = t1 and t1 + dt.timedelta(hours=24)
+        lv = (
+            3 if t3 and t3 <= lim
+            else 2 if t2 and t2 <= lim
+            else 1 if t1
+            else 0
+        )
+        exp[lv] = exp.get(lv, 0) + 1
+    assert got == exp
