@@ -196,6 +196,9 @@ _NEXT_WINDOW_QUEUE = [
     # rule-2 re-grades from round-8 session changes (implementation
     # changed; outputs proven unchanged vs oracle + property test):
     "dedup_prefix_filter_pairs",    # PPJoin positional filter added
+    "q117_association_rules",       # lift ratio decimal-ized (overflow
+                                    # class found by the 100x smoke on
+                                    # q160; q129 re-grades in-window)
     # round-8 session additions (written after the r8 window froze)
     # append below as implemented, oldest first:
     "q154_window_funnel",           # first-touch 24h windowFunnel levels

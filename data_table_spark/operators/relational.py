@@ -4867,9 +4867,13 @@ def q117_association_rules(spark, sf_dir):
         F.col("n_b").cast("long").alias("n_b"),
         F.floor(F.lit(1_000_000) * F.col("n_ab") / F.col("n_a"))
         .cast("long").alias("confidence_e6"),
+        # DECIMAL(38,0) numerator (the q160/q165 overflow class, fixed
+        # proactively in the round-8 sweep): 1e6·n_ab·n_baskets passes
+        # int64 once pair-count × basket-count reaches ~9.2e12
         F.floor(
-            F.lit(1_000_000) * F.col("n_ab") * F.lit(n_baskets)
-            / (F.col("n_a") * F.col("n_b"))
+            F.col("n_ab").cast("decimal(38,0)")
+            * F.lit(1_000_000) * F.lit(n_baskets)
+            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b"))
         ).cast("long").alias("lift_e6"),
     )
 
@@ -5838,8 +5842,17 @@ def q129_decile_lift(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.col("buyers").cast("long").alias("buyers"),
         (
-            (F.lit(1_000_000) * F.col("buyers") * F.sum("n").over(w_r))
-            / (F.col("n") * F.sum("buyers").over(w_r))
+            # DECIMAL(38,0) numerator (q160/q165 overflow class, fixed
+            # proactively): 1e6·buyers·region_n passes int64 at ~100×
+            (
+                F.col("buyers").cast("decimal(38,0)")
+                * F.lit(1_000_000)
+                * F.sum("n").over(w_r)
+            )
+            / (
+                F.col("n").cast("decimal(38,0)")
+                * F.sum("buyers").over(w_r)
+            )
         ).cast("long").alias("lift_e6"),
     )
 

@@ -203,6 +203,8 @@ GATES = [
                                # per-region rollup; DECIMAL38 ratio
     "udf_arrow_scalar_tax",    # Arrow row-UDF over 100x lineitem —
                                # map-only, no shuffle
+    "q129_decile_lift",        # ntile over the customer-bounded rollup;
+                               # DECIMAL38 lift ratio (overflow sweep)
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -331,6 +333,7 @@ DIM_BROADCAST_FLOOR = {
     "q164_repeat_purchase_interval": 1,  # customer dim stays broadcast
     "q165_gini_by_region": 3,  # customer/nation/region all dims
     "udf_arrow_scalar_tax": 0, # no joins at all
+    "q129_decile_lift": 1,     # region dim stays broadcast
 }
 
 PLAN_NODES = (
