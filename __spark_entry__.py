@@ -226,6 +226,7 @@ _NEXT_WINDOW_QUEUE = [
     "q165_gini_by_region",          # keyed Gini concentration
     "media_tile_hashes",            # crop-robust quadrant aHash tiles
     "text_boilerplate_prefixes",    # dominant leading trigram / source
+    "q166_bounce_rate",             # islands sessionization bounce share
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

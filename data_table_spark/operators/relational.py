@@ -9095,3 +9095,76 @@ RELATIONAL_ORACLE["q165_gini_by_region"] = (
     "    / (MAX(nn) * SUM(rev))) AS BIGINT) AS gini_e6 "
     "FROM ranked GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q166: session bounce rate (single-event-session share per day)
+# --------------------------------------------------------------------------
+
+def q166_bounce_rate(spark, sf_dir):
+    """Daily bounce rate — the engagement-quality readout next to q158's
+    growth accounting: sessionize each user's events with the standard
+    30-minute inactivity gap (the q34/q111 islands construction: a LAG
+    over the user partition marks session breaks, a running sum of
+    breaks numbers the sessions), then a session is a BOUNCE when it
+    contains exactly one event. Emits per day (of session start):
+    sessions, bounces, bounce share in e6 (exact integer ratio of two
+    counts — no float boundary).
+
+    Scale shape: one shuffle on user_id for the LAG + break-sum windows
+    (shared partition), one map-combinable session rollup keyed by
+    (user, session no), one day rollup."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ep = F.unix_timestamp("ts")
+    brk = F.when(
+        ep - F.lag(ep).over(w) > 1800,
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+    )
+    return (
+        per_sess.groupBy(F.to_date("start_ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long").alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_bounces") / F.col("n_sessions")
+            ).cast("long").alias("bounce_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q166_bounce_rate"] = q166_bounce_rate
+RELATIONAL_ORACLE["q166_bounce_rate"] = (
+    "WITH marked AS ("
+    "  SELECT user_id, ts, CASE WHEN epoch(ts) - epoch(LAG(ts) OVER "
+    "    (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END "
+    "    AS brk "
+    "  FROM events), "
+    "sess AS ("
+    "  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM marked), "
+    "per_sess AS ("
+    "  SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS start_ts "
+    "  FROM sess GROUP BY 1, 2) "
+    "SELECT CAST(CAST(start_ts AS DATE) AS VARCHAR) AS day, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+    "  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_bounces, "
+    "  CAST(FLOOR(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) "
+    "    / COUNT(*)) AS BIGINT) AS bounce_e6 "
+    "FROM per_sess GROUP BY 1"
+)

@@ -205,6 +205,8 @@ GATES = [
                                # map-only, no shuffle
     "q129_decile_lift",        # ntile over the customer-bounded rollup;
                                # DECIMAL38 lift ratio (overflow sweep)
+    "q166_bounce_rate",        # islands sessionization under hot-user
+                               # skew; ratio of two counts
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
@@ -334,6 +336,7 @@ DIM_BROADCAST_FLOOR = {
     "q165_gini_by_region": 3,  # customer/nation/region all dims
     "udf_arrow_scalar_tax": 0, # no joins at all
     "q129_decile_lift": 1,     # region dim stays broadcast
+    "q166_bounce_rate": 0,     # no joins at all
 }
 
 PLAN_NODES = (
