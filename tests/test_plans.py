@@ -1057,3 +1057,74 @@ def test_write_zordered_skips_on_both_columns(spark, sf_dir, tmp_path):
         assert zf < pf, (
             f"{col}: z-order overlap {zf:.2f} not better than hash {pf:.2f}"
         )
+
+
+def test_aqe_skew_join_engages(spark, tmp_path):
+    """The session enables spark.sql.adaptive.skewJoin; this proves the
+    mechanism actually ENGAGES on a skewed shuffle join — the runtime
+    behavior every hot-key docstring in this repo leans on. One key
+    owns ~95% of the left side; with the skew thresholds lowered to
+    test scale (the knobs are runtime-settable) and broadcast disabled
+    (forcing the SMJ the optimization targets), the adaptive final plan
+    must mark the join skew=true and split the hot partition."""
+    import pyspark.sql.functions as SF
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # left: one hot key with 200k rows, 50 cold keys with 200 rows
+        # each; the pad is INCOMPRESSIBLE (sha2) — the first fixture
+        # used "x"*64 padding and LZ4 shrank the hot shuffle partition
+        # below every threshold, silently skipping the rule the test
+        # exists to observe. Right: all keys, tiny.
+        left = (
+            spark.range(200_000)
+            .select(
+                SF.lit(0).alias("k"),
+                SF.sha2(SF.col("id").cast("string"), 256).alias("pad"),
+            )
+            .unionAll(
+                spark.range(10_000).select(
+                    (SF.col("id") % 50 + 1).alias("k"),
+                    SF.sha2(SF.col("id").cast("string"), 256).alias("pad"),
+                )
+            )
+        )
+        right = spark.range(51).select(
+            SF.col("id").alias("k"), SF.lit("dim").alias("v")
+        )
+        joined = left.join(right, "k").select("k")
+        # collect() drives THIS Dataset's queryExecution to its final
+        # adaptive plan (count() would spawn a separate execution and
+        # leave this one isFinalPlan=false)
+        assert len(joined.collect()) == 210_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew join did not engage; final plan:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
