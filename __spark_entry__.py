@@ -116,94 +116,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-8 window: drains the staged backlog again (round-7 judge item
-# 1 — its sole "missing" entry). ALL 50 slots go to rule 1: the queue
-# held 52 entries (49 round-7 session additions + 3 rule-2 re-grades
-# whose semantics changed after the round-7 zero-row degeneracy audit),
-# and the judge's instruction is to take the 50 oldest and spill the
-# rest. The 50 below are exactly _NEXT_WINDOW_QUEUE[0:50] from round 7,
-# order preserved (oldest claims first). The 2 spilled re-grades
-# (q09_anti_join, q26_except — both hold stale-but-green r4 rows under
-# the OLD semantics) plus the 17 r3-resting re-proofs in
-# _R9_REPROOF_QUEUE are first in line for round 9. No rule-3 slots
-# exist this round; every previously-green gate keeps its prior row
-# (provenance table in COVERAGE.md). Rows-only-by-nature gates stay
-# out per rule 4.
+# Round-9 window: exactly the composition the round-8 judge ordered
+# ("the window writes itself"). Rule 1: the 26 never-green round-8
+# session additions, order pinned in round 8's _NEXT_WINDOW_QUEUE
+# (oldest claims first). Rule 2: seven re-grades — q09/q26 (semantics
+# densified in round 7; their r4 rows grade the OLD semantics),
+# dedup_prefix_filter_pairs (PPJoin positional filter, round 8),
+# q117 (lift decimal-ized round 8 + exact floor-div round 9),
+# q127/q141 (the long*long count-product overflow fix, round-9 item 2),
+# q129 (exact floor-div, round-8 ADVICE). Rule 3: the 17 pinned
+# _R9_REPROOF_QUEUE r3-resting re-proofs. 26 + 7 + 17 = 50.
+# Round-9 session changes to OTHER previously-green gates (the
+# overflow-class hardening sweep: q109, q116, q119, q131, q140, q142)
+# are staged in _NEXT_WINDOW_QUEUE for round 10 — the spill rule the
+# round-8 judge endorsed. Rows-only-by-nature gates stay out per rule 4.
 _PRIORITY = [
-    # --- rule 1: never-green oracle-backed gates, oldest claims first ---
-    "q124_clustering_coefficient",  # per-node triangles, oriented wedge
-    "q125_ks_test",                 # exact integer two-sample KS
-    "q126_hhi_concentration",       # decimal-exact Herfindahl index
-    "q127_mutual_information",      # floored micro-nat MI cells
-    "q128_trimmed_stats",           # exact p10/p90 trimmed mean
-    "q129_decile_lift",             # region-partitioned decile lift
-    "text_hapax_ratio",             # per-source hapax vocabulary share
-    "text_zipf_fit",                # Zipf slope from integer moments
-    "sim_mutual_topk",              # reciprocal best-match pairs
-    "pipe_temperature_mix",         # α=1/2 tempered source weights
-    "q130_cusum_changepoint",       # exact integer CUSUM break day
-    "q131_burstiness",              # Fano factor per event type
-    "q132_mannwhitney_auc",         # exact rank-sum U / ROC AUC
-    "q133_spearman_corr",           # midrank Spearman rho
-    "q134_link_prediction",         # CN / Jaccard / Adamic-Adar
-    "q135_dow_seasonality",         # weekday means + anomaly day
-    "pipe_bpe_pair_counts",         # BPE round-0 pair statistics
-    "q136_countmin_estimate",       # CMS exact-vs-estimate probe
-    "q137_hll_distinct",            # integer-register HLL + LC switch
-    "q138_bootstrap_ci",            # Poisson-bootstrap order-stat CI
-    "q139_bounded_bfs",             # unrolled multi-source BFS
-    "pipe_tokenize_pad",            # vocab-id + pad tensorization
-    "q140_autocorrelation",         # lag-1..7 ACF from exact moments
-    "q141_kl_divergence",           # per-region KL vs global mix
-    "q142_welch_t",                 # Welch t from exact moments
-    "pipe_weighted_reservoir",      # Efraimidis-Spirakis fixed-k sample
-    "text_bigram_lm",               # add-1 bigram LM surprisal
-    "er_blocking_pairs",            # union-of-blockings ER candidates
-    "q143_survival_table",          # Kaplan-Meier lifetimes table
-    "q144_k_core",                  # bounded bipartite k-core peel
-    "q145_runs_test",               # Wald-Wolfowitz runs z
-    "text_ngram_novelty",           # first-occurrence bigram share
-    "pipe_token_budget_fill",       # waterfilled source token budget
-    "q146_sax_motifs",              # quartile-letter motif mining
-    "q147_interarrival_hist",       # digit-bucket gap histogram
-    "sim_prefix_dim_topk",          # prefix-dim coarse cosine top-k
-    "q148_mann_kendall",            # pairwise-sign trend z
-    "q149_theil_sen",               # median pairwise slope
-    "pipe_k_anonymity",             # quasi-identifier group audit
-    "q150_fk_integrity",            # anti-join FK violation audit
-    "q151_survival_by_cohort",      # keyed per-cohort KM curves
-    "pipe_dataset_card",            # one-scan GROUPING SETS cover sheet
-    "q152_lateral_topk",            # correlated LATERAL LIMIT decorrelation
-    "ref_table_fingerprint",        # order-independent R11 scale form
-    "stream_left_attribution",      # LEFT OUTER stream-stream interval join
-    "pipe_l_diversity",             # sensitive-attribute diversity audit
-    "ref_orc_roundtrip",            # native ORC sink/source identity
-    "asof_forward_events",          # forward as-of + tolerance voiding
-    "q153_native_recursive_cte",    # Spark 4 WITH RECURSIVE vs doubling
-    "stream_tumbling_distinct",     # two-stage exact distinct reach
-]
-
-#: never-green or stale-row oracle-backed gates that do NOT fit the
-#: 50-slot round-8 window, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be
-#: in the window or in this queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # rule-2 re-grades spilled from round 8 (semantics changed late in
-    # round 7 after the zero-row degeneracy audit — their r4 rows are
-    # green but grade the OLD semantics):
-    "q09_anti_join",                # now 'no URGENT order' (non-empty)
-    "q26_except",                   # now ship-days ∖ order-days
-    # rule-2 re-grades from round-8 session changes (implementation
-    # changed; outputs proven unchanged vs oracle + property test):
-    "dedup_prefix_filter_pairs",    # PPJoin positional filter added
-    "q117_association_rules",       # lift ratio decimal-ized (overflow
-                                    # class found by the 100x smoke on
-                                    # q160; q129 re-grades in-window)
-    # round-8 session additions (written after the r8 window froze)
-    # append below as implemented, oldest first:
+    # --- rule 1: never-green round-8 additions, queue order preserved ---
     "q154_window_funnel",           # first-touch 24h windowFunnel levels
     "q155_rfm_segments",            # RFM quintile segmentation, exact cents
-    "text_pmi_bigrams",             # PMI collocations, floored micro-nats
+    "text_pmi_bigrams",             # PMI collocations (overflow-fixed r9)
     "stream_static_enrich",         # S9 stream-static dim join (two-stage)
     "q156_decay_score",             # exp time-decay engagement, e6-floored
     "media_ahash_groups",           # netpbm aHash image-dedup groups
@@ -214,7 +145,7 @@ _NEXT_WINDOW_QUEUE = [
     "media_wav_energy",             # REAL WAV decode + windowed energy
     "q158_new_vs_returning",        # daily actives growth accounting
     "q159_cusum_by_key",            # per-series CUSUM break days
-    "q160_share_of_parent",         # hierarchy contribution shares
+    "q160_share_of_parent",         # hierarchy shares (exact floor-div r9)
     "text_sentence_stats",          # sentence segmentation readability
     "q161_key_skew_profile",        # per-key cardinality distribution
     "q162_geo_radius_join",         # grid-cell + haversine radius join
@@ -223,18 +154,63 @@ _NEXT_WINDOW_QUEUE = [
     "q163_agg_breadth",             # count_if/bool_and/bool_or/FILTER
     "pipe_shard_manifest",          # per-shard verifiable checksums
     "q164_repeat_purchase_interval",  # inter-order gap percentiles
-    "q165_gini_by_region",          # keyed Gini concentration
+    "q165_gini_by_region",          # keyed Gini (decimal sum + floor-div r9)
     "media_tile_hashes",            # crop-robust quadrant aHash tiles
     "text_boilerplate_prefixes",    # dominant leading trigram / source
     "q166_bounce_rate",             # islands sessionization bounce share
+    # --- rule 2: re-grades (implementation or semantics changed) ---
+    "q09_anti_join",                # now 'no URGENT order' (non-empty)
+    "q26_except",                   # now ship-days without order-days
+    "dedup_prefix_filter_pairs",    # PPJoin positional filter added r8
+    "q117_association_rules",       # decimal lift + exact floor-div
+    "q127_mutual_information",      # count-product overflow fix (r9 item 2)
+    "q141_kl_divergence",           # count-product overflow fix (r9 item 2)
+    "q129_decile_lift",             # exact floor-div (round-8 ADVICE)
+    # --- rule 3: the 17 pinned r3-resting re-proofs (_R9_REPROOF_QUEUE) ---
+    "q55_time_rollup",
+    "q57_rank_ratios",
+    "q58_tpch_q10_shape",
+    "q59_latest_per_key",
+    "ref_compare",
+    "sim_pairs_threshold",
+    "stream_dedup_counts",
+    "dedup_clusters_bounded",
+    "dedup_minhash_pairs_bounded",
+    "udf_grouped_map_stats",
+    "media_byte_stats",
+    "text_repetition",
+    "text_scrub",
+    "pipe_filter_corpus",
+    "pipe_pack_sequences",
+    "pipe_split_assign",
+    "pipe_stratified_sample",
+]
+
+#: never-green or changed-this-round oracle-backed gates that do NOT fit
+#: the 50-slot round-9 window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be in
+#: the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # rule-2 re-grades from round-9 session changes (the count-product
+    # overflow hardening sweep, round-8 verdict item 2: implementations
+    # changed — decimal/double-first accumulation — outputs proven
+    # unchanged vs oracle at sf0.01 + planted-1e10 property test):
+    "q109_regression_slope",        # Σxy/Σx² now DECIMAL(38,0)
+    "q116_rolling_slope",           # num/den now DECIMAL(38,0)
+    "q119_gini",                    # Σ(i·rev) now DECIMAL(38,0)
+    "q131_burstiness",              # moments now DECIMAL(38,0)
+    "q140_autocorrelation",         # Σc²/Σc·c+k now DECIMAL(38,0)
+    "q142_welch_t",                 # Σx² now DECIMAL(38,0)
+    # round-9 session additions (written after the r9 window froze)
+    # append below as implemented, oldest first:
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
 #: the round-8 window spent all 50 slots on never-green gates): the 17
-#: r3-proven gates keep their r3 green rows + pytest oracles and are
-#: FIRST IN LINE for round 9's rule-3 slots. Enforced by
-#: tests/test_entry_window.py: every gate whose freshest green row is
-#: r3 must be in this round's window or here.
+#: r3-proven gates are CONSUMED this round — all 17 hold the rule-3
+#: slots of the round-9 window above. The list stays pinned so
+#: tests/test_entry_window.py can keep enforcing that every gate whose
+#: freshest committed green row is r3 sits in the window.
 _R9_REPROOF_QUEUE = [
     "q55_time_rollup", "q57_rank_ratios", "q58_tpch_q10_shape",
     "q59_latest_per_key", "ref_compare", "sim_pairs_threshold",
@@ -243,6 +219,32 @@ _R9_REPROOF_QUEUE = [
     "media_byte_stats", "text_repetition", "text_scrub",
     "pipe_filter_corpus", "pipe_pack_sequences", "pipe_split_assign",
     "pipe_stratified_sample",
+]
+
+#: round-10 re-proof claim order (pinned NOW, before the round-9 window
+#: freezes — round-8 judge item 7): once the r3 cohort re-proves this
+#: round, the 46 gates below (freshest green row r4; q09_anti_join is
+#: excluded — it re-grades inside the round-9 window) become the stalest
+#: green set. They are first in line for round 10's rule-3 slots, after
+#: rule-1 never-greens and rule-2 re-grades. Enforced by
+#: tests/test_entry_window.py.
+_R10_REPROOF_QUEUE = [
+    "q01_scan_project", "q02_filter", "q03_in_between_like",
+    "q04_inner_join", "q05_multiway_join", "q06_left_join",
+    "q07_full_outer", "q08_semi_join", "q10_cross_join",
+    "q11_theta_join", "q12_group_agg", "q13_count_distinct",
+    "q14_having", "q15_rollup", "q16_cube", "q18_row_number",
+    "q21_running_sum", "q23_top_k", "q24_union_all", "q27_strings",
+    "q29_relaxed_parse", "q33_events_tumbling", "q34_sessionization",
+    "q35_pivot", "q39_string_agg", "q41_percentiles",
+    "q42_correlated_subquery", "q45_regex_scalars", "q46_array_ops",
+    "q47_tpch_q3_shape", "q48_tpch_q5_shape", "q49_json_extract",
+    "q61_interval_join", "q62_tpch_q7_shape", "q63_funnel",
+    "q64_retention_cohorts", "dedup_exact", "pipe_dedup_spans",
+    "pipe_reassemble_spans", "pipe_topk_per_stratum",
+    "pipe_upsample_sources", "sim_bruteforce_topk_batch",
+    "sim_quantize_int8", "sim_quantized_topk", "stream_topk_trending",
+    "text_lm_score",
 ]
 
 

@@ -36,6 +36,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def mi_term_e6(cxy, cx, cy, n):
+    """One mutual-information cell term, floored to 1e-6 nats:
+    floor(1e6 · (cxy/n) · ln(cxy·n / (cx·cy))) for COUNT-typed columns.
+
+    The count operands are cast to double BEFORE each product (mirroring
+    the DuckDB oracle's CAST(cxy AS DOUBLE) * n): a long×long product of
+    two counts wraps silently once cx·cy ≥ 2^63 (~3e9 rows — real at
+    100 TB); the double product is exact to 2^53 and merely loses ulps
+    past it, never wraps. Property-tested at planted 1e10-scale counts
+    (tests/test_properties.py) so the overflow class can't recur."""
+    return F.floor(
+        F.lit(1_000_000)
+        * (cxy.cast("double") / n)
+        * F.log((cxy.cast("double") * n) / (cx.cast("double") * cy))
+    )
+
+
+def kl_term_e6(cp, c, cgp, cg):
+    """One KL-divergence cell term, floored to 1e-6 nats:
+    floor(1e6 · (cp/c) · ln(cp·cg / (c·cgp))) for COUNT-typed columns.
+    Same operand-first double-cast discipline as mi_term_e6 (q160/q127
+    overflow class); property-tested at planted 1e10-scale counts."""
+    return F.floor(
+        F.lit(1_000_000)
+        * (cp.cast("double") / c)
+        * F.log((cp.cast("double") * cg) / (c.cast("double") * cgp))
+    )
+
+
+def _floor_div_dec(num, den):
+    """Exact floored quotient of two NON-NEGATIVE decimal columns.
+
+    A plain decimal(38,0)/decimal(38,0) division yields decimal(38,6)
+    rounded HALF_UP at scale 6 BEFORE any floor/cast reaches it — a true
+    fractional part in [0.9999995, 1) rounds UP first and floors one
+    higher than an exact ``//`` (the DuckDB-oracle semantics). Subtracting
+    the exact modulus first makes the dividend exactly divisible, so the
+    division result IS the floored quotient and the scale-6 rounding step
+    has nothing to round. Truncation == floor only for non-negative
+    quotients — every caller's ratio is a share/lift/Gini (>= 0 by
+    construction)."""
+    return ((num - num % den) / den).cast("long")
+
+
 # --------------------------------------------------------------------------
 # scan / filter / projection
 # --------------------------------------------------------------------------
@@ -4261,12 +4305,16 @@ def q109_regression_slope(spark, sf_dir):
         c.select("c_custkey", "c_nationkey", x.alias("x")),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("c_nationkey", "x", y.alias("y"))
+    # Σxy/Σx² accumulate in DECIMAL(38,0): each cents×cents product fits
+    # a long, but the per-nation SUM leaves int64 near 1e9 rows (q160
+    # overflow class — the docstring's 2e20 note only covered the final
+    # cross-products; the oracle's SUM promotes to HUGEINT)
     m = j.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy").cast("double") \
@@ -4765,9 +4813,17 @@ def q116_rolling_slope(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     ).withColumn(
-        "num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        # num/den in DECIMAL(38,0): n·sxy and sx·sy pass int64 near
+        # 10× the 100 TB point (cents-scale sums × a 90-day window —
+        # q160 overflow-class margin too thin to leave in longs); the
+        # slope ratio converts to double once, as before
+        "num",
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy"),
     ).withColumn(
-        "den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        "den",
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx"),
     )
     return m.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
@@ -4869,12 +4925,16 @@ def q117_association_rules(spark, sf_dir):
         .cast("long").alias("confidence_e6"),
         # DECIMAL(38,0) numerator (the q160/q165 overflow class, fixed
         # proactively in the round-8 sweep): 1e6·n_ab·n_baskets passes
-        # int64 once pair-count × basket-count reaches ~9.2e12
-        F.floor(
+        # int64 once pair-count × basket-count reaches ~9.2e12.
+        # _floor_div_dec, not F.floor of the decimal division: the
+        # decimal(38,6) quotient is HALF_UP-rounded before floor sees it
+        # (round-8 ADVICE item — a fraction in [0.9999995, 1) floored
+        # one high).
+        _floor_div_dec(
             F.col("n_ab").cast("decimal(38,0)")
-            * F.lit(1_000_000) * F.lit(n_baskets)
-            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b"))
-        ).cast("long").alias("lift_e6"),
+            * F.lit(1_000_000) * F.lit(n_baskets),
+            F.col("n_a").cast("decimal(38,0)") * F.col("n_b"),
+        ).alias("lift_e6"),
     )
 
 
@@ -5002,7 +5062,10 @@ def q119_gini(spark, sf_dir):
     m = ranked.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("t"),
-        F.sum(F.col("i") * F.col("rev")).alias("s"),
+        # DECIMAL(38,0) accumulation: Σ(i·rev) ~ n²·rev/2 leaves int64
+        # near n ~ 3e9 customers (q165's fix, applied to the unkeyed
+        # original; the oracle's SUM promotes to HUGEINT)
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")).alias("s"),
     )
     nd = F.col("n").cast("double")
     gini = (
@@ -5532,7 +5595,14 @@ def q125_ks_test(spark, sf_dir):
     over the collapsed support computes BOTH running counts — the two
     32-bit counters ride one 64-bit value (cnt_a·2^32 + cnt_b; each
     cumulative stays < 2^31 so the fields can't carry into each other)
-    — no global window anywhere. The final max is a 1-row aggregate."""
+    — no global window anywhere. The final max is a 1-row aggregate.
+
+    Exact-integer DOMAIN (documented, not silent): the packed counters
+    cap each class at 2^31 rows, and ks_num itself is ~n_a·n_b — past
+    ~3e9 rows per class the LONG OUTPUT TYPE cannot represent the
+    statistic, packed or not. Beyond that, run the same plan with two
+    separate prefix-sum passes and a decimal cross-product, or accept
+    the double ks_stat (the ks_num column is what forces the bound)."""
     from .scale import distributed_prefix_sum
 
     o = _t(spark, sf_dir, "orders").where(
@@ -5692,12 +5762,10 @@ def q127_mutual_information(spark, sf_dir):
         F.sum("cxy").over(wy).alias("cy"),
         F.sum("cxy").over(wn).alias("n"),
     ).select(
-        F.floor(
-            F.lit(1_000_000)
-            * (F.col("cxy") / F.col("n"))
-            * F.log(
-                (F.col("cxy") * F.col("n")) / (F.col("cx") * F.col("cy"))
-            )
+        # mi_term_e6 owns the operand-first double casts (the long×long
+        # count-product overflow class) and the oracle-parity contract
+        mi_term_e6(
+            F.col("cxy"), F.col("cx"), F.col("cy"), F.col("n")
         ).alias("term_e6"),
         "n",
     )
@@ -5841,19 +5909,18 @@ def q129_decile_lift(spark, sf_dir):
         "r_name", "decile",
         F.col("n").cast("long").alias("n"),
         F.col("buyers").cast("long").alias("buyers"),
-        (
-            # DECIMAL(38,0) numerator (q160/q165 overflow class, fixed
-            # proactively): 1e6·buyers·region_n passes int64 at ~100×
-            (
-                F.col("buyers").cast("decimal(38,0)")
-                * F.lit(1_000_000)
-                * F.sum("n").over(w_r)
-            )
-            / (
-                F.col("n").cast("decimal(38,0)")
-                * F.sum("buyers").over(w_r)
-            )
-        ).cast("long").alias("lift_e6"),
+        # DECIMAL(38,0) numerator (q160/q165 overflow class, fixed
+        # proactively): 1e6·buyers·region_n passes int64 at ~100×.
+        # _floor_div_dec matches the oracle's exact `//` — a bare
+        # decimal division HALF_UP-rounds at scale 6 before the long
+        # cast truncates (round-8 ADVICE item).
+        _floor_div_dec(
+            F.col("buyers").cast("decimal(38,0)")
+            * F.lit(1_000_000)
+            * F.sum("n").over(w_r),
+            F.col("n").cast("decimal(38,0)")
+            * F.sum("buyers").over(w_r),
+        ).alias("lift_e6"),
     )
 
 
@@ -5968,15 +6035,20 @@ def q131_burstiness(spark, sf_dir):
     daily = e.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("x")
     )
+    # moments accumulate in DECIMAL(38,0) (the long-sum flavor of the
+    # q160 overflow class): Σx² of daily counts leaves int64 once a
+    # type's daily volume reaches ~1e8 over a few-thousand-day spine —
+    # the DuckDB oracle's SUM promotes to HUGEINT, so a long Spark sum
+    # would silently diverge at 100 TB. One double conversion at the
+    # ratio, mirroring the oracle's CAST(... AS DOUBLE).
+    xd = F.col("x").cast("decimal(38,0)")
+    nd = F.count(F.lit(1)).cast("decimal(38,0)")
     return daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("x").cast("long").alias("n_events"),
         F.round(
-            (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                - F.sum("x") * F.sum("x")
-            )
-            / (F.count(F.lit(1)) * F.sum("x")),
+            (nd * F.sum(xd * xd) - F.sum(xd) * F.sum(xd)).cast("double")
+            / (nd * F.sum(xd)).cast("double"),
             6,
         ).alias("fano"),
     )
@@ -6017,7 +6089,16 @@ def q132_mannwhitney_auc(spark, sf_dir):
     Scale shape = q125's: collapse to per-price-cent counts (map-side
     combinable, support-bounded), ONE distributed_prefix_sum over the
     collapsed support with the a/b counters packed into a single
-    64-bit value — no global window; the reduction is a 1-row agg."""
+    64-bit value — no global window; the reduction is a 1-row agg.
+
+    Exact-integer DOMAIN (documented, not silent): the rank sum and
+    u2_a are ~N², so past N ~ 2e9 the LONG OUTPUT TYPE itself cannot
+    hold the exact statistic (the packed counters cap at 2^31 per class
+    at roughly the same point, and a tie group past ~2.1e6 rows leaves
+    int64 in m³). Beyond that domain the AUC double (a ratio, not an
+    exact integer) is the deliverable — recompute these sums in
+    DECIMAL(38,0) with unpacked prefix passes and drop the exact-long
+    columns."""
     from .scale import distributed_prefix_sum
 
     o = _t(spark, sf_dir, "orders").where(
@@ -6893,10 +6974,12 @@ def q140_autocorrelation(spark, sf_dir):
     seasonality/momentum readout behind forecasting features and
     data-drift monitors (a weekly cycle shows up as a lag-7 peak).
     Exactness discipline: avoid subtracting a float mean by scaling
-    through n — centered value c_t = n·y_t − S is EXACT int64 (n ≈
-    2.4k days, y is a daily count, so c ≲ 1e6 and every product
-    below stays < 2^53, making even the int→double casts exact).
-    r_k = Σ c_t·c_{t+k} / Σ c_t², reported floored to 1e-6 units.
+    through n — centered value c_t = n·y_t − S is EXACT int64 at any
+    scale (n is calendar-bounded), and the moment sums Σ c², Σ c·c_{+k}
+    accumulate in DECIMAL(38,0) so they stay exact even where daily
+    volume reaches 1e8+ and the long sum would wrap (q160 overflow
+    class). r_k = Σ c_t·c_{t+k} / Σ c_t², floored to 1e-6 units after
+    ONE double conversion.
 
     Scale shape: ONE map-combinable aggregate collapses the fact scan
     to the bounded day spine (~2.4k rows); the scalar (n, S) and the
@@ -6923,10 +7006,16 @@ def q140_autocorrelation(spark, sf_dir):
         "c",
         *[F.lead("c", k).over(w).alias(f"l{k}") for k in range(1, 8)],
     )
+    # moments in DECIMAL(38,0): c = n·y − S fits a long at any scale
+    # (calendar-bounded n), but Σ c² ~ days·(n·y)² leaves int64 once
+    # daily volume reaches ~1e8 (100 TB territory) — the long-sum
+    # flavor of the q160 overflow class. The e6 ratio converts to
+    # double once, as before.
+    cd = F.col("c").cast("decimal(38,0)")
     mom = led.agg(
-        F.sum(F.col("c") * F.col("c")).alias("den"),
+        F.sum(cd * cd).alias("den"),
         *[
-            F.sum(F.col("c") * F.col(f"l{k}")).alias(f"num{k}")
+            F.sum(cd * F.col(f"l{k}")).alias(f"num{k}")
             for k in range(1, 8)
         ],
     )
@@ -7018,13 +7107,10 @@ def q141_kl_divergence(spark, sf_dir):
     ).select(
         "r_name",
         "cr",
-        F.floor(
-            F.lit(1_000_000)
-            * (F.col("crp") / F.col("cr"))
-            * F.log(
-                (F.col("crp") * F.col("cg"))
-                / (F.col("cr") * F.col("cgp"))
-            )
+        # kl_term_e6 owns the operand-first double casts (the long×long
+        # count-product overflow class) and the oracle-parity contract
+        kl_term_e6(
+            F.col("crp"), F.col("cr"), F.col("cgp"), F.col("cg")
         ).alias("term_e6"),
     )
     return (
@@ -7055,7 +7141,7 @@ RELATIONAL_ORACLE["q141_kl_divergence"] = (
     "t AS ("
     "  SELECT r_name, cr, "
     "    FLOOR(1000000 * (CAST(crp AS DOUBLE) / cr) "
-    "      * LN(CAST(crp * cg AS DOUBLE) / CAST(cr * cgp AS DOUBLE))) "
+    "      * LN((CAST(crp AS DOUBLE) * cg) / (CAST(cr AS DOUBLE) * cgp))) "
     "      AS term_e6 "
     "  FROM m) "
     "SELECT r_name, CAST(MAX(cr) AS BIGINT) AS n_orders, "
@@ -7074,9 +7160,9 @@ def q142_welch_t(spark, sf_dir):
     variance s² = (n·Σx² − (Σx)²) / (n·(n−1)), t = (m₁−m₂) /
     √(s₁²/n₁ + s₂²/n₂), and the Welch–Satterthwaite df — is computed
     from IDENTICAL doubles in both engines; outputs floored at e6/e3.
-    (At 100 TB, Σx² of cents overflows int64 — the shifted-moment
-    form Σ(x−x₀)² with a first-pass pivot is the documented upgrade;
-    sim_quantized_covariance carries the same note.)
+    Σx² accumulates in DECIMAL(38,0) (it leaves int64 near 1e10 rows of
+    cents² — the q160 overflow class, mirrored by the oracle's HUGEINT
+    sum), so the moments stay exact to 38 digits at any realistic scale.
 
     Scale shape: ONE map-combinable conditional aggregate over the
     customer scan — no join, no window, 1 output row."""
@@ -7094,7 +7180,13 @@ def q142_welch_t(spark, sf_dir):
         return [
             F.count(z).alias(f"n_{flag}"),
             F.sum(z).alias(f"s_{flag}"),
-            F.sum(F.when(cond, F.col("x") * F.col("x"))).alias(f"q_{flag}"),
+            # Σx² in DECIMAL(38,0): the docstring's own 100 TB note,
+            # now fixed rather than documented — cents² sums leave
+            # int64 near 1e10 customers (q160 overflow class; the
+            # DuckDB oracle's SUM promotes to HUGEINT)
+            F.sum(
+                F.when(cond, F.col("x").cast("decimal(38,0)") * F.col("x"))
+            ).alias(f"q_{flag}"),
         ]
 
     m = c.agg(*moms(True), *moms(False))
@@ -8669,12 +8761,14 @@ def q160_share_of_parent(spark, sf_dir):
         # DECIMAL(38,0) numerator: 1e6·rev_c overflows int64 once a
         # parent's cents pass ~9.2e12 (the 100× smoke found exactly
         # this — ARITHMETIC_OVERFLOW under ANSI mode); decimal keeps
-        # the product exact to 38 digits at any realistic scale
-        return F.floor(
-            F.col("rev_c").cast("decimal(38,0)")
-            * F.lit(1_000_000)
-            / total.cast("decimal(38,0)")
-        ).cast("long")
+        # the product exact to 38 digits at any realistic scale.
+        # _floor_div_dec gives the exact floored quotient — F.floor of
+        # the raw decimal division saw a HALF_UP-rounded scale-6 value
+        # (round-8 ADVICE item).
+        return _floor_div_dec(
+            F.col("rev_c").cast("decimal(38,0)") * F.lit(1_000_000),
+            total.cast("decimal(38,0)"),
+        )
 
     return grain.select(
         F.col("r_name").alias("region"),
@@ -9052,7 +9146,12 @@ def q165_gini_by_region(spark, sf_dir):
     # G = (2·Σ(i·rev) − (n+1)·Σrev) / (n·Σrev), exact integer num/den
     agg = ranked.groupBy("r_name").agg(
         F.max("nn").alias("nn"),
-        F.sum(F.col("i") * F.col("rev")).alias("s_irev"),
+        # the rank-weighted sum accumulates in DECIMAL(38,0): each i·rev
+        # product fits a long, but Σ(i·rev) ~ n²·rev/2 leaves int64 near
+        # n ~ 3e9 customers (the long-sum flavor of the q160 class; the
+        # DuckDB oracle's SUM promotes to HUGEINT so it never wraps)
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev"))
+        .alias("s_irev"),
         F.sum("rev").alias("s_rev"),
         F.count(F.lit(1)).cast("long").alias("n_customers"),
     )
@@ -9068,7 +9167,9 @@ def q165_gini_by_region(spark, sf_dir):
         F.col("r_name").alias("region"),
         "n_customers",
         F.col("s_rev").cast("long").alias("total_cents"),
-        F.floor(num * F.lit(1_000_000) / den).cast("long").alias("gini_e6"),
+        # exact floored quotient (round-8 ADVICE item): the raw decimal
+        # division HALF_UP-rounds at scale 6 before F.floor sees it
+        _floor_div_dec(num * F.lit(1_000_000), den).alias("gini_e6"),
     )
 
 

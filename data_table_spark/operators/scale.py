@@ -271,6 +271,17 @@ def zorder_key(cols: list, bits: int = 16) -> Column:
     k = len(cols)
     if k < 2:
         raise ValueError("zorder_key needs >= 2 columns")
+    # the interleaved key must fit the 63 value bits of a signed long:
+    # bit (bits-1)·k + (k-1) is the highest one written. Java shiftleft
+    # wraps mod 64, so 4 cols × 16 bits lands a bit in the sign position
+    # and 5+ cols silently fold — corrupted, non-monotone keys (round-8
+    # ADVICE item). Fail loudly instead of clustering garbage.
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_key: {k} cols x {bits} bits = {k * bits} interleaved "
+            "bits does not fit a signed long (max 63); lower bits "
+            f"(e.g. bits={63 // k}) or drop columns"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -304,6 +315,12 @@ def write_zordered(
     form."""
     from pyspark.sql import Window
 
+    # bits is an internal bucketing detail here (ranks are ntile-made),
+    # so auto-reduce it to fit the 63-bit interleave budget instead of
+    # surfacing zorder_key's ValueError (round-8 ADVICE item): 4 cols
+    # get 15 bits each, 5 cols 12, etc. — resolution degrades, keys
+    # stay monotone and uncorrupted.
+    bits = min(bits, 63 // len(cols))
     n_buckets = 1 << bits
     ranked = df
     rank_cols = []

@@ -1136,6 +1136,20 @@ TEXTSTATS_QUERIES["text_compression_ratio"] = text_compression_ratio
 # PMI bigram collocations (phrase detection for tokenizer/vocab curation)
 # --------------------------------------------------------------------------
 
+def pmi_e6_expr(cxy: Column, cx: Column, cy: Column, n: Column) -> Column:
+    """PMI in floored micro-nats: floor(1e6 · ln(cxy·n / (cx·cy))) for
+    COUNT-typed operands. Count operands are cast to double BEFORE each
+    product (the oracle's CAST(cxy AS DOUBLE) * n): a long×long count
+    product wraps silently once cx·cy ≥ 2^63 — for a web-scale bigram
+    table n alone passes 1e12, so the long form breaks well before
+    100 TB. Property-tested at planted 1e10-scale counts
+    (tests/test_properties.py)."""
+    return F.floor(
+        F.lit(1_000_000)
+        * F.log((cxy.cast("double") * n) / (cx.cast("double") * cy))
+    ).cast("long")
+
+
 def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Corpus-level pointwise mutual information for adjacent word
     pairs — the collocation detector behind phrase-merged vocabularies
@@ -1196,13 +1210,11 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
         .select(
             "w1", "w2",
             F.col("cxy").cast("long").alias("cxy"),
-            F.floor(
-                F.lit(1_000_000)
-                * F.log(
-                    (F.col("cxy") * F.lit(n))
-                    / (F.col("cx") * F.col("cy"))
-                )
-            ).cast("long").alias("pmi_e6"),
+            # pmi_e6_expr owns the operand-first double casts (the
+            # long×long count-product overflow class)
+            pmi_e6_expr(
+                F.col("cxy"), F.col("cx"), F.col("cy"), F.lit(n)
+            ).alias("pmi_e6"),
         )
     )
 

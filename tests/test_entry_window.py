@@ -136,3 +136,22 @@ def test_stalest_cohort_is_in_window_or_staged_for_r9():
     # queue entries must be real registry gates (no stale names)
     unknown = [k for k in entry._R9_REPROOF_QUEUE if k not in entry.queries()]
     assert not unknown, f"r9 queue names unknown gates: {unknown}"
+
+
+def test_r4_cohort_is_in_window_or_staged_for_r10():
+    """Round-8 judge item 7: once the r3 cohort re-proves in round 9's
+    window, the r4 cohort becomes the stalest green set. Its claim order
+    for round 10's rule-3 slots is pinned in _R10_REPROOF_QUEUE BEFORE
+    the round-9 window freezes — not improvised next round."""
+    latest = _latest_green()
+    stale = {k for k, r in latest.items() if r == 4}
+    out = stale - set(_window()) - set(entry._R10_REPROOF_QUEUE)
+    assert not out, f"r4-resting gates neither in window nor staged: {out}"
+    unknown = [
+        k for k in entry._R10_REPROOF_QUEUE if k not in entry.queries()
+    ]
+    assert not unknown, f"r10 queue names unknown gates: {unknown}"
+    # the queue must not hold gates that are already being re-proven in
+    # this round's window (a slot claimed twice is a slot wasted)
+    dup = set(entry._R10_REPROOF_QUEUE) & set(_window())
+    assert not dup, f"r10 queue duplicates round-9 window slots: {dup}"

@@ -1156,3 +1156,134 @@ def test_window_funnel_property(spark, events):
         )
         exp[lv] = exp.get(lv, 0) + 1
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# planted 1e10-scale count ratios (the int64 count-product overflow class)
+# --------------------------------------------------------------------------
+
+def _plant_counts(data):
+    """Draw (cxy, cx, cy, n) with cxy <= cx, cy <= n and magnitudes up
+    to 1e10 — where cx*cy as long*long wraps but every double product is
+    finite. This is the regime the round-8 judge proved the sf0.01 gate
+    can never reach (counts are row counts), so it must be planted."""
+    cxy = data.draw(st.integers(1, 10**10), label="cxy")
+    cx = cxy + data.draw(st.integers(0, 10**10), label="cx_extra")
+    cy = cxy + data.draw(st.integers(0, 10**10), label="cy_extra")
+    n = max(cx, cy) + data.draw(st.integers(0, 10**10), label="n_extra")
+    return cxy, cx, cy, n
+
+
+# the deterministic wrap witness: cx*cy = 1.6e19 > 2^63 — the pre-fix
+# long*long form flips sign here and the e6 term comes out garbage
+_WRAP_WITNESS = (10**9, 4 * 10**9, 4 * 10**9, 10**10)
+
+
+@SLOW
+@given(data=st.data())
+def test_count_ratio_kernels_at_planted_1e10_counts(spark, data):
+    """mi_term_e6 / kl_term_e6 / pmi_e6_expr evaluated at planted
+    1e10-scale counts match a pure-Python float recompute that mirrors
+    the oracle's operand-first double casts. Guards the repo's own
+    documented int64-overflow class (q127/q141/text_pmi_bigrams, fixed
+    round 9): any count*count long product wraps once operands reach
+    ~9.2e18; these kernels must promote to double FIRST."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.relational import (
+        kl_term_e6,
+        mi_term_e6,
+    )
+    from data_table_spark.operators.textstats import pmi_e6_expr
+
+    rows = [_WRAP_WITNESS] + [_plant_counts(data) for _ in range(3)]
+    df = spark.createDataFrame(
+        rows, "cxy long, cx long, cy long, n long"
+    )
+    got = df.select(
+        mi_term_e6(
+            F.col("cxy"), F.col("cx"), F.col("cy"), F.col("n")
+        ).alias("mi"),
+        kl_term_e6(
+            F.col("cxy"), F.col("cx"), F.col("cy"), F.col("n")
+        ).alias("kl"),
+        pmi_e6_expr(
+            F.col("cxy"), F.col("cx"), F.col("cy"), F.col("n")
+        ).alias("pmi"),
+    ).collect()
+    for (cxy, cx, cy, n), r in zip(rows, got):
+        ratio = (float(cxy) * float(n)) / (float(cx) * float(cy))
+        mi = math.floor(1e6 * (float(cxy) / float(n)) * math.log(ratio))
+        # kl_term_e6(cp, c, cgp, cg) divides by its SECOND arg: cxy/cx
+        kl = math.floor(1e6 * (float(cxy) / float(cx)) * math.log(ratio))
+        pmi = math.floor(1e6 * math.log(ratio))
+        assert r["mi"] == mi, (cxy, cx, cy, n)
+        assert r["kl"] == kl, (cxy, cx, cy, n)
+        assert r["pmi"] == pmi, (cxy, cx, cy, n)
+
+
+def test_floor_div_dec_exact_at_the_half_up_knife_edge(spark):
+    """_floor_div_dec vs the raw decimal division it replaced (round-8
+    ADVICE): a true quotient fraction in [0.9999995, 1) HALF_UP-rounds
+    to the next integer at scale 6 before FLOOR/cast sees it. num = 2k-1,
+    den = k with k = 1e7 gives fraction 0.9999999 — the raw form says 2,
+    exact integral division says 1. Also planted at 1e25 magnitudes
+    (past int64) to prove the decimal path itself."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.relational import _floor_div_dec
+
+    from decimal import Decimal
+
+    k = 10_000_000
+    big = 10**25
+    df = spark.createDataFrame(
+        [
+            (Decimal(2 * k - 1), Decimal(k)),
+            (Decimal(big - 1), Decimal(big)),
+            (Decimal(3 * big + 2), Decimal(big)),
+        ],
+        "num decimal(38,0), den decimal(38,0)",
+    )
+    out = df.select(
+        _floor_div_dec(F.col("num"), F.col("den")).alias("q"),
+        F.floor(F.col("num") / F.col("den")).cast("long").alias("raw"),
+    ).collect()
+    assert [r["q"] for r in out] == [1, 0, 3]
+    # the knife-edge row is exactly why the raw form was wrong
+    assert out[0]["raw"] == 2
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """len(cols)*bits > 63 must raise, not wrap (round-8 ADVICE): Java
+    shiftleft is mod 64, so 4 cols x 16 bits writes the sign bit and 5+
+    silently folds — corrupted non-monotone keys."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.scale import zorder_key
+
+    with _pytest.raises(ValueError, match="does not fit a signed long"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    # 4 cols x 15 bits = 60 — legal
+    zorder_key(["a", "b", "c", "d"], bits=15)
+
+
+def test_write_zordered_auto_reduces_bits(spark, tmp_path):
+    """write_zordered with 4 columns and the default bits=16 must
+    auto-reduce to 15 bits (ranks are internal there) instead of
+    surfacing zorder_key's ValueError, and the written files round-trip."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.scale import write_zordered
+
+    df = spark.range(256).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 256).alias("b"),
+        (F.col("id") * 13 % 256).alias("c"),
+        (F.col("id") * 31 % 256).alias("d"),
+    )
+    path = str(tmp_path / "z4")
+    write_zordered(df, path, ["a", "b", "c", "d"], num_ranges=2)
+    assert spark.read.parquet(path).count() == 256
