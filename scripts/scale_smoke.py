@@ -114,8 +114,15 @@ GATES = [
 #: sim_range_search joins the corpus against the BROADCAST 5-row pinned
 #: probe set with a non-equi predicate — a BroadcastNestedLoopJoin whose
 #: build side is a constant, i.e. a map-side scoring pass; same
-#: scale-invariance rule applies.
-BOUNDED_NESTED_LOOP_GATES = {"dedup_ngram_jaccard_pairs", "sim_range_search"}
+#: scale-invariance rule applies. sim_filtered_topk is the same family
+#: shape (broadcast 1-ROW query vector crossJoin — the sim_bruteforce
+#: pattern): the build side is a constant single probe, the "join" is a
+#: map-side cosine pass, and the predicate prunes the scan before it.
+BOUNDED_NESTED_LOOP_GATES = {
+    "dedup_ngram_jaccard_pairs",
+    "sim_range_search",
+    "sim_filtered_topk",
+}
 
 #: synthesis-version marker: bumped when synthesize() changes so a
 #: cached DEST from an older script version is regenerated, not reused
