@@ -203,6 +203,10 @@ _NEXT_WINDOW_QUEUE = [
     "q142_welch_t",                 # Σx² now DECIMAL(38,0)
     # round-9 session additions (written after the r9 window froze)
     # append below as implemented, oldest first:
+    "q167_time_weighted_value",     # TWAP per event type, decimal wsum
+    "q168_gap_percentiles",         # SLO p50/p90/p99 from digit histogram
+    "pipe_curriculum_order",        # easy-first source-interleaved schedule
+    "dedup_containment_pairs",      # asymmetric snippet-in-doc containment
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

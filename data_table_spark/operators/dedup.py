@@ -954,6 +954,17 @@ def prefix_filter_pairs(
         "rn",
         F.row_number().over(Window.partitionBy("doc").orderBy("rk")),
     )
+    # Symmetric t-prefixes on both sides, DELIBERATELY: the asymmetric
+    # Bayardo/PPJoin index prefix (2t/(1+t) on the smaller record of a
+    # size-canonical pair — ~n/3 vs ~n/2 tokens at t=1/2) was
+    # implemented and measured in round 9 and REVERTED on evidence.
+    # With two structurally different prefix subplans Spark loses the
+    # ReusedExchange that lets the symmetric self-join share ONE
+    # token-rank pipeline (100× smoke: 462→481 s + an extra exchange),
+    # and checkpointing the probe prefix to share it manually pays a
+    # 100×-sized materialization (594 s). The candidate cut is real but
+    # smaller than either cost on this corpus; PERF_NOTES carries the
+    # numbers. Revisit only with a cheaper sharing mechanism.
     prefix_len = (
         F.col("n")
         - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
@@ -1377,4 +1388,129 @@ DEDUP_ORACLE["dedup_incremental_new_shard"] = (
     "LEFT JOIN exact e ON d.doc_id = e.doc_id "
     "LEFT JOIN near nr ON d.doc_id = nr.doc_id "
     "WHERE d.doc_id % 2 = 1"
+)
+
+
+# --------------------------------------------------------------------------
+# containment join (asymmetric near-dup: snippet-inside-document)
+# --------------------------------------------------------------------------
+
+def containment_pairs(
+    docs: DataFrame,
+    t_num: int = 9,
+    t_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT shingle-containment join: ordered pairs (a, b) with
+    |A∩B| ≥ t·|A| — document a's trigram shingles mostly inside b. The
+    ASYMMETRIC sibling of prefix_filter_pairs' Jaccard join, and the
+    shape benchmark decontamination actually needs: a short eval prompt
+    buried in a long crawl page has tiny Jaccard (the page's size
+    dominates the union) but near-1.0 containment, so a symmetric
+    threshold misses exactly the pairs that leak test sets.
+
+    Prefix theorem, one-sided: if |A∩B| ≥ ⌈t·|A|⌉ then the first
+    p_A = |A| − ⌈t·|A|⌉ + 1 tokens of A (global rarest-first rank, the
+    prefix_filter_pairs ordering) contain a shared token — all shared
+    tokens sit at-or-after the first one, so its A-position is at most
+    |A| − overlap + 1 ≤ p_A. B is UNCONSTRAINED (containment puts no
+    lower bound on |B|), so only A prefixes prune: candidates = A-prefix
+    tokens equi-joined against B's full token postings. Rarest-first
+    keeps the joined postings short — hot tokens never enter a prefix.
+    No length filter exists in this geometry (that is the point), so
+    the candidate bound is Σ_{tok ∈ prefixes} df(tok) · prefixes(tok):
+    linear in true-containment density, never O(n²).
+
+    Scale shape: same vocabulary-rank machinery as prefix_filter_pairs
+    (one df aggregate + vocab window, broadcast rank lookup, per-doc
+    position window), one tok equi-join, exact verify on the candidate
+    set via array_intersect."""
+    from pyspark.sql import Window
+
+    sets = docs.select(
+        F.col(id_col).alias("doc"),
+        _trigram_shingles(F.col(text_col)).alias("s"),
+    )
+    toks = sets.select(
+        "doc", F.explode("s").alias("tok"), F.size("s").alias("n")
+    )
+    rank = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("df", "tok"))
+        )
+    )
+    pos = toks.join(F.broadcast(rank.select("tok", "rk")), "tok").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc").orderBy("rk")),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    pref = pos.where(F.col("rn") <= prefix_len).select("doc", "tok")
+    cand = (
+        pref.select(F.col("doc").alias("a"), "tok")
+        .join(toks.select(F.col("doc").alias("b"), "tok"), "tok")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col("doc").alias("a"), F.col("s").alias("sa")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("b"), F.col("s").alias("sb")),
+            "b",
+        )
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+    )
+    return verified.where(
+        t_den * F.col("inter") >= t_num * F.col("na")
+    ).select(
+        "a", "b", "inter", "na", "nb",
+        F.round(F.col("inter") / F.col("na"), 4).alias("containment"),
+    )
+
+
+def dedup_containment_pairs(spark, sf_dir):
+    """Gate: ordered pairs with trigram-shingle containment ≥ 0.9 over
+    the whole corpus (no PAIR_BOUND). Oracle = the naive token join —
+    equality proves the one-sided prefix theorem end-to-end."""
+    return containment_pairs(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+DEDUP_ORACLE["dedup_containment_pairs"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct("
+    "    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "     FOR i IN range(1, len(t) - 1)]) s "
+    "  FROM toks), "
+    "tok AS (SELECT DISTINCT doc_id, UNNEST(s) AS tok FROM sh), "
+    "sz AS (SELECT doc_id, len(s) AS n FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i "
+    "  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id != b.doc_id "
+    "  GROUP BY 1, 2) "
+    "SELECT inter.a, inter.b, CAST(i AS BIGINT) AS inter, "
+    "  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb, "
+    "  ROUND(CAST(i AS DOUBLE) / sa.n, 4) AS containment "
+    "FROM inter "
+    "JOIN sz sa ON inter.a = sa.doc_id "
+    "JOIN sz sb ON inter.b = sb.doc_id "
+    "WHERE 10 * i >= 9 * sa.n"
 )

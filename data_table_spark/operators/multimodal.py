@@ -743,6 +743,38 @@ def sample_frames(
             hi = min((i + 1) * step, nf)
             yield i, lo * 1000 // max(rate, 1), pcm[lo * fw : hi * fw]
 
+    def _av_sampled(blob: bytes):
+        # optional pyav demuxer for COMPRESSED containers (mp4/mkv/...),
+        # the same import-guard pattern as the Pillow JPEG fallback
+        # (_decode_real): absent in this container, real wherever the
+        # dependency exists; the guarded golden lives in
+        # tests/test_sources_sinks.py. Decodes the clip inside the Arrow
+        # batch (clips are per-doc bounded by ingest; a long-form
+        # pipeline would stream-seek instead — documented plug).
+        import io
+
+        import av  # noqa: F401 — raises ImportError where absent
+
+        with av.open(io.BytesIO(blob)) as container:
+            stream = container.streams.video[0]
+            tb = float(stream.time_base) if stream.time_base else 0.0
+            decoded = [
+                (f.pts, f.to_ndarray(format="gray").tobytes())
+                for f in container.decode(stream)
+            ]
+        total = len(decoded)
+        if total == 0:
+            return
+        picks = sorted({i * total // n_frames for i in range(n_frames)})
+        for idx in picks:
+            pts, luma = decoded[idx]
+            ts = (
+                int(pts * tb * 1000)
+                if pts is not None and tb
+                else idx * duration_ms // max(total, 1)
+            )
+            yield idx, ts, luma
+
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
@@ -756,12 +788,20 @@ def sample_frames(
                     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                         frames = _wav_frames(blob)
                     else:
-                        raise NotImplementedError(
-                            "real frame sampling of compressed video "
-                            "containers needs a demuxer (pyav/ffmpeg); "
-                            "plug it in here — Y4M video and PCM WAV "
-                            "sample codec-free"
-                        )
+                        # eager import check: _av_sampled is a generator,
+                        # so its own import would only fire at first
+                        # iteration, past this except
+                        try:
+                            import av  # noqa: F401
+                        except ImportError:
+                            raise NotImplementedError(
+                                "real frame sampling of compressed video "
+                                "containers needs a demuxer — pyav is "
+                                "wired in _av_sampled but not installed "
+                                "in this container; Y4M video and PCM "
+                                "WAV sample codec-free"
+                            ) from None
+                        frames = _av_sampled(blob)
                 else:
                     step = max(len(blob) // n_frames, 1)
                     frames = (

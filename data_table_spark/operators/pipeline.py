@@ -2173,3 +2173,68 @@ PIPELINE_ORACLE["pipe_shard_manifest"] = (
     "  CAST(SUM(lane) % 2305843009213693951 AS BIGINT) AS content_sum "
     "FROM lanes GROUP BY 1"
 ).format(sh=SHARD_COUNT)
+
+
+# --------------------------------------------------------------------------
+# curriculum ordering (easy-first, source-interleaved training schedule)
+# --------------------------------------------------------------------------
+
+def curriculum_order(
+    docs: DataFrame, head: int = 500
+) -> DataFrame:
+    """Deterministic curriculum schedule: order the corpus easy-first
+    (shorter documents first — the standard length-as-difficulty proxy)
+    while ROUND-ROBIN interleaving sources, so no leading stretch of
+    the schedule is single-source (curriculum learning's data-order
+    half, and the mixing constraint every multi-source pretraining run
+    imposes on it). Position within a source = ascending (n_chars,
+    doc_id) rank; the global order is (position, source) — after one
+    document from every source at position 1, every source at position
+    2, and so on. Emits the first ``head`` schedule rows.
+
+    Exactness: pure integer rank arithmetic, deterministic tie-breaks
+    everywhere (doc_id inside a source, source name across lanes).
+
+    Scale shape: ONE rank window partitioned by source (scales with
+    sources × their sizes, the per-source sort a training-data shuffle
+    pays anyway), then the bounded head rides a TakeOrderedAndProject
+    partial top-k — no global sort materializes. At 100 TB emit shard
+    files in (position, source) ranges instead of a head."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w).alias("position"),
+    )
+    w_g = Window.orderBy("position", "source")
+    return (
+        ranked.orderBy("position", "source")
+        .limit(head)
+        .select(
+            F.row_number().over(w_g).alias("global_rank"),
+            "doc_id", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("position").cast("long").alias("position"),
+        )
+    )
+
+
+def pipe_curriculum_order(spark, sf_dir):
+    """Gate: first 500 rows of the easy-first source-interleaved
+    curriculum schedule."""
+    return curriculum_order(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_curriculum_order"] = pipe_curriculum_order
+PIPELINE_ORACLE["pipe_curriculum_order"] = (
+    "WITH ranked AS ("
+    "  SELECT doc_id, source, n_chars, "
+    "    ROW_NUMBER() OVER (PARTITION BY source "
+    "      ORDER BY n_chars, doc_id) AS position "
+    "  FROM documents), "
+    "head AS ("
+    "  SELECT * FROM ranked ORDER BY position, source LIMIT 500) "
+    "SELECT ROW_NUMBER() OVER (ORDER BY position, source) AS global_rank, "
+    "  doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
+    "  CAST(position AS BIGINT) AS position "
+    "FROM head"
+)

@@ -9269,3 +9269,191 @@ RELATIONAL_ORACLE["q166_bounce_rate"] = (
     "    / COUNT(*)) AS BIGINT) AS bounce_e6 "
     "FROM per_sess GROUP BY 1"
 )
+
+
+# --------------------------------------------------------------------------
+# q167: time-weighted average value per event type (the TWAP shape)
+# --------------------------------------------------------------------------
+
+def q167_time_weighted_value(spark, sf_dir):
+    """Time-weighted average of the event `value` per event type — the
+    TWAP/telemetry-gauge readout (a reading counts for as long as it is
+    the key's LATEST reading, not once per sample), which plain AVG
+    gets wrong whenever sampling is irregular: a gauge sampled every
+    second during an incident and hourly otherwise must not let the
+    incident dominate the mean.
+
+    Exactness: value collapses to cents (long), the holding duration is
+    the exact epoch-MICROSECOND gap to the USER's next event (LEAD over
+    the user partition — each user is an independent sensor stream; the
+    q101 tz-free NTZ timestampdiff ↔ DuckDB epoch_us, both exact
+    BIGINTs — epoch-second truncation would diverge on these sub-second
+    timestamps), and the
+    weighted sum Σ(cents·dur_us) accumulates in DECIMAL(38,0) from the
+    start (the q160/q165 overflow posture: cents ~ 1e8 × micros ~ 1e12
+    leaves int64 immediately at scale); held time reports as the
+    exact floored second count via _floor_div_dec. One double division,
+    rounded once. A user's last event holds for 0 by definition (no
+    successor) and drops from both sums — documented boundary, mirrored
+    in the oracle.
+
+    Scale shape: ONE shuffle on user_id for the LEAD window, then a
+    map-combinable aggregate to the 5-row type table. No global window,
+    no join."""
+    # tz-free epoch micros (the q101 NTZ pattern): events.ts is
+    # TIMESTAMP_NTZ, so unix_micros won't bind and unix_timestamp would
+    # re-interpret in the session zone; timestampdiff against the NTZ
+    # epoch matches DuckDB's epoch_us bit-for-bit
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", us.alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_type", "cents")
+    timed = e.select(
+        "event_type", "cents",
+        (F.lead("us", 1).over(w) - F.col("us")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        timed.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("dur_us")
+            ).alias("wsum"),
+            F.sum(F.col("dur_us").cast("decimal(38,0)")).alias("dsum"),
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+        )
+        .select(
+            "event_type", "n_readings",
+            _floor_div_dec(F.col("dsum"), F.lit(1_000_000)).alias("held_s"),
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("dsum").cast("double") / 100.0,
+                6,
+            ).alias("twa_value"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q167_time_weighted_value"] = q167_time_weighted_value
+RELATIONAL_ORACLE["q167_time_weighted_value"] = (
+    "WITH timed AS ("
+    "  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+    "    epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id "
+    "      ORDER BY ts, event_type, CAST(ROUND(value * 100) AS BIGINT))) "
+    "      - epoch_us(ts) AS dur_us "
+    "  FROM events) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_readings, "
+    "  CAST(SUM(dur_us) // 1000000 AS BIGINT) AS held_s, "
+    "  ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) "
+    "    / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value "
+    "FROM timed WHERE dur_us IS NOT NULL GROUP BY event_type"
+)
+
+
+# --------------------------------------------------------------------------
+# q168: SLO percentiles reconstructed from a mergeable gap histogram
+# --------------------------------------------------------------------------
+
+def q168_gap_percentiles(spark, sf_dir):
+    """p50/p90/p99 UPPER BOUNDS of the per-user inter-event gap,
+    reconstructed from a decimal-digit-bucketed histogram — the
+    latency-SLO readout every monitoring stack computes this exact way
+    (HDR-style mergeable buckets + cumulative reconstruction), and the
+    production answer when exact order statistics over 1e12 gaps are
+    too expensive: the histogram is ONE map-combinable aggregate of
+    ~12 cells, merges associatively across any sharding, and the
+    percentile query runs on the driver-sized cell table. The bound is
+    exact integer arithmetic: bucket = number of decimal digits of the
+    gap (q147's engine-parity trick — string length, no libm), upper
+    bound of bucket b = 10^b − 1, and the percentile predicate
+    100·cum ≥ p·total compares exact longs.
+
+    Scale shape: one shuffle on user_id for the LAG, one ~12-cell
+    aggregate, windows over the cell table only. Output: 3 rows."""
+    # exact micros first (the q101 tz-free NTZ pattern ↔ DuckDB
+    # epoch_us, both BIGINT — per-side second truncation would
+    # mis-bucket sub-second stamps), then ONE floor to whole seconds;
+    # gap_us < 2^53 so the double division is exact
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = e.select(
+        (F.col("us") - F.lag("us", 1).over(w)).alias("g_us")
+    ).where(F.col("g_us").isNotNull() & (F.col("g_us") >= 0)).select(
+        F.floor(F.col("g_us") / F.lit(1_000_000)).cast("long").alias("g")
+    )
+    hist = gaps.groupBy(
+        F.length(F.col("g").cast("string")).alias("digits")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("digits").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("digits").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "digits", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+
+    def pct(p):
+        # smallest bucket whose cumulative count covers p% of gaps;
+        # upper bound of that bucket = 10^digits - 1 seconds
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(p) * F.col("total"),
+                F.struct("digits", "cum", "total"),
+            )
+        )
+
+    agg = cum.agg(
+        pct(50).alias("b50"), pct(90).alias("b90"), pct(99).alias("b99")
+    )
+    out = []
+    for p, b in ((50, "b50"), (90, "b90"), (99, "b99")):
+        out.append(
+            F.struct(
+                F.lit(p).cast("int").alias("pct"),
+                (
+                    F.pow(F.lit(10.0), F.col(f"{b}.digits")).cast("long")
+                    - 1
+                ).alias("gap_upper_s"),
+                F.col(f"{b}.cum").cast("long").alias("cum_gaps"),
+                F.col(f"{b}.total").cast("long").alias("total_gaps"),
+            )
+        )
+    return agg.select(F.explode(F.array(*out)).alias("r")).select(
+        "r.pct", "r.gap_upper_s", "r.cum_gaps", "r.total_gaps"
+    )
+
+
+RELATIONAL_QUERIES["q168_gap_percentiles"] = q168_gap_percentiles
+RELATIONAL_ORACLE["q168_gap_percentiles"] = (
+    "WITH gaps_us AS ("
+    "  SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER ("
+    "    PARTITION BY user_id ORDER BY ts)) AS g_us "
+    "  FROM events), "
+    "gaps AS ("
+    "  SELECT g_us // 1000000 AS g FROM gaps_us "
+    "  WHERE g_us IS NOT NULL AND g_us >= 0), "
+    "hist AS ("
+    "  SELECT LENGTH(CAST(g AS VARCHAR)) AS digits, COUNT(*) AS n "
+    "  FROM gaps GROUP BY 1), "
+    "cum AS ("
+    "  SELECT digits, "
+    "    CAST(SUM(n) OVER (ORDER BY digits ROWS UNBOUNDED PRECEDING) "
+    "      AS BIGINT) AS cum, "
+    "    CAST(SUM(n) OVER () AS BIGINT) AS total "
+    "  FROM hist), "
+    "p AS (SELECT UNNEST([50, 90, 99]) AS pct) "
+    "SELECT CAST(p.pct AS INT) AS pct, "
+    "  CAST(POWER(10, MIN(CASE WHEN 100 * cum >= pct * total "
+    "    THEN digits END)) AS BIGINT) - 1 AS gap_upper_s, "
+    "  MIN(CASE WHEN 100 * cum >= pct * total THEN cum END) AS cum_gaps, "
+    "  CAST(MAX(total) AS BIGINT) AS total_gaps "
+    "FROM p, cum GROUP BY p.pct"
+)

@@ -97,6 +97,12 @@ GATES = [
     # pre-filter must prune BEFORE scoring), WAV energy (map-only Arrow
     # decode), sentence stats (expression-only map pass), and the FULL
     # OUTER stream-stream interval join's batch-equivalent plan
+    # round-9 session additions over the 10× document corpus: the
+    # curriculum schedule (per-source rank window + bounded head) and
+    # the asymmetric containment join (one-sided prefix filter —
+    # candidates bounded by rare-token df, never O(n²))
+    ("pipe_curriculum_order", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("dedup_containment_pairs", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
     ("q162_geo_radius_join", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q158_new_vs_returning", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("sim_filtered_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),

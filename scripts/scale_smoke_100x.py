@@ -219,6 +219,12 @@ GATES = [
     "stream_full_attribution", # FULL OUTER interval join: both sides
                                # events-derived and fact-sized —
                                # broadcast must flip to SMJ
+    # round-9 session additions (events-bound):
+    "q167_time_weighted_value",  # one user-keyed LEAD window + 5-row
+                               # type aggregate, under hot-user skew
+    "q168_gap_percentiles",    # user-keyed LAG + ~12-cell mergeable
+                               # histogram; percentile windows run on
+                               # the cell table only
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as

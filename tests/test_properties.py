@@ -1287,3 +1287,90 @@ def test_write_zordered_auto_reduces_bits(spark, tmp_path):
     path = str(tmp_path / "z4")
     write_zordered(df, path, ["a", "b", "c", "d"], num_ranges=2)
     assert spark.read.parquet(path).count() == 256
+
+
+@SLOW
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+def test_containment_pairs_completeness_property(spark, texts):
+    """containment_pairs == brute-force trigram containment on arbitrary
+    tiny corpora — the one-sided prefix theorem (only A's prefix prunes;
+    B is unconstrained) must lose no true pair even when A's shingles
+    are a strict subset of B's (the snippet-in-document case the gate
+    exists for), and must emit BOTH directions of a mutual pair."""
+    from data_table_spark.operators.dedup import containment_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in containment_pairs(df, 9, 10).collect()
+    }
+
+    def tri(text):
+        t = text.lower().strip().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: tri(x) for i, x in docs}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and sets[a]
+        and 10 * len(sets[a] & sets[b]) >= 9 * len(sets[a])
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.sampled_from(["x", "y"]),  # type
+            st.integers(0, 10**7),      # ts micros offset
+            st.integers(-500, 500),     # value cents
+        ),
+        min_size=1, max_size=16,
+    )
+)
+def test_time_weighted_value_property(spark, rows):
+    """The q167 TWA kernel vs a Python fold on arbitrary event sets —
+    duplicate timestamps, single-event users (no successor → drops),
+    negative values, interleaved types. Recomputes the exact
+    (cents·dur_us) sums per type and the one rounded division."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, t, us, c) for (u, t, us, c) in rows],
+        "user_id long, event_type string, us long, cents long",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_type", "cents")
+    timed = df.select(
+        "event_type", "cents",
+        (F.lead("us", 1).over(w) - F.col("us")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    got = {
+        r["event_type"]: (r["n"], r["ws"], r["ds"])
+        for r in timed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("dur_us")
+            ).cast("long").alias("ws"),
+            F.sum("dur_us").cast("long").alias("ds"),
+        ).collect()
+    }
+    per_user = defaultdict(list)
+    for u, t, us, c in rows:
+        per_user[u].append((us, t, c))
+    want = defaultdict(lambda: [0, 0, 0])
+    for evs in per_user.values():
+        evs.sort()
+        for (us0, t0, c0), (us1, _, _) in zip(evs, evs[1:]):
+            want[t0][0] += 1
+            want[t0][1] += c0 * (us1 - us0)
+            want[t0][2] += us1 - us0
+    assert got == {t: tuple(v) for t, v in want.items()}
