@@ -207,6 +207,9 @@ _NEXT_WINDOW_QUEUE = [
     "q168_gap_percentiles",         # SLO p50/p90/p99 from digit histogram
     "pipe_curriculum_order",        # easy-first source-interleaved schedule
     "dedup_containment_pairs",      # asymmetric snippet-in-doc containment
+    "sim_label_centroid_drift",     # split-half centroid cosine per label
+    "q169_dau_mau_stickiness",      # exact rolling-28d MAU via islands
+    "pipe_source_dup_rate",         # corpus-wide exact-dup share per source
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -2238,3 +2238,63 @@ PIPELINE_ORACLE["pipe_curriculum_order"] = (
     "  CAST(position AS BIGINT) AS position "
     "FROM head"
 )
+
+
+# --------------------------------------------------------------------------
+# per-source duplication-rate report (corpus health dashboard)
+# --------------------------------------------------------------------------
+
+def source_dup_rate(docs: DataFrame) -> DataFrame:
+    """Per-source duplication profile — the corpus-health readout a
+    dedup pipeline publishes BEFORE anyone trains on the data: for each
+    source, total docs, distinct texts WITHIN the source, docs that are
+    members of corpus-WIDE exact-dup groups (the cross-source leakage a
+    within-source distinct misses), and the dup share in e6. A source
+    whose dup_share spikes is re-crawling itself or mirroring another
+    source — both visible here without any pairwise machinery.
+
+    Scale shape: hashes once (sha2 map-side), one corpus-wide hash
+    count aggregate, one hash-keyed join back (both sides shuffle on
+    the hash — co-partitioned), one per-source conditional aggregate.
+    All map-combinable; no pair join anywhere."""
+    h = docs.select(
+        "source", F.sha2(F.col("text").cast("binary"), 256).alias("h")
+    )
+    corpus = h.groupBy("h").agg(F.count(F.lit(1)).alias("n_h"))
+    return (
+        h.join(corpus, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("h").alias("n_distinct_texts"),
+            F.sum(F.when(F.col("n_h") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+            F.col("n_dup").cast("long").alias("n_dup_docs"),
+            F.floor(
+                F.lit(1_000_000) * F.col("n_dup") / F.col("n_docs")
+            ).cast("long").alias("dup_share_e6"),
+        )
+    )
+
+
+def pipe_source_dup_rate(spark, sf_dir):
+    """Gate: per-source corpus-wide exact-dup rate report."""
+    return source_dup_rate(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_source_dup_rate"] = pipe_source_dup_rate
+PIPELINE_ORACLE["pipe_source_dup_rate"] = (
+    "WITH h AS (SELECT source, sha256(text) AS h FROM documents), "
+    "corpus AS (SELECT h, COUNT(*) AS n_h FROM h GROUP BY 1) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(COUNT(DISTINCT h.h) AS BIGINT) AS n_distinct_texts, "
+    "  CAST(SUM(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_dup_docs, "
+    "  CAST(FLOOR(1000000 * SUM(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) "
+    "    / COUNT(*)) AS BIGINT) AS dup_share_e6 "
+    "FROM h JOIN corpus USING (h) GROUP BY source"
+)

@@ -9457,3 +9457,86 @@ RELATIONAL_ORACLE["q168_gap_percentiles"] = (
     "  CAST(MAX(total) AS BIGINT) AS total_gaps "
     "FROM p, cum GROUP BY p.pct"
 )
+
+
+# --------------------------------------------------------------------------
+# q169: DAU/MAU stickiness (rolling 28-day distinct actives, exact)
+# --------------------------------------------------------------------------
+
+def q169_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — THE product-health ratio (what share
+    of the monthly audience shows up on a given day), with MAU as the
+    EXACT rolling 28-day distinct-user count. The naive form is a
+    28-day-range distinct per day — a fact-sized range self-join. The
+    scalable identity: a user counts toward MAU(d) for d in
+    [active_day, active_day+27], so per user, MERGE active days whose
+    coverage intervals touch (gap ≤ 28 days — the q34 islands
+    construction) and EXPLODE each merged island's coverage once;
+    islands are disjoint by construction, so the exploded (user, day)
+    table is already distinct and ONE count per day is MAU. Explode
+    fan-out is ≤ 28 rows per active day — a constant, not a join.
+
+    Output per active day: dau, mau, stickiness in e6 (exact floored
+    integer ratio via _floor_div_dec). Scale shape: one (user, day)
+    distinct collapse, one user-keyed LAG window over the collapsed
+    table, the bounded-constant explode, and two map-combinable
+    aggregates; the dau↔mau join is day-spine-sized."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    active = e.distinct()
+    dau = active.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    brk = F.when(
+        F.datediff(F.col("d"), F.lag("d", 1).over(w)) > 28, 1
+    ).otherwise(0)
+    isl = active.select(
+        "user_id", "d",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("isl"),
+    )
+    spans = isl.groupBy("user_id", "isl").agg(
+        F.min("d").alias("s"), F.max("d").alias("e")
+    )
+    cover = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("s"), F.date_add(F.col("e"), 27))
+        ).alias("d"),
+    )
+    mau = cover.groupBy("d").agg(F.count(F.lit(1)).alias("mau"))
+    # the dau<->mau join is CALENDAR-bounded on both sides (~active days
+    # + 27 rows each, at any corpus size) — hint it broadcast because
+    # Catalyst can't see a size estimate through the explode and the
+    # 100x smoke showed it conservatively flipping to SMJ (q99's
+    # day-spine-is-a-dim argument)
+    return (
+        dau.join(F.broadcast(mau), "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            _floor_div_dec(
+                F.col("dau").cast("decimal(38,0)") * F.lit(1_000_000),
+                F.col("mau").cast("decimal(38,0)"),
+            ).alias("stickiness_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q169_dau_mau_stickiness"] = q169_dau_mau_stickiness
+RELATIONAL_ORACLE["q169_dau_mau_stickiness"] = (
+    "WITH active AS ("
+    "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+    "dau AS (SELECT d, COUNT(*) AS dau FROM active GROUP BY 1), "
+    "mau AS ("
+    "  SELECT dd.d, COUNT(DISTINCT a.user_id) AS mau "
+    "  FROM (SELECT DISTINCT d FROM active) dd "
+    "  JOIN active a ON a.d BETWEEN dd.d - 27 AND dd.d "
+    "  GROUP BY 1) "
+    "SELECT CAST(dau.d AS VARCHAR) AS day, "
+    "  CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau, "
+    "  CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_e6 "
+    "FROM dau JOIN mau ON dau.d = mau.d"
+)

@@ -1611,3 +1611,98 @@ SIMILARITY_ORACLE["sim_filtered_topk"] = (
     f"AND vec_id != {QUERY_VEC_ID} "
     f"ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}"
 )
+
+
+# --------------------------------------------------------------------------
+# per-label centroid drift between corpus halves (embedding monitoring)
+# --------------------------------------------------------------------------
+
+def sim_label_centroid_drift(spark, sf_dir):
+    """Embedding-drift monitor: per label, the cosine between the
+    label's centroid computed over the EVEN half of the corpus and over
+    the ODD half (vec_id parity — the deterministic stand-in for the
+    before/after time split a production monitor uses). Cosine near 1 =
+    the label's region is stable across the split; a drop flags
+    embedding drift, upstream model change, or label contamination —
+    the standard pre-retrain health check for a vector store.
+
+    Exactness discipline: components quantize to e6 integers once
+    (ROUND(v·1e6) — the sim_quantize_int8 route), per-(label, dim,
+    half) SUMS are exact longs, and cosine is scale-invariant, so the
+    MEAN vectors' cosine equals the SUM vectors' cosine — no division
+    per dim, no float accumulation anywhere. The dot/norm products
+    accumulate in DECIMAL(38,0) (q160 posture: component sums ~1e10
+    square to ~1e20); ONE double conversion at the final ratio,
+    rounded 6dp.
+
+    Scale shape: one posexplode (map-side), one (label, dim, half)
+    aggregate — map-combinable, dim-bounded output — then the drift
+    assembles on the (label, dim) table: bounded by labels × dims,
+    never corpus rows."""
+    e = load_table(spark, "embeddings", sf_dir)
+    comp = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label", "half", "pos",
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("long").alias("q"),
+    )
+    sums = comp.groupBy("label", "pos", "half").agg(
+        F.sum("q").alias("s"),
+    )
+    ev = sums.where(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("se")
+    )
+    od = sums.where(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("so")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ev.join(od, ["label", "pos"]).groupBy("label").agg(
+        F.sum(dec("se") * F.col("so")).alias("dot"),
+        F.sum(dec("se") * F.col("se")).alias("ne"),
+        F.sum(dec("so") * F.col("so")).alias("no"),
+    )
+    return m.select(
+        F.col("label").cast("long").alias("label"),
+        F.when(
+            (F.col("ne") > 0) & (F.col("no") > 0),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ne").cast("double"))
+                    * F.sqrt(F.col("no").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("drift_cos"),
+    )
+
+
+SIMILARITY_QUERIES["sim_label_centroid_drift"] = sim_label_centroid_drift
+SIMILARITY_ORACLE["sim_label_centroid_drift"] = (
+    "WITH comp AS ("
+    "  SELECT label, vec_id % 2 AS half, u.pos, "
+    "    CAST(ROUND(u.v * 1000000) AS BIGINT) AS q "
+    "  FROM embeddings, "
+    "  LATERAL (SELECT UNNEST(embedding::DOUBLE[]) v, "
+    "           generate_subscripts(embedding, 1) pos) u), "
+    "sums AS ("
+    "  SELECT label, pos, half, CAST(SUM(q) AS BIGINT) AS s "
+    "  FROM comp GROUP BY 1, 2, 3), "
+    "m AS ("
+    "  SELECT e.label, "
+    "    SUM(e.s * o.s) AS dot, "
+    "    SUM(e.s * e.s) AS ne, "
+    "    SUM(o.s * o.s) AS no "
+    "  FROM (SELECT * FROM sums WHERE half = 0) e "
+    "  JOIN (SELECT * FROM sums WHERE half = 1) o "
+    "    USING (label, pos) GROUP BY 1) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "  CASE WHEN ne > 0 AND no > 0 THEN "
+    "    ROUND(CAST(dot AS DOUBLE) "
+    "      / (SQRT(CAST(ne AS DOUBLE)) * SQRT(CAST(no AS DOUBLE))), 6) "
+    "  END AS drift_cos "
+    "FROM m"
+)

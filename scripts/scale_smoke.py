@@ -103,6 +103,11 @@ GATES = [
     # candidates bounded by rare-token df, never O(n²))
     ("pipe_curriculum_order", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("dedup_containment_pairs", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    # batch 2: split-half centroid drift (dim-bounded aggregate over the
+    # 10x embeddings) and the per-source corpus-wide dup-rate report
+    # (two hash-keyed map-combinable aggregates)
+    ("sim_label_centroid_drift", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
+    ("pipe_source_dup_rate", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("q162_geo_radius_join", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q158_new_vs_returning", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("sim_filtered_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),

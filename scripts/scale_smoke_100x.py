@@ -225,6 +225,8 @@ GATES = [
     "q168_gap_percentiles",    # user-keyed LAG + ~12-cell mergeable
                                # histogram; percentile windows run on
                                # the cell table only
+    "q169_dau_mau_stickiness",  # islands merge + constant 28-day
+                               # explode — MAU without a range self-join
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
