@@ -210,6 +210,8 @@ _NEXT_WINDOW_QUEUE = [
     "sim_label_centroid_drift",     # split-half centroid cosine per label
     "q169_dau_mau_stickiness",      # exact rolling-28d MAU via islands
     "pipe_source_dup_rate",         # corpus-wide exact-dup share per source
+    "asof_nearest_events",          # NEAREST as-of direction + tolerance
+    "text_trigram_entropy",         # char-trigram gibberish entropy
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

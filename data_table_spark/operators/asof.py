@@ -42,9 +42,10 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_on <= left_on`` (direction='backward', inclusive — DuckDB /
-    pandas.merge_asof semantics) or smallest ``right_on >= left_on``
-    ('forward') sharing the ``by`` keys; unmatched left rows keep NULLs
-    (left-outer semantics).
+    pandas.merge_asof semantics), smallest ``right_on >= left_on``
+    ('forward'), or minimal ``|right_on - left_on|`` ('nearest',
+    backward match on an exact distance tie) sharing the ``by`` keys;
+    unmatched left rows keep NULLs (left-outer semantics).
 
     ``right_cols`` limits the attached payload (default: every non-by,
     non-ts right column). Attached columns keep their names unless they
@@ -56,8 +57,10 @@ def asof_join(
     resolve to the later row in window order — deduplicate the right side
     first if deterministic tie-break matters.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != right_on]
@@ -82,14 +85,41 @@ def asof_join(
 
     # backward: ascending ts, right rows sort BEFORE left rows at equal ts
     # (side 0 < 1) so an equal-ts right row is visible — inclusive match.
-    # forward: descending ts, same tie order.
-    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_order, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    # forward: descending ts, same tie order. nearest: BOTH passes over
+    # the one unioned frame (two window sorts on the same partition key —
+    # one exchange), then pick the closer match per row, backward on an
+    # exact distance tie (documented, mirrored by the oracle's
+    # ORDER BY abs_gap, ts).
+    def _pass(ts_order):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ts_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_PAY, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        matched = unioned.withColumn(
+            "_pb", _pass(F.col(_TS).asc())
+        ).withColumn("_pf", _pass(F.col(_TS).desc()))
+        # EXACT integer-microsecond gaps for the near-side pick: the
+        # double-cast form the tolerance check uses rounds each epoch to
+        # ~0.4 µs, enough to flip an exact-tie comparison against the
+        # oracle's integer epoch_us ordering
+        gap_b = F.expr(f"timestampdiff(MICROSECOND, _pb._ts, {_TS})")
+        gap_f = F.expr(f"timestampdiff(MICROSECOND, {_TS}, _pf._ts)")
+        matched = matched.withColumn(
+            _PAY,
+            F.when(F.col("_pb").isNull(), F.col("_pf"))
+            .when(F.col("_pf").isNull(), F.col("_pb"))
+            .when(gap_b <= gap_f, F.col("_pb"))
+            .otherwise(F.col("_pf")),
+        ).drop("_pb", "_pf")
+    else:
+        ts_order = (
+            F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+        )
+        matched = unioned.withColumn(_PAY, _pass(ts_order))
     out = matched.where(F.col(_SIDE) == 1)
 
     if tolerance_seconds is not None:
@@ -178,9 +208,48 @@ def asof_forward_events(spark, sf_dir):
     )
 
 
+
+
+def asof_nearest_events(spark, sf_dir):
+    """Gate for the NEAREST direction: for every click, the purchase by
+    the same user closest in time in EITHER direction, voided past a
+    3-day tolerance — the sensor-alignment flavor of as-of (pair each
+    reading with the closest calibration, whichever side it falls on),
+    which neither the backward nor the forward gate exercises. Backward
+    wins an exact distance tie (documented in asof_join; the oracle
+    mirrors it with ORDER BY abs_gap, ts). Purchases pre-deduplicate
+    per (user_id, ts) so the match is deterministic."""
+    e = load_table(spark, "events", sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        right_cols=["purchase_id"],
+        direction="nearest",
+        tolerance_seconds=3 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_right").alias("purchase_ts"),
+        "purchase_id",
+    )
+
+
 ASOF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": asof_join_events,
     "asof_forward_events": asof_forward_events,
+    "asof_nearest_events": asof_nearest_events,
 }
 
 ASOF_ORACLE: dict[str, str] = {
@@ -207,4 +276,19 @@ ASOF_ORACLE: dict[str, str] = {
         "  SELECT p.ts, p.purchase_id FROM p "
         "  WHERE p.user_id = c.user_id AND p.ts >= c.ts "
         "  ORDER BY p.ts LIMIT 1) n ON TRUE",
+    "asof_nearest_events":
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "           WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts, MAX(event_id) purchase_id FROM events "
+        "      WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT c.event_id, c.user_id, "
+        "CASE WHEN ABS(epoch(n.ts) - epoch(c.ts)) <= 259200 "
+        "  THEN n.ts END AS purchase_ts, "
+        "CASE WHEN ABS(epoch(n.ts) - epoch(c.ts)) <= 259200 "
+        "  THEN n.purchase_id END AS purchase_id "
+        "FROM c LEFT JOIN LATERAL ("
+        "  SELECT p.ts, p.purchase_id FROM p "
+        "  WHERE p.user_id = c.user_id "
+        "  ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)), p.ts LIMIT 1) "
+        "n ON TRUE",
 }

@@ -1390,3 +1390,101 @@ TEXTSTATS_ORACLE["text_boilerplate_prefixes"] = (
     "  CAST(FLOOR(10000 * n_docs / t) AS BIGINT) AS pct_e2 "
     "FROM tot WHERE rk = 1"
 )
+
+
+# --------------------------------------------------------------------------
+# character-trigram entropy (gibberish / fluency signal)
+# --------------------------------------------------------------------------
+
+def trigram_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-trigram Shannon entropy — the classic
+    gibberish detector in quality filtering: natural prose concentrates
+    probability mass on frequent trigrams (lower entropy per distinct
+    gram than keyboard mash or base64 blobs), so the pair
+    (entropy, distinct share) separates fluent text from noise without
+    any language model. H = ln n − (Σ c·ln c)/n over the doc's
+    overlapping lowercased trigram counts.
+
+    Engine-exactness (q127's per-term discipline): each distinct gram's
+    contribution floor(1e6·c·ln c / n) quantizes to integer micro-nats
+    BEFORE the per-doc sum — a raw double Σ c·ln c is order-dependent
+    across engines — and entropy_e6 = floor(1e6·ln n) − that sum, a
+    deterministic integer both engines reproduce bit-for-bit (c and n
+    are exact ints, ln/floor are IEEE, no cross-term accumulation).
+
+    Scale shape: one map-side trigram explode (transform over a
+    sequence — no join), one (doc, gram) count aggregate
+    (map-combinable), one per-doc rollup. Output is one row per doc
+    with ≥1 trigram."""
+    t = F.lower(F.col("text"))
+    # the length guard is load-bearing: Spark's sequence(1, 0) generates
+    # a DESCENDING [1, 0], not an empty array, so sub-trigram docs must
+    # be excluded before the sequence is built (DuckDB's range(1, 1) is
+    # empty — the engines disagree exactly on this boundary)
+    grams = docs.where(F.length(t) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    terms = counts.join(per_doc.select("doc_id", "n"), "doc_id").groupBy(
+        "doc_id"
+    ).agg(
+        F.sum(
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+                / F.col("n")
+            )
+        ).alias("s_e6")
+    )
+    return (
+        per_doc.join(terms, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_trigrams"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (
+                F.floor(F.lit(1_000_000) * F.log(F.col("n").cast("double")))
+                - F.col("s_e6")
+            ).cast("long").alias("entropy_e6"),
+        )
+    )
+
+
+def text_trigram_entropy(spark, sf_dir):
+    """Gate: per-doc character-trigram entropy over documents."""
+    return trigram_entropy(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_trigram_entropy"] = text_trigram_entropy
+TEXTSTATS_ORACLE["text_trigram_entropy"] = (
+    "WITH grams AS ("
+    "  SELECT doc_id, UNNEST([substr(lower(text), i, 3) "
+    "    FOR i IN range(1, length(text) - 1)]) AS g "
+    "  FROM documents WHERE length(text) >= 3), "
+    "counts AS ("
+    "  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2), "
+    "per_doc AS ("
+    "  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_distinct "
+    "  FROM counts GROUP BY 1), "
+    "terms AS ("
+    "  SELECT counts.doc_id, "
+    "    CAST(SUM(FLOOR(1000000 * CAST(c AS DOUBLE) "
+    "      * LN(CAST(c AS DOUBLE)) / n)) AS BIGINT) AS s_e6 "
+    "  FROM counts JOIN per_doc USING (doc_id) GROUP BY 1) "
+    "SELECT doc_id, n AS n_trigrams, n_distinct, "
+    "  CAST(FLOOR(1000000 * LN(CAST(n AS DOUBLE))) - s_e6 AS BIGINT) "
+    "    AS entropy_e6 "
+    "FROM per_doc JOIN terms USING (doc_id)"
+)

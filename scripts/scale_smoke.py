@@ -108,6 +108,8 @@ GATES = [
     # (two hash-keyed map-combinable aggregates)
     ("sim_label_centroid_drift", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
     ("pipe_source_dup_rate", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    # char-trigram entropy: map-side explode + two map-combinable aggs
+    ("text_trigram_entropy", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
     ("q162_geo_radius_join", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q158_new_vs_returning", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("sim_filtered_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),

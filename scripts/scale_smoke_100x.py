@@ -227,6 +227,8 @@ GATES = [
                                # the cell table only
     "q169_dau_mau_stickiness",  # islands merge + constant 28-day
                                # explode — MAU without a range self-join
+    "asof_nearest_events",     # union + TWO window passes (one
+                               # exchange) under hot-user skew
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as

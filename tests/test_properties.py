@@ -1374,3 +1374,55 @@ def test_time_weighted_value_property(spark, rows):
             want[t0][1] += c0 * (us1 - us0)
             want[t0][2] += us1 - us0
     assert got == {t: tuple(v) for t, v in want.items()}
+
+
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+        min_size=1, max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+        min_size=0, max_size=10, unique=True,
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 1200)),
+)
+def test_asof_nearest_property(spark, lefts, rights, tol):
+    """asof_join(direction='nearest') vs a Python argmin on arbitrary
+    keyed event sets — empty right side, equal-distance ties (must
+    resolve BACKWARD), exact-tolerance boundaries, keys with rights but
+    no lefts and vice versa."""
+    from data_table_spark.operators.asof import asof_join
+
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(lefts)], "lid long, k long, s long"
+    ).select("lid", "k", F.timestamp_seconds("s").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(k, s, 1000 + j) for j, (k, s) in enumerate(rights)] or [],
+        "k long, s long, rid long",
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "rid")
+    out = asof_join(
+        ldf, rdf, by=["k"], left_on="ts", right_on="ts",
+        right_cols=["rid"], direction="nearest",
+        tolerance_seconds=tol,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    rmap = {}
+    for j, (k, s) in enumerate(rights):
+        rmap.setdefault(k, []).append((s, 1000 + j))
+    want = {}
+    for i, (k, s) in enumerate(lefts):
+        best = None
+        for rs, rid in sorted(rmap.get(k, [])):
+            d = abs(rs - s)
+            # strict < keeps the EARLIER candidate on a tie (backward)
+            if best is None or d < best[0]:
+                best = (d, rid)
+        if best is not None and (tol is None or best[0] <= tol):
+            want[i] = best[1]
+        else:
+            want[i] = None
+    assert got == want
