@@ -2274,8 +2274,10 @@ def source_dup_rate(docs: DataFrame) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
             F.col("n_dup").cast("long").alias("n_dup_docs"),
+            # double-first product (q160 overflow posture): 1e6·n_dup as
+            # a long product leaves int64 near 9e12 docs
             F.floor(
-                F.lit(1_000_000) * F.col("n_dup") / F.col("n_docs")
+                F.lit(1_000_000.0) * F.col("n_dup") / F.col("n_docs")
             ).cast("long").alias("dup_share_e6"),
         )
     )

@@ -1431,30 +1431,40 @@ def trigram_entropy(docs: DataFrame) -> DataFrame:
         ).alias("g"),
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("n_distinct"),
-    )
-    terms = counts.join(per_doc.select("doc_id", "n"), "doc_id").groupBy(
-        "doc_id"
-    ).agg(
-        F.sum(
-            F.floor(
-                F.lit(1_000_000)
-                * F.col("c").cast("double")
-                * F.log(F.col("c").cast("double"))
-                / F.col("n")
-            )
-        ).alias("s_e6")
+    from pyspark.sql import Window
+
+    # n rides a doc-partition window instead of a groupBy + join-back:
+    # the window's exchange on doc_id is then REUSED by the final
+    # per-doc aggregate (same ClusteredDistribution), so the whole gate
+    # is two shuffles — (doc, gram) counts, then doc — where the join
+    # form planned six (plan-report-driven rewrite)
+    wd = Window.partitionBy("doc_id")
+    withn = counts.select(
+        "doc_id", "c", F.sum("c").over(wd).alias("n")
     )
     return (
-        per_doc.join(terms, "doc_id")
+        withn.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_trigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("c").cast("double")
+                    * F.log(F.col("c").cast("double"))
+                    / F.col("n")
+                )
+            ).alias("s_e6"),
+        )
         .select(
             "doc_id",
-            F.col("n").cast("long").alias("n_trigrams"),
-            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "n_trigrams",
+            "n_distinct",
             (
-                F.floor(F.lit(1_000_000) * F.log(F.col("n").cast("double")))
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.log(F.col("n_trigrams").cast("double"))
+                )
                 - F.col("s_e6")
             ).cast("long").alias("entropy_e6"),
         )
