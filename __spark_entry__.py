@@ -212,6 +212,7 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_source_dup_rate",         # corpus-wide exact-dup share per source
     "asof_nearest_events",          # NEAREST as-of direction + tolerance
     "text_trigram_entropy",         # char-trigram gibberish entropy
+    "udf_arrow_udtf_words",         # Arrow-optimized Python UDTF flavor
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -356,3 +356,44 @@ UDF_ORACLE["udf_arrow_scalar_tax"] = (
     "    AS tax_cents "
     "FROM lineitem"
 )
+
+
+def udf_arrow_udtf_words(spark, sf_dir):
+    """The Arrow-OPTIMIZED Python UDTF execution flavor (PySpark 4
+    ``@udtf(..., useArrow=True)``) — completes the Python-surface
+    matrix the way udf_arrow_scalar_tax did for scalars: same word
+    generator as udf_python_udtf_words, same oracle SQL, but rows move
+    to/from the worker as Arrow batches instead of pickled rows. The
+    gate exists to prove the FLAVOR (the plan must still produce
+    identical output through the batched transport); the logic itself
+    belongs in built-ins — documented here exactly like the scalar
+    twin. Bounded to doc_id >= 20 AND < 40 so the two UDTF gates
+    exercise disjoint slices."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: bigint", useArrow=True)
+    class ArrowWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register("dt_words_arrow", ArrowWords)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "docs_udtf_arrow"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, w.word, w.wlen
+        FROM docs_udtf_arrow, LATERAL dt_words_arrow(text) w
+        WHERE doc_id >= 20 AND doc_id < 40
+        """
+    )
+
+
+UDF_QUERIES["udf_arrow_udtf_words"] = udf_arrow_udtf_words
+UDF_ORACLE["udf_arrow_udtf_words"] = (
+    "SELECT doc_id, u.word, CAST(length(u.word) AS BIGINT) wlen "
+    "FROM documents, "
+    "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) word) u "
+    "WHERE doc_id >= 20 AND doc_id < 40"
+)

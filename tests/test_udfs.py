@@ -26,3 +26,15 @@ def duck(sf_dir):
 def test_udf_oracle(name, spark, sf_dir, duck):
     ok, msg = compare_to_oracle(UDF_QUERIES[name](spark, sf_dir), duck, UDF_ORACLE[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_arrow_udtf_flavor_engages(spark, sf_dir):
+    """udf_arrow_udtf_words exists to gate the Arrow-optimized UDTF
+    execution flavor — assert the physical plan actually carries the
+    Arrow-batched Python node (vs the pickled-row transport of the
+    plain UDTF twin), not just matching output."""
+    plan = (
+        UDF_QUERIES["udf_arrow_udtf_words"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPythonUDTF" in plan or "ArrowEvalPython" in plan, plan
