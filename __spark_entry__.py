@@ -213,6 +213,7 @@ _NEXT_WINDOW_QUEUE = [
     "asof_nearest_events",          # NEAREST as-of direction + tolerance
     "text_trigram_entropy",         # char-trigram gibberish entropy
     "udf_arrow_udtf_words",         # Arrow-optimized Python UDTF flavor
+    "media_scene_cuts",             # Y4M luma-jump shot boundaries
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

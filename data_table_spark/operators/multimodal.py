@@ -993,3 +993,84 @@ MULTIMODAL_ORACLE["media_tile_hashes"] = (
     "FROM px JOIN s ON px.doc_id = s.doc_id AND px.t = s.t "
     "GROUP BY 1, 2"
 )
+
+
+#: scene-cut threshold on the |Δ frame-luma-sum| of 64-byte planes:
+#: ~2.3 luma levels per pixel. Sits at ~p75 of the fixture's jump
+#: distribution (median 89, p90 210, max 517 at sf0.01), so the gate's
+#: n_cuts column actually DISCRIMINATES at every sf — the zero-row
+#: degeneracy lesson applied to a constant-column output
+SCENE_CUT_THRESHOLD = 150
+
+
+def media_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over the REAL Y4M demux path — the canonical
+    video-curation primitive (shot boundaries = luma jumps between
+    consecutive frames): per document, demux the synthesized Y4M with
+    the real parser (sample_frames fake=False), reduce each raw luma
+    plane to its EXACT integer byte sum (the fixture is ASCII, so
+    casting the plane to string and summing code points IS the byte
+    sum — the media_ahash oracle trick, kept expression-level: no
+    second Python pass after the demux), then a per-doc LAG over
+    frame_idx scores each transition; a cut is a jump past the
+    threshold. Emits per doc: frames, cuts, and the largest jump.
+
+    Scale shape: the 1→N demux fan-out stays inside the Arrow batch,
+    the luma reduce is whole-stage codegen, and the only shuffle is the
+    per-doc window + rollup (doc-keyed, map-combinable)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    frames = sample_frames(encode_y4m_demo(d), n_frames=4, fake=False)
+    s = F.col("frame").cast("string")
+    luma = frames.select(
+        "doc_id", "frame_idx",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.ascii(s.substr(i, F.lit(1))),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("luma_sum"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jumps = luma.select(
+        "doc_id",
+        F.abs(
+            F.col("luma_sum") - F.lag("luma_sum", 1).over(w)
+        ).alias("jump"),
+    )
+    return (
+        jumps.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1))).cast("long").alias("n_frames"),
+            F.sum(
+                F.when(F.col("jump") > SCENE_CUT_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("n_cuts"),
+            F.coalesce(F.max("jump"), F.lit(0)).cast("long")
+            .alias("max_jump"),
+        )
+    )
+
+
+MULTIMODAL_QUERIES["media_scene_cuts"] = media_scene_cuts
+MULTIMODAL_ORACLE["media_scene_cuts"] = (
+    "WITH luma AS ("
+    "  SELECT doc_id, k, SUM(ord(substr("
+    "    repeat(text, CAST(2 + 64 // length(text) AS INT)), "
+    "    CAST((k * 64) % length(text) AS INT) + CAST(j + 1 AS INT), 1))) "
+    "    AS luma_sum "
+    "  FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(k), "
+    "    UNNEST(range(64)) AS u(j) "
+    "  GROUP BY 1, 2), "
+    "jumps AS ("
+    "  SELECT doc_id, ABS(luma_sum - LAG(luma_sum) OVER ("
+    "    PARTITION BY doc_id ORDER BY k)) AS jump "
+    "  FROM luma) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, "
+    "  CAST(SUM(CASE WHEN jump > {thr} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_cuts, "
+    "  CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump "
+    "FROM jumps GROUP BY 1"
+).format(thr=SCENE_CUT_THRESHOLD)

@@ -110,6 +110,9 @@ GATES = [
     ("pipe_source_dup_rate", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     # char-trigram entropy: map-side explode + two map-combinable aggs
     ("text_trigram_entropy", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    # scene cuts: Arrow-batch demux fan-out + codegen luma reduce +
+    # one doc-keyed window/rollup shuffle
+    ("media_scene_cuts", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
     ("q162_geo_radius_join", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q158_new_vs_returning", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("sim_filtered_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
