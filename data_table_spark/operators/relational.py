@@ -9540,3 +9540,45 @@ RELATIONAL_ORACLE["q169_dau_mau_stickiness"] = (
     "  CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_e6 "
     "FROM dau JOIN mau ON dau.d = mau.d"
 )
+
+
+# --------------------------------------------------------------------------
+# q170: ISO week rollup (the year-boundary calendar trap)
+# --------------------------------------------------------------------------
+
+def q170_iso_week_rollup(spark, sf_dir):
+    """Weekly revenue rollup on the ISO calendar — the reporting grain
+    finance actually uses, and a classic cross-engine parity trap: the
+    days around January 1st belong to week 52/53 of the PREVIOUS iso
+    year or week 1 of the NEXT one, so grouping by (year(d), week(d))
+    silently splits those weeks in half. Grouping key is
+    (iso_year, iso_week) — Spark's extract(YEAROFWEEK)/weekofyear and
+    DuckDB's isoyear/weekofyear agree on the ISO-8601 definition, which
+    is exactly what this gate pins. Exact cent sums; one
+    map-combinable aggregate, output bounded by weeks."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM d)").cast("int")
+            .alias("iso_year"),
+            F.weekofyear("d").cast("int").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q170_iso_week_rollup"] = q170_iso_week_rollup
+RELATIONAL_ORACLE["q170_iso_week_rollup"] = (
+    "SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_year, "
+    "  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS rev_cents "
+    "FROM orders GROUP BY 1, 2"
+)

@@ -229,6 +229,8 @@ GATES = [
                                # explode — MAU without a range self-join
     "asof_nearest_events",     # union + TWO window passes (one
                                # exchange) under hot-user skew
+    "q170_iso_week_rollup",    # one map-combinable aggregate, output
+                               # bounded by calendar weeks
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
