@@ -215,6 +215,7 @@ _NEXT_WINDOW_QUEUE = [
     "udf_arrow_udtf_words",         # Arrow-optimized Python UDTF flavor
     "media_scene_cuts",             # Y4M luma-jump shot boundaries
     "q170_iso_week_rollup",         # ISO year/week calendar-trap rollup
+    "text_vocab_coverage",          # top-N token coverage curve + anchor
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -1498,3 +1498,89 @@ TEXTSTATS_ORACLE["text_trigram_entropy"] = (
     "    AS entropy_e6 "
     "FROM per_doc JOIN terms USING (doc_id)"
 )
+
+
+# --------------------------------------------------------------------------
+# top-N vocabulary coverage curve (tokenizer sizing readout)
+# --------------------------------------------------------------------------
+
+def vocab_coverage(docs: DataFrame, sizes=(5, 10, 20)) -> DataFrame:
+    """Token-coverage curve: for each candidate vocabulary size N, the
+    share of ALL corpus token occurrences covered by the N most frequent
+    words — THE tokenizer-budget readout (how big must the vocab be
+    before OOV is negligible?) and the Zipf sanity check next to
+    text_zipf_fit. Exact integers end-to-end: word counts, a frequency-
+    rank window over the VOCABULARY (bounded by distinct words, not
+    corpus rows — the prefix_filter_pairs rank argument), cumulative
+    sums over the same bounded table, and the share emitted as an
+    e6-floored ratio of two exact longs. Deterministic rank tie-break
+    by word.
+
+    Scale shape: one map-side tokenize/explode, one map-combinable
+    word-count aggregate, then every window runs over the vocab table
+    (the documented single-reducer vocabulary window — the
+    prefix_filter_pairs rank precedent; at open-web vocab swap in
+    distributed_prefix_sum keyed by count bucket). Output:
+    len(sizes) rows + the full-vocab anchor."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_vocab"),
+    )
+    picks = ranked.where(
+        F.col("rk").isin(*[int(n) for n in sizes])
+        | (F.col("rk") == F.col("n_vocab"))  # the full-vocab anchor row
+    )
+    return picks.select(
+        F.col("rk").cast("long").alias("vocab_size"),
+        F.col("cum").cast("long").alias("covered_tokens"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.floor(
+            F.lit(1_000_000.0) * F.col("cum") / F.col("total")
+        ).cast("long").alias("coverage_e6"),
+    )
+
+
+def text_vocab_coverage(spark, sf_dir):
+    """Gate: coverage at N in {5, 10, 20} plus the full-vocab anchor.
+    The fixture corpus draws from a ~31-word vocabulary, so these sizes
+    actually SLICE the curve (a 100/1k/10k ladder collapsed to the
+    anchor row alone — the zero-row-degeneracy lesson applied to a
+    curve); a real tokenizer run passes sizes=(1000, 10000, 100000)."""
+    return vocab_coverage(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_vocab_coverage"] = text_vocab_coverage
+TEXTSTATS_ORACLE["text_vocab_coverage"] = (
+    "WITH toks AS ("
+    "  SELECT UNNEST(list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '')) AS w "
+    "  FROM documents), "
+    "counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1), "
+    "ranked AS ("
+    "  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk, "
+    "    SUM(c) OVER (ORDER BY c DESC, w ASC "
+    "      ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(c) OVER () AS total, COUNT(*) OVER () AS n_vocab "
+    "  FROM counts) "
+    "SELECT CAST(rk AS BIGINT) AS vocab_size, "
+    "  CAST(cum AS BIGINT) AS covered_tokens, "
+    "  CAST(total AS BIGINT) AS total_tokens, "
+    "  CAST(FLOOR(1000000.0 * cum / total) AS BIGINT) AS coverage_e6 "
+    "FROM ranked WHERE rk IN (5, 10, 20) OR rk = n_vocab"
+)

@@ -113,6 +113,8 @@ GATES = [
     # scene cuts: Arrow-batch demux fan-out + codegen luma reduce +
     # one doc-keyed window/rollup shuffle
     ("media_scene_cuts", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
+    # vocab coverage: word-count agg + vocab-bounded rank windows
+    ("text_vocab_coverage", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
     ("q162_geo_radius_join", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q158_new_vs_returning", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("sim_filtered_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
