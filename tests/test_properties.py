@@ -1426,3 +1426,67 @@ def test_asof_nearest_property(spark, lefts, rights, tol):
         else:
             want[i] = None
     assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 90)),
+        min_size=1, max_size=24,
+    )
+)
+def test_dau_mau_islands_identity(spark, rows):
+    """q169's scalable MAU identity vs the naive definition on arbitrary
+    activity patterns: merging a user's active days into islands
+    (gap > 28 breaks) and exploding each island's [start, end+27]
+    coverage once must yield, per day, EXACTLY the count of users
+    active in the trailing 28-day window — including single-day users,
+    gap-of-exactly-28 adjacency (coverage stays contiguous), and
+    gap-of-29 holes."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = date(2024, 1, 1)
+    active_py = {(u, d) for u, d in rows}
+    df = spark.createDataFrame(
+        [(u, base + timedelta(days=d)) for u, d in active_py],
+        "user_id long, d date",
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    brk = F.when(
+        F.datediff(F.col("d"), F.lag("d", 1).over(w)) > 28, 1
+    ).otherwise(0)
+    isl = df.select(
+        "user_id", "d",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("isl"),
+    )
+    spans = isl.groupBy("user_id", "isl").agg(
+        F.min("d").alias("s"), F.max("d").alias("e")
+    )
+    cover = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("s"), F.date_add(F.col("e"), 27))
+        ).alias("d"),
+    )
+    got = {
+        (r["d"] - base).days: r["mau"]
+        for r in cover.groupBy("d").agg(
+            F.count(F.lit(1)).alias("mau")
+        ).collect()
+    }
+    # the naive definition, over every day any user covers
+    days = {d for _, d in active_py}
+    lo, hi = min(days), max(days) + 27
+    want = {}
+    for day in range(lo, hi + 1):
+        m = len({
+            u for u, d in active_py if day - 27 <= d <= day
+        })
+        if m:
+            want[day] = m
+    assert got == want
