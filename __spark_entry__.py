@@ -216,6 +216,12 @@ _NEXT_WINDOW_QUEUE = [
     "media_scene_cuts",             # Y4M luma-jump shot boundaries
     "q170_iso_week_rollup",         # ISO year/week calendar-trap rollup
     "text_vocab_coverage",          # top-N token coverage curve + anchor
+    # rule-2 re-grades: the shared asof_join kernel was refactored when
+    # the nearest direction landed (backward/forward now route through
+    # _pass()); outputs proven unchanged in the 306/306 drive, but the
+    # dedup_prefix precedent says changed-kernel gates re-grade
+    "asof_join_events",             # backward path through the new _pass
+    "asof_forward_events",          # forward path through the new _pass
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
