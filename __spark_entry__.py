@@ -222,6 +222,8 @@ _NEXT_WINDOW_QUEUE = [
     # dedup_prefix precedent says changed-kernel gates re-grade
     "asof_join_events",             # backward path through the new _pass
     "asof_forward_events",          # forward path through the new _pass
+    "media_video_frames",           # sample_frames gained the pyav branch
+                                    # (Y4M path byte-identical; same rule)
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
