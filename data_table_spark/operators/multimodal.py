@@ -415,6 +415,17 @@ def encode_y4m_demo(df: DataFrame) -> DataFrame:
                     raise ValueError(
                         "encode_y4m_demo requires non-empty text"
                     )
+                if len(data) != len(text):
+                    # the DuckDB oracles (scene_cuts, video_frames)
+                    # rebuild the plane by CHARACTER position and the
+                    # Spark reduce sums ascii() of string-cast bytes —
+                    # both only equal the byte stream while text is
+                    # pure ASCII (1 byte per char). A non-ASCII fixture
+                    # must fail loud, never silently diverge (r9 ADVICE)
+                    raise ValueError(
+                        "encode_y4m_demo requires ASCII text: the "
+                        "char-indexed oracle replay assumes 1 byte/char"
+                    )
                 # enough copies that start+64 fits for ANY len ≥ 1:
                 # reps·len > len + 64 ≥ start + 64 (start ≤ len-1)
                 cyc = data * (2 + 64 // len(data))
@@ -466,6 +477,14 @@ def encode_netpbm_demo(df: DataFrame) -> DataFrame:
                 if not data:
                     raise ValueError(
                         "encode_netpbm_demo requires non-empty text"
+                    )
+                if len(data) != len(text):
+                    # same contract as encode_y4m_demo: the ahash/tile
+                    # oracles index pixels by CHARACTER, valid only
+                    # while 1 byte == 1 char (r9 ADVICE — fail loud)
+                    raise ValueError(
+                        "encode_netpbm_demo requires ASCII text: the "
+                        "char-indexed oracle replay assumes 1 byte/char"
                     )
                 cyc = data * (1 + 64 // len(data))
                 blobs.append(b"P5\n8 8\n255\n" + cyc[:64])

@@ -9328,10 +9328,18 @@ def q167_time_weighted_value(spark, sf_dir):
         .select(
             "event_type", "n_readings",
             _floor_div_dec(F.col("dsum"), F.lit(1_000_000)).alias("held_s"),
-            F.round(
-                F.col("wsum").cast("double")
-                / F.col("dsum").cast("double") / 100.0,
-                6,
+            # a type whose every reading holds for 0 us (all duplicate
+            # timestamps) has dsum=0; 0.0/0.0 is NaN in Spark while
+            # DuckDB's double division may yield NULL depending on
+            # ieee_floating_point_ops — gate the division so both
+            # engines emit NULL (round-9 ADVICE)
+            F.when(
+                F.col("dsum") > 0,
+                F.round(
+                    F.col("wsum").cast("double")
+                    / F.col("dsum").cast("double") / 100.0,
+                    6,
+                ),
             ).alias("twa_value"),
         )
     )
@@ -9347,8 +9355,9 @@ RELATIONAL_ORACLE["q167_time_weighted_value"] = (
     "  FROM events) "
     "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_readings, "
     "  CAST(SUM(dur_us) // 1000000 AS BIGINT) AS held_s, "
-    "  ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) "
-    "    / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value "
+    "  CASE WHEN SUM(dur_us) > 0 THEN "
+    "    ROUND(CAST(SUM(cents * dur_us) AS DOUBLE) "
+    "      / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) END AS twa_value "
     "FROM timed WHERE dur_us IS NOT NULL GROUP BY event_type"
 )
 
@@ -9426,8 +9435,14 @@ def q168_gap_percentiles(spark, sf_dir):
                 F.col(f"{b}.total").cast("long").alias("total_gaps"),
             )
         )
-    return agg.select(F.explode(F.array(*out)).alias("r")).select(
-        "r.pct", "r.gap_upper_s", "r.cum_gaps", "r.total_gaps"
+    # an empty gap set (every user has exactly one event) makes the
+    # ungrouped agg ONE all-NULL row, which would explode into 3 NULL
+    # percentile rows while the oracle's `FROM p, cum` cross-join over
+    # an empty cum yields 0 — guard so both engines agree (r9 ADVICE)
+    return (
+        agg.where(F.col("b50.total").isNotNull())
+        .select(F.explode(F.array(*out)).alias("r"))
+        .select("r.pct", "r.gap_upper_s", "r.cum_gaps", "r.total_gaps")
     )
 
 

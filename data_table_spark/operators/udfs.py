@@ -153,9 +153,13 @@ def udf_python_udtf_words(spark, sf_dir):
 
 UDF_QUERIES["udf_python_udtf_words"] = udf_python_udtf_words
 UDF_ORACLE["udf_python_udtf_words"] = (
+    # list_filter: Python str.split() yields NO tokens for blank text,
+    # while split_regex(trim('')) yields one empty string — filter it so
+    # a blank document can never diverge the engines (round-9 ADVICE)
     "SELECT doc_id, u.word, CAST(length(u.word) AS BIGINT) wlen "
     "FROM documents, "
-    "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) word) u "
+    "LATERAL (SELECT UNNEST(list_filter("
+    "  string_split_regex(trim(text), '\\s+'), x -> x <> '')) word) u "
     "WHERE doc_id < 20"
 )
 
@@ -392,8 +396,11 @@ def udf_arrow_udtf_words(spark, sf_dir):
 
 UDF_QUERIES["udf_arrow_udtf_words"] = udf_arrow_udtf_words
 UDF_ORACLE["udf_arrow_udtf_words"] = (
+    # list_filter guards the blank-document edge exactly like the
+    # non-Arrow twin above (round-9 ADVICE)
     "SELECT doc_id, u.word, CAST(length(u.word) AS BIGINT) wlen "
     "FROM documents, "
-    "LATERAL (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) word) u "
+    "LATERAL (SELECT UNNEST(list_filter("
+    "  string_split_regex(trim(text), '\\s+'), x -> x <> '')) word) u "
     "WHERE doc_id >= 20 AND doc_id < 40"
 )
