@@ -116,93 +116,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-9 window: exactly the composition the round-8 judge ordered
-# ("the window writes itself"). Rule 1: the 26 never-green round-8
-# session additions, order pinned in round 8's _NEXT_WINDOW_QUEUE
-# (oldest claims first). Rule 2: seven re-grades — q09/q26 (semantics
-# densified in round 7; their r4 rows grade the OLD semantics),
-# dedup_prefix_filter_pairs (PPJoin positional filter, round 8),
-# q117 (lift decimal-ized round 8 + exact floor-div round 9),
-# q127/q141 (the long*long count-product overflow fix, round-9 item 2),
-# q129 (exact floor-div, round-8 ADVICE). Rule 3: the 17 pinned
-# _R9_REPROOF_QUEUE r3-resting re-proofs. 26 + 7 + 17 = 50.
-# Round-9 session changes to OTHER previously-green gates (the
-# overflow-class hardening sweep: q109, q116, q119, q131, q140, q142)
-# are staged in _NEXT_WINDOW_QUEUE for round 10 — the spill rule the
-# round-8 judge endorsed. Rows-only-by-nature gates stay out per rule 4.
+# Round-10 window (frozen at round start, before any new session
+# additions — the round-9 precedent). Rule 1: the 13 never-green
+# round-9 session additions, order pinned in round 9's
+# _NEXT_WINDOW_QUEUE (oldest claims first). Rule 2: twelve re-grades —
+# the six DECIMAL(38,0) overflow-hardening rewrites from the round-9
+# sweep (q109/q116/q119/q131/q140/q142 — outputs proven unchanged at
+# sf0.01 + planted-1e10 property tests, but the implementations
+# changed, so their r5-r7 rows grade old code), the three gates riding
+# the refactored as-of kernel / pyav-branched demux
+# (asof_join_events, asof_forward_events, media_video_frames — the
+# dedup_prefix precedent: changed-kernel gates re-grade even when
+# byte-identical output is proven), and the three touched by the
+# round-9 ADVICE closures (udf_python_udtf_words — oracle gained
+# list_filter; media_ahash_groups / media_tile_hashes — their encoder
+# gained the ASCII assertion). Rule 3: the first 25 of the pinned
+# _R10_REPROOF_QUEUE r4-resting claim order; the 21 that do not fit
+# hold explicit round-11 claims in _R11_REPROOF_QUEUE.
+# 13 + 12 + 25 = 50. Rows-only-by-nature gates stay out per rule 4.
 _PRIORITY = [
-    # --- rule 1: never-green round-8 additions, queue order preserved ---
-    "q154_window_funnel",           # first-touch 24h windowFunnel levels
-    "q155_rfm_segments",            # RFM quintile segmentation, exact cents
-    "text_pmi_bigrams",             # PMI collocations (overflow-fixed r9)
-    "stream_static_enrich",         # S9 stream-static dim join (two-stage)
-    "q156_decay_score",             # exp time-decay engagement, e6-floored
-    "media_ahash_groups",           # netpbm aHash image-dedup groups
-    "dedup_incremental_new_shard",  # incoming shard vs indexed corpus
-    "pipe_quality_calibration",     # per-source decile score calibration
-    "q157_price_volume_mix",        # additive revenue bridge per brand
-    "sim_filtered_topk",            # metadata-predicate filtered k-NN
-    "media_wav_energy",             # REAL WAV decode + windowed energy
-    "q158_new_vs_returning",        # daily actives growth accounting
-    "q159_cusum_by_key",            # per-series CUSUM break days
-    "q160_share_of_parent",         # hierarchy shares (exact floor-div r9)
-    "text_sentence_stats",          # sentence segmentation readability
-    "q161_key_skew_profile",        # per-key cardinality distribution
-    "q162_geo_radius_join",         # grid-cell + haversine radius join
-    "stream_full_attribution",      # S7c FULL OUTER stream-stream join
-    "udf_arrow_scalar_tax",         # Arrow-optimized Python UDF flavor
-    "q163_agg_breadth",             # count_if/bool_and/bool_or/FILTER
-    "pipe_shard_manifest",          # per-shard verifiable checksums
-    "q164_repeat_purchase_interval",  # inter-order gap percentiles
-    "q165_gini_by_region",          # keyed Gini (decimal sum + floor-div r9)
-    "media_tile_hashes",            # crop-robust quadrant aHash tiles
-    "text_boilerplate_prefixes",    # dominant leading trigram / source
-    "q166_bounce_rate",             # islands sessionization bounce share
-    # --- rule 2: re-grades (implementation or semantics changed) ---
-    "q09_anti_join",                # now 'no URGENT order' (non-empty)
-    "q26_except",                   # now ship-days without order-days
-    "dedup_prefix_filter_pairs",    # PPJoin positional filter added r8
-    "q117_association_rules",       # decimal lift + exact floor-div
-    "q127_mutual_information",      # count-product overflow fix (r9 item 2)
-    "q141_kl_divergence",           # count-product overflow fix (r9 item 2)
-    "q129_decile_lift",             # exact floor-div (round-8 ADVICE)
-    # --- rule 3: the 17 pinned r3-resting re-proofs (_R9_REPROOF_QUEUE) ---
-    "q55_time_rollup",
-    "q57_rank_ratios",
-    "q58_tpch_q10_shape",
-    "q59_latest_per_key",
-    "ref_compare",
-    "sim_pairs_threshold",
-    "stream_dedup_counts",
-    "dedup_clusters_bounded",
-    "dedup_minhash_pairs_bounded",
-    "udf_grouped_map_stats",
-    "media_byte_stats",
-    "text_repetition",
-    "text_scrub",
-    "pipe_filter_corpus",
-    "pipe_pack_sequences",
-    "pipe_split_assign",
-    "pipe_stratified_sample",
-]
-
-#: never-green or changed-this-round oracle-backed gates that do NOT fit
-#: the 50-slot round-9 window, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be in
-#: the window or in this queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # rule-2 re-grades from round-9 session changes (the count-product
-    # overflow hardening sweep, round-8 verdict item 2: implementations
-    # changed — decimal/double-first accumulation — outputs proven
-    # unchanged vs oracle at sf0.01 + planted-1e10 property test):
-    "q109_regression_slope",        # Σxy/Σx² now DECIMAL(38,0)
-    "q116_rolling_slope",           # num/den now DECIMAL(38,0)
-    "q119_gini",                    # Σ(i·rev) now DECIMAL(38,0)
-    "q131_burstiness",              # moments now DECIMAL(38,0)
-    "q140_autocorrelation",         # Σc²/Σc·c+k now DECIMAL(38,0)
-    "q142_welch_t",                 # Σx² now DECIMAL(38,0)
-    # round-9 session additions (written after the r9 window froze)
-    # append below as implemented, oldest first:
+    # --- rule 1: never-green round-9 additions, queue order preserved ---
     "q167_time_weighted_value",     # TWAP per event type, decimal wsum
     "q168_gap_percentiles",         # SLO p50/p90/p99 from digit histogram
     "pipe_curriculum_order",        # easy-first source-interleaved schedule
@@ -216,14 +149,54 @@ _NEXT_WINDOW_QUEUE = [
     "media_scene_cuts",             # Y4M luma-jump shot boundaries
     "q170_iso_week_rollup",         # ISO year/week calendar-trap rollup
     "text_vocab_coverage",          # top-N token coverage curve + anchor
-    # rule-2 re-grades: the shared asof_join kernel was refactored when
-    # the nearest direction landed (backward/forward now route through
-    # _pass()); outputs proven unchanged in the 306/306 drive, but the
-    # dedup_prefix precedent says changed-kernel gates re-grade
+    # --- rule 2: re-grades (implementation or oracle changed) ---
+    "q109_regression_slope",        # Σxy/Σx² now DECIMAL(38,0)
+    "q116_rolling_slope",           # num/den now DECIMAL(38,0)
+    "q119_gini",                    # Σ(i·rev) now DECIMAL(38,0)
+    "q131_burstiness",              # moments now DECIMAL(38,0)
+    "q140_autocorrelation",         # Σc²/Σc·c+k now DECIMAL(38,0)
+    "q142_welch_t",                 # Σx² now DECIMAL(38,0)
     "asof_join_events",             # backward path through the new _pass
     "asof_forward_events",          # forward path through the new _pass
-    "media_video_frames",           # sample_frames gained the pyav branch
-                                    # (Y4M path byte-identical; same rule)
+    "media_video_frames",           # demux gained the pyav branch
+    "udf_python_udtf_words",        # oracle gained the blank-doc filter
+    "media_ahash_groups",           # encoder gained the ASCII assertion
+    "media_tile_hashes",            # encoder gained the ASCII assertion
+    # --- rule 3: first 25 of the pinned r4 claim order (_R10_REPROOF_QUEUE) ---
+    "q01_scan_project",
+    "q02_filter",
+    "q03_in_between_like",
+    "q04_inner_join",
+    "q05_multiway_join",
+    "q06_left_join",
+    "q07_full_outer",
+    "q08_semi_join",
+    "q10_cross_join",
+    "q11_theta_join",
+    "q12_group_agg",
+    "q13_count_distinct",
+    "q14_having",
+    "q15_rollup",
+    "q16_cube",
+    "q18_row_number",
+    "q21_running_sum",
+    "q23_top_k",
+    "q24_union_all",
+    "q27_strings",
+    "q29_relaxed_parse",
+    "q33_events_tumbling",
+    "q34_sessionization",
+    "q35_pivot",
+    "q39_string_agg",
+]
+
+#: never-green or changed-this-round oracle-backed gates that do NOT fit
+#: the 50-slot round-9 window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be in
+#: the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # round-10 session additions (written after the r10 window froze)
+    # append below as implemented, oldest first:
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
@@ -263,6 +236,22 @@ _R10_REPROOF_QUEUE = [
     "q61_interval_join", "q62_tpch_q7_shape", "q63_funnel",
     "q64_retention_cohorts", "dedup_exact", "pipe_dedup_spans",
     "pipe_reassemble_spans", "pipe_topk_per_stratum",
+    "pipe_upsample_sources", "sim_bruteforce_topk_batch",
+    "sim_quantize_int8", "sim_quantized_topk", "stream_topk_trending",
+    "text_lm_score",
+]
+
+#: round-11 re-proof claim order (pinned NOW, before the round-10
+#: window freezes): round 10's rule-3 slots consume the FIRST 25 of
+#: _R10_REPROOF_QUEUE above; the 21 r4-resting gates below are the
+#: remainder in the same pinned order — first in line for round 11's
+#: rule-3 slots. Enforced by tests/test_entry_window.py.
+_R11_REPROOF_QUEUE = [
+    "q41_percentiles", "q42_correlated_subquery", "q45_regex_scalars",
+    "q46_array_ops", "q47_tpch_q3_shape", "q48_tpch_q5_shape",
+    "q49_json_extract", "q61_interval_join", "q62_tpch_q7_shape",
+    "q63_funnel", "q64_retention_cohorts", "dedup_exact",
+    "pipe_dedup_spans", "pipe_reassemble_spans", "pipe_topk_per_stratum",
     "pipe_upsample_sources", "sim_bruteforce_topk_batch",
     "sim_quantize_int8", "sim_quantized_topk", "stream_topk_trending",
     "text_lm_score",

@@ -138,20 +138,31 @@ def test_stalest_cohort_is_in_window_or_staged_for_r9():
     assert not unknown, f"r9 queue names unknown gates: {unknown}"
 
 
-def test_r4_cohort_is_in_window_or_staged_for_r10():
-    """Round-8 judge item 7: once the r3 cohort re-proves in round 9's
-    window, the r4 cohort becomes the stalest green set. Its claim order
-    for round 10's rule-3 slots is pinned in _R10_REPROOF_QUEUE BEFORE
-    the round-9 window freezes — not improvised next round."""
+def test_r4_cohort_is_in_window_or_staged_for_r11():
+    """Round 10 consumes the FIRST 25 of the pinned r4 claim order
+    (_R10_REPROOF_QUEUE) as its rule-3 slots; the 21 r4-resting gates
+    that do not fit hold explicit round-11 claims in _R11_REPROOF_QUEUE
+    — pinned now, before the round-10 window freezes, never improvised
+    next round."""
     latest = _latest_green()
     stale = {k for k, r in latest.items() if r == 4}
-    out = stale - set(_window()) - set(entry._R10_REPROOF_QUEUE)
+    out = stale - set(_window()) - set(entry._R11_REPROOF_QUEUE)
     assert not out, f"r4-resting gates neither in window nor staged: {out}"
     unknown = [
-        k for k in entry._R10_REPROOF_QUEUE if k not in entry.queries()
+        k for k in entry._R11_REPROOF_QUEUE if k not in entry.queries()
     ]
-    assert not unknown, f"r10 queue names unknown gates: {unknown}"
-    # the queue must not hold gates that are already being re-proven in
-    # this round's window (a slot claimed twice is a slot wasted)
-    dup = set(entry._R10_REPROOF_QUEUE) & set(_window())
-    assert not dup, f"r10 queue duplicates round-9 window slots: {dup}"
+    assert not unknown, f"r11 queue names unknown gates: {unknown}"
+    # the r11 queue must not hold gates already re-proven in this
+    # round's window (a slot claimed twice is a slot wasted)
+    dup = set(entry._R11_REPROOF_QUEUE) & set(_window())
+    assert not dup, f"r11 queue duplicates round-10 window slots: {dup}"
+    # the consumed rule-3 slots must follow the pinned claim order:
+    # window ∩ r10-queue is exactly the queue's prefix, and the r11
+    # queue is exactly its suffix
+    consumed = [k for k in entry._R10_REPROOF_QUEUE if k in set(_window())]
+    assert consumed == entry._R10_REPROOF_QUEUE[: len(consumed)], (
+        "rule-3 slots skip ahead of the pinned r4 claim order"
+    )
+    assert entry._R11_REPROOF_QUEUE == entry._R10_REPROOF_QUEUE[
+        len(consumed):
+    ], "r11 queue is not the unconsumed suffix of the r4 claim order"
