@@ -197,6 +197,11 @@ _PRIORITY = [
 _NEXT_WINDOW_QUEUE = [
     # round-10 session additions (written after the r10 window froze)
     # append below as implemented, oldest first:
+    "dedup_winnowing_pairs",        # MOSS local fingerprints, excerpt dedup
+    "text_bm25_topk",               # Okapi BM25 ranked retrieval
+    "sim_maxsim_topk",              # ColBERT-style late-interaction rescoring
+    "pipe_dp_counts",               # Laplace DP count release, seeded noise
+    "pipe_epoch_schedule",          # reproducible multi-epoch shuffle order
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -1514,3 +1514,145 @@ DEDUP_ORACLE["dedup_containment_pairs"] = (
     "JOIN sz sb ON inter.b = sb.doc_id "
     "WHERE 10 * i >= 9 * sa.n"
 )
+
+
+# --------------------------------------------------------------------------
+# winnowing (MOSS) fingerprint dedup
+# --------------------------------------------------------------------------
+
+#: winnowing parameters: word-trigram shingles (k=3), window of 4
+#: consecutive shingle hashes (w=4) — guarantee: any shared run of
+#: k+w-1 = 6 tokens produces at least one shared fingerprint, and the
+#: selected set is ~2/(w+1) of all shingles (the density bound from the
+#: winnowing paper). Pairs report when they share WINNOW_MIN_SHARED
+#: fingerprints; fingerprints appearing in more than WINNOW_BUCKET_CAP
+#: docs are boilerplate (dropped BEFORE the pair join — the minhash
+#: hot-bucket posture, replayed identically in the oracle).
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+WINNOW_BUCKET_CAP = 200
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document winnowing fingerprint set — the MOSS local
+    fingerprinting scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every word trigram, slide a w-shingle window, keep each window's
+    MINIMUM hash, emit the distinct kept hashes. Local selection means
+    two documents sharing any 6-token run share a fingerprint REGARDLESS
+    of alignment — the property random sampling lacks and full shingle
+    sets pay ~w/2× storage for.
+
+    Built O(tokens) per doc: trigram array via zip_with over three
+    shifted slices (the _bigram_shingles lesson — element_at inside
+    transform is O(n²)), ONE posexplode, and a doc-keyed ROWS window for
+    the min — no self-join, no UDF. Hash = md5 → first 8 hex → long
+    (the cross-engine _hash_bucket derivation, pipeline.py:37).
+
+    Scale shape: map-side shingle+hash, one shuffle on doc for the
+    window, one distinct. Fingerprint count ≈ 2·tokens/(w+1) per doc."""
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+    kg = F.zip_with(
+        F.zip_with(
+            F.slice(t, 1, n - 2),
+            F.slice(t, 2, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(t, 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    from pyspark.sql import Window
+
+    g = docs.where(n >= 6).select(
+        F.col(id_col).alias("doc"), F.posexplode(kg).alias("pos0", "kgram")
+    )
+    h = F.conv(F.substring(F.md5(F.col("kgram")), 1, 8), 16, 10).cast("long")
+    hashed = g.select("doc", (F.col("pos0") + 1).alias("i"), h.alias("h"))
+    gmax = Window.partitionBy("doc")
+    wmin = (
+        Window.partitionBy("doc").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        hashed.withColumn("gmax", F.max("i").over(gmax))
+        .withColumn("fp", F.min("h").over(wmin))
+        .where(F.col("i") <= F.col("gmax") - (WINNOW_W - 1))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    bucket_cap: int = WINNOW_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    bucket-join the fingerprint postings (never all-pairs), drop
+    boilerplate fingerprints shared by more than ``bucket_cap`` docs
+    FIRST (broadcast anti-join — worst bucket bounded, the minhash
+    posture), and keep pairs sharing ≥ ``min_shared`` fingerprints.
+
+    Scale shape: candidates O(Σ bucket²) with buckets capped, one
+    (a, b) aggregate. The 100 TB local-similarity detector: unlike
+    MinHash (whole-doc Jaccard), winnowing finds EXCERPT overlap —
+    a copied paragraph inside an otherwise-unrelated page."""
+    fps = winnowing_fingerprints(docs)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") > bucket_cap)
+        .select("fp")
+    )
+    cool = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cool.select(F.col("doc").alias("a"), "fp")
+    b = cool.select(F.col("doc").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def dedup_winnowing_pairs(spark, sf_dir):
+    """Gate: winnowing-fingerprint near-dup pairs over the whole corpus
+    (no PAIR_BOUND — the selection is the bound). Oracle replays the
+    full scheme in SQL: same md5-hex hash, same w-window ROWS min, same
+    boilerplate cap, same ≥ min_shared pair filter."""
+    return winnowing_pairs(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
+DEDUP_ORACLE["dedup_winnowing_pairs"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    "  FROM documents), "
+    "kg AS ("
+    "  SELECT doc_id, i, ('0x' || substr(md5("
+    "    t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT AS h "
+    "  FROM toks, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 6), "
+    "gm AS (SELECT doc_id, MAX(i) AS gmax FROM kg GROUP BY 1), "
+    # the window must see ALL kgrams: SQL evaluates WHERE before window
+    # functions, so filtering i <= gmax-(w-1) in the same SELECT would
+    # strip the FOLLOWING rows from end-of-doc windows (caught by the
+    # doc-8 fingerprint diff on first run) — window first, filter next
+    "wm AS ("
+    "  SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id "
+    "    ORDER BY i ROWS BETWEEN CURRENT ROW AND "
+    f"    {WINNOW_W - 1} FOLLOWING) AS fp "
+    "  FROM kg), "
+    "sel AS ("
+    "  SELECT wm.doc_id, fp FROM wm JOIN gm USING (doc_id) "
+    f"  WHERE i <= gmax - {WINNOW_W - 1}), "
+    "fps AS (SELECT DISTINCT doc_id, fp FROM sel), "
+    "cool AS ("
+    "  SELECT doc_id, fp FROM fps WHERE fp IN ("
+    f"    SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_BUCKET_CAP})) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "  CAST(COUNT(*) AS BIGINT) AS shared "
+    "FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"
+)

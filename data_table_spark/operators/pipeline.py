@@ -2300,3 +2300,158 @@ PIPELINE_ORACLE["pipe_source_dup_rate"] = (
     "    / COUNT(*)) AS BIGINT) AS dup_share_e6 "
     "FROM h JOIN corpus USING (h) GROUP BY source"
 )
+
+
+# --------------------------------------------------------------------------
+# differentially-private count release (deterministic-noise demo)
+# --------------------------------------------------------------------------
+
+#: DP release parameters: epsilon in micro units (1.0), Laplace scale
+#: b = sensitivity/epsilon = 1.0 for a unit-sensitivity count.
+DP_EPS_E6 = 1_000_000
+DP_SEED = "dp-release-1"
+
+
+def dp_counts(
+    docs: DataFrame, group_col: str = "source", seed: str = DP_SEED
+) -> DataFrame:
+    """Per-group count release under the Laplace mechanism — the
+    privacy layer a data pipeline applies before publishing corpus
+    statistics (the k-anonymity/l-diversity siblings suppress rows;
+    this PERTURBS aggregates): released = count + Laplace(1/ε) noise.
+
+    The noise here is DETERMINISTIC by construction — the uniform draw
+    comes from the md5 hash of (seed, group): u = (h32 + 0.5) / 2^32 ∈
+    (0,1), Laplace via inverse CDF −b·sign(u−½)·ln(1−2|u−½|). That is
+    exactly how a reproducible DP release pins its noise to a recorded
+    seed (and what makes an exact cross-engine oracle possible); swap
+    the hash for a CSPRNG draw per release in production. The true
+    count appears ONLY inside the expression — the gate emits the
+    released value and the ε, like a real publication would.
+
+    Scale shape: one map-combinable count per group + one md5 per
+    GROUP (not per row) — free at any corpus size."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(group_col))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    b = F.lit(1_000_000.0) / F.lit(float(DP_EPS_E6))  # sensitivity/eps
+    lap = (
+        -b
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            (F.col("n") + F.floor(lap + F.lit(0.5))).cast("long")
+            .alias("released_count"),
+            F.lit(DP_EPS_E6).cast("long").alias("eps_e6"),
+        )
+    )
+
+
+def pipe_dp_counts(spark, sf_dir):
+    """Gate: Laplace-released per-source doc counts at ε = 1."""
+    return dp_counts(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_dp_counts"] = pipe_dp_counts
+PIPELINE_ORACLE["pipe_dp_counts"] = (
+    "WITH g AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), "
+    "noise AS ("
+    "  SELECT source, n, "
+    f"    (('0x' || substr(md5('{DP_SEED}:' || source), 1, 8))::BIGINT "
+    "      + 0.5) / 4294967296.0 AS u "
+    "  FROM g) "
+    "SELECT source, "
+    "  CAST(n + FLOOR("
+    f"    -({1_000_000.0 / DP_EPS_E6}) * SIGN(u - 0.5) "
+    "      * LN(1.0 - 2.0 * ABS(u - 0.5)) + 0.5) AS BIGINT) "
+    "    AS released_count, "
+    f"  CAST({DP_EPS_E6} AS BIGINT) AS eps_e6 "
+    "FROM noise"
+)
+
+
+# --------------------------------------------------------------------------
+# deterministic multi-epoch shuffle schedule
+# --------------------------------------------------------------------------
+
+EPOCHS = 3
+SCHEDULE_HEAD = 5
+EPOCH_SEED = "epoch-shuffle-1"
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    epochs: int = EPOCHS,
+    head: int = SCHEDULE_HEAD,
+    seed: str = EPOCH_SEED,
+) -> DataFrame:
+    """Reproducible multi-epoch training order — every serious training
+    run needs a shuffle that is (a) different each epoch, (b) exactly
+    replayable from a recorded seed, and (c) computable WITHOUT a
+    global materialized permutation: position of doc d in epoch e is
+    its rank under hash(seed, e, d). Any worker can answer "what are
+    my shard's positions?" locally; resuming mid-epoch is a filter, not
+    a replay. Emits the first ``head`` scheduled docs per epoch (the
+    auditable prefix a run manifest records).
+
+    Scale shape: one md5 per (epoch, doc) — the epoch explode is a
+    constant fan-out — and a per-epoch top-k window (partial top-k
+    merge, no global sort of the corpus)."""
+    from pyspark.sql import Window
+
+    e = docs.select("doc_id").crossJoin(
+        F.broadcast(
+            SparkSession.getActiveSession()
+            .range(epochs)
+            .select(F.col("id").cast("long").alias("epoch"))
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col("epoch"), F.col("doc_id")
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        e.select("epoch", "doc_id", h.alias("h"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .where(F.col("position") <= head)
+        .select("epoch", "position", "doc_id")
+    )
+
+
+def pipe_epoch_schedule(spark, sf_dir):
+    """Gate: first 5 scheduled docs of each of 3 epochs."""
+    return epoch_schedule(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_epoch_schedule"] = pipe_epoch_schedule
+PIPELINE_ORACLE["pipe_epoch_schedule"] = (
+    "WITH e AS ("
+    "  SELECT doc_id, epoch FROM documents, "
+    f"  UNNEST(range({EPOCHS})) u(epoch)), "
+    "h AS ("
+    "  SELECT epoch, doc_id, "
+    f"    ('0x' || substr(md5('{EPOCH_SEED}' || ':' || epoch || ':' "
+    "      || doc_id), 1, 8))::BIGINT AS h "
+    "  FROM e) "
+    "SELECT CAST(epoch AS BIGINT) AS epoch, "
+    "  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) "
+    "    AS BIGINT) AS position, doc_id "
+    f"FROM h QUALIFY position <= {SCHEDULE_HEAD}"
+)

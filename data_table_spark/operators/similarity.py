@@ -1706,3 +1706,110 @@ SIMILARITY_ORACLE["sim_label_centroid_drift"] = (
     "  END AS drift_cos "
     "FROM m"
 )
+
+
+# --------------------------------------------------------------------------
+# multi-vector MaxSim (late interaction / ColBERT-style) re-scoring
+# --------------------------------------------------------------------------
+
+#: multi-vector grouping: 4 consecutive vec_ids form one "document" of
+#: token vectors (mv_doc = vec_id // 4); groups 0-2 act as queries.
+MAXSIM_GROUP = 4
+MAXSIM_N_QUERIES = 3
+MAXSIM_TOP_K = 5
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    group: int = MAXSIM_GROUP,
+    n_queries: int = MAXSIM_N_QUERIES,
+    top_k: int = MAXSIM_TOP_K,
+) -> DataFrame:
+    """ColBERT-style late-interaction scoring — the modern retrieval
+    re-scorer: documents and queries are BAGS of token vectors, and
+    score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt). Sits between
+    single-vector ANN (loses token-level signal) and cross-encoders
+    (can't precompute); at 100 TB the candidate set comes from the
+    LSH/IVF machinery in this module and THIS operator re-scores it.
+
+    Exactness: each (query-token, doc-token) cosine is one double
+    expression (the established sequential-fold ↔ list_cosine_similarity
+    parity) converted to exact MICRO integers; max over doc tokens and
+    sum over query tokens then run on longs — order-free, so the
+    engines cannot diverge on float addition order.
+
+    Scale shape: the query side is ~n_queries·group rows, broadcast;
+    the corpus side scans once; two map-combinable aggregates
+    ((q,d,qt)→max, (q,d)→sum) and a per-query top-k window. Nothing
+    is quadratic in the corpus — candidates × query-tokens only."""
+    from pyspark.sql import Window
+
+    mv = emb.select(
+        F.floor(F.col("vec_id") / group).cast("long").alias("g"),
+        F.col("vec_id").alias("tid"),
+        "embedding",
+    )
+    q = mv.where(F.col("g") < n_queries).select(
+        F.col("g").alias("q"), F.col("tid").alias("qt"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        mv.crossJoin(F.broadcast(q))
+        .where(F.col("g") != F.col("q"))
+        .select(
+            "q", "qt", F.col("g").alias("d"),
+            F.floor(
+                F.lit(1_000_000.0) * cosine(F.col("embedding"), F.col("qv"))
+                + F.lit(0.5)
+            ).cast("long").alias("cos_micro"),
+        )
+    )
+    per_qd = (
+        scored.groupBy("q", "qt", "d")
+        .agg(F.max("cos_micro").alias("best"))
+        .groupBy("q", "d")
+        .agg(
+            F.sum("best").cast("long").alias("maxsim_micro"),
+            F.count(F.lit(1)).cast("long").alias("q_tokens"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("maxsim_micro").desc(), F.col("d").asc()
+    )
+    return (
+        per_qd.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top_k)
+        .select("q", "rk", "d", "q_tokens", "maxsim_micro")
+    )
+
+
+def sim_maxsim_topk(spark, sf_dir):
+    """Gate: MaxSim top-5 docs for each of the 3 multi-vector queries."""
+    return maxsim_topk(load_table(spark, "embeddings", sf_dir))
+
+
+SIMILARITY_QUERIES["sim_maxsim_topk"] = sim_maxsim_topk
+SIMILARITY_ORACLE["sim_maxsim_topk"] = (
+    "WITH mv AS ("
+    f"  SELECT vec_id // {MAXSIM_GROUP} AS g, vec_id AS tid, embedding "
+    "  FROM embeddings), "
+    f"q AS (SELECT g AS q, tid AS qt, embedding AS qv FROM mv "
+    f"  WHERE g < {MAXSIM_N_QUERIES}), "
+    "scored AS ("
+    "  SELECT q.q, q.qt, mv.g AS d, "
+    "    CAST(FLOOR(1000000.0 * list_cosine_similarity("
+    "      mv.embedding::DOUBLE[], q.qv::DOUBLE[]) + 0.5) AS BIGINT) "
+    "      AS cos_micro "
+    "  FROM mv, q WHERE mv.g != q.q), "
+    "best AS ("
+    "  SELECT q, qt, d, MAX(cos_micro) AS best "
+    "  FROM scored GROUP BY 1, 2, 3), "
+    "per_qd AS ("
+    "  SELECT q, d, CAST(SUM(best) AS BIGINT) AS maxsim_micro, "
+    "    CAST(COUNT(*) AS BIGINT) AS q_tokens "
+    "  FROM best GROUP BY 1, 2) "
+    "SELECT q, CAST(ROW_NUMBER() OVER (PARTITION BY q "
+    "  ORDER BY maxsim_micro DESC, d) AS BIGINT) AS rk, d, q_tokens, "
+    "  maxsim_micro "
+    f"FROM per_qd QUALIFY rk <= {MAXSIM_TOP_K}"
+)

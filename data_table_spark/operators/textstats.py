@@ -1584,3 +1584,134 @@ TEXTSTATS_ORACLE["text_vocab_coverage"] = (
     "  CAST(FLOOR(1000000.0 * cum / total) AS BIGINT) AS coverage_e6 "
     "FROM ranked WHERE rk IN (5, 10, 20) OR rk = n_vocab"
 )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+#: Okapi BM25 parameters (the universal defaults) and the fixture query.
+#: k1/b as exact double literals; the three query terms all exist in the
+#: fixture vocabulary at every sf (df ~380/500 docs) so the gate output
+#: is non-degenerate everywhere.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "vector", "stream")
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval — THE lexical scoring function every
+    search/RAG stack runs before (or fused with) vector retrieval:
+    score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene non-negative form).
+
+    Exactness: tf/df/|d|/N are exact longs; each per-(doc,term) score is
+    ONE double expression (tree written identically in the oracle, so
+    IEEE evaluation is bit-equal) floored to integer MICRO-points, and
+    the per-doc sum then runs over exact integers — float addition
+    order can never diverge the engines (the text_bigram_lm posture).
+    Ties break on doc_id; rank is a row_number so top-k is total.
+
+    Scale shape: the term filter prunes the posting explode to the
+    query's terms BEFORE any shuffle (predicate pushdown through
+    explode); df/N/avgdl are a ~|q|-row and a 1-row aggregate, both
+    broadcast; one shuffle on (doc, term), one on doc, and the global
+    top-k compiles to TakeOrderedAndProject (partial top-k merge, no
+    total sort). At 100 TB the tf table IS the inverted index — build
+    it once, score any query with a broadcast join against it."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("tot"),
+    )
+    tf = (
+        toks.where(F.col("w").isin(*query))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("tot").cast("double") / F.col("n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    den = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    s_micro = F.floor(
+        F.lit(1_000_000.0) * idf * (tfd * F.lit(BM25_K1 + 1.0)) / den
+    )
+    per_doc = (
+        scored.select("doc_id", s_micro.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("terms_hit"),
+            F.sum("s").cast("long").alias("bm25_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top_k)
+        .select("rk", "doc_id", "terms_hit", "bm25_micro")
+    )
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Gate: BM25 top-10 for the fixed 3-term query."""
+    return bm25_topk(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_bm25_topk"] = text_bm25_topk
+TEXTSTATS_ORACLE["text_bm25_topk"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, UNNEST(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '')) AS w "
+    "  FROM documents), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1), "
+    "corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl), "
+    "tf AS ("
+    "  SELECT doc_id, w, COUNT(*) AS tf FROM toks "
+    f"  WHERE w IN ('{BM25_QUERY[0]}', '{BM25_QUERY[1]}', '{BM25_QUERY[2]}') "
+    "  GROUP BY 1, 2), "
+    "df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1), "
+    "scored AS ("
+    "  SELECT tf.doc_id, FLOOR(1000000.0 "
+    "    * LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) "
+    "      / (CAST(df AS DOUBLE) + 0.5)) "
+    f"    * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}) "
+    f"    / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} "
+    f"      + {BM25_B} * CAST(dl AS DOUBLE) "
+    "        / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS s "
+    "  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), corpus), "
+    "per_doc AS ("
+    "  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS terms_hit, "
+    "    CAST(SUM(s) AS BIGINT) AS bm25_micro "
+    "  FROM scored GROUP BY 1) "
+    "SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) "
+    "  AS BIGINT) AS rk, doc_id, terms_hit, bm25_micro "
+    f"FROM per_doc QUALIFY rk <= {BM25_TOP_K}"
+)
