@@ -1,0 +1,223 @@
+"""Invariant tests for the round-10 operators — each pins an algebraic
+property or a pure-Python recompute the DuckDB hash oracle cannot state
+(the oracle proves value equality; these prove the SEMANTICS are the
+intended ones)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_table_spark.operators.dedup import (  # noqa: E402
+    WINNOW_W,
+    winnowing_fingerprints,
+)
+from data_table_spark.operators.pipeline import (  # noqa: E402
+    DP_SEED,
+    EPOCH_SEED,
+    SCHEDULE_HEAD,
+    dp_counts,
+    epoch_schedule,
+)
+from data_table_spark.operators.similarity import (  # noqa: E402
+    MAXSIM_GROUP,
+    MAXSIM_N_QUERIES,
+    MAXSIM_TOP_K,
+    maxsim_topk,
+)
+from data_table_spark.operators.textstats import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    bm25_topk,
+)
+from data_table_spark.sources.registry import load_table  # noqa: E402
+
+
+def _h32(s: str) -> int:
+    """The engines' shared md5-prefix hash (pipeline.hash_bucket core)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# --------------------------------------------------------------------------
+# winnowing
+# --------------------------------------------------------------------------
+
+def _py_winnow(text: str) -> set[int]:
+    """Pure-Python replay of winnowing_fingerprints' documented scheme:
+    word trigrams, md5-prefix hash, min per w-window of consecutive
+    kgram hashes, distinct minima."""
+    t = [w for w in text.lower().strip().split() if w]
+    if len(t) < 6:
+        return set()
+    hs = [_h32(" ".join(t[i:i + 3])) for i in range(len(t) - 2)]
+    return {
+        min(hs[i:i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
+    }
+
+
+def test_winnowing_matches_python_replay(spark, sf_smoke):
+    """Fingerprint SETS equal an independent per-doc Python recompute on
+    the full sf0.001 corpus — pins tokenization, hashing, window frame,
+    and the end-of-doc window truncation all at once."""
+    docs = load_table(spark, "documents", sf_smoke).select("doc_id", "text")
+    got: dict[int, set[int]] = {}
+    for r in winnowing_fingerprints(docs).collect():
+        got.setdefault(r["doc"], set()).add(r["fp"])
+    for r in docs.collect():
+        exp = _py_winnow(r["text"])
+        assert got.get(r["doc_id"], set()) == exp, r["doc_id"]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing paper's guarantee: two docs sharing any run of
+    k + w - 1 = 6 tokens share at least one fingerprint, regardless of
+    where the run sits in either doc."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    a = "x1 y2 " + shared + " q9"
+    b = shared + " r7 s8 t9 u0 v1"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], ["doc_id", "text"]
+    )
+    fps: dict[int, set[int]] = {1: set(), 2: set()}
+    for r in winnowing_fingerprints(docs).collect():
+        fps[r["doc"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token run produced no shared fp"
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+def test_bm25_matches_python_replay(spark, sf_smoke):
+    """Top-k table equals a term-at-a-time Python BM25 with the same
+    micro-floor — pins idf form, length normalization, and tie-break."""
+    docs = load_table(spark, "documents", sf_smoke).select("doc_id", "text")
+    toks = {
+        r["doc_id"]: [w for w in r["text"].lower().strip().split() if w]
+        for r in docs.collect()
+    }
+    n = len(toks)
+    tot = sum(len(t) for t in toks.values())
+    avgdl = tot / n
+    scores: dict[int, list[int]] = {}
+    for term in BM25_QUERY:
+        tfs = {d: t.count(term) for d, t in toks.items() if term in t}
+        df = len(tfs)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, tf in tfs.items():
+            den = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks[d]) / avgdl)
+            s = math.floor(1_000_000.0 * idf * (tf * (BM25_K1 + 1.0)) / den)
+            scores.setdefault(d, []).append(s)
+    ranked = sorted(
+        ((sum(v), len(v), d) for d, v in scores.items()),
+        key=lambda x: (-x[0], x[2]),
+    )
+    got = bm25_topk(docs).orderBy("rk").collect()
+    assert len(got) == min(10, len(ranked))
+    for rk, (r, (s, hit, d)) in enumerate(zip(got, ranked), start=1):
+        assert (r["rk"], r["doc_id"], r["terms_hit"], r["bm25_micro"]) == (
+            rk, d, hit, s
+        )
+
+
+# --------------------------------------------------------------------------
+# MaxSim
+# --------------------------------------------------------------------------
+
+def test_maxsim_matches_python_replay(spark, sf_smoke):
+    """Per-query top-5 equals a brute-force Python recompute using the
+    identical sequential-fold double cosine and micro rounding."""
+    emb = load_table(spark, "embeddings", sf_smoke).select(
+        "vec_id", "embedding"
+    )
+    groups: dict[int, list[list[float]]] = {}
+    for r in emb.collect():
+        groups.setdefault(r["vec_id"] // MAXSIM_GROUP, []).append(
+            [float(x) for x in r["embedding"]]
+        )
+
+    def cos_micro(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return math.floor(
+            1_000_000.0 * (dot / (math.sqrt(na) * math.sqrt(nb))) + 0.5
+        )
+
+    got = {
+        (r["q"], r["rk"]): (r["d"], r["maxsim_micro"], r["q_tokens"])
+        for r in maxsim_topk(emb).collect()
+    }
+    for q in range(MAXSIM_N_QUERIES):
+        qvs = groups[q]
+        scored = []
+        for d, dvs in groups.items():
+            if d == q:
+                continue
+            s = sum(max(cos_micro(dv, qv) for dv in dvs) for qv in qvs)
+            scored.append((-s, d))
+        scored.sort()
+        for rk, (neg_s, d) in enumerate(scored[:MAXSIM_TOP_K], start=1):
+            assert got[(q, rk)] == (d, -neg_s, len(qvs)), (q, rk)
+
+
+# --------------------------------------------------------------------------
+# DP counts
+# --------------------------------------------------------------------------
+
+def test_dp_counts_noise_exact_and_bounded(spark, sf_smoke):
+    """Released = true + round(Laplace_b=1(md5 uniform)): the noise is
+    exactly the documented inverse-CDF draw, and its magnitude is
+    bounded by b·ln(2^32) ≈ 22.2 (the md5-uniform tail bound), so a
+    release can never be wildly off its true count."""
+    docs = load_table(spark, "documents", sf_smoke)
+    true = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for r in dp_counts(docs).collect():
+        u = (_h32(f"{DP_SEED}:{r['source']}") + 0.5) / 4294967296.0
+        lap = -1.0 * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        exp = true[r["source"]] + math.floor(lap + 0.5)
+        assert r["released_count"] == exp, r["source"]
+        assert abs(r["released_count"] - true[r["source"]]) <= 23
+        assert r["eps_e6"] == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# epoch schedule
+# --------------------------------------------------------------------------
+
+def test_epoch_schedule_replay_and_shape(spark, sf_smoke):
+    """Each epoch emits positions 1..head over distinct docs; the head
+    equals a Python argsort of the documented per-(epoch, doc) hash;
+    and at least two epochs order differently (the shuffle shuffles)."""
+    docs = load_table(spark, "documents", sf_smoke).select("doc_id")
+    ids = [r["doc_id"] for r in docs.collect()]
+    got: dict[int, list[int]] = {}
+    for r in epoch_schedule(docs).orderBy("epoch", "position").collect():
+        got.setdefault(r["epoch"], []).append(r["doc_id"])
+    assert sorted(got) == [0, 1, 2]
+    for e, order in got.items():
+        assert len(order) == SCHEDULE_HEAD
+        assert len(set(order)) == SCHEDULE_HEAD
+        exp = sorted(
+            ids, key=lambda d: (_h32(f"{EPOCH_SEED}:{e}:{d}"), d)
+        )[:SCHEDULE_HEAD]
+        assert order == exp, e
+    assert len({tuple(v) for v in got.values()}) > 1
