@@ -202,6 +202,9 @@ _NEXT_WINDOW_QUEUE = [
     "sim_maxsim_topk",              # ColBERT-style late-interaction rescoring
     "pipe_dp_counts",               # Laplace DP count release, seeded noise
     "pipe_epoch_schedule",          # reproducible multi-epoch shuffle order
+    "q171_anova_f",                 # k-group ANOVA F, per-term floored
+    "q172_bloom_prefilter",         # Bloom semi-join prefilter readout
+    "q173_second_order_paths",      # 2-step Markov event trigrams
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -9597,3 +9597,286 @@ RELATIONAL_ORACLE["q170_iso_week_rollup"] = (
     "    AS rev_cents "
     "FROM orders GROUP BY 1, 2"
 )
+
+
+# --------------------------------------------------------------------------
+# q171: one-way ANOVA F across customer segments
+# --------------------------------------------------------------------------
+
+def q171_anova_f(spark, sf_dir):
+    """One-way ANOVA F-statistic of account balance across ALL five
+    market segments — the k-group completion of the two-sample battery
+    (q142 Welch t tests two groups; q132's Mann-Whitney is its rank
+    twin): does ANY segment's mean balance differ? SSB/SSW decompose
+    total variance into between- and within-group parts;
+    F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    Exactness (the q142 posture, extended to k groups): per-group
+    moments n, Σx are exact longs and Σx² accumulates in DECIMAL(38,0)
+    (cents² leaves int64 near 1e10 rows — oracle sums in HUGEINT); the
+    per-group double terms ssw_g = Σx²_g − (Σx_g)²/n_g and
+    ssb_g = n_g·(m_g − m)² are each ONE double expression over exact
+    operands, floored to whole cents² longs, and the k-row sums then
+    run on exact integers — so the engines cannot diverge on float
+    addition order across groups (the text-family per-term-floor
+    posture applied to a stats decomposition). F reports e6-floored.
+
+    Scale shape: ONE map-combinable aggregate over the customer scan
+    to k rows, a 1-row global rollup crossed back, and a k-row
+    aggregate to the single output row. No join against base data, no
+    window."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    mg = sd / nd
+    m = F.col("ss").cast("double") / F.col("nn").cast("double")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "nn", "k",
+        F.floor(F.col("q").cast("double") - sd * sd / nd)
+        .cast("long").alias("ssw_t"),
+        F.floor(nd * (mg - m) * (mg - m)).cast("long").alias("ssb_t"),
+    )
+    kd = F.col("k").cast("double")
+    nnd = F.col("nn").cast("double")
+    f_stat = (
+        F.col("ssb").cast("double") / (kd - F.lit(1.0))
+    ) / (F.col("ssw").cast("double") / (nnd - kd))
+    return (
+        terms.groupBy("nn", "k")
+        .agg(
+            F.sum("ssw_t").cast("long").alias("ssw"),
+            F.sum("ssb_t").cast("long").alias("ssb"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("nn").cast("long").alias("n"),
+            "ssb", "ssw",
+            F.floor(F.lit(1_000_000) * f_stat).cast("long").alias("f_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q171_anova_f"] = q171_anova_f
+RELATIONAL_ORACLE["q171_anova_f"] = (
+    "WITH g AS ("
+    "  SELECT c_mktsegment, COUNT(*) AS n, "
+    "    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s, "
+    "    SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT) "
+    "      * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS q "
+    "  FROM customer GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+    "  CAST(SUM(s) AS BIGINT) AS ss, COUNT(*) AS k FROM g), "
+    "terms AS ("
+    "  SELECT nn, k, "
+    "    CAST(FLOOR(CAST(q AS DOUBLE) "
+    "      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "      AS BIGINT) AS ssw_t, "
+    "    CAST(FLOOR(CAST(n AS DOUBLE) "
+    "      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+    "         - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) "
+    "      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+    "         - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT) "
+    "      AS ssb_t "
+    "  FROM g, tot) "
+    "SELECT CAST(k AS BIGINT) AS k, nn AS n, "
+    "  CAST(SUM(ssb_t) AS BIGINT) AS ssb, "
+    "  CAST(SUM(ssw_t) AS BIGINT) AS ssw, "
+    "  CAST(FLOOR(1000000 * (CAST(SUM(ssb_t) AS DOUBLE) "
+    "    / (CAST(k AS DOUBLE) - 1.0)) / (CAST(SUM(ssw_t) AS DOUBLE) "
+    "    / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))) AS BIGINT) AS f_e6 "
+    "FROM terms GROUP BY k, nn"
+)
+
+
+# --------------------------------------------------------------------------
+# q172: Bloom-filter semi-join prefilter
+# --------------------------------------------------------------------------
+
+#: Bloom parameters: m bits, 2 hash positions per key (md5-derived, so
+#: DuckDB replays them exactly). m is sized to the fixture's build side
+#: (~n/5 customers) so the FP count discriminates at EVERY sf the
+#: driver grades (m=1024 produced zero FPs at sf0.001 — the degeneracy
+#: lesson): 7 FPs at sf0.001, ~5.4k at sf0.01.
+BLOOM_M = 512
+BLOOM_SEGMENT = "AUTOMOBILE"
+
+
+def q172_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter probe prefilter — the sketch form of q69's runtime
+    filter: instead of shipping the build side's exact key set to the
+    probe scan, ship an m-bit Bloom filter (k=2 md5-derived bit
+    positions per key). A probe row is a CANDIDATE iff both its bits
+    are set; every true match is a candidate (no false negatives — the
+    Bloom guarantee), and the readout quantifies the price: candidate,
+    true-match, and false-positive counts plus the filter's fill. This
+    is Spark's own injectRuntimeFilter/BloomFilterAggregate strategy
+    made explicit and engine-checkable.
+
+    Exactness: bit positions are md5-prefix mod m (the pipeline
+    hash_bucket derivation — identical in DuckDB), so the filter, the
+    candidate set, and all counts are exact integers.
+
+    Scale shape: the build side aggregates to ≤m distinct bit rows,
+    broadcast twice against the probe scan (two map-side semi joins —
+    the probe NEVER shuffles); the truth check broadcasts the build
+    keys the same way. One map-combinable count aggregate to 1 row.
+    At 100 TB the bitset (128 KiB at m=2^20) rides the same broadcast
+    path Spark uses for its own runtime bloom filters."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    ).select(F.col("c_custkey").alias("key"))
+
+    def pos(i, col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % BLOOM_M
+
+    bits = (
+        cust.select(F.explode(F.array(pos(0, F.col("key")), pos(1, F.col("key")))).alias("bit"))
+        .distinct()
+    )
+    probe = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("pkey"),
+        pos(0, F.col("o_custkey")).alias("b0"),
+        pos(1, F.col("o_custkey")).alias("b1"),
+    )
+    flagged = (
+        probe.join(
+            F.broadcast(bits.select(F.col("bit").alias("b0"), F.lit(1).alias("hit0"))),
+            "b0", "left",
+        )
+        .join(
+            F.broadcast(bits.select(F.col("bit").alias("b1"), F.lit(1).alias("hit1"))),
+            "b1", "left",
+        )
+        .join(
+            F.broadcast(cust.select(F.col("key").alias("pkey"), F.lit(1).alias("truth"))),
+            "pkey", "left",
+        )
+        .select(
+            (F.col("hit0").isNotNull() & F.col("hit1").isNotNull()).alias("cand"),
+            F.col("truth").isNotNull().alias("is_true"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("cand"), 1).otherwise(0)).cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("cand") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long").alias("n_false_pos"),
+        F.sum(F.when(F.col("is_true") & ~F.col("cand"), 1).otherwise(0))
+        .cast("long").alias("n_false_neg"),
+    )
+
+
+RELATIONAL_QUERIES["q172_bloom_prefilter"] = q172_bloom_prefilter
+RELATIONAL_ORACLE["q172_bloom_prefilter"] = (
+    "WITH cust AS ("
+    f"  SELECT c_custkey AS key FROM customer "
+    f"  WHERE c_mktsegment = '{BLOOM_SEGMENT}'), "
+    "bits AS ("
+    "  SELECT DISTINCT bit FROM ("
+    "    SELECT ('0x' || substr(md5('bloom0:' || CAST(key AS VARCHAR)), "
+    f"      1, 8))::BIGINT % {BLOOM_M} AS bit FROM cust "
+    "    UNION ALL "
+    "    SELECT ('0x' || substr(md5('bloom1:' || CAST(key AS VARCHAR)), "
+    f"      1, 8))::BIGINT % {BLOOM_M} FROM cust)), "
+    "probe AS ("
+    "  SELECT o_custkey AS pkey, "
+    "    ('0x' || substr(md5('bloom0:' || CAST(o_custkey AS VARCHAR)), "
+    f"      1, 8))::BIGINT % {BLOOM_M} AS b0, "
+    "    ('0x' || substr(md5('bloom1:' || CAST(o_custkey AS VARCHAR)), "
+    f"      1, 8))::BIGINT % {BLOOM_M} AS b1 "
+    "  FROM orders), "
+    "flagged AS ("
+    "  SELECT (b0 IN (SELECT bit FROM bits) "
+    "      AND b1 IN (SELECT bit FROM bits)) AS cand, "
+    "    pkey IN (SELECT key FROM cust) AS is_true "
+    "  FROM probe) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_probe, "
+    "  CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_candidates, "
+    "  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true, "
+    "  CAST(SUM(CASE WHEN cand AND NOT is_true THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_false_pos, "
+    "  CAST(SUM(CASE WHEN is_true AND NOT cand THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_false_neg "
+    "FROM flagged"
+)
+
+
+# --------------------------------------------------------------------------
+# q173: second-order Markov paths (event-type trigrams)
+# --------------------------------------------------------------------------
+
+def q173_second_order_paths(spark, sf_dir):
+    """Second-order transition model over each user's event stream:
+    count every ordered event-type TRIGRAM (two LEADs over the user
+    timeline) and report P(c | a, b) — the 2-step Markov extension of
+    q76's 1-step transition matrix, and the statistic behind
+    next-action prediction and bot-pattern detection (a bot's
+    (view, view) → view probability is ~1; a human's is not).
+
+    Exactness: counts are exact longs; the conditional probability is
+    an exact e6 floor-div of trigram count over the (a, b) context
+    total (_floor_div_dec semantics via integer floor division — both
+    engines' // on BIGINT).
+
+    Scale shape: ONE shuffle on user_id for the LEAD window, one
+    map-combinable trigram count (output ≤ |types|³ rows), a context
+    rollup over that tiny table, and a broadcast join-back. The base
+    events table is scanned once."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(w).alias("b"),
+            F.lead("event_type", 2).over(w).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ctx = tri.groupBy("a", "b").agg(F.sum("n").cast("long").alias("ctx_n"))
+    return (
+        tri.join(F.broadcast(ctx), ["a", "b"])
+        .select(
+            "a", "b", "c", "n",
+            # integer floor division — exact, mirrors the oracle's //
+            F.expr("(1000000 * n) div ctx_n").cast("long").alias("p_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q173_second_order_paths"] = q173_second_order_paths
+RELATIONAL_ORACLE["q173_second_order_paths"] = (
+    "WITH tri AS ("
+    "  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "    SELECT event_type AS a, "
+    "      LEAD(event_type, 1) OVER (PARTITION BY user_id "
+    "        ORDER BY ts, event_id) AS b, "
+    "      LEAD(event_type, 2) OVER (PARTITION BY user_id "
+    "        ORDER BY ts, event_id) AS c "
+    "    FROM events) WHERE c IS NOT NULL GROUP BY 1, 2, 3), "
+    "ctx AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS ctx_n "
+    "  FROM tri GROUP BY 1, 2) "
+    "SELECT tri.a, tri.b, tri.c, tri.n, "
+    "  CAST((1000000 * tri.n) // ctx.ctx_n AS BIGINT) AS p_e6 "
+    "FROM tri JOIN ctx ON tri.a = ctx.a AND tri.b = ctx.b"
+)

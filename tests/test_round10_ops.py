@@ -221,3 +221,110 @@ def test_epoch_schedule_replay_and_shape(spark, sf_smoke):
         )[:SCHEDULE_HEAD]
         assert order == exp, e
     assert len({tuple(v) for v in got.values()}) > 1
+
+
+# --------------------------------------------------------------------------
+# ANOVA F
+# --------------------------------------------------------------------------
+
+def test_anova_f_matches_python_replay(spark, sf_smoke):
+    """k/n/ssb/ssw/f_e6 equal a NumPy-free Python recompute with the
+    same per-group term floors — pins the decomposition and the
+    floor placement (term-level, before the k-row sums)."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    c = load_table(spark, "customer", sf_smoke).select(
+        "c_mktsegment", F.round(F.col("c_acctbal") * 100).cast("long").alias("x")
+    ).collect()
+    groups: dict[str, list[int]] = {}
+    for r in c:
+        groups.setdefault(r["c_mktsegment"], []).append(r["x"])
+    nn = sum(len(v) for v in groups.values())
+    ss = sum(sum(v) for v in groups.values())
+    m = ss / nn
+    ssw = sum(
+        math.floor(
+            float(sum(x * x for x in v)) - float(sum(v)) * sum(v) / len(v)
+        )
+        for v in groups.values()
+    )
+    ssb = sum(
+        math.floor(len(v) * (sum(v) / len(v) - m) * (sum(v) / len(v) - m))
+        for v in groups.values()
+    )
+    k = len(groups)
+    f_e6 = math.floor(1_000_000 * (ssb / (k - 1)) / (ssw / (nn - k)))
+    row = RELATIONAL_QUERIES["q171_anova_f"](spark, sf_smoke).collect()[0]
+    assert (row["k"], row["n"], row["ssb"], row["ssw"], row["f_e6"]) == (
+        k, nn, ssb, ssw, f_e6
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom prefilter
+# --------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_exact_replay(spark, sf_smoke, sf_dir):
+    """The Bloom guarantee (every true match is a candidate) holds at
+    both sfs, and all five counts equal a Python bitset replay."""
+    from data_table_spark.operators.relational import (
+        BLOOM_M,
+        BLOOM_SEGMENT,
+        RELATIONAL_QUERIES,
+    )
+
+    for sf in (sf_smoke, sf_dir):
+        keys = {
+            r["c_custkey"]
+            for r in load_table(spark, "customer", sf)
+            .where(F.col("c_mktsegment") == BLOOM_SEGMENT)
+            .collect()
+        }
+        bits = {
+            _h32(f"bloom{i}:{k}") % BLOOM_M for k in keys for i in (0, 1)
+        }
+        probe = [
+            r["o_custkey"]
+            for r in load_table(spark, "orders", sf).select("o_custkey").collect()
+        ]
+        cand = [
+            p for p in probe
+            if _h32(f"bloom0:{p}") % BLOOM_M in bits
+            and _h32(f"bloom1:{p}") % BLOOM_M in bits
+        ]
+        true = [p for p in probe if p in keys]
+        row = RELATIONAL_QUERIES["q172_bloom_prefilter"](spark, sf).collect()[0]
+        assert row["n_false_neg"] == 0
+        assert (
+            row["n_probe"], row["n_candidates"], row["n_true"],
+            row["n_false_pos"],
+        ) == (
+            len(probe), len(cand), len(true),
+            len([p for p in cand if p not in keys]),
+        )
+        assert row["n_false_pos"] > 0, "filter sizing degenerate: no FPs"
+
+
+# --------------------------------------------------------------------------
+# second-order paths
+# --------------------------------------------------------------------------
+
+def test_second_order_paths_probabilities_partition(spark, sf_smoke):
+    """Per (a, b) context the floored conditional probabilities sum to
+    within #branches of 1e6 (floor loss only) and counts partition the
+    context total exactly."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    rows = RELATIONAL_QUERIES["q173_second_order_paths"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    ctx: dict = {}
+    for r in rows:
+        ctx.setdefault((r["a"], r["b"]), []).append((r["n"], r["p_e6"]))
+    for (a, b), branches in ctx.items():
+        tot = sum(n for n, _ in branches)
+        psum = sum(p for _, p in branches)
+        assert 1_000_000 - len(branches) < psum <= 1_000_000, (a, b)
+        for n, p in branches:
+            assert p == (1_000_000 * n) // tot, (a, b, n)
