@@ -205,6 +205,10 @@ _NEXT_WINDOW_QUEUE = [
     "q171_anova_f",                 # k-group ANOVA F, per-term floored
     "q172_bloom_prefilter",         # Bloom semi-join prefilter readout
     "q173_second_order_paths",      # 2-step Markov event trigrams
+    "text_readability",             # pooled Flesch per source, int-exact
+    "text_js_divergence",           # pairwise source JSD, e9 term floors
+    "pipe_dedup_quota",             # opening-prefix cluster quota sweep
+    "q174_moving_median",           # exact 7-day trailing median, 2x form
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -2455,3 +2455,90 @@ PIPELINE_ORACLE["pipe_epoch_schedule"] = (
     "    AS BIGINT) AS position, doc_id "
     f"FROM h QUALIFY position <= {SCHEDULE_HEAD}"
 )
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster quota (cap exact-dup cluster sizes)
+# --------------------------------------------------------------------------
+
+#: how many copies of each opening-prefix cluster survive the quota
+#: sweep, and how many leading tokens define the cluster key. Quota 1
+#: on the 8-token opening catches template-headed documents (same
+#: boilerplate opening, divergent tails) — the fixture has NO byte-
+#: exact duplicates at any sf (an exact-text key made every cluster a
+#: singleton and the gate degenerate — the round-7 audit lesson), but
+#: ~5 % of docs share an opening prefix at every sf.
+DUP_QUOTA = 1
+DUP_PREFIX_TOKENS = 8
+
+
+def dedup_quota(
+    docs: DataFrame,
+    quota: int = DUP_QUOTA,
+    prefix_tokens: int = DUP_PREFIX_TOKENS,
+) -> DataFrame:
+    """Cap every opening-prefix duplicate cluster at ``quota`` surviving
+    copies and report the per-source toll — the keep-SOME policy
+    between "drop all duplicates" (dedup_exact) and "keep everything"
+    (pipe_source_dup_rate measures but does not act): large-scale
+    corpus work bounds how often the same template opening appears so
+    a mirror site or boilerplate-headed crawl cannot dominate training
+    (the up-weight-by-duplication recipe, bounded). The cluster key is
+    the md5 of the first ``prefix_tokens`` normalized tokens — the
+    cheap leading-span fingerprint that groups "same opening,
+    divergent tail" families byte-exact text misses.
+
+    Survivors are the ``quota`` lowest doc_ids per cluster
+    (deterministic, rerun-stable); the readout aggregates kept/dropped
+    per source so the gate output stays dimension-sized.
+
+    Scale shape: one md5 per row map-side, ONE shuffle on the hash for
+    the rank window (each cluster is one partition-key group, never a
+    global window), one map-combinable rollup to |sources| rows. The
+    text column itself never shuffles — only the 32-char digest."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(ws_tokens(F.col("text")), 1, prefix_tokens),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", h.alias("h")
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= quota, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("rk") > quota, 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def pipe_dedup_quota(spark, sf_dir):
+    """Gate: per-source kept/dropped counts under a 1-copy quota on
+    8-token opening-prefix clusters."""
+    return dedup_quota(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_dedup_quota"] = pipe_dedup_quota
+PIPELINE_ORACLE["pipe_dedup_quota"] = (
+    "WITH ranked AS ("
+    "  SELECT doc_id, source, "
+    "    ROW_NUMBER() OVER (PARTITION BY md5(array_to_string("
+    "      list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    f"      x -> x <> '')[1:{DUP_PREFIX_TOKENS}], ' ')) "
+    "      ORDER BY doc_id) AS rk "
+    "  FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    f"  CAST(SUM(CASE WHEN rk <= {DUP_QUOTA} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_kept, "
+    f"  CAST(SUM(CASE WHEN rk > {DUP_QUOTA} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_dropped "
+    "FROM ranked GROUP BY source"
+)

@@ -9880,3 +9880,85 @@ RELATIONAL_ORACLE["q173_second_order_paths"] = (
     "  CAST((1000000 * tri.n) // ctx.ctx_n AS BIGINT) AS p_e6 "
     "FROM tri JOIN ctx ON tri.a = ctx.a AND tri.b = ctx.b"
 )
+
+
+# --------------------------------------------------------------------------
+# q174: exact trailing-window moving median
+# --------------------------------------------------------------------------
+
+def q174_moving_median(spark, sf_dir):
+    """Exact 7-day trailing MEDIAN of daily revenue per region — the
+    robust sibling of a moving average (one whale order shifts the
+    mean for a week; the median shrugs), and the smoother dashboards
+    actually want. Median-over-window is not a built-in Spark window
+    aggregate; the exact form is collect_list over a RANGE frame on
+    the day number + array_sort + middle order statistics — bounded
+    at 7 elements per frame, so the "collect" is a constant-size
+    buffer, not a scalability hazard.
+
+    Exactness: the window median of an EVEN count interpolates, so the
+    gate emits med2_cents = lower + upper middle order statistics
+    (= 2·median, exact integer cents — the q103 weighted-median
+    posture: order statistics over exact ints, no float interpolation).
+    Day arithmetic is DATE-level (datediff from epoch ↔ DuckDB date
+    subtraction — both exact integer days, no tz).
+
+    Scale shape: daily rollup first (map-combinable, one shuffle to
+    |regions|·|days| rows), then the window runs PARTITIONED by region
+    over the tiny rollup — never a global single-partition window and
+    never a window over base facts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("region")
+        .orderBy(dnum)
+        .rangeBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("rev").over(w))
+    nn = F.size(arr)
+    lo = F.element_at(arr, ((nn + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (nn / 2).cast("int") + 1)
+    return daily.select(
+        "region", "day",
+        nn.cast("long").alias("n_in_window"),
+        (lo + hi).cast("long").alias("med2_cents"),
+    )
+
+
+RELATIONAL_QUERIES["q174_moving_median"] = q174_moving_median
+RELATIONAL_ORACLE["q174_moving_median"] = (
+    "WITH daily AS ("
+    "  SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev "
+    "  FROM orders "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey "
+    "  GROUP BY 1, 2), "
+    "win AS ("
+    "  SELECT region, day, "
+    "    list_sort(list(rev) OVER ("
+    "      PARTITION BY region "
+    "      ORDER BY day - DATE '1970-01-01' "
+    "      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr "
+    "  FROM daily) "
+    "SELECT region, day, CAST(len(arr) AS BIGINT) AS n_in_window, "
+    "  CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] "
+    "    + arr[CAST(len(arr) // 2 AS INT) + 1] AS BIGINT) AS med2_cents "
+    "FROM win"
+)

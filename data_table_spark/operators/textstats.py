@@ -1715,3 +1715,228 @@ TEXTSTATS_ORACLE["text_bm25_topk"] = (
     "  AS BIGINT) AS rk, doc_id, terms_hit, bm25_micro "
     f"FROM per_doc QUALIFY rk <= {BM25_TOP_K}"
 )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading ease (per-source pooled readability score)
+# --------------------------------------------------------------------------
+
+def readability_by_source(docs: DataFrame) -> DataFrame:
+    """Flesch reading ease per source, pooled — the classic readability
+    gate a corpus-quality pipeline scores sources with (low Flesch =
+    academic/legalese, high = conversational; extreme values flag
+    boilerplate or gibberish): 206.835 − 1.015·(W/S) − 84.6·(Y/W) over
+    pooled words W, sentences S, and syllables Y. Syllables use the
+    standard vowel-group estimate (runs of [aeiouy]+ in lowercase —
+    a vowel run never spans whitespace, so the per-doc total equals the
+    per-word sum without tokenizing twice); sentences reuse
+    sentence_stats' terminator rule ([.!?]+ segments, empties dropped,
+    terminator-free docs count as one).
+
+    Exactness: W/S/Y are exact longs; each scaled coefficient term is
+    an exact integer floor-div (1.015·(W/S)·1000 = 1015·W div S;
+    84.6·(Y/W)·1000 = 84600·Y div W), so flesch_e3 never touches a
+    float — engine divergence is impossible, and the defined statistic
+    differs from true Flesch·1000 by at most 2 floor units.
+
+    Scale shape: map-side per-doc counting (pure expressions, no UDF)
+    into ONE map-combinable aggregate — one shuffle to ≤|sources|
+    rows."""
+    segs = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    syl = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+    g = (
+        docs.select(
+            "source",
+            F.size(words).cast("long").alias("w"),
+            F.size(segs).cast("long").alias("s"),
+            syl.cast("long").alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("words"),
+            F.sum("s").cast("long").alias("sentences"),
+            F.sum("y").cast("long").alias("syllables"),
+        )
+    )
+    return g.select(
+        "source", "n_docs", "words", "sentences", "syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * words) div sentences")
+            - F.expr("(84600 * syllables) div words")
+        ).cast("long").alias("flesch_e3"),
+    )
+
+
+def text_readability(spark, sf_dir):
+    """Gate: pooled Flesch reading ease per source."""
+    return readability_by_source(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_readability"] = text_readability
+TEXTSTATS_ORACLE["text_readability"] = (
+    "WITH d AS ("
+    "  SELECT source, "
+    "    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "      x -> x <> '')) AS w, "
+    "    len(list_filter(list_transform(string_split_regex(text, "
+    "      '[.!?]+'), s -> trim(s)), s -> s <> '')) AS s, "
+    "    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y "
+    "  FROM documents), "
+    "g AS ("
+    "  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "    CAST(SUM(w) AS BIGINT) AS words, "
+    "    CAST(SUM(s) AS BIGINT) AS sentences, "
+    "    CAST(SUM(y) AS BIGINT) AS syllables "
+    "  FROM d GROUP BY 1) "
+    "SELECT source, n_docs, words, sentences, syllables, "
+    "  CAST(206835 - (1015 * words) // sentences "
+    "    - (84600 * syllables) // words AS BIGINT) AS flesch_e3 "
+    "FROM g"
+)
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# --------------------------------------------------------------------------
+
+def js_divergence_sources(docs: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the symmetric, bounded (≤ ln 2) corpus-drift
+    readout: which sources speak the same language-of-tokens and which
+    are topical outliers? The KL gate (q141) compares one distribution
+    to a reference; JSD is the all-pairs mixture form
+    ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2, the measure behind corpus
+    mixing and GAN-style distribution matching.
+
+    Exactness: counts and totals are exact longs; each word's
+    contribution ½·(p·ln(p/m) + q·ln(q/m)) is ONE double expression
+    over exact operands, floored to e9 integer units (terms can be
+    NEGATIVE — a word under-represented in p pulls its p-term below
+    zero; FLOOR on negatives is identical in both engines), and the
+    per-pair sum runs on exact longs — float addition order cannot
+    diverge engines (the ANOVA/text-family per-term-floor posture).
+
+    Scale shape: one (source, word) count aggregate, a ≤|sources|²/2
+    pair grid crossed with the global vocab (at web scale you'd first
+    threshold to the top-K vocab — the grid is the documented scale
+    bound), two hash joins keyed on (source, word) — the count table
+    is vocab-sized, so these SHUFFLE rather than broadcast; AQE
+    broadcasts them at fixture size on its own — and one sum to
+    |pairs| rows. The corpus is scanned once."""
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    srcs = tot.select("source", "t")
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"), F.col("a.t").alias("t1"),
+            F.col("b.source").alias("s2"), F.col("b.t").alias("t2"),
+        )
+    )
+    vocab = cnt.select("w").distinct()
+    grid = pairs.crossJoin(vocab)
+    j = (
+        grid.join(
+            cnt.select(
+                F.col("source").alias("s1"), "w", F.col("c").alias("c1")
+            ),
+            ["s1", "w"], "left",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("s2"), "w", F.col("c").alias("c2")
+            ),
+            ["s2", "w"], "left",
+        )
+        .select(
+            "s1", "s2",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            "t1", "t2",
+        )
+        .where((F.col("c1") > 0) | (F.col("c2") > 0))
+    )
+    p = F.col("c1").cast("double") / F.col("t1").cast("double")
+    q = F.col("c2").cast("double") / F.col("t2").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        j.select(
+            "s1", "s2",
+            F.floor(F.lit(1_000_000_000.0) * term).cast("long").alias("t_e9"),
+        )
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words_union"),
+            F.sum("t_e9").cast("long").alias("jsd_e9"),
+        )
+    )
+
+
+def text_js_divergence(spark, sf_dir):
+    """Gate: pairwise source-distribution JSD over the corpus."""
+    return js_divergence_sources(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_js_divergence"] = text_js_divergence
+TEXTSTATS_ORACLE["text_js_divergence"] = (
+    "WITH toks AS ("
+    "  SELECT source, unnest(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '')) AS w "
+    "  FROM documents), "
+    "cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c "
+    "  FROM toks GROUP BY 1, 2), "
+    "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t "
+    "  FROM cnt GROUP BY 1), "
+    "pairs AS ("
+    "  SELECT a.source AS s1, a.t AS t1, b.source AS s2, b.t AS t2 "
+    "  FROM tot a, tot b WHERE a.source < b.source), "
+    "vocab AS (SELECT DISTINCT w FROM cnt), "
+    "j AS ("
+    "  SELECT s1, s2, COALESCE(x.c, 0) AS c1, COALESCE(y.c, 0) AS c2, "
+    "    t1, t2 "
+    "  FROM pairs CROSS JOIN vocab v "
+    "  LEFT JOIN cnt x ON x.source = s1 AND x.w = v.w "
+    "  LEFT JOIN cnt y ON y.source = s2 AND y.w = v.w "
+    "  WHERE COALESCE(x.c, 0) > 0 OR COALESCE(y.c, 0) > 0), "
+    "terms AS ("
+    "  SELECT s1, s2, CAST(FLOOR(1000000000.0 * ("
+    "    CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)) "
+    "      * LN((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)) "
+    "        / ((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) "
+    "           + CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0)) "
+    "      ELSE 0.0 END "
+    "    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) "
+    "      * LN((CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) "
+    "        / ((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) "
+    "           + CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) / 2.0)) "
+    "      ELSE 0.0 END) / 2.0) AS BIGINT) AS t_e9 "
+    "  FROM j) "
+    "SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_words_union, "
+    "  CAST(SUM(t_e9) AS BIGINT) AS jsd_e9 "
+    "FROM terms GROUP BY 1, 2"
+)

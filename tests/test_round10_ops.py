@@ -328,3 +328,159 @@ def test_second_order_paths_probabilities_partition(spark, sf_smoke):
         assert 1_000_000 - len(branches) < psum <= 1_000_000, (a, b)
         for n, p in branches:
             assert p == (1_000_000 * n) // tot, (a, b, n)
+
+
+# --------------------------------------------------------------------------
+# readability
+# --------------------------------------------------------------------------
+
+def test_readability_matches_python_replay(spark, sf_smoke):
+    """Per-source Flesch components and score equal a Python recompute
+    of the documented integer formula."""
+    import re
+
+    from data_table_spark.operators.textstats import TEXTSTATS_QUERIES
+
+    docs = load_table(spark, "documents", sf_smoke).collect()
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        t = r["text"]
+        w = len([x for x in t.lower().strip().split() if x])
+        s = len([x for x in re.split(r"[.!?]+", t) if x.strip()])
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        a = agg.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    got = TEXTSTATS_QUERIES["text_readability"](spark, sf_smoke).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, w, s, y = agg[r["source"]]
+        exp = 206835 - (1015 * w) // s - (84600 * y) // w
+        assert (
+            r["n_docs"], r["words"], r["sentences"], r["syllables"],
+            r["flesch_e3"],
+        ) == (n, w, s, y, exp), r["source"]
+
+
+# --------------------------------------------------------------------------
+# JS divergence
+# --------------------------------------------------------------------------
+
+def test_js_divergence_matches_python_replay(spark, sf_smoke):
+    """Pairwise JSD equals a Python recompute with the same per-term e9
+    floors, and every value sits in the JSD bound [0, ln 2]."""
+    from data_table_spark.operators.textstats import TEXTSTATS_QUERIES
+
+    docs = load_table(spark, "documents", sf_smoke).collect()
+    cnt: dict[str, dict[str, int]] = {}
+    for r in docs:
+        d = cnt.setdefault(r["source"], {})
+        for w in r["text"].lower().strip().split():
+            if w:
+                d[w] = d.get(w, 0) + 1
+    tot = {s: sum(d.values()) for s, d in cnt.items()}
+    got = {
+        (r["s1"], r["s2"]): (r["n_words_union"], r["jsd_e9"])
+        for r in TEXTSTATS_QUERIES["text_js_divergence"](
+            spark, sf_smoke
+        ).collect()
+    }
+    srcs = sorted(cnt)
+    n_pairs = 0
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            n_pairs += 1
+            words = set(cnt[s1]) | set(cnt[s2])
+            total = 0
+            for w in words:
+                c1, c2 = cnt[s1].get(w, 0), cnt[s2].get(w, 0)
+                p = c1 / tot[s1]
+                q = c2 / tot[s2]
+                m = (p + q) / 2.0
+                term = (
+                    (p * math.log(p / m) if c1 > 0 else 0.0)
+                    + (q * math.log(q / m) if c2 > 0 else 0.0)
+                ) / 2.0
+                total += math.floor(1_000_000_000.0 * term)
+            assert got[(s1, s2)] == (len(words), total), (s1, s2)
+            assert 0 <= total <= math.ceil(math.log(2) * 1e9)
+    assert len(got) == n_pairs
+
+
+# --------------------------------------------------------------------------
+# dedup quota
+# --------------------------------------------------------------------------
+
+def test_dedup_quota_counts_partition(spark, sf_smoke):
+    """kept + dropped = docs per source; kept equals the number of
+    distinct opening-prefix clusters intersecting the source under
+    quota 1 with min-doc_id survivorship; and the sweep drops > 0 docs
+    (the sizing is not degenerate)."""
+    from data_table_spark.operators.pipeline import (
+        DUP_PREFIX_TOKENS,
+        PIPELINE_QUERIES,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke).collect()
+    clusters: dict[str, list] = {}
+    for r in docs:
+        key = " ".join(
+            [x for x in r["text"].lower().strip().split() if x]
+            [:DUP_PREFIX_TOKENS]
+        )
+        clusters.setdefault(key, []).append((r["doc_id"], r["source"]))
+    kept: dict[str, int] = {}
+    dropped: dict[str, int] = {}
+    for members in clusters.values():
+        members.sort()
+        kept[members[0][1]] = kept.get(members[0][1], 0) + 1
+        for _, src in members[1:]:
+            dropped[src] = dropped.get(src, 0) + 1
+    rows = PIPELINE_QUERIES["pipe_dedup_quota"](spark, sf_smoke).collect()
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] == kept.get(r["source"], 0), r["source"]
+        assert r["n_dropped"] == dropped.get(r["source"], 0), r["source"]
+    assert sum(r["n_dropped"] for r in rows) > 0
+
+
+# --------------------------------------------------------------------------
+# moving median
+# --------------------------------------------------------------------------
+
+def test_moving_median_matches_python_replay(spark, sf_smoke):
+    """Every (region, day) med2 equals the sum of the two middle order
+    statistics of the trailing-7-day daily revenues, recomputed in
+    Python from the raw tables."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    o = load_table(spark, "orders", sf_smoke).collect()
+    c = {r["c_custkey"]: r["c_nationkey"]
+         for r in load_table(spark, "customer", sf_smoke).collect()}
+    n = {r["n_nationkey"]: r["n_regionkey"]
+         for r in load_table(spark, "nation", sf_smoke).collect()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in load_table(spark, "region", sf_smoke).collect()}
+    daily: dict = {}
+    for r in o:
+        region = reg[n[c[r["o_custkey"]]]]
+        day = r["o_orderdate"].date()
+        cents = round(r["o_totalprice"] * 100)
+        daily[(region, day)] = daily.get((region, day), 0) + cents
+    got = RELATIONAL_QUERIES["q174_moving_median"](
+        spark, sf_smoke
+    ).collect()
+    assert len(got) == len(daily)
+    import datetime
+
+    for r in got:
+        vals = sorted(
+            v for (rg, d), v in daily.items()
+            if rg == r["region"]
+            and datetime.timedelta(0) <= r["day"] - d <= datetime.timedelta(6)
+        )
+        k = len(vals)
+        exp = vals[(k + 1) // 2 - 1] + vals[k // 2]
+        assert (r["n_in_window"], r["med2_cents"]) == (k, exp), r
