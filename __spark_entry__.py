@@ -209,6 +209,10 @@ _NEXT_WINDOW_QUEUE = [
     "text_js_divergence",           # pairwise source JSD, e9 term floors
     "pipe_dedup_quota",             # opening-prefix cluster quota sweep
     "q174_moving_median",           # exact 7-day trailing median, 2x form
+    "sim_rp_hamming_topk",          # SRP 16-bit sketch + exact rerank
+    "media_quiet_runs",             # VAD islands over real WAV energies
+    "udf_mapinpandas_filter",       # mapInPandas batch filter flavor
+    "stream_late_drop_counts",      # watermark drop accounting replay
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -1093,3 +1093,106 @@ MULTIMODAL_ORACLE["media_scene_cuts"] = (
     "  CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump "
     "FROM jumps GROUP BY 1"
 ).format(thr=SCENE_CUT_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# quiet-run detection over decoded audio (VAD islands)
+# --------------------------------------------------------------------------
+
+def quiet_runs(energies: DataFrame) -> DataFrame:
+    """Silence/quiet-segment detection over windowed audio energy — the
+    islands step of voice-activity detection and silence trimming: a
+    window is QUIET iff its energy is below the document's mean window
+    energy (the relative threshold is exact integer arithmetic —
+    energy·n_windows < total_energy — where an absolute dB cut would
+    need a per-corpus calibration pass), and consecutive quiet windows
+    merge into runs via the win_idx − row_number islands identity (the
+    q70 SCD2 construction applied to audio frames).
+
+    Emits per doc: window/quiet counts, number of quiet runs, and the
+    longest run — the trim decision's inputs.
+
+    Scale shape: the energy table arrives partitioned by doc from the
+    decode (mapInPandas preserves partitioning); both windows and the
+    final rollup group on doc_id — ONE shuffle total, frame payloads
+    never move."""
+    from pyspark.sql import Window
+
+    g = Window.partitionBy("doc_id")
+    e = energies.withColumn(
+        "n_wins", F.count(F.lit(1)).over(g)
+    ).withColumn("tot", F.sum("energy").over(g))
+    quiet = e.where(
+        F.col("energy") * F.col("n_wins") < F.col("tot")
+    )
+    wq = Window.partitionBy("doc_id").orderBy("win_idx")
+    isl = quiet.withColumn(
+        "grp", F.col("win_idx") - F.row_number().over(wq)
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum("run_len").cast("long").alias("n_quiet"),
+    )
+    dims = energies.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    return (
+        dims.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_windows",
+            F.coalesce("n_quiet", F.lit(0)).cast("long").alias("n_quiet"),
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("longest_run", F.lit(0)).cast("long")
+            .alias("longest_run"),
+        )
+    )
+
+
+def media_quiet_runs(spark, sf_dir):
+    """Gate: quiet-run islands over the REAL WAV chain (synthesize →
+    stdlib decode → 16-sample integer energies → below-mean islands).
+    The oracle rebuilds every sample from the ASCII text and replays
+    the threshold and islands identically."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return quiet_runs(wav_window_energy(encode_wav_demo(d)))
+
+
+MULTIMODAL_QUERIES["media_quiet_runs"] = media_quiet_runs
+MULTIMODAL_ORACLE["media_quiet_runs"] = (
+    "WITH px AS ("
+    "  SELECT doc_id, k, "
+    "    (ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+    "      CAST(k + 1 AS INT), 1)) - 128) * 256 AS s "
+    "  FROM documents, UNNEST(range(64)) AS t(k)), "
+    "e AS ("
+    "  SELECT doc_id, CAST(k // 16 AS INT) AS win_idx, "
+    "    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy "
+    "  FROM px GROUP BY 1, 2), "
+    "stats AS ("
+    "  SELECT doc_id, win_idx, energy, "
+    "    COUNT(*) OVER (PARTITION BY doc_id) AS n_wins, "
+    "    SUM(energy) OVER (PARTITION BY doc_id) AS tot "
+    "  FROM e), "
+    "isl AS ("
+    "  SELECT doc_id, win_idx - ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY win_idx) AS grp "
+    "  FROM stats WHERE energy * n_wins < tot), "
+    "runs AS ("
+    "  SELECT doc_id, grp, COUNT(*) AS run_len "
+    "  FROM isl GROUP BY 1, 2), "
+    "per_doc AS ("
+    "  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs, "
+    "    CAST(MAX(run_len) AS BIGINT) AS longest_run, "
+    "    CAST(SUM(run_len) AS BIGINT) AS n_quiet "
+    "  FROM runs GROUP BY 1) "
+    "SELECT e2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+    "  COALESCE(ANY_VALUE(p.n_quiet), 0) AS n_quiet, "
+    "  COALESCE(ANY_VALUE(p.n_runs), 0) AS n_runs, "
+    "  COALESCE(ANY_VALUE(p.longest_run), 0) AS longest_run "
+    "FROM e e2 LEFT JOIN per_doc p ON e2.doc_id = p.doc_id "
+    "GROUP BY e2.doc_id"
+)

@@ -1813,3 +1813,156 @@ SIMILARITY_ORACLE["sim_maxsim_topk"] = (
     "  maxsim_micro "
     f"FROM per_qd QUALIFY rk <= {MAXSIM_TOP_K}"
 )
+
+
+# --------------------------------------------------------------------------
+# signed-random-projection (SRP) Hamming sketch + exact rerank
+# --------------------------------------------------------------------------
+
+#: SRP-LSH parameters: 16 sketch bits, md5-derived ±1 projections (so
+#: DuckDB replays them with no embedded literals), query vector 7,
+#: Hamming radius 5 (31-63 candidates across sfs — prototyped before
+#: coding; radius 3 starved the rerank below k at sf0.01), rerank top-5.
+SRP_BITS = 16
+SRP_QUERY = 7
+SRP_HAM_MAX = 5
+SRP_TOP_K = 5
+
+
+def srp_sketches(emb: DataFrame, bits: int = SRP_BITS) -> DataFrame:
+    """Per-vector SRP sketch — the Charikar sim-hash for REAL vectors:
+    bit j = [Σ_i sign(j,i)·v_i > 0] with sign(j,i) = ±1 from the
+    md5-prefix parity of "rp{j}:{i}". Sketches preserve angle:
+    P[bits differ] = θ/π, so Hamming distance over a 16-bit long is a
+    cheap angular pre-rank (the binary sibling of the int8 path —
+    sim_quantized_topk compresses magnitudes, SRP compresses to 1 bit
+    per projection).
+
+    Exactness: components quantize to exact e6-micro longs FIRST, so
+    each projection sum is order-free integer arithmetic (a double
+    fold would tie the result to summation order, which DuckDB's
+    list_sum does not pin); the sketch packs Σ 2^j over positive
+    projections.
+
+    Scale shape: one posexplode (64 rows/vec), a broadcast 16-row bit
+    spine, one (vec, bit) aggregate, one vec aggregate — two shuffles
+    of (id, long) pairs, never raw vectors; the md5 signs cost
+    dims·bits digests per vector and at serving scale you'd
+    materialize the sketch column once at ingest (write_bucketed) and
+    never recompute."""
+    jspine = F.broadcast(
+        SparkSession.getActiveSession()
+        .range(bits)
+        .select(F.col("id").cast("int").alias("j"))
+    )
+    d = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id", "i",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.concat(F.lit("rp"), F.col("j")), F.col("i"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        d.crossJoin(jspine)
+        .select("vec_id", "j", (sign * F.col("q")).alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("t").alias("dot"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("sketch")
+    )
+
+
+def sim_rp_hamming_topk(spark, sf_dir):
+    """Gate: SRP sketch Hamming prefilter (radius ≤ SRP_HAM_MAX around
+    the query's sketch) + exact cosine rerank to top-5. Candidates
+    carry their Hamming distance so the readout shows the funnel:
+    which rank-1 exact neighbors the 16-bit sketch kept nearby."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sk = srp_sketches(emb)
+    qsk = sk.where(F.col("vec_id") == SRP_QUERY).select(
+        F.col("sketch").alias("qsk")
+    )
+    qv = emb.where(F.col("vec_id") == SRP_QUERY).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        sk.where(F.col("vec_id") != SRP_QUERY)
+        .crossJoin(F.broadcast(qsk))
+        .select(
+            "vec_id",
+            F.bit_count(
+                F.col("sketch").bitwiseXOR(F.col("qsk"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= SRP_HAM_MAX)
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "hamming",
+            F.floor(
+                F.lit(1_000_000.0) * cosine(F.col("embedding"), F.col("qv"))
+                + F.lit(0.5)
+            ).cast("long").alias("cos_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_micro").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= SRP_TOP_K)
+        .select("rk", "vec_id", "hamming", "cos_micro")
+    )
+
+
+SIMILARITY_QUERIES["sim_rp_hamming_topk"] = sim_rp_hamming_topk
+SIMILARITY_ORACLE["sim_rp_hamming_topk"] = (
+    "WITH d AS ("
+    "  SELECT vec_id, i - 1 AS i, "
+    "    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
+    "      AS q "
+    "  FROM embeddings, UNNEST(range(1, 65)) u(i)), "
+    "proj AS ("
+    "  SELECT vec_id, j, CAST(SUM(CASE WHEN "
+    "    ('0x' || substr(md5('rp' || j || ':' || i), 1, 8))::BIGINT "
+    "      % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS dot "
+    f"  FROM d, UNNEST(range({SRP_BITS})) v(j) GROUP BY 1, 2), "
+    "sk AS ("
+    "  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 "
+    "    THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sketch "
+    "  FROM proj GROUP BY 1), "
+    f"qsk AS (SELECT sketch AS q_sk FROM sk WHERE vec_id = {SRP_QUERY}), "
+    "cand AS ("
+    "  SELECT vec_id, CAST(bit_count(xor(sketch, q_sk)) AS BIGINT) "
+    "    AS hamming "
+    f"  FROM sk, qsk WHERE vec_id != {SRP_QUERY}"
+    f"    AND bit_count(xor(sketch, q_sk)) <= {SRP_HAM_MAX}), "
+    "qv AS (SELECT embedding AS qe FROM embeddings "
+    f"  WHERE vec_id = {SRP_QUERY}), "
+    "scored AS ("
+    "  SELECT c.vec_id, c.hamming, "
+    "    CAST(FLOOR(1000000.0 * list_cosine_similarity("
+    "      e.embedding::DOUBLE[], qv.qe::DOUBLE[]) + 0.5) AS BIGINT) "
+    "      AS cos_micro "
+    "  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, qv) "
+    "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_micro DESC, vec_id) "
+    "  AS BIGINT) AS rk, vec_id, hamming, cos_micro "
+    "FROM scored "
+    f"QUALIFY rk <= {SRP_TOP_K}"
+)

@@ -404,3 +404,77 @@ UDF_ORACLE["udf_arrow_udtf_words"] = (
     "  string_split_regex(trim(text), '\\s+'), x -> x <> '')) word) u "
     "WHERE doc_id >= 20 AND doc_id < 40"
 )
+
+
+# --------------------------------------------------------------------------
+# mapInPandas: batch-level filter + project (the map-partitions flavor)
+# --------------------------------------------------------------------------
+
+#: quantity cut for the mapInPandas demo — ~50 % selectivity at every sf.
+MIP_MIN_QTY = 25
+
+
+def udf_mapinpandas_filter(spark, sf_dir):
+    """mapInPandas over lineitem — the remaining Python execution
+    flavor in the matrix (scalar pandas_udf / Arrow row UDF / grouped
+    applyInPandas / pickled+Arrow UDTF / applyInPandasWithState are
+    all gated already): the WHOLE Arrow batch arrives as a DataFrame
+    and the function may filter, project, and re-shape it (0..n rows
+    out per batch) with no grouping key — the shape bulk featurizers
+    and batch-level model scoring actually use (multimodal.py rides it
+    for decode; this gate pins the flavor on the relational path with
+    an exact oracle).
+
+    Exactness: net cents computed INSIDE the batch in integer space —
+    round(ext·100)·(100 − round(disc·100)) // 100 on int64 pandas
+    columns, replayed by the oracle in BIGINT arithmetic; no float
+    leaves the worker.
+
+    Scale shape: map-only (no shuffle, no grouping); predicate
+    selectivity happens inside the batch. The cost vs a builtin WHERE
+    is one Arrow round-trip per batch — which is the point: everything
+    expressible as Column expressions STAYS JVM-side (q02), and this
+    flavor exists for logic that is not."""
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("net_cents", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            qty = pdf["l_quantity"].round().astype("int64")
+            keep = pdf[qty >= MIP_MIN_QTY]
+            kq = qty[qty >= MIP_MIN_QTY]
+            ext_c = (keep["l_extendedprice"] * 100).round().astype("int64")
+            disc_p = (keep["l_discount"] * 100).round().astype("int64")
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": keep["l_orderkey"].astype("int64"),
+                    "l_linenumber": keep["l_linenumber"].astype("int64"),
+                    "qty": kq.astype("int64"),
+                    "net_cents": (ext_c * (100 - disc_p)) // 100,
+                }
+            )
+            yield out
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    return li.mapInPandas(batches, schema)
+
+
+UDF_QUERIES["udf_mapinpandas_filter"] = udf_mapinpandas_filter
+UDF_ORACLE["udf_mapinpandas_filter"] = (
+    "SELECT l_orderkey, l_linenumber, "
+    "  CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+    "  CAST((CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100 "
+    "    AS BIGINT) AS net_cents "
+    "FROM lineitem "
+    f"WHERE CAST(ROUND(l_quantity) AS BIGINT) >= {MIP_MIN_QTY}"
+)

@@ -484,3 +484,203 @@ def test_moving_median_matches_python_replay(spark, sf_smoke):
         k = len(vals)
         exp = vals[(k + 1) // 2 - 1] + vals[k // 2]
         assert (r["n_in_window"], r["med2_cents"]) == (k, exp), r
+
+
+# --------------------------------------------------------------------------
+# SRP Hamming top-k
+# --------------------------------------------------------------------------
+
+def test_srp_matches_python_replay(spark, sf_smoke):
+    """Sketches, Hamming prefilter, and reranked top-5 equal a pure
+    Python replay (md5 signs, exact micro-int projections, the
+    sequential-fold cosine)."""
+    from data_table_spark.operators.similarity import (
+        SIMILARITY_QUERIES,
+        SRP_BITS,
+        SRP_HAM_MAX,
+        SRP_QUERY,
+        SRP_TOP_K,
+    )
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, "embeddings", sf_smoke).collect()
+    }
+    d = len(next(iter(emb.values())))
+    signs = [
+        [1 if _h32(f"rp{j}:{i}") % 2 == 0 else -1 for i in range(d)]
+        for j in range(SRP_BITS)
+    ]
+    sk = {}
+    for vid, v in emb.items():
+        q = [round(x * 1e6) for x in v]
+        s = 0
+        for j in range(SRP_BITS):
+            if sum(sg * qq for sg, qq in zip(signs[j], q)) > 0:
+                s |= 1 << j
+        sk[vid] = s
+
+    def cos_micro(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return math.floor(
+            1_000_000.0 * (dot / (math.sqrt(na) * math.sqrt(nb))) + 0.5
+        )
+
+    qs = sk[SRP_QUERY]
+    cand = [
+        (vid, bin(sk[vid] ^ qs).count("1"))
+        for vid in emb
+        if vid != SRP_QUERY and bin(sk[vid] ^ qs).count("1") <= SRP_HAM_MAX
+    ]
+    scored = sorted(
+        (
+            (-cos_micro(emb[vid], emb[SRP_QUERY]), vid, h)
+            for vid, h in cand
+        ),
+    )
+    got = SIMILARITY_QUERIES["sim_rp_hamming_topk"](
+        spark, sf_smoke
+    ).orderBy("rk").collect()
+    assert len(got) == min(SRP_TOP_K, len(scored))
+    for rk, (r, (neg_c, vid, h)) in enumerate(zip(got, scored), start=1):
+        assert (r["rk"], r["vec_id"], r["hamming"], r["cos_micro"]) == (
+            rk, vid, h, -neg_c
+        )
+
+
+# --------------------------------------------------------------------------
+# quiet runs
+# --------------------------------------------------------------------------
+
+def test_quiet_runs_matches_python_replay(spark, sf_smoke):
+    """Per-doc quiet/run stats equal a Python replay of the WAV chain
+    (byte-cycled samples, 16-sample energies, below-mean threshold,
+    consecutive-run islands)."""
+    from data_table_spark.operators.multimodal import MULTIMODAL_QUERIES
+
+    docs = load_table(spark, "documents", sf_smoke).select(
+        "doc_id", "text"
+    ).collect()
+    exp = {}
+    for r in docs:
+        data = r["text"].encode()
+        cyc = (data * (1 + 64 // len(data)))[:64]
+        samples = [(b - 128) * 256 for b in cyc]
+        energies = [
+            sum(s * s for s in samples[w:w + 16]) for w in range(0, 64, 16)
+        ]
+        tot = sum(energies)
+        quiet = [i for i, e in enumerate(energies) if e * len(energies) < tot]
+        runs = []
+        for i in quiet:
+            if runs and runs[-1][1] == i - 1:
+                runs[-1] = (runs[-1][0], i)
+            else:
+                runs.append((i, i))
+        exp[r["doc_id"]] = (
+            len(energies), len(quiet), len(runs),
+            max((b - a + 1 for a, b in runs), default=0),
+        )
+    got = MULTIMODAL_QUERIES["media_quiet_runs"](spark, sf_smoke).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        assert (
+            r["n_windows"], r["n_quiet"], r["n_runs"], r["longest_run"]
+        ) == exp[r["doc_id"]], r["doc_id"]
+
+
+# --------------------------------------------------------------------------
+# mapInPandas flavor
+# --------------------------------------------------------------------------
+
+def test_mapinpandas_plan_and_builtin_equivalence(spark, sf_smoke):
+    """The gate's plan contains a MapInPandas node (the flavor under
+    test), and its output equals the same computation as pure Column
+    expressions — the Python batch path agrees with the JVM path."""
+    from data_table_spark.operators.udfs import MIP_MIN_QTY, UDF_QUERIES
+
+    df = UDF_QUERIES["udf_mapinpandas_filter"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    li = load_table(spark, "lineitem", sf_smoke)
+    ref = (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+                "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) "
+                "div 100"
+            ).cast("long").alias("net_cents"),
+        )
+        .where(F.col("qty") >= MIP_MIN_QTY)
+    )
+    got = {tuple(r) for r in df.collect()}
+    exp = {tuple(r) for r in ref.collect()}
+    assert got == exp and got
+
+
+# --------------------------------------------------------------------------
+# late-drop accounting
+# --------------------------------------------------------------------------
+
+def test_late_drop_matches_python_replay(spark, sf_smoke):
+    """Batch sizes, watermarks, and drop counts equal a Python replay
+    of the documented arrival simulation; the watermark is
+    non-decreasing and batch 0 never drops."""
+    from data_table_spark.streaming.windows import (
+        LATE_DELAY_S,
+        LATE_JITTER_S,
+        LATE_N_BATCHES,
+        LATE_WINDOW_S,
+        STREAMJOIN_QUERIES,
+    )
+
+    ev = load_table(spark, "events", sf_smoke).select(
+        "event_id", "ts"
+    ).collect()
+    rows = [
+        (r["event_id"], int(r["ts"].timestamp()))
+        for r in ev
+    ]
+    arr = [
+        (s, s + _h32(f"lag:{eid}") % (2 * LATE_JITTER_S) - LATE_JITTER_S)
+        for eid, s in rows
+    ]
+    lo = min(a for _, a in arr)
+    hi = max(a for _, a in arr)
+    batches: dict[int, list[int]] = {}
+    for s, a in arr:
+        b = min((a - lo) * LATE_N_BATCHES // (hi - lo + 1), LATE_N_BATCHES - 1)
+        batches.setdefault(b, []).append(s)
+    got = {
+        r["batch"]: (r["n_events"], r["n_dropped"], r["wm_s"])
+        for r in STREAMJOIN_QUERIES["stream_late_drop_counts"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(batches)
+    prev_wm = None
+    total_drops = 0
+    for b in sorted(batches):
+        wm = max(
+            (max(batches[j]) for j in batches if j < b), default=None
+        )
+        wm = wm - LATE_DELAY_S if wm is not None else None
+        drops = sum(
+            1 for s in batches[b]
+            if wm is not None and (s // LATE_WINDOW_S + 1) * LATE_WINDOW_S <= wm
+        )
+        assert got[b] == (len(batches[b]), drops, wm), b
+        if wm is not None and prev_wm is not None:
+            assert wm >= prev_wm
+        prev_wm = wm if wm is not None else prev_wm
+        total_drops += drops
+    assert got[0][1] == 0 and got[0][2] is None
+    assert total_drops > 0, "simulation degenerate: nothing dropped"
