@@ -213,6 +213,9 @@ _NEXT_WINDOW_QUEUE = [
     "media_quiet_runs",             # VAD islands over real WAV energies
     "udf_mapinpandas_filter",       # mapInPandas batch filter flavor
     "stream_late_drop_counts",      # watermark drop accounting replay
+    "ref_jsonl_roundtrip",          # JSON-lines write-read identity
+    "q175_hour_entropy",            # hour-of-day entropy per event type
+    "q176_lorenz_deciles",          # spend Lorenz curve, exact shares
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

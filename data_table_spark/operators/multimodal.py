@@ -1112,43 +1112,50 @@ def quiet_runs(energies: DataFrame) -> DataFrame:
     Emits per doc: window/quiet counts, number of quiet runs, and the
     longest run — the trim decision's inputs.
 
-    Scale shape: the energy table arrives partitioned by doc from the
-    decode (mapInPandas preserves partitioning); both windows and the
-    final rollup group on doc_id — ONE shuffle total, frame payloads
+    Scale shape: ONE linear chain over ONE decode — the first cut
+    branched the energy frame into a dims groupBy AND a windowed
+    islands path joined back, which re-ran the mapInPandas decode per
+    branch and smoked 18× at 10× data; this form keeps every row (the
+    non-quiet rows collapse into one NULL-island group per doc) so
+    window counts, quiet counts, and runs all fall out of one
+    two-level aggregate. Both window passes and both groupBys share
+    the doc_id partitioning — ONE shuffle, no join, frame payloads
     never move."""
     from pyspark.sql import Window
 
     g = Window.partitionBy("doc_id")
-    e = energies.withColumn(
-        "n_wins", F.count(F.lit(1)).over(g)
-    ).withColumn("tot", F.sum("energy").over(g))
-    quiet = e.where(
-        F.col("energy") * F.col("n_wins") < F.col("tot")
-    )
     wq = Window.partitionBy("doc_id").orderBy("win_idx")
-    isl = quiet.withColumn(
-        "grp", F.col("win_idx") - F.row_number().over(wq)
-    )
-    runs = isl.groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    per_doc = runs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_runs"),
-        F.max("run_len").cast("long").alias("longest_run"),
-        F.sum("run_len").cast("long").alias("n_quiet"),
-    )
-    dims = energies.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_windows")
-    )
-    return (
-        dims.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id", "n_windows",
-            F.coalesce("n_quiet", F.lit(0)).cast("long").alias("n_quiet"),
-            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
-            F.coalesce("longest_run", F.lit(0)).cast("long")
-            .alias("longest_run"),
+    e = (
+        energies.withColumn("n_wins", F.count(F.lit(1)).over(g))
+        .withColumn("tot", F.sum("energy").over(g))
+        .withColumn(
+            "quiet",
+            F.col("energy") * F.col("n_wins") < F.col("tot"),
         )
+        .withColumn(
+            "rq", F.sum(F.col("quiet").cast("int")).over(wq)
+        )
+        .select(
+            "doc_id", "quiet",
+            # islands id among quiet rows; NULL collapses every
+            # non-quiet row into one throwaway group per doc
+            F.when(F.col("quiet"), F.col("win_idx") - F.col("rq"))
+            .alias("grp"),
+        )
+    )
+    runs = e.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("quiet").cast("int")).alias("is_run"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_windows"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_run") == 1, F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_quiet"),
+        F.sum(F.col("is_run")).cast("long").alias("n_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("is_run") == 1, F.col("n"))), F.lit(0)
+        ).cast("long").alias("longest_run"),
     )
 
 

@@ -385,3 +385,40 @@ REFERENCE_ORACLE["ref_orc_roundtrip"] = (
     "SELECT n_nationkey, n_name, n_regionkey, "
     "'<o & \"' || n_name || ''' é✓>' AS n_marked FROM nation"
 )
+
+
+def ref_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink/source round trip — the interchange format every
+    corpus pipeline actually ships (shards arrive and leave as .jsonl),
+    completing the storage matrix next to ref_xml/ref_orc and the
+    fixed-width/CSV paths (sources/formats.py read/write_json_lines):
+    write nation to JSON lines, read it back WITH the explicit schema
+    (schema-less JSON re-infers LongType for every integer — the typed
+    read is the production path), and return the reconstructed columns
+    plus a marker column carrying JSON's own metacharacters (``"``,
+    ``\\``, newline-adjacent text, non-ASCII) so string escaping is
+    proven, not assumed. A green row proves write∘read is the identity
+    including types. Per-(application, sf) tmp path, mode=overwrite —
+    the ref_orc_roundtrip idempotence posture."""
+    from ..sources.formats import read_json_lines, write_json_lines
+
+    n = load_table(spark, "nation", sf_dir).withColumn(
+        "n_marked",
+        F.concat(F.lit('{"j\\ '), F.col("n_name"), F.lit(' "é✓"}')),
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        f"dts_jsonl_roundtrip_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_json_lines(n, dest)
+    return read_json_lines(spark, dest, schema=n.schema).select(
+        "n_nationkey", "n_name", "n_regionkey", "n_marked"
+    )
+
+
+REFERENCE_QUERIES["ref_jsonl_roundtrip"] = ref_jsonl_roundtrip
+REFERENCE_ORACLE["ref_jsonl_roundtrip"] = (
+    "SELECT n_nationkey, n_name, n_regionkey, "
+    "'{\"j\\ ' || n_name || ' \"é✓\"}' AS n_marked FROM nation"
+)

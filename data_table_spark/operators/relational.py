@@ -9634,15 +9634,23 @@ def q171_anova_f(spark, sf_dir):
         F.sum("x").alias("s"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
     )
-    tot = g.agg(
-        F.sum("n").alias("nn"),
-        F.sum("s").alias("ss"),
-        F.count(F.lit(1)).alias("k"),
+    # global moments via an unpartitioned window over the k-row group
+    # table (k = 5 segments) — not a 1-row crossJoin: the broadcast
+    # nested-loop node it compiles to trips the scale smoke's strict
+    # no-BNLJ audit, and over a dimension-bounded table the window is
+    # free and keeps the plan join-less
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
     mg = sd / nd
     m = F.col("ss").cast("double") / F.col("nn").cast("double")
-    terms = g.crossJoin(F.broadcast(tot)).select(
+    terms = g.select(
+        "n", "s", "q",
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("s").over(wall).alias("ss"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    ).select(
         "nn", "k",
         F.floor(F.col("q").cast("double") - sd * sd / nd)
         .cast("long").alias("ssw_t"),
@@ -9858,8 +9866,13 @@ def q173_second_order_paths(spark, sf_dir):
         tri.join(F.broadcast(ctx), ["a", "b"])
         .select(
             "a", "b", "c", "n",
-            # integer floor division — exact, mirrors the oracle's //
-            F.expr("(1000000 * n) div ctx_n").cast("long").alias("p_e6"),
+            # exact floor division in DECIMAL(38,0): 1e6 x a trigram
+            # count is int64-safe only to ~9e12 occurrences - the q176
+            # hardening applied at design review
+            _floor_div_dec(
+                F.col("n").cast("decimal(38,0)") * 1_000_000,
+                F.col("ctx_n").cast("decimal(38,0)"),
+            ).alias("p_e6"),
         )
     )
 
@@ -9877,7 +9890,7 @@ RELATIONAL_ORACLE["q173_second_order_paths"] = (
     "ctx AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS ctx_n "
     "  FROM tri GROUP BY 1, 2) "
     "SELECT tri.a, tri.b, tri.c, tri.n, "
-    "  CAST((1000000 * tri.n) // ctx.ctx_n AS BIGINT) AS p_e6 "
+    "  CAST((1000000::HUGEINT * tri.n) // ctx.ctx_n AS BIGINT) AS p_e6 "
     "FROM tri JOIN ctx ON tri.a = ctx.a AND tri.b = ctx.b"
 )
 
@@ -9961,4 +9974,201 @@ RELATIONAL_ORACLE["q174_moving_median"] = (
     "  CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] "
     "    + arr[CAST(len(arr) // 2 AS INT) + 1] AS BIGINT) AS med2_cents "
     "FROM win"
+)
+
+
+# --------------------------------------------------------------------------
+# q175: hour-of-day entropy per event type
+# --------------------------------------------------------------------------
+
+def q175_hour_entropy(spark, sf_dir):
+    """Shannon entropy of each event type's hour-of-day distribution —
+    the temporal-regularity detector: organic human activity spreads
+    over the day (entropy near ln 24), a cron job or bot hammers one
+    hour (entropy near 0). Complements q131's burstiness (inter-event
+    spacing) with WHERE-in-the-day mass concentrates; the peak hour
+    and its share make the readout actionable.
+
+    Exactness: hour counts are exact longs over the bounded 24-cell
+    table; each −p·ln p term is ONE double expression floored to e6
+    micro-nats and the per-type sum runs on exact longs (the
+    q127/q141 per-term-floor posture); peak share is an exact e6
+    floor-div.
+
+    Scale shape: ONE map-combinable (type, hour) count aggregate —
+    ≤ |types|·24 rows — then windows/rollups over that bounded table
+    only. The events scan never shuffles raw rows."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    )
+    c = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_hours_used"),
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    terms = c.join(F.broadcast(t), "event_type").select(
+        "event_type", "h", "c", "t", "n_hours_used",
+        F.floor(F.lit(1_000_000.0) * (-p * F.log(p))).cast("long")
+        .alias("term_e6"),
+    )
+    from pyspark.sql import Window
+
+    peak = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("h").asc()
+    )
+    ranked = terms.withColumn("rk", F.row_number().over(peak))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("t").alias("n_events"),
+            F.max("n_hours_used").alias("n_hours_used"),
+            F.sum("term_e6").cast("long").alias("entropy_e6"),
+            F.max(F.when(F.col("rk") == 1, F.col("h"))).cast("int")
+            .alias("peak_hour"),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("peak_c"),
+        )
+        .select(
+            "event_type", "n_events", "n_hours_used", "entropy_e6",
+            "peak_hour",
+            # DECIMAL: 1e6 x a per-type event count is int64-safe only
+            # to ~9e12 rows/type - hardened with the q176 posture
+            _floor_div_dec(
+                F.col("peak_c").cast("decimal(38,0)") * 1_000_000,
+                F.col("n_events").cast("decimal(38,0)"),
+            ).alias("peak_share_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q175_hour_entropy"] = q175_hour_entropy
+RELATIONAL_ORACLE["q175_hour_entropy"] = (
+    "WITH c AS ("
+    "  SELECT event_type, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS c "
+    "  FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS t, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_hours_used FROM c GROUP BY 1), "
+    "terms AS ("
+    "  SELECT c.event_type, h, c, t.t, t.n_hours_used, "
+    "    CAST(FLOOR(1000000.0 * (-(CAST(c AS DOUBLE) / CAST(t.t AS "
+    "      DOUBLE)) * LN(CAST(c AS DOUBLE) / CAST(t.t AS DOUBLE)))) "
+    "      AS BIGINT) AS term_e6, "
+    "    ROW_NUMBER() OVER (PARTITION BY c.event_type "
+    "      ORDER BY c DESC, h) AS rk "
+    "  FROM c JOIN t ON c.event_type = t.event_type) "
+    "SELECT event_type, MAX(t) AS n_events, "
+    "  MAX(n_hours_used) AS n_hours_used, "
+    "  CAST(SUM(term_e6) AS BIGINT) AS entropy_e6, "
+    "  CAST(MAX(CASE WHEN rk = 1 THEN h END) AS INT) AS peak_hour, "
+    "  CAST((1000000::HUGEINT * MAX(CASE WHEN rk = 1 THEN c END)) "
+    "    // MAX(t) AS BIGINT) AS peak_share_e6 "
+    "FROM terms GROUP BY event_type"
+)
+
+
+# --------------------------------------------------------------------------
+# q176: Lorenz curve by spend decile
+# --------------------------------------------------------------------------
+
+def q176_lorenz_deciles(spark, sf_dir):
+    """Customer-spend Lorenz curve by decile — the distributional
+    readout q119's Gini integrates away: rank ALL customers by total
+    spend ascending (no-order customers count at 0 — concentration
+    statements must include the inactive base) and report each
+    decile's revenue and the cumulative share up to it. "The top 10 %
+    hold X %" is cum_share of decile 8, read directly.
+
+    Exactness: spend is exact cents; decile = (rn−1)·10 div N and both
+    share columns are exact e6 floor-divs; cumulative sums run over
+    the 10-row decile table.
+
+    Scale shape: one customer-key rollup (map-combinable), one global
+    rank window over the customer-level rollup — the q119/q133
+    documented single-exchange global sort, Spark's RangePartitioner
+    form at cluster scale — then windows over the 10-row table. Facts
+    never enter a window."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    spend = (
+        c.join(
+            o.groupBy("o_custkey").agg(F.sum("cents").alias("sp")),
+            c.c_custkey == o.o_custkey, "left",
+        )
+        .select(
+            "c_custkey", F.coalesce("sp", F.lit(0)).cast("long").alias("sp")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("sp", "c_custkey")
+    # N rides the SAME global sort as the rank (full-frame count over
+    # the identical ordering) — not a 1-row crossJoin, which compiles
+    # to the BNLJ node the scale smoke audits against
+    wn = Window.orderBy("sp", "c_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = spend.select(
+        "sp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    dec = (
+        ranked.select(
+            F.expr("((rn - 1) * 10) div n").cast("long").alias("decile"),
+            "sp",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("sp").cast("long").alias("rev_cents"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dec.select(
+        "decile", "n_cust", "rev_cents",
+        F.sum("rev_cents").over(wc).alias("cum"),
+        F.sum("rev_cents").over(wt).alias("tot"),
+    ).select(
+        "decile", "n_cust", "rev_cents",
+        # DECIMAL(38,0): 1e6 x cumulative corpus cents leaves int64 two
+        # orders of magnitude before 100 TB facts do - the 10x smoke
+        # ABORTED with an arithmetic overflow on the long form (the
+        # q160/q165 overflow class, caught by the smoke this time);
+        # the oracle's HUGEINT // mirrors the exact floor-div
+        _floor_div_dec(
+            F.col("cum").cast("decimal(38,0)") * 1_000_000,
+            F.col("tot").cast("decimal(38,0)"),
+        ).alias("cum_share_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q176_lorenz_deciles"] = q176_lorenz_deciles
+RELATIONAL_ORACLE["q176_lorenz_deciles"] = (
+    "WITH spend AS ("
+    "  SELECT c_custkey, COALESCE(SUM(CAST(ROUND(o_totalprice * 100) "
+    "    AS BIGINT)), 0) AS sp "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  GROUP BY 1), "
+    "ranked AS ("
+    "  SELECT sp, ROW_NUMBER() OVER (ORDER BY sp, c_custkey) AS rn, "
+    "    COUNT(*) OVER () AS n "
+    "  FROM spend), "
+    "dec AS ("
+    "  SELECT ((rn - 1) * 10) // n AS decile, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_cust, "
+    "    CAST(SUM(sp) AS BIGINT) AS rev_cents "
+    "  FROM ranked GROUP BY 1) "
+    "SELECT CAST(decile AS BIGINT) AS decile, n_cust, rev_cents, "
+    "  CAST((1000000::HUGEINT * SUM(rev_cents) OVER (ORDER BY decile "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "    // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_e6 "
+    "FROM dec"
 )

@@ -759,15 +759,19 @@ def late_drop_counts(events: DataFrame) -> DataFrame:
         (F.max("max_ts_s").over(wm_w) - LATE_DELAY_S).alias("wm_s"),
     )
     wend = (F.expr(f"s div {LATE_WINDOW_S}") + 1) * LATE_WINDOW_S
+    # the wm/drops tables are ≤ LATE_N_BATCHES rows, but they sit
+    # behind enough aggregation that Catalyst's size estimate goes
+    # unknown at scale and flipped the probe join to sort-merge at the
+    # 10× smoke (dim-fell-out-of-broadcast audit) — hint them
     drops = (
         b.select("batch", wend.alias("wend"))
-        .join(wm.select("batch", "wm_s"), "batch")
+        .join(F.broadcast(wm.select("batch", "wm_s")), "batch")
         .where(F.col("wm_s").isNotNull() & (F.col("wend") <= F.col("wm_s")))
         .groupBy("batch")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
     )
     return (
-        wm.join(drops, "batch", "left")
+        wm.join(F.broadcast(drops), "batch", "left")
         .select(
             "batch", "n_events",
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),

@@ -121,6 +121,43 @@ GATES = [
     ("media_wav_energy", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
     ("text_sentence_stats", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
     ("stream_full_attribution", "data_table_spark.streaming.windows", "STREAMJOIN_QUERIES"),
+    # round-10 session additions over the 10× corpus: winnowing (local
+    # fingerprint selection + capped bucket join — candidates bounded by
+    # the boilerplate cap), BM25 (query-term pruned posting explode +
+    # TakeOrderedAndProject), MaxSim (broadcast query bag × corpus scan),
+    # DP counts / epoch schedule (per-group digest + per-epoch top-k)
+    ("dedup_winnowing_pairs", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    ("text_bm25_topk", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("sim_maxsim_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
+    ("pipe_dp_counts", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("pipe_epoch_schedule", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    # stats/sketch/window additions over the scaled facts: ANOVA (one
+    # map-combinable aggregate), the Bloom prefilter (bitset broadcast —
+    # the probe must never shuffle), trigram paths (one user window),
+    # the trailing-median rollup window (region-partitioned, never global)
+    ("q171_anova_f", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q172_bloom_prefilter", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q173_second_order_paths", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q174_moving_median", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # corpus/text additions: pooled Flesch (one aggregate), pairwise JSD
+    # (pair-grid × vocab — the documented bound), the prefix quota sweep
+    # (hash-keyed rank window), SRP sketches (posexplode + two keyed
+    # aggregates), quiet runs (doc-keyed islands over Arrow decode),
+    # the mapInPandas flavor (map-only), watermark drop accounting
+    # (map-side batch assignment + batch-table windows)
+    ("text_readability", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("text_js_divergence", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("pipe_dedup_quota", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("sim_rp_hamming_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
+    ("media_quiet_runs", "data_table_spark.operators.multimodal", "MULTIMODAL_QUERIES"),
+    ("udf_mapinpandas_filter", "data_table_spark.operators.udfs", "UDF_QUERIES"),
+    ("stream_late_drop_counts", "data_table_spark.streaming.windows", "STREAMJOIN_QUERIES"),
+    # batch 4: the JSONL identity (map-only write/read), hour entropy
+    # (24-cell bounded aggregate), the Lorenz rollup (global rank over
+    # the customer-level rollup, windows over the 10-row decile table)
+    ("ref_jsonl_roundtrip", "data_table_spark.operators.reference_ops", "REFERENCE_QUERIES"),
+    ("q175_hour_entropy", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q176_lorenz_deciles", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -140,6 +177,19 @@ BOUNDED_NESTED_LOOP_GATES = {
     "dedup_ngram_jaccard_pairs",
     "sim_range_search",
     "sim_filtered_topk",
+    # scalar/constant-broadcast crossJoins (round 10): the BNLJ's build
+    # side is a 1-row aggregate or a constant-size spine (corpus stats,
+    # the 3-epoch spine, the ~12-vector query bag, the |sources|²/2
+    # pair grid, the query sketch/vector, the min/max arrival span) —
+    # broadcasting a scalar IS the correct plan at any scale, and the
+    # scale-invariance assertion below (same BNLJ node count at both
+    # scales) is exactly the audit these shapes need
+    "text_bm25_topk",
+    "sim_maxsim_topk",
+    "pipe_epoch_schedule",
+    "text_js_divergence",
+    "sim_rp_hamming_topk",
+    "stream_late_drop_counts",
 }
 
 #: synthesis-version marker: bumped when synthesize() changes so a

@@ -684,3 +684,83 @@ def test_late_drop_matches_python_replay(spark, sf_smoke):
         total_drops += drops
     assert got[0][1] == 0 and got[0][2] is None
     assert total_drops > 0, "simulation degenerate: nothing dropped"
+
+
+# --------------------------------------------------------------------------
+# hour entropy
+# --------------------------------------------------------------------------
+
+def test_hour_entropy_matches_python_replay(spark, sf_smoke):
+    """Per-type entropy, peak hour, and shares equal a Python replay
+    with identical term floors, and entropy sits in [0, ln 24]."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    ev = load_table(spark, "events", sf_smoke).select(
+        "event_type", F.hour("ts").alias("h")
+    ).collect()
+    cnt: dict = {}
+    for r in ev:
+        d = cnt.setdefault(r["event_type"], {})
+        d[r["h"]] = d.get(r["h"], 0) + 1
+    got = {
+        r["event_type"]: r
+        for r in RELATIONAL_QUERIES["q175_hour_entropy"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(cnt)
+    for et, d in cnt.items():
+        t = sum(d.values())
+        ent = sum(
+            math.floor(1_000_000.0 * (-(c / t) * math.log(c / t)))
+            for c in d.values()
+        )
+        peak_c = max(d.values())
+        peak_h = min(h for h, c in d.items() if c == peak_c)
+        r = got[et]
+        assert (
+            r["n_events"], r["n_hours_used"], r["entropy_e6"],
+            r["peak_hour"], r["peak_share_e6"],
+        ) == (t, len(d), ent, peak_h, (1_000_000 * peak_c) // t), et
+        assert -1 <= r["entropy_e6"] <= math.ceil(math.log(24) * 1e6)
+
+
+# --------------------------------------------------------------------------
+# Lorenz deciles
+# --------------------------------------------------------------------------
+
+def test_lorenz_deciles_invariants_and_replay(spark, sf_smoke):
+    """Deciles partition the customer base (sizes within 1 of N/10),
+    cum_share is non-decreasing and ends at exactly 1e6, and every row
+    equals a Python replay including zero-spend customers."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    orders = load_table(spark, "orders", sf_smoke).collect()
+    cust = [r["c_custkey"]
+            for r in load_table(spark, "customer", sf_smoke).collect()]
+    sp = {c: 0 for c in cust}
+    for r in orders:
+        sp[r["o_custkey"]] = sp.get(r["o_custkey"], 0) + round(
+            r["o_totalprice"] * 100
+        )
+    ranked = sorted((v, c) for c, v in sp.items())
+    n = len(ranked)
+    dec: dict[int, list[int]] = {}
+    for i, (v, _) in enumerate(ranked):
+        dec.setdefault(i * 10 // n, []).append(v)
+    tot = sum(v for v, _ in ranked)
+    got = RELATIONAL_QUERIES["q176_lorenz_deciles"](
+        spark, sf_smoke
+    ).orderBy("decile").collect()
+    assert [r["decile"] for r in got] == sorted(dec)
+    cum = 0
+    prev_share = -1
+    for r in got:
+        vals = dec[r["decile"]]
+        cum += sum(vals)
+        assert (r["n_cust"], r["rev_cents"]) == (len(vals), sum(vals))
+        assert r["cum_share_e6"] == (1_000_000 * cum) // tot
+        assert r["cum_share_e6"] >= prev_share
+        prev_share = r["cum_share_e6"]
+        assert abs(r["n_cust"] - n / 10) <= 1
+    assert got[-1]["cum_share_e6"] == 1_000_000
