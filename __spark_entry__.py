@@ -216,6 +216,9 @@ _NEXT_WINDOW_QUEUE = [
     "ref_jsonl_roundtrip",          # JSON-lines write-read identity
     "q175_hour_entropy",            # hour-of-day entropy per event type
     "q176_lorenz_deciles",          # spend Lorenz curve, exact shares
+    "dedup_bbit_minhash_est",       # b-bit MinHash Jaccard estimator
+    "pipe_time_split",              # chronological split with embargo
+    "q177_bollinger_breaches",      # integer 2-sigma band breaches
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

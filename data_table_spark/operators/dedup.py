@@ -1656,3 +1656,144 @@ DEDUP_ORACLE["dedup_winnowing_pairs"] = (
     "FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id "
     f"GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"
 )
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash Jaccard estimation (Li & König)
+# --------------------------------------------------------------------------
+
+#: b-bit MinHash parameters: 32 md5-derived permutations, 1 bit kept
+#: per permutation (the parity of the min hash value). K=32 makes
+#: (2·agree − K)·1e6 always divisible by K, so the estimator is exact
+#: integer arithmetic with identical truncation in both engines.
+BBIT_K = 32
+BBIT_AGREE_MIN = 20
+
+
+def bbit_minhash_bits(docs: DataFrame, k: int = BBIT_K) -> DataFrame:
+    """Per-document b-bit (b=1) MinHash signature — Li & König's
+    storage-collapsed MinHash: keep only the lowest BIT of each
+    permutation's min hash. 32 permutations cost 4 bytes/doc instead
+    of 256, and Jaccard is still estimable because matching minima
+    agree on their bit always while non-matching minima agree half the
+    time: E[agreement] = J + (1−J)/2, so Ĵ = 2A − 1. The estimator the
+    full-signature path (minhash_signatures, xxhash64) trades space
+    against; THIS one is md5-derived so DuckDB replays the exact bits.
+
+    Scale shape: shingle explode + one (doc, perm) min aggregate +
+    one doc-keyed bit pack — two shuffles of (id, long) pairs. The
+    md5-per-(shingle, perm) cost is the replay price; the production
+    twin uses xxhash64 at ~10× the digest rate."""
+    kspine = F.broadcast(
+        SparkSession.getActiveSession()
+        .range(k)
+        .select(F.col("id").cast("int").alias("p"))
+    )
+    sh = docs.select(
+        F.col("doc_id"), F.explode(_bigram_shingles(F.col("text"))).alias("s")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("␟", F.concat(F.lit("mh"), F.col("p")), F.col("s"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    mins = (
+        sh.crossJoin(kspine)
+        .select("doc_id", "p", h.alias("h"))
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mn"))
+    )
+    return mins.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("mn") % 2 == 1, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("bits")
+    )
+
+
+def dedup_bbit_minhash_est(spark, sf_dir):
+    """Gate: pairwise b-bit Jaccard estimates over the PAIR_BOUND slice,
+    next to the exact bigram Jaccard so the readout shows estimator
+    quality per pair (the calibration a dedup-threshold decision
+    needs). Pairs reported when ≥ BBIT_AGREE_MIN of 32 bits agree
+    (Ĵ ≥ 0.25) — all-pairs over the constant slice BY DESIGN (the
+    ngram_jaccard posture: this is the exact oracle; at scale you band
+    the full signatures and only estimate on candidates)."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .select("doc_id", "text")
+    )
+    bits = bbit_minhash_bits(d)
+    sh = d.select(
+        "doc_id", F.array_distinct(_bigram_shingles(F.col("text"))).alias("s")
+    )
+    x = bits.join(sh, "doc_id")
+    a = x.select(
+        F.col("doc_id").alias("a"), F.col("bits").alias("ba"),
+        F.col("s").alias("sa"),
+    )
+    b = x.select(
+        F.col("doc_id").alias("b"), F.col("bits").alias("bb"),
+        F.col("s").alias("sb"),
+    )
+    agree = (F.lit(BBIT_K) - F.bit_count(F.col("ba").bitwiseXOR(F.col("bb")))).cast("long")
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    uni = F.size(F.array_union("sa", "sb")).cast("long")
+    return (
+        # broadcast the build side explicitly: both sides are the
+        # constant PAIR_BOUND slice, but behind the signature joins the
+        # size estimate goes unknown and Spark planned an unbroadcast
+        # CartesianProduct at the 10× smoke — the one nested-loop form
+        # the audit never accepts
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", agree.alias("agree_bits"),
+            # (2A−K)·1e6 is always a multiple of K=32 (1e6 = 31250·32),
+            # so truncating div == flooring // — engine-safe even for
+            # the negative estimates of dissimilar pairs
+            F.expr(f"((2 * (32 - bit_count(ba ^ bb)) - {BBIT_K}) * 1000000) div {BBIT_K}")
+            .cast("long").alias("jhat_e6"),
+            F.expr("(1000000 * size(array_intersect(sa, sb))) div size(array_union(sa, sb))")
+            .cast("long").alias("j_e6"),
+        )
+        .where(F.col("agree_bits") >= BBIT_AGREE_MIN)
+    )
+
+
+DEDUP_QUERIES["dedup_bbit_minhash_est"] = dedup_bbit_minhash_est
+DEDUP_ORACLE["dedup_bbit_minhash_est"] = (
+    "WITH d AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    f"  FROM documents WHERE doc_id < {PAIR_BOUND}), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] "
+    "    FOR i IN range(1, len(t))]) s "
+    "  FROM d), "
+    "shx AS (SELECT doc_id, unnest(s) AS sg FROM sh), "
+    "mins AS ("
+    "  SELECT doc_id, p, MIN(('0x' || substr(md5('mh' || p || "
+    "    chr(9247) || sg), 1, 12))::BIGINT) AS mn "
+    f"  FROM shx, UNNEST(range({BBIT_K})) u(p) GROUP BY 1, 2), "
+    "bits AS ("
+    "  SELECT doc_id, CAST(SUM(CASE WHEN mn % 2 = 1 "
+    "    THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bits "
+    "  FROM mins GROUP BY 1) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    f"  CAST({BBIT_K} - bit_count(xor(ab.bits, bb.bits)) AS BIGINT) "
+    "    AS agree_bits, "
+    f"  CAST(((2 * ({BBIT_K} - bit_count(xor(ab.bits, bb.bits))) "
+    f"    - {BBIT_K}) * 1000000) // {BBIT_K} AS BIGINT) AS jhat_e6, "
+    "  CAST((1000000 * len(list_intersect(sa.s, sb.s))) "
+    "    // len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) "
+    "    AS j_e6 "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "JOIN bits ab ON ab.doc_id = a.doc_id "
+    "JOIN bits bb ON bb.doc_id = b.doc_id "
+    "JOIN sh sa ON sa.doc_id = a.doc_id "
+    "JOIN sh sb ON sb.doc_id = b.doc_id "
+    f"WHERE {BBIT_K} - bit_count(xor(ab.bits, bb.bits)) >= {BBIT_AGREE_MIN}"
+)

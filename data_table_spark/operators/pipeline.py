@@ -2542,3 +2542,91 @@ PIPELINE_ORACLE["pipe_dedup_quota"] = (
     "    AS n_dropped "
     "FROM ranked GROUP BY source"
 )
+
+
+# --------------------------------------------------------------------------
+# chronological train/test split with embargo (leakage-safe)
+# --------------------------------------------------------------------------
+
+#: time-split knobs: cutoff at 80 % of the observed span, 24 h embargo.
+TIME_SPLIT_FRAC_E2 = 80
+TIME_EMBARGO_S = 86_400
+
+
+def time_split(events: DataFrame) -> DataFrame:
+    """Chronological train/embargo/test split over an interaction log —
+    the leakage-safe alternative to hash splitting for anything with
+    temporal structure (forecasting, recommenders, churn): hash splits
+    leak the future into training; the time split cuts at a single
+    instant and DROPS an embargo buffer after the cutoff so that
+    rows whose features/labels straddle the boundary (sessions,
+    attribution windows, rolling aggregates) cannot leak either
+    direction — the purged/embargoed split from financial ML, applied
+    to an event log.
+
+    Cutoff = min + 80 % of the observed span (exact integer second
+    arithmetic on the epoch, floor-div); embargo = [cutoff, cutoff +
+    24 h). Emits per event_type: counts per split plus the boundary
+    epochs, so a training manifest can record the exact cut.
+
+    Scale shape: one 1-row min/max aggregate, then a single
+    map-combinable conditional aggregate over the scan — the
+    split decision is a pure comparison against two broadcast
+    scalars."""
+    s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = events.select("event_type", s.alias("s"))
+    span = e.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    cut = (
+        F.col("lo")
+        + F.expr(f"((hi - lo) * {TIME_SPLIT_FRAC_E2}) div 100")
+    )
+    flagged = e.crossJoin(F.broadcast(span)).select(
+        "event_type", "s",
+        cut.alias("cut_s"),
+        (cut + TIME_EMBARGO_S).alias("test_from_s"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("cut_s").cast("long").alias("cut_s"),
+        F.max("test_from_s").cast("long").alias("test_from_s"),
+        F.sum(F.when(F.col("s") < F.col("cut_s"), 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(
+            F.when(
+                (F.col("s") >= F.col("cut_s"))
+                & (F.col("s") < F.col("test_from_s")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_embargo_dropped"),
+        F.sum(F.when(F.col("s") >= F.col("test_from_s"), 1).otherwise(0))
+        .cast("long").alias("n_test"),
+    )
+
+
+def pipe_time_split(spark, sf_dir):
+    """Gate: 80 %-cutoff chronological split with a 24 h embargo over
+    the events log, per event type."""
+    return time_split(load_table(spark, "events", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_time_split"] = pipe_time_split
+PIPELINE_ORACLE["pipe_time_split"] = (
+    "WITH e AS ("
+    "  SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events), "
+    "span AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM e), "
+    "flagged AS ("
+    "  SELECT event_type, s, "
+    f"    lo + ((hi - lo) * {TIME_SPLIT_FRAC_E2}) // 100 AS cut_s "
+    "  FROM e, span) "
+    "SELECT event_type, CAST(MAX(cut_s) AS BIGINT) AS cut_s, "
+    f"  CAST(MAX(cut_s) + {TIME_EMBARGO_S} AS BIGINT) AS test_from_s, "
+    "  CAST(SUM(CASE WHEN s < cut_s THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_train, "
+    "  CAST(SUM(CASE WHEN s >= cut_s AND s < cut_s + "
+    f"    {TIME_EMBARGO_S} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_embargo_dropped, "
+    f"  CAST(SUM(CASE WHEN s >= cut_s + {TIME_EMBARGO_S} "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS n_test "
+    "FROM flagged GROUP BY event_type"
+)

@@ -10172,3 +10172,114 @@ RELATIONAL_ORACLE["q176_lorenz_deciles"] = (
     "    // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_e6 "
     "FROM dec"
 )
+
+
+# --------------------------------------------------------------------------
+# q177: Bollinger-band breach counts (rolling mean ± 2σ, all-integer)
+# --------------------------------------------------------------------------
+
+def q177_bollinger_breaches(spark, sf_dir):
+    """Rolling mean ± 2σ band breaches of daily revenue per region —
+    the volatility-aware anomaly flag next to q174's robust median:
+    a day breaches when it leaves the trailing 7-day two-sigma band.
+    The entire breach decision is EXACT integer arithmetic — no
+    square roots: x > mean + 2σ over the window moments (n, S = Σx,
+    Q = Σx²) multiplies out to (x·n − S)² > 4·(n·Q − S²) (population
+    σ of the trailing window; both sides scale by n²), so both
+    thresholds compare DECIMAL(38,0) products (d² ~ 1e28 at 10× —
+    int64 died two gates ago; the q176 lesson applied at design
+    time). First cut carried a stray ·n on the left — a 2σ/√n
+    standard-ERROR band — caught because ~25 % of days "breached"
+    where a 2σ band admits a few percent. The trailing window
+    EXCLUDES the current day (a point should not damp the band that
+    judges it).
+
+    Scale shape: daily rollup first (map-combinable), RANGE-frame
+    moment sums over the region-partitioned rollup, breach flags and
+    counts over that tiny table. Facts never enter a window."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("region").orderBy(dnum).rangeBetween(-7, -1)
+    m = daily.select(
+        "region", "day", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).over(w)
+        .alias("q"),
+    ).where(F.col("n") >= 3)
+    d = (
+        F.col("x").cast("decimal(38,0)") * F.col("n")
+        - F.col("s").cast("decimal(38,0)")
+    )
+    var4n = (
+        F.lit(4).cast("decimal(38,0)")
+        * (
+            F.col("n").cast("decimal(38,0)") * F.col("q")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        )
+    )
+    up = (d > 0) & (d * d > var4n)
+    dn = (d < 0) & (d * d > var4n)
+    return (
+        m.select(
+            "region",
+            F.when(up, 1).otherwise(0).alias("u"),
+            F.when(dn, 1).otherwise(0).alias("l"),
+        )
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_judged"),
+            F.sum("u").cast("long").alias("n_upper_breaches"),
+            F.sum("l").cast("long").alias("n_lower_breaches"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q177_bollinger_breaches"] = q177_bollinger_breaches
+RELATIONAL_ORACLE["q177_bollinger_breaches"] = (
+    "WITH daily AS ("
+    "  SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS x "
+    "  FROM orders "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation ON c_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey "
+    "  GROUP BY 1, 2), "
+    "m AS ("
+    "  SELECT region, day, x, "
+    "    COUNT(*) OVER wtrail AS n, "
+    "    SUM(x) OVER wtrail AS s, "
+    "    SUM(x::HUGEINT * x) OVER wtrail AS q "
+    "  FROM daily "
+    "  WINDOW wtrail AS (PARTITION BY region "
+    "    ORDER BY day - DATE '1970-01-01' "
+    "    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+    "f AS ("
+    "  SELECT region, "
+    "    CASE WHEN (x::HUGEINT * n - s) > 0 AND "
+    "      (x::HUGEINT * n - s) * (x::HUGEINT * n - s) "
+    "        > 4 * (n * q - s::HUGEINT * s) THEN 1 ELSE 0 END AS u, "
+    "    CASE WHEN (x::HUGEINT * n - s) < 0 AND "
+    "      (x::HUGEINT * n - s) * (x::HUGEINT * n - s) "
+    "        > 4 * (n * q - s::HUGEINT * s) THEN 1 ELSE 0 END AS l "
+    "  FROM m WHERE n >= 3) "
+    "SELECT region, CAST(COUNT(*) AS BIGINT) AS n_days_judged, "
+    "  CAST(SUM(u) AS BIGINT) AS n_upper_breaches, "
+    "  CAST(SUM(l) AS BIGINT) AS n_lower_breaches "
+    "FROM f GROUP BY region"
+)

@@ -1844,17 +1844,15 @@ def srp_sketches(emb: DataFrame, bits: int = SRP_BITS) -> DataFrame:
     list_sum does not pin); the sketch packs Σ 2^j over positive
     projections.
 
-    Scale shape: one posexplode (64 rows/vec), a broadcast 16-row bit
-    spine, one (vec, bit) aggregate, one vec aggregate — two shuffles
-    of (id, long) pairs, never raw vectors; the md5 signs cost
-    dims·bits digests per vector and at serving scale you'd
-    materialize the sketch column once at ingest (write_bucketed) and
-    never recompute."""
-    jspine = F.broadcast(
-        SparkSession.getActiveSession()
-        .range(bits)
-        .select(F.col("id").cast("int").alias("j"))
-    )
+    Scale shape: one posexplode (64 rows/vec), a broadcast dims·bits
+    SIGN TABLE (1024 rows — the md5s are a function of (bit, dim)
+    only, so they are computed once and joined, not re-derived per
+    data row: the per-row form cost dims·bits digests per VECTOR and
+    benched 4× slower), one (vec, bit) aggregate, one vec aggregate —
+    two shuffles of (id, long) pairs, never raw vectors; at serving
+    scale you'd materialize the sketch column once at ingest
+    (write_bucketed) and never recompute."""
+    session = SparkSession.getActiveSession()
     d = emb.select(
         "vec_id",
         F.posexplode("embedding").alias("i", "x"),
@@ -1862,6 +1860,9 @@ def srp_sketches(emb: DataFrame, bits: int = SRP_BITS) -> DataFrame:
         "vec_id", "i",
         F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("q"),
     )
+    # dims from ONE row (the q130 driver-scalar pattern) — vectors are
+    # fixed-width by schema contract
+    dims = emb.select(F.size("embedding")).first()[0]
     sign = F.when(
         F.conv(
             F.substring(
@@ -1872,9 +1873,17 @@ def srp_sketches(emb: DataFrame, bits: int = SRP_BITS) -> DataFrame:
         ).cast("long") % 2 == 0,
         F.lit(1),
     ).otherwise(F.lit(-1))
+    signs = F.broadcast(
+        session.range(bits)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(
+            session.range(dims).select(F.col("id").cast("int").alias("i"))
+        )
+        .select("i", "j", sign.alias("sg"))
+    )
     proj = (
-        d.crossJoin(jspine)
-        .select("vec_id", "j", (sign * F.col("q")).alias("t"))
+        d.join(signs, "i")
+        .select("vec_id", "j", (F.col("sg") * F.col("q")).alias("t"))
         .groupBy("vec_id", "j")
         .agg(F.sum("t").alias("dot"))
     )

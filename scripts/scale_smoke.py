@@ -158,6 +158,13 @@ GATES = [
     ("ref_jsonl_roundtrip", "data_table_spark.operators.reference_ops", "REFERENCE_QUERIES"),
     ("q175_hour_entropy", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q176_lorenz_deciles", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # batch 5: b-bit MinHash (bounded all-pairs over the constant
+    # slice + md5 signature build), the chronological split (1-row
+    # span scalar + one conditional aggregate), the integer Bollinger
+    # band (region-partitioned RANGE moments over the daily rollup)
+    ("dedup_bbit_minhash_est", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    ("pipe_time_split", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("q177_bollinger_breaches", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -190,6 +197,10 @@ BOUNDED_NESTED_LOOP_GATES = {
     "text_js_divergence",
     "sim_rp_hamming_topk",
     "stream_late_drop_counts",
+    # round-10 batch 5: the PAIR_BOUND all-pairs estimator slice (the
+    # ngram_jaccard posture) and the 1-row span scalar of the split
+    "dedup_bbit_minhash_est",
+    "pipe_time_split",
 }
 
 #: synthesis-version marker: bumped when synthesize() changes so a

@@ -764,3 +764,158 @@ def test_lorenz_deciles_invariants_and_replay(spark, sf_smoke):
         prev_share = r["cum_share_e6"]
         assert abs(r["n_cust"] - n / 10) <= 1
     assert got[-1]["cum_share_e6"] == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash
+# --------------------------------------------------------------------------
+
+def test_bbit_minhash_matches_python_replay(spark, sf_smoke):
+    """Bits, agreements, estimates, and exact Jaccards equal a Python
+    replay of the documented md5 scheme; the estimator identity
+    jhat = (2A - K)/K holds on every emitted row."""
+    from data_table_spark.operators.dedup import (
+        BBIT_AGREE_MIN,
+        BBIT_K,
+        DEDUP_QUERIES,
+        PAIR_BOUND,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, "documents", sf_smoke)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .collect()
+    ]
+
+    def shingles(t):
+        w = t.lower().strip().split()
+        return list(dict.fromkeys(
+            f"{a} {b}" for a, b in zip(w, w[1:])
+        ))
+
+    def h12(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    bits = {}
+    sh = {}
+    for did, t in docs:
+        sg = shingles(t)
+        sh[did] = set(sg)
+        v = 0
+        for p in range(BBIT_K):
+            mn = min(h12(f"mh{p}␟{s}") for s in sg)
+            if mn % 2 == 1:
+                v |= 1 << p
+        bits[did] = v
+    exp = {}
+    ids = sorted(bits)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            agree = BBIT_K - bin(bits[a] ^ bits[b]).count("1")
+            if agree >= BBIT_AGREE_MIN:
+                inter = len(sh[a] & sh[b])
+                uni = len(sh[a] | sh[b])
+                exp[(a, b)] = (
+                    agree,
+                    ((2 * agree - BBIT_K) * 1_000_000) // BBIT_K,
+                    (1_000_000 * inter) // uni,
+                )
+    got = {
+        (r["a"], r["b"]): (r["agree_bits"], r["jhat_e6"], r["j_e6"])
+        for r in DEDUP_QUERIES["dedup_bbit_minhash_est"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == exp and got
+    for agree, jhat, _ in got.values():
+        assert jhat == ((2 * agree - BBIT_K) * 1_000_000) // BBIT_K
+
+
+# --------------------------------------------------------------------------
+# time split
+# --------------------------------------------------------------------------
+
+def test_time_split_partitions_and_boundaries(spark, sf_smoke):
+    """Per-type counts partition the log, boundaries are the exact 80 %
+    cut and +24 h embargo of the observed span, and every split is
+    non-empty (the knobs discriminate)."""
+    from data_table_spark.operators.pipeline import (
+        PIPELINE_QUERIES,
+        TIME_EMBARGO_S,
+        TIME_SPLIT_FRAC_E2,
+    )
+
+    ev = load_table(spark, "events", sf_smoke).select(
+        "event_type", "ts"
+    ).collect()
+    ss = [int(r["ts"].timestamp()) for r in ev]
+    lo, hi = min(ss), max(ss)
+    cut = lo + ((hi - lo) * TIME_SPLIT_FRAC_E2) // 100
+    per_type: dict = {}
+    for r, s in zip(ev, ss):
+        t = per_type.setdefault(r["event_type"], [0, 0, 0])
+        if s < cut:
+            t[0] += 1
+        elif s < cut + TIME_EMBARGO_S:
+            t[1] += 1
+        else:
+            t[2] += 1
+    rows = PIPELINE_QUERIES["pipe_time_split"](spark, sf_smoke).collect()
+    assert len(rows) == len(per_type)
+    for r in rows:
+        tr, em, te = per_type[r["event_type"]]
+        assert (r["cut_s"], r["test_from_s"]) == (cut, cut + TIME_EMBARGO_S)
+        assert (r["n_train"], r["n_embargo_dropped"], r["n_test"]) == (
+            tr, em, te
+        )
+    assert sum(r["n_embargo_dropped"] for r in rows) > 0
+    assert sum(r["n_test"] for r in rows) > 0
+
+
+# --------------------------------------------------------------------------
+# Bollinger breaches
+# --------------------------------------------------------------------------
+
+def test_bollinger_matches_python_replay(spark, sf_smoke):
+    """Breach counts equal a Python replay of the integer band rule
+    over trailing-7-day (current-excluded) daily revenue windows."""
+    from data_table_spark.operators.relational import RELATIONAL_QUERIES
+
+    o = load_table(spark, "orders", sf_smoke).collect()
+    c = {r["c_custkey"]: r["c_nationkey"]
+         for r in load_table(spark, "customer", sf_smoke).collect()}
+    n = {r["n_nationkey"]: r["n_regionkey"]
+         for r in load_table(spark, "nation", sf_smoke).collect()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in load_table(spark, "region", sf_smoke).collect()}
+    daily: dict = {}
+    for r in o:
+        key = (reg[n[c[r["o_custkey"]]]], r["o_orderdate"].date())
+        daily[key] = daily.get(key, 0) + round(r["o_totalprice"] * 100)
+    exp: dict = {}
+    for (rg, day), x in daily.items():
+        trail = [
+            v for (rg2, d2), v in daily.items()
+            if rg2 == rg and 1 <= (day - d2).days <= 7
+        ]
+        nn = len(trail)
+        if nn < 3:
+            continue
+        s, q = sum(trail), sum(v * v for v in trail)
+        d = x * nn - s
+        breach = d * d > 4 * (nn * q - s * s)
+        t = exp.setdefault(rg, [0, 0, 0])
+        t[0] += 1
+        if breach and d > 0:
+            t[1] += 1
+        if breach and d < 0:
+            t[2] += 1
+    got = RELATIONAL_QUERIES["q177_bollinger_breaches"](
+        spark, sf_smoke
+    ).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        assert (
+            r["n_days_judged"], r["n_upper_breaches"], r["n_lower_breaches"]
+        ) == tuple(exp[r["region"]]), r["region"]
