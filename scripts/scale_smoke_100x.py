@@ -231,6 +231,27 @@ GATES = [
                                # exchange) under hot-user skew
     "q170_iso_week_rollup",    # one map-combinable aggregate, output
                                # bounded by calendar weeks
+    # round-10 session additions: the heaviest doc/embedding/fact-bound
+    # new gates (dims-bound gates like q171/q176 are excluded — their
+    # cost sides don't scale in this synthesis; 10× rows + plan asserts
+    # carry their story)
+    "dedup_winnowing_pairs",   # the known risk, same as prefix_filter:
+                               # ciphered clones keep fingerprint
+                               # buckets disjoint so candidates scale
+                               # ~linearly; the boilerplate cap bounds
+                               # the worst bucket
+    "text_bm25_topk",          # term-pruned posting explode; df/N
+                               # scalars 1-row; TakeOrderedAndProject
+    "media_quiet_runs",        # ONE decode chain (the 10× smoke
+                               # caught the branched double-decode),
+                               # doc-keyed windows under 100× docs
+    "sim_rp_hamming_topk",     # 100× embeddings: posexplode + sign-
+                               # table join + two (id, long) aggs;
+                               # candidates grow with corpus, rerank
+                               # top-k merge stays partial
+    "q174_moving_median",      # 100× orders collapse to the SAME
+                               # daily spine — window cost constant,
+                               # the rollup pass is the 100× side
 ]
 
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
