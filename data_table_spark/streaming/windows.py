@@ -681,22 +681,33 @@ STREAMJOIN_ORACLE["stream_full_attribution"] = (
 
 #: late-drop simulation knobs: arrival = event time + a deterministic
 #: md5 "network delay" of ±LATE_JITTER_S seconds; the stream is split
-#: into LATE_N_BATCHES micro-batches by arrival quantile; the watermark
-#: in force while batch k processes is max(event time over batches < k)
-#: − LATE_DELAY_S (Spark advances the watermark BETWEEN batches). An
-#: event is dropped iff its hour-window END ≤ that watermark — Spark's
-#: own eviction rule for windowed aggregation state. Calibrated before
-#: coding: 217 drops across 60/64 batches at sf0.001, 3717 across
-#: 63/64 at sf0.01 (±15 min jitter over 4 batches produced ZERO drops
-#: at either sf — the watermark only moves at batch boundaries, so
-#: lateness must exceed the per-batch time span to ever trip).
+#: into LATE_N_BATCHES micro-batches by arrival quantile. The filter
+#: watermark in force while batch k processes is max(event time over
+#: batches ≤ k−2) − LATE_DELAY_S: Spark drops late records against the
+#: PREVIOUS batch's watermark while evicting state against the current
+#: one — pinned EMPIRICALLY against the real engine (a lag-1 model
+#: matched the Structured Streaming guide's wording but the memory-sink
+#: window counts disproved it: a row later than the freshly-advanced
+#: watermark still aggregates for one more batch; the per-batch
+#: minimal experiments are in tests/test_round10_ops.py). An event is
+#: dropped iff its hour-window END ≤ that filter watermark. Jitter is
+#: ±24 h because under lag-2 lateness must exceed TWO batch spans
+#: (~11 h each at N=64) to ever trip: 444 drops across 62/64 batches
+#: at sf0.001, 5709 at sf0.01 (the original ±6 h jitter dropped ZERO
+#: rows under the real rule — recalibrated when the equivalence test
+#: exposed the lag).
 LATE_N_BATCHES = 64
-LATE_JITTER_S = 21_600
+LATE_JITTER_S = 86_400
 LATE_DELAY_S = 600
 LATE_WINDOW_S = 3_600
 
 
-def late_drop_counts(events: DataFrame) -> DataFrame:
+def late_drop_counts(
+    events: DataFrame,
+    n_batches: int = LATE_N_BATCHES,
+    jitter_s: int = LATE_JITTER_S,
+    delay_s: int = LATE_DELAY_S,
+) -> DataFrame:
     """Per-micro-batch watermark drop accounting — the observability
     readout behind Spark's numRowsDroppedByWatermark metric, made
     engine-checkable: replay the stream with a deterministic
@@ -726,8 +737,8 @@ def late_drop_counts(events: DataFrame) -> DataFrame:
                 1, 8,
             ),
             16, 10,
-        ).cast("long") % (2 * LATE_JITTER_S)
-        - LATE_JITTER_S
+        ).cast("long") % (2 * jitter_s)
+        - jitter_s
     )
     e = events.select(
         F.col("event_id"),
@@ -740,9 +751,9 @@ def late_drop_counts(events: DataFrame) -> DataFrame:
         "s",
         F.least(
             F.expr(
-                f"((arr - lo) * {LATE_N_BATCHES}) div (hi - lo + 1)"
+                f"((arr - lo) * {n_batches}) div (hi - lo + 1)"
             ),
-            F.lit(LATE_N_BATCHES - 1),
+            F.lit(n_batches - 1),
         ).cast("long").alias("batch"),
     )
     from pyspark.sql import Window
@@ -751,12 +762,16 @@ def late_drop_counts(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.max("s").alias("max_ts_s"),
     )
+    # -2, not -1: the late-record filter runs against the watermark of
+    # the batch BEFORE the row's batch (empirically pinned; see the
+    # module constant's comment), so the cumulative max excludes both
+    # the current batch and its immediate predecessor
     wm_w = (
-        Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+        Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)
     )
     wm = per_batch.select(
         "batch", "n_events",
-        (F.max("max_ts_s").over(wm_w) - LATE_DELAY_S).alias("wm_s"),
+        (F.max("max_ts_s").over(wm_w) - delay_s).alias("wm_s"),
     )
     wend = (F.expr(f"s div {LATE_WINDOW_S}") + 1) * LATE_WINDOW_S
     # the wm/drops tables are ≤ LATE_N_BATCHES rows, but they sit
@@ -813,7 +828,7 @@ STREAMJOIN_ORACLE["stream_late_drop_counts"] = (
     "wm AS ("
     "  SELECT batch, n_events, "
     "    MAX(max_ts_s) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED "
-    f"      PRECEDING AND 1 PRECEDING) - {LATE_DELAY_S} AS wm_s "
+    f"      PRECEDING AND 2 PRECEDING) - {LATE_DELAY_S} AS wm_s "
     "  FROM per_batch), "
     "drops AS ("
     "  SELECT b.batch, CAST(COUNT(*) AS BIGINT) AS n_dropped "

@@ -254,10 +254,40 @@ GATES = [
                                # the rollup pass is the 100× side
 ]
 
+#: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
+#: scalar/constant-broadcast crossJoins (1-row corpus stats, the query
+#: sketch/vector, the arrival span) — broadcasting a scalar IS the
+#: correct plan at any scale; the audit degrades to asserting the BNLJ
+#: node count is scale-INVARIANT (same count at both scales) and no
+#: unbroadcast CartesianProduct appears (scale_smoke.py's category,
+#: ported for the round-10 gates that run here).
+BOUNDED_SCALAR_BNLJ_GATES = {
+    "text_bm25_topk",
+    "sim_rp_hamming_topk",
+}
+
+#: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
+#: with its cause: a fact-side broadcast→SMJ flip can ALSO strand the
+#: downstream aggregate's partitioning (the broadcast join preserved
+#: its probe side's distribution; the SMJ emits fp-partitioned rows so
+#: the (a, b) rollup re-shuffles) — one extra exchange that is part of
+#: the same legitimate flip, not an accidental shuffle.
+EXTRA_EXCHANGE_ALLOWANCE = {
+    "dedup_winnowing_pairs": 1,  # (a,b) rollup re-partitions after the
+                                 # pair join leaves broadcast
+}
+
 #: sf10 minimum BroadcastHashJoin counts (same semantics as
 #: scale_smoke.DIM_BROADCAST_FLOOR: dims must stay broadcast, declared
 #: fact-derived build sides may flip)
 DIM_BROADCAST_FLOOR = {
+    "dedup_winnowing_pairs": 2,  # the two hot-fingerprint anti joins
+                               # are the true dims; the pair join's
+                               # posting side is fact-derived and
+                               # must flip to SMJ at 100×
+    "text_bm25_topk": 1,      # df_ (|query| rows) stays broadcast;
+                               # the doc-length side is fact-derived
+                               # and must flip
     "q66_tpch_q21_shape": 1,   # supplier
     "q65_tpch_q18_shape": 1,   # customer; orders + big-keys may flip
     "q69_runtime_filter": 0,   # the pruned-key set grows 100× with the
@@ -629,13 +659,27 @@ def _run_gate(gate, fn, spark, rows, failures) -> None:
     ok = ratio <= COPIES * LINEAR_SLACK
     if not ok:
         failures.append(f"{gate}: super-linear ratio {ratio:.1f}x")
-    if h_big["BroadcastNestedLoopJoin"] or h_big["CartesianProduct"]:
+    if gate in BOUNDED_SCALAR_BNLJ_GATES:
+        if (
+            h_big["BroadcastNestedLoopJoin"]
+            != h_small["BroadcastNestedLoopJoin"]
+        ):
+            ok = False
+            failures.append(f"{gate}: scalar BNLJ not scale-invariant")
+        if h_big["CartesianProduct"]:
+            ok = False
+            failures.append(f"{gate}: cartesian at sf10")
+    elif h_big["BroadcastNestedLoopJoin"] or h_big["CartesianProduct"]:
         ok = False
         failures.append(f"{gate}: nested-loop/cartesian at sf10")
     flips = max(
         0, h_small["BroadcastHashJoin"] - h_big["BroadcastHashJoin"]
     )
-    if h_big["Exchange"] > h_small["Exchange"] + 2 * flips:
+    allowed = (
+        h_small["Exchange"] + 2 * flips
+        + EXTRA_EXCHANGE_ALLOWANCE.get(gate, 0)
+    )
+    if h_big["Exchange"] > allowed:
         ok = False
         failures.append(f"{gate}: new exchanges at sf10 {plan_delta}")
     floor = DIM_BROADCAST_FLOOR.get(gate, h_small["BroadcastHashJoin"])

@@ -669,8 +669,10 @@ def test_late_drop_matches_python_replay(spark, sf_smoke):
     prev_wm = None
     total_drops = 0
     for b in sorted(batches):
+        # filter watermark lags one batch behind the advance (the
+        # empirically-pinned Spark rule — see the gate's constants)
         wm = max(
-            (max(batches[j]) for j in batches if j < b), default=None
+            (max(batches[j]) for j in batches if j <= b - 2), default=None
         )
         wm = wm - LATE_DELAY_S if wm is not None else None
         drops = sum(
@@ -683,6 +685,7 @@ def test_late_drop_matches_python_replay(spark, sf_smoke):
         prev_wm = wm if wm is not None else prev_wm
         total_drops += drops
     assert got[0][1] == 0 and got[0][2] is None
+    assert got[1][1] == 0, "lag-2: batch 1 has no filter watermark yet"
     assert total_drops > 0, "simulation degenerate: nothing dropped"
 
 
@@ -919,3 +922,115 @@ def test_bollinger_matches_python_replay(spark, sf_smoke):
         assert (
             r["n_days_judged"], r["n_upper_breaches"], r["n_lower_breaches"]
         ) == tuple(exp[r["region"]]), r["region"]
+
+
+
+def test_late_drop_model_matches_real_streaming(spark, tmp_path):
+    """The late-drop gate's model IS Spark's behavior: replay the same
+    deterministic arrival as 8 real micro-batches through a windowed
+    streaming aggregation; the engine's numRowsDroppedByWatermark total
+    equals the model's drop total, and the finalized window counts
+    equal the batch counts with exactly the model's dropped rows
+    excluded. (This test is what exposed the filter-watermark lag: a
+    lag-1 model — the guide's wording — overdropped; the engine
+    filters against the PREVIOUS batch's watermark.)"""
+    import os
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from data_table_spark.streaming.windows import (
+        LATE_WINDOW_S,
+        late_drop_counts,
+    )
+
+    N, J, D = 8, 500_000, 600
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    model = late_drop_counts(
+        events, n_batches=N, jitter_s=J, delay_s=D
+    ).collect()
+    expected = sum(r["n_dropped"] for r in model)
+    assert expected > 0, "simulation degenerate at N=8"
+
+    rows = events.collect()
+    arr = {
+        r["event_id"]: int(r["ts"].timestamp())
+        + _h32(f"lag:{r['event_id']}") % (2 * J) - J
+        for r in rows
+    }
+    lo = min(arr.values())
+    hi = max(arr.values())
+    batches: dict[int, list] = {}
+    for r in rows:
+        b = min((arr[r["event_id"]] - lo) * N // (hi - lo + 1), N - 1)
+        batches.setdefault(b, []).append(r)
+    # lag-2 python replay for the per-row dropped set
+    bmax = {
+        b: max(int(r["ts"].timestamp()) for r in v)
+        for b, v in batches.items()
+    }
+    dropped = set()
+    for b in sorted(batches):
+        wm = max((bmax[j] for j in batches if j <= b - 2), default=None)
+        wm = wm - D if wm is not None else None
+        for r in batches[b]:
+            s = int(r["ts"].timestamp())
+            if wm is not None and (s // LATE_WINDOW_S + 1) * LATE_WINDOW_S <= wm:
+                dropped.add(r["event_id"])
+    assert len(dropped) == expected
+
+    src_dir = str(tmp_path / "late_src")
+    os.makedirs(src_dir)
+    base = _time.time() - 3600
+    for b in sorted(batches):
+        before = set(os.listdir(src_dir))
+        spark.createDataFrame(batches[b], events.schema).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+        for f in set(os.listdir(src_dir)) - before:
+            if f.endswith(".parquet"):
+                os.utime(
+                    os.path.join(src_dir, f), (base + b * 10, base + b * 10)
+                )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", f"{D} seconds")
+        .groupBy(SF.window("ts", "1 hour").alias("w"))
+        .agg(SF.count("*").alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the state-operator metric is a PARTIAL counter: some late rows
+    # are cut by the pre-state EventTimeWatermark filter and never
+    # reach the metered operator (observed 242 metered of 298 actually
+    # dropped) — so it lower-bounds the true drop count; the emitted
+    # window counts below are the semantic ground truth
+    metric = sum(
+        op.get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+    assert 0 < metric <= expected, (metric, expected)
+    wm_final = max(bmax.values()) - D
+    got = {
+        int(r["w"]["start"].timestamp()): r["cnt"]
+        for r in spark.table(name).collect()
+    }
+    exp: dict[int, int] = {}
+    for v in batches.values():
+        for r in v:
+            if r["event_id"] in dropped:
+                continue
+            s = int(r["ts"].timestamp())
+            ws = (s // LATE_WINDOW_S) * LATE_WINDOW_S
+            if ws + LATE_WINDOW_S <= wm_final:
+                exp[ws] = exp.get(ws, 0) + 1
+    assert got == exp
