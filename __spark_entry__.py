@@ -219,6 +219,7 @@ _NEXT_WINDOW_QUEUE = [
     "dedup_bbit_minhash_est",       # b-bit MinHash Jaccard estimator
     "pipe_time_split",              # chronological split with embargo
     "q177_bollinger_breaches",      # integer 2-sigma band breaches
+    "udf_grouped_agg_sums",         # series->scalar pandas UDAF flavor
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -478,3 +478,79 @@ UDF_ORACLE["udf_mapinpandas_filter"] = (
     "FROM lineitem "
     f"WHERE CAST(ROUND(l_quantity) AS BIGINT) >= {MIP_MIN_QTY}"
 )
+
+
+# --------------------------------------------------------------------------
+# grouped-agg pandas UDF (series -> scalar UDAF flavor)
+# --------------------------------------------------------------------------
+
+def udf_grouped_agg_sums(spark, sf_dir):
+    """Grouped-AGGREGATE pandas UDF — the series→scalar UDAF flavor
+    completing the Python surface (scalar / Arrow row / grouped-map /
+    batch map / UDTF ×2 / stateful are all gated): the whole group's
+    column arrives as ONE pandas Series and the function returns one
+    scalar, which is how custom aggregates (weighted means, trimmed
+    stats, domain losses) plug into groupBy/agg — and unlike
+    grouped-map it composes with built-in aggregates in the same agg().
+
+    Exactness: the UDAF sums int64 cents in numpy (exact integer
+    arithmetic inside the worker) and returns the sum as a double —
+    every corpus-realistic value sits far below 2^53, so the
+    long→double handoff is lossless and engine-comparable; the
+    weighted mean is then ONE double division per group, outside the
+    UDF, identical in the oracle.
+
+    Scale shape: one shuffle on the group key — and the documented
+    memory caveat: unlike built-in aggregates there is NO partial
+    aggregation; each group's ENTIRE column materializes in one Python
+    worker. Three return flags over a 100 TB fact table means a third
+    of the column per worker — at scale this exact grouping is the
+    anti-pattern, and a sum like this one belongs in built-ins (q12).
+    The flavor earns its keep on non-algebraic per-group functions
+    over BOUNDED groups (per-user, per-order); for algebraic ones
+    pre-reduce with built-ins or run a manual two-level
+    partial/merge."""
+    import numpy as np
+
+    @pandas_udf(T.DoubleType())
+    def wsum_cents(ext: pd.Series, qty: pd.Series) -> float:
+        cents = (ext * 100).round().astype("int64").to_numpy()
+        q = qty.round().astype("int64").to_numpy()
+        return float(int((cents * q).sum()))
+
+    @pandas_udf(T.DoubleType())
+    def qty_sum(qty: pd.Series) -> float:
+        return float(int(qty.round().astype("int64").to_numpy().sum()))
+
+    @pandas_udf(T.DoubleType())
+    def row_count(qty: pd.Series) -> float:
+        return float(len(qty))
+
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupBy("l_returnflag").agg(
+        row_count("l_quantity").alias("n_rows_d"),
+        wsum_cents("l_extendedprice", "l_quantity").alias("wsum"),
+        qty_sum("l_quantity").alias("qsum"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n_rows_d").cast("long").alias("n_rows"),
+        F.col("wsum").cast("long").alias("wsum_cents"),
+        F.col("qsum").cast("long").alias("qty_sum"),
+        F.round(F.col("wsum") / F.col("qsum") / 100.0, 4)
+        .alias("wavg_price"),
+    )
+
+
+UDF_QUERIES["udf_grouped_agg_sums"] = udf_grouped_agg_sums
+UDF_ORACLE["udf_grouped_agg_sums"] = (
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "    * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS wsum_cents, "
+    "  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum, "
+    "  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "    * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) "
+    "    / CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) "
+    "    / 100.0, 4) AS wavg_price "
+    "FROM lineitem GROUP BY l_returnflag"
+)

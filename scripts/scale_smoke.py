@@ -165,6 +165,10 @@ GATES = [
     ("dedup_bbit_minhash_est", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
     ("pipe_time_split", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
     ("q177_bollinger_breaches", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # batch 6: the grouped-agg pandas UDAF (one group-key shuffle; the
+    # fixture grouping is 3 giant groups BY DESIGN — the docstring
+    # documents why that inverts at 100 TB)
+    ("udf_grouped_agg_sums", "data_table_spark.operators.udfs", "UDF_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an

@@ -1034,3 +1034,40 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
             if ws + LATE_WINDOW_S <= wm_final:
                 exp[ws] = exp.get(ws, 0) + 1
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# grouped-agg pandas UDAF
+# --------------------------------------------------------------------------
+
+def test_grouped_agg_udaf_plan_and_builtin_equivalence(spark, sf_smoke):
+    """The gate's plan runs an AggregateInPandas node (the UDAF flavor
+    under test) and its exact integer outputs equal the same sums via
+    built-in aggregates."""
+    from data_table_spark.operators.udfs import UDF_QUERIES
+
+    df = UDF_QUERIES["udf_grouped_agg_sums"](spark, sf_smoke)
+    df.collect()  # finalize AQE so the physical node is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the node ArrowAggregatePython (AggregateInPandas
+    # in the 3.x line)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    li = load_table(spark, "lineitem", sf_smoke)
+    ref = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round("l_quantity").cast("long")
+        ).cast("long").alias("wsum_cents"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long")
+        .alias("qty_sum"),
+    )
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["wsum_cents"], r["qty_sum"])
+        for r in df.collect()
+    }
+    exp = {
+        r["l_returnflag"]: (r["n_rows"], r["wsum_cents"], r["qty_sum"])
+        for r in ref.collect()
+    }
+    assert got == exp and got
