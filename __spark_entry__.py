@@ -220,6 +220,7 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_time_split",              # chronological split with embargo
     "q177_bollinger_breaches",      # integer 2-sigma band breaches
     "udf_grouped_agg_sums",         # series->scalar pandas UDAF flavor
+    "text_heaps_curve",             # trigram vocabulary growth + beta
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

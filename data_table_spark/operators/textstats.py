@@ -1940,3 +1940,151 @@ TEXTSTATS_ORACLE["text_js_divergence"] = (
     "  CAST(SUM(t_e9) AS BIGINT) AS jsd_e9 "
     "FROM terms GROUP BY 1, 2"
 )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# --------------------------------------------------------------------------
+
+#: corpus-prefix checkpoints (by doc_id order) for the growth curve —
+#: sized to slice the fixture corpus (500 docs at every sf), the
+#: text_vocab_coverage ladder lesson.
+HEAPS_CHECKPOINTS = (50, 100, 200, 300, 400, 500)
+
+
+def heaps_curve(docs: DataFrame) -> DataFrame:
+    """Vocabulary growth curve + local Heaps exponent — the OTHER
+    tokenizer-sizing readout next to text_vocab_coverage (how much of
+    the corpus the top-N covers) and text_zipf_fit (how frequency
+    decays with rank): Heaps' law V(n) ≈ K·n^β says how fast NEW types
+    keep appearing as the corpus grows, which is what decides whether
+    a vocabulary budget will saturate or keep bleeding OOV as you
+    scale 100×. The growth unit is the word TRIGRAM: this fixture's
+    closed ~31-word vocabulary saturates before the first checkpoint
+    (and bigrams fill their ~31² space by doc 50 — both measured
+    before coding, the vocab_coverage degeneracy lesson), while
+    trigram types grow 2.4k → 16.2k across the checkpoints, an actual
+    curve. Emits V (distinct trigrams) and T (trigram occurrences) at
+    each corpus-prefix checkpoint plus the local β between consecutive
+    checkpoints (Δln V / Δln T).
+
+    Exactness: a word's contribution to every checkpoint is decided by
+    its FIRST document (one min-aggregate — the curve never rescans
+    the corpus per checkpoint), counts are exact longs, and β floors
+    to e6 from one double expression over exact operands (ln ratios —
+    the engines' libm agreement already load-bearing in the
+    entropy/KL family).
+
+    Scale shape: one (word → min doc, count) aggregate, a broadcast
+    |checkpoints|-row spine joined by range predicate against the
+    TINY first-occurrence histogram (grouped to ≤ checkpoints cells
+    first), windows over the checkpoint table only."""
+    from pyspark.sql import Window
+
+    t = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    n = F.size(t)
+    kg = F.zip_with(
+        F.zip_with(
+            F.slice(t, 1, n - 2),
+            F.slice(t, 2, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(t, 3, n - 2),
+        lambda ab, c_: F.concat_ws(" ", ab, c_),
+    )
+    toks = docs.where(n >= 3).select(
+        "doc_id", F.explode(kg).alias("w")
+    )
+    firsts = toks.groupBy("w").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    spine = F.broadcast(
+        SparkSession.getActiveSession()
+        .createDataFrame(
+            [(int(c),) for c in HEAPS_CHECKPOINTS], "c long"
+        )
+    )
+    # per-checkpoint totals: new types whose first doc precedes c, and
+    # token occurrences from docs preceding c (occ splits by doc, so
+    # token counts come from the doc-level rollup, not `firsts`)
+    doc_tok = docs.where(n >= 3).select(
+        "doc_id", F.greatest(n - 2, F.lit(0)).cast("long").alias("nt")
+    )
+    v = (
+        firsts.join(spine, F.col("first_doc") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    t = (
+        doc_tok.join(spine, F.col("doc_id") < F.col("c"))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+    )
+    w = Window.orderBy("c")
+    joined = t.join(v, "c").select(
+        "c", "n_docs", "tokens", "vocab",
+        F.lag("tokens").over(w).alias("pt"),
+        F.lag("vocab").over(w).alias("pv"),
+    )
+    beta = (
+        (F.log(F.col("vocab").cast("double")) - F.log(F.col("pv").cast("double")))
+        / (F.log(F.col("tokens").cast("double")) - F.log(F.col("pt").cast("double")))
+    )
+    return joined.select(
+        "c", "n_docs", "tokens", "vocab",
+        F.when(
+            F.col("pv").isNotNull() & (F.col("vocab") != F.col("pv")),
+            F.floor(F.lit(1_000_000.0) * beta),
+        ).cast("long").alias("beta_e6"),
+    )
+
+
+def text_heaps_curve(spark, sf_dir):
+    """Gate: Heaps vocabulary growth at 6 corpus-prefix checkpoints."""
+    return heaps_curve(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_heaps_curve"] = text_heaps_curve
+TEXTSTATS_ORACLE["text_heaps_curve"] = (
+    "WITH tk AS ("
+    "  SELECT doc_id, list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '') AS t "
+    "  FROM documents), "
+    "toks AS ("
+    "  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "    FOR i IN range(1, len(t) - 1)]) AS w "
+    "  FROM tk WHERE len(t) >= 3), "
+    "firsts AS ("
+    "  SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY 1), "
+    "doc_tok AS ("
+    "  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt "
+    "  FROM toks GROUP BY 1), "
+    "spine AS (SELECT UNNEST(["
+    + ", ".join(str(c) for c in HEAPS_CHECKPOINTS)
+    + "]) AS c), "
+    "v AS ("
+    "  SELECT c, CAST(COUNT(*) AS BIGINT) AS vocab "
+    "  FROM firsts JOIN spine ON first_doc < c GROUP BY 1), "
+    "t AS ("
+    "  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "    CAST(SUM(nt) AS BIGINT) AS tokens "
+    "  FROM doc_tok JOIN spine ON doc_id < c GROUP BY 1), "
+    "j AS ("
+    "  SELECT t.c, n_docs, tokens, vocab, "
+    "    LAG(tokens) OVER (ORDER BY t.c) AS pt, "
+    "    LAG(vocab) OVER (ORDER BY t.c) AS pv "
+    "  FROM t JOIN v ON t.c = v.c) "
+    "SELECT CAST(c AS BIGINT) AS c, n_docs, tokens, vocab, "
+    "  CASE WHEN pv IS NOT NULL AND vocab != pv THEN "
+    "    CAST(FLOOR(1000000.0 * ((LN(CAST(vocab AS DOUBLE)) "
+    "      - LN(CAST(pv AS DOUBLE))) / (LN(CAST(tokens AS DOUBLE)) "
+    "      - LN(CAST(pt AS DOUBLE))))) AS BIGINT) END AS beta_e6 "
+    "FROM j"
+)

@@ -169,6 +169,9 @@ GATES = [
     # fixture grouping is 3 giant groups BY DESIGN — the docstring
     # documents why that inverts at 100 TB)
     ("udf_grouped_agg_sums", "data_table_spark.operators.udfs", "UDF_QUERIES"),
+    # Heaps curve: trigram explode + one first-occurrence aggregate,
+    # checkpoint spine broadcast, windows over the 6-row table
+    ("text_heaps_curve", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -205,6 +208,8 @@ BOUNDED_NESTED_LOOP_GATES = {
     # ngram_jaccard posture) and the 1-row span scalar of the split
     "dedup_bbit_minhash_est",
     "pipe_time_split",
+    # the Heaps checkpoint spine: 6-row broadcast range joins
+    "text_heaps_curve",
 }
 
 #: synthesis-version marker: bumped when synthesize() changes so a

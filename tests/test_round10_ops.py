@@ -1071,3 +1071,52 @@ def test_grouped_agg_udaf_plan_and_builtin_equivalence(spark, sf_smoke):
         for r in ref.collect()
     }
     assert got == exp and got
+
+
+# --------------------------------------------------------------------------
+# Heaps curve
+# --------------------------------------------------------------------------
+
+def test_heaps_curve_matches_python_replay(spark, sf_smoke):
+    """Checkpoint vocab/token counts and local betas equal a Python
+    replay; vocabulary grows at every checkpoint (the unit choice is
+    not degenerate) and beta stays in (0, 1) — sub-linear growth."""
+    from data_table_spark.operators.textstats import (
+        HEAPS_CHECKPOINTS,
+        TEXTSTATS_QUERIES,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke).collect()
+    firsts: dict[str, int] = {}
+    doc_nt: dict[int, int] = {}
+    for r in docs:
+        w = [x for x in r["text"].lower().strip().split() if x]
+        if len(w) < 3:
+            continue
+        tris = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        doc_nt[r["doc_id"]] = len(tris)
+        for s in tris:
+            if s not in firsts or r["doc_id"] < firsts[s]:
+                firsts[s] = r["doc_id"]
+    rows = TEXTSTATS_QUERIES["text_heaps_curve"](
+        spark, sf_smoke
+    ).orderBy("c").collect()
+    assert [r["c"] for r in rows] == list(HEAPS_CHECKPOINTS)
+    prev = None
+    for r in rows:
+        v = sum(1 for fd in firsts.values() if fd < r["c"])
+        t = sum(nt for d, nt in doc_nt.items() if d < r["c"])
+        nd = sum(1 for d in doc_nt if d < r["c"])
+        assert (r["n_docs"], r["tokens"], r["vocab"]) == (nd, t, v), r["c"]
+        if prev is not None:
+            exp_b = math.floor(
+                1_000_000.0
+                * (math.log(v) - math.log(prev[0]))
+                / (math.log(t) - math.log(prev[1]))
+            )
+            assert r["beta_e6"] == exp_b
+            assert 0 < r["beta_e6"] < 1_000_000
+            assert v > prev[0], "vocab saturated: degenerate unit"
+        else:
+            assert r["beta_e6"] is None
+        prev = (v, t)
