@@ -116,87 +116,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-10 window (frozen at round start, before any new session
-# additions — the round-9 precedent). Rule 1: the 13 never-green
-# round-9 session additions, order pinned in round 9's
-# _NEXT_WINDOW_QUEUE (oldest claims first). Rule 2: twelve re-grades —
-# the six DECIMAL(38,0) overflow-hardening rewrites from the round-9
-# sweep (q109/q116/q119/q131/q140/q142 — outputs proven unchanged at
-# sf0.01 + planted-1e10 property tests, but the implementations
-# changed, so their r5-r7 rows grade old code), the three gates riding
-# the refactored as-of kernel / pyav-branched demux
-# (asof_join_events, asof_forward_events, media_video_frames — the
-# dedup_prefix precedent: changed-kernel gates re-grade even when
-# byte-identical output is proven), and the three touched by the
-# round-9 ADVICE closures (udf_python_udtf_words — oracle gained
-# list_filter; media_ahash_groups / media_tile_hashes — their encoder
-# gained the ASCII assertion). Rule 3: the first 25 of the pinned
-# _R10_REPROOF_QUEUE r4-resting claim order; the 21 that do not fit
-# hold explicit round-11 claims in _R11_REPROOF_QUEUE.
-# 13 + 12 + 25 = 50. Rows-only-by-nature gates stay out per rule 4.
+# Round-11 window (frozen at round start, before any new session
+# additions — the round-9/10 precedent). Rule 1: the 24 never-green
+# round-10 session additions, order pinned in round 10's
+# _NEXT_WINDOW_QUEUE (oldest claims first) — draining this queue to
+# zero means, for the first time, EVERY oracle-backed gate in the
+# registry has a driver row. Rule 2: one re-grade —
+# q124_clustering_coefficient, whose coeff_e6 moved from
+# double-division-then-long-cast to the exact DECIMAL(38,0)
+# _floor_div_dec matching its oracle's `//` (round-10 judge item 3;
+# planted-witness property test in tests/test_properties.py). Rule 3:
+# the 21 r4-resting gates pinned in _R11_REPROOF_QUEUE, then the first
+# 4 of the pinned r5 claim order (_R5_COHORT_CLAIM_ORDER) — the r5
+# cohort becomes the stalest green set once the r4 gates re-prove; the
+# 39 that do not fit hold explicit round-12 claims in
+# _R12_REPROOF_QUEUE. 24 + 1 + 21 + 4 = 50. Rows-only-by-nature gates
+# stay out per rule 4.
 _PRIORITY = [
-    # --- rule 1: never-green round-9 additions, queue order preserved ---
-    "q167_time_weighted_value",     # TWAP per event type, decimal wsum
-    "q168_gap_percentiles",         # SLO p50/p90/p99 from digit histogram
-    "pipe_curriculum_order",        # easy-first source-interleaved schedule
-    "dedup_containment_pairs",      # asymmetric snippet-in-doc containment
-    "sim_label_centroid_drift",     # split-half centroid cosine per label
-    "q169_dau_mau_stickiness",      # exact rolling-28d MAU via islands
-    "pipe_source_dup_rate",         # corpus-wide exact-dup share per source
-    "asof_nearest_events",          # NEAREST as-of direction + tolerance
-    "text_trigram_entropy",         # char-trigram gibberish entropy
-    "udf_arrow_udtf_words",         # Arrow-optimized Python UDTF flavor
-    "media_scene_cuts",             # Y4M luma-jump shot boundaries
-    "q170_iso_week_rollup",         # ISO year/week calendar-trap rollup
-    "text_vocab_coverage",          # top-N token coverage curve + anchor
-    # --- rule 2: re-grades (implementation or oracle changed) ---
-    "q109_regression_slope",        # Σxy/Σx² now DECIMAL(38,0)
-    "q116_rolling_slope",           # num/den now DECIMAL(38,0)
-    "q119_gini",                    # Σ(i·rev) now DECIMAL(38,0)
-    "q131_burstiness",              # moments now DECIMAL(38,0)
-    "q140_autocorrelation",         # Σc²/Σc·c+k now DECIMAL(38,0)
-    "q142_welch_t",                 # Σx² now DECIMAL(38,0)
-    "asof_join_events",             # backward path through the new _pass
-    "asof_forward_events",          # forward path through the new _pass
-    "media_video_frames",           # demux gained the pyav branch
-    "udf_python_udtf_words",        # oracle gained the blank-doc filter
-    "media_ahash_groups",           # encoder gained the ASCII assertion
-    "media_tile_hashes",            # encoder gained the ASCII assertion
-    # --- rule 3: first 25 of the pinned r4 claim order (_R10_REPROOF_QUEUE) ---
-    "q01_scan_project",
-    "q02_filter",
-    "q03_in_between_like",
-    "q04_inner_join",
-    "q05_multiway_join",
-    "q06_left_join",
-    "q07_full_outer",
-    "q08_semi_join",
-    "q10_cross_join",
-    "q11_theta_join",
-    "q12_group_agg",
-    "q13_count_distinct",
-    "q14_having",
-    "q15_rollup",
-    "q16_cube",
-    "q18_row_number",
-    "q21_running_sum",
-    "q23_top_k",
-    "q24_union_all",
-    "q27_strings",
-    "q29_relaxed_parse",
-    "q33_events_tumbling",
-    "q34_sessionization",
-    "q35_pivot",
-    "q39_string_agg",
-]
-
-#: never-green or changed-this-round oracle-backed gates that do NOT fit
-#: the 50-slot round-9 window, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be in
-#: the window or in this queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # round-10 session additions (written after the r10 window froze)
-    # append below as implemented, oldest first:
+    # --- rule 1: never-green round-10 additions, queue order preserved ---
     "dedup_winnowing_pairs",        # MOSS local fingerprints, excerpt dedup
     "text_bm25_topk",               # Okapi BM25 ranked retrieval
     "sim_maxsim_topk",              # ColBERT-style late-interaction rescoring
@@ -221,6 +158,59 @@ _NEXT_WINDOW_QUEUE = [
     "q177_bollinger_breaches",      # integer 2-sigma band breaches
     "udf_grouped_agg_sums",         # series->scalar pandas UDAF flavor
     "text_heaps_curve",             # trigram vocabulary growth + beta
+    # --- rule 2: re-grades (implementation or oracle changed) ---
+    "q124_clustering_coefficient",  # coeff_e6 now exact _floor_div_dec
+    # --- rule 3: all 21 of the pinned r4 claim order (_R11_REPROOF_QUEUE) ---
+    "q41_percentiles",
+    "q42_correlated_subquery",
+    "q45_regex_scalars",
+    "q46_array_ops",
+    "q47_tpch_q3_shape",
+    "q48_tpch_q5_shape",
+    "q49_json_extract",
+    "q61_interval_join",
+    "q62_tpch_q7_shape",
+    "q63_funnel",
+    "q64_retention_cohorts",
+    "dedup_exact",
+    "pipe_dedup_spans",
+    "pipe_reassemble_spans",
+    "pipe_topk_per_stratum",
+    "pipe_upsample_sources",
+    "sim_bruteforce_topk_batch",
+    "sim_quantize_int8",
+    "sim_quantized_topk",
+    "stream_topk_trending",
+    "text_lm_score",
+    # --- rule 3 spillover: first 4 of the pinned r5 claim order ---
+    "q19_rank",
+    "q20_lag_lead",
+    "q22_ntile",
+    "q25_intersect",
+]
+
+#: never-green or changed-this-round oracle-backed gates that do NOT fit
+#: the 50-slot window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be in
+#: the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # round-11 session additions (written after the r11 window froze)
+    # append below as implemented, oldest first:
+    "q178_tpch_q8_share",           # Q8 national market share, exact e6
+    "q179_tpch_q9_profit",          # Q9 profit by nation/year (retail cost)
+    "q180_tpch_q11_important",      # Q11 global-scalar HAVING threshold
+    "q181_tpch_q14_promo",          # Q14 promo revenue share, month-pruned
+    "q182_tpch_q15_top_supplier",   # Q15 view + argmax with exact ties
+    "q183_tpch_q17_small_qty",      # Q17 correlated per-part avg filter
+    "q184_tpch_q19_disjunctive",    # Q19 OR'd brackets stay equi-join
+    "q185_tpch_q22_antijoin",       # Q22 scalar threshold + anti join
+    "q186_ohlc_bars",               # OHLC candlesticks via min_by/max_by
+    "q187_cramers_v",               # chi2-normalized association strength
+    "q188_kendall_tau",             # tau-b over day-bounded pair join
+    "pipe_gopher_rules",            # Gopher quality-rule audit per source
+    "pipe_kfold_assign",            # deterministic 5-fold + LOO sizes
+    "text_dup_ngrams",              # Gopher dup word-5-gram fraction
+    "dedup_oph_minhash_est",        # one-permutation densified MinHash
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
@@ -280,6 +270,35 @@ _R11_REPROOF_QUEUE = [
     "sim_quantize_int8", "sim_quantized_topk", "stream_topk_trending",
     "text_lm_score",
 ]
+
+#: the pinned r5-cohort claim order (pinned at round-11 start, the
+#: moment the r4 cohort re-proves and the 43 r5-resting gates become
+#: the stalest green set): q-gates in numeric order, then families
+#: alphabetically — the same convention as _R10_REPROOF_QUEUE. Round
+#: 11's rule-3 spillover consumes the FIRST 4; _R12_REPROOF_QUEUE is
+#: the unconsumed suffix, first in line for round 12's rule-3 slots.
+#: Enforced by tests/test_entry_window.py.
+_R5_COHORT_CLAIM_ORDER = [
+    "q19_rank", "q20_lag_lead", "q22_ntile", "q25_intersect",
+    "q28_trim_nullify", "q30_dates", "q31_math", "q32_conditionals",
+    "q36_string_breadth", "q37_date_breadth", "q38_grouping_sets",
+    "q40_conditional_agg", "q43_range_frame", "q44_first_last_value",
+    "q51_union_distinct", "q60_variant_extract", "q65_tpch_q18_shape",
+    "q66_tpch_q21_shape", "q67_tpch_q2_shape", "q68_merge_upsert",
+    "q72_table_diff", "q73_gap_fill", "q74_histogram",
+    "q75_corr_matrix", "q76_transition_matrix", "q77_outliers",
+    "q78_fuzzy_match", "q79_cooccurrence",
+    "dedup_clusters_recursive_sql", "dedup_exact_normalized",
+    "dedup_ngram_jaccard_pairs", "media_decode_features",
+    "pipe_shuffle_shards", "ref_cell_ops", "ref_coerce_types",
+    "ref_overlay_region", "sim_bruteforce_topk", "sim_ivf_pinned_assign",
+    "sim_ivf_pinned_topk", "stream_attribution",
+    "stream_user_milestones", "text_token_stats", "udf_scalar_net_price",
+]
+
+#: round-12 re-proof claim order: the 39 r5-resting gates whose claims
+#: did not fit round 11's 4 spillover slots, in the pinned order above.
+_R12_REPROOF_QUEUE = _R5_COHORT_CLAIM_ORDER[4:]
 
 
 def _ordered(merged: dict) -> dict:

@@ -1667,6 +1667,12 @@ DEDUP_ORACLE["dedup_winnowing_pairs"] = (
 #: (2·agree − K)·1e6 always divisible by K, so the estimator is exact
 #: integer arithmetic with identical truncation in both engines.
 BBIT_K = 32
+# the exact-division guarantee above is LOAD-BEARING: Spark's `div` is
+# truncating and DuckDB's `//` is flooring, equal only when the
+# dividend divides exactly (negative estimates exist for dissimilar
+# pairs) — so K must divide 1e6 (round-10 ADVICE: make the invariant
+# fail loudly if K changes, not silently corrupt both engines)
+assert 1_000_000 % BBIT_K == 0, "BBIT_K must divide 1e6 (div == //)"
 BBIT_AGREE_MIN = 20
 
 
@@ -1752,10 +1758,12 @@ def dedup_bbit_minhash_est(spark, sf_dir):
         .where(F.col("a") < F.col("b"))
         .select(
             "a", "b", agree.alias("agree_bits"),
-            # (2A−K)·1e6 is always a multiple of K=32 (1e6 = 31250·32),
-            # so truncating div == flooring // — engine-safe even for
-            # the negative estimates of dissimilar pairs
-            F.expr(f"((2 * (32 - bit_count(ba ^ bb)) - {BBIT_K}) * 1000000) div {BBIT_K}")
+            # (2A−K)·1e6 is always a multiple of K (1e6 % K == 0,
+            # asserted at the constant), so truncating div == flooring
+            # // — engine-safe even for the negative estimates of
+            # dissimilar pairs
+            F.expr(f"((2 * ({BBIT_K} - bit_count(ba ^ bb)) - {BBIT_K})"
+                   f" * 1000000) div {BBIT_K}")
             .cast("long").alias("jhat_e6"),
             F.expr("(1000000 * size(array_intersect(sa, sb))) div size(array_union(sa, sb))")
             .cast("long").alias("j_e6"),
@@ -1796,4 +1804,174 @@ DEDUP_ORACLE["dedup_bbit_minhash_est"] = (
     "JOIN sh sa ON sa.doc_id = a.doc_id "
     "JOIN sh sb ON sb.doc_id = b.doc_id "
     f"WHERE {BBIT_K} - bit_count(xor(ab.bits, bb.bits)) >= {BBIT_AGREE_MIN}"
+)
+
+
+# --------------------------------------------------------------------------
+# One-Permutation Hashing (OPH) MinHash with rotation densification
+# (Li, Owen & Zhang 2012; Shrivastava & Li 2014) — round 11
+# --------------------------------------------------------------------------
+
+#: OPH parameters: ONE md5 hash per shingle (vs BBIT_K digests per
+#: shingle for the k-permutation path — the whole point of OPH is that
+#: the signature costs one hash pass), partitioned into OPH_K bins by
+#: hash modulus; empty bins borrow the nearest non-empty bin clockwise
+#: (rotation densification, which keeps the estimator unbiased).
+#: 1e6 % OPH_K == 0 keeps the Ĵ_e6 division exact in both engines.
+OPH_K = 16
+assert 1_000_000 % OPH_K == 0, "OPH_K must divide 1e6 (div == //)"
+OPH_AGREE_MIN = 6
+
+
+def oph_minhash_slots(docs: DataFrame, k: int = OPH_K) -> DataFrame:
+    """Per-document densified OPH signature as (doc, slot i, value).
+
+    One hash per shingle: h = md5-derived 48-bit int; bin = h % k; the
+    bin's raw slot value is min(h) over its shingles. Densification:
+    slot i takes the raw value of the FIRST non-empty bin at rotation
+    distance j = (p − i) mod k, j minimal — expressed as a k-row spine
+    join + arg-min over (j, value) (min of a packed struct; k² fan per
+    doc is 256 rows, bounded). This is Shrivastava & Li's "rotation"
+    densification: every slot is filled whenever the doc has ≥ 1
+    shingle, and E[slot_a = slot_b] = J under one shared permutation.
+
+    Scale shape: shingle explode → one (doc, bin) min aggregate (1
+    hash/shingle — k× cheaper than bbit_minhash_bits' per-permutation
+    digests) → bounded k-spine join. Two skinny shuffles."""
+    sh = docs.select(
+        F.col("doc_id"), F.explode(_bigram_shingles(F.col("text"))).alias("s")
+    ).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("oph␟"), F.col("s"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    mins = (
+        sh.select("doc_id", h.alias("h"))
+        .select("doc_id", (F.col("h") % k).cast("int").alias("p"), "h")
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mn"))
+    )
+    spine = F.broadcast(
+        SparkSession.getActiveSession()
+        .range(k)
+        .select(F.col("id").cast("int").alias("i"))
+    )
+    rot = mins.crossJoin(spine).select(
+        "doc_id", "i",
+        ((F.col("p") - F.col("i") + k) % k).alias("j"),
+        "mn",
+    )
+    # first non-empty bin clockwise: min over the packed (j, mn) pair —
+    # j < k and mn < 2^48, so j·2^48 + mn orders by (j, mn) exactly
+    packed = rot.select(
+        "doc_id", "i",
+        (F.col("j").cast("long") * F.lit(2**48) + F.col("mn")).alias("jm"),
+    )
+    return (
+        packed.groupBy("doc_id", "i")
+        .agg(F.min("jm").alias("jm"))
+        .select(
+            "doc_id", "i", (F.col("jm") % F.lit(2**48)).alias("slot")
+        )
+    )
+
+
+def dedup_oph_minhash_est(spark, sf_dir):
+    """Gate: pairwise OPH Jaccard estimates over the PAIR_BOUND slice
+    next to the exact bigram Jaccard — the one-hash-per-token sibling
+    of dedup_bbit_minhash_est (same calibration readout, ~k× cheaper
+    signatures; the estimator a 100 TB corpus actually signs with).
+    All-pairs over the constant slice BY DESIGN — at scale you band
+    these same slots (they ARE minhash values) and only estimate on
+    candidates. Ĵ_e6 = agree·(1e6/k), exact integers."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < PAIR_BOUND)
+        .select("doc_id", "text")
+    )
+    slots = oph_minhash_slots(d)
+    arr = (
+        slots.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "slot"))),
+                lambda x: x.slot,
+            ).alias("sig")
+        )
+    )
+    sh = d.select(
+        "doc_id", F.array_distinct(_bigram_shingles(F.col("text"))).alias("s")
+    )
+    x = arr.join(sh, "doc_id")
+    a = x.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
+        F.col("s").alias("sa"),
+    )
+    b = x.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sigb"),
+        F.col("s").alias("sb"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("siga", "sigb", lambda u, v: u == v),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", agree.alias("agree_slots"),
+            (agree * F.lit(1_000_000 // OPH_K)).alias("jhat_e6"),
+            F.expr(
+                "CAST((1000000 * size(array_intersect(sa, sb))) "
+                "div size(array_union(sa, sb)) AS BIGINT)"
+            ).alias("j_e6"),
+        )
+        .where(F.col("agree_slots") >= OPH_AGREE_MIN)
+    )
+
+
+DEDUP_QUERIES["dedup_oph_minhash_est"] = dedup_oph_minhash_est
+DEDUP_ORACLE["dedup_oph_minhash_est"] = (
+    "WITH d AS ("
+    "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') t "
+    f"  FROM documents WHERE doc_id < {PAIR_BOUND}), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] "
+    "    FOR i IN range(1, len(t))]) s "
+    "  FROM d), "
+    "shx AS (SELECT doc_id, unnest(s) AS sg FROM sh), "
+    "hs AS ("
+    "  SELECT doc_id, "
+    "    ('0x' || substr(md5('oph' || chr(9247) || sg), 1, 12))::BIGINT AS h "
+    "  FROM shx), "
+    "mins AS ("
+    f"  SELECT doc_id, (h % {OPH_K})::INT AS p, MIN(h) AS mn "
+    "  FROM hs GROUP BY 1, 2), "
+    "rot AS ("
+    "  SELECT doc_id, i.i, "
+    f"    ((p - i.i + {OPH_K}) % {OPH_K})::BIGINT * 281474976710656 + mn "
+    "      AS jm "
+    f"  FROM mins, (SELECT UNNEST(range({OPH_K})) AS i) i), "
+    "slots AS ("
+    "  SELECT doc_id, i, MIN(jm) % 281474976710656 AS slot "
+    "  FROM rot GROUP BY 1, 2), "
+    "sig AS ("
+    "  SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "  CAST(len(list_filter(range(1, len(ga.sig) + 1), "
+    "    k -> ga.sig[k] = gb.sig[k])) AS BIGINT) AS agree_slots, "
+    "  CAST(len(list_filter(range(1, len(ga.sig) + 1), "
+    f"    k -> ga.sig[k] = gb.sig[k])) * {1_000_000 // OPH_K} AS BIGINT) "
+    "    AS jhat_e6, "
+    "  CAST((1000000 * len(list_intersect(sa.s, sb.s))) "
+    "    // len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS j_e6 "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "JOIN sig ga ON ga.doc_id = a.doc_id "
+    "JOIN sig gb ON gb.doc_id = b.doc_id "
+    "JOIN sh sa ON sa.doc_id = a.doc_id "
+    "JOIN sh sb ON sb.doc_id = b.doc_id "
+    "WHERE len(list_filter(range(1, len(ga.sig) + 1), "
+    f"  k -> ga.sig[k] = gb.sig[k])) >= {OPH_AGREE_MIN}"
 )

@@ -2630,3 +2630,187 @@ PIPELINE_ORACLE["pipe_time_split"] = (
     "    THEN 1 ELSE 0 END) AS BIGINT) AS n_test "
     "FROM flagged GROUP BY event_type"
 )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (round 11)
+# --------------------------------------------------------------------------
+
+#: Gopher rule thresholds (Rae et al. 2021 "Scaling Language Models",
+#: table A1, adapted to this corpus's scale: the published bounds are
+#: 50..100k words for web pages; this fixture's documents are short
+#: synthetic passages, so the word-count bracket shrinks while every
+#: RATIO rule keeps its published constant). All rules evaluate in
+#: exact cross-multiplied integers — no float thresholds.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 1_000
+GOPHER_MEAN_LEN_MIN = 3   # 3 <= mean word chars <= 10
+GOPHER_MEAN_LEN_MAX = 10
+GOPHER_ALPHA_NUM = 4      # >= 80 % of words contain a letter (4/5)
+GOPHER_ALPHA_DEN = 5
+GOPHER_MIN_STOP_HITS = 2  # >= 2 stopword occurrences
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-source Gopher-rule quality audit: how many documents pass
+    the composite filter, and which rule each failure trips — the
+    repair-priority readout a corpus curator reads before rerunning a
+    crawl. Four rules, all expression-level over ONE ws_tokens pass
+    (map-only; whole-stage codegen; no UDF):
+
+    - word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+    - mean word length in [3, 10] chars, exact:
+      3·n ≤ Σlen ≤ 10·n (cross-multiplied, no division)
+    - ≥ 80 % of words contain a letter: 5·n_alpha ≥ 4·n
+    - ≥ 2 stopword occurrences
+
+    Output: per source, n_docs / n_pass plus per-rule failure counts
+    (a doc can fail several rules; counts are per rule, not
+    partitioned). Exact BIGINTs only."""
+    t = ws_tokens(F.col("text"))
+    n = F.size(t)
+    sumlen = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stops, w)))
+    flags = docs.select(
+        "source",
+        (
+            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (sumlen < GOPHER_MEAN_LEN_MIN * n)
+            | (sumlen > GOPHER_MEAN_LEN_MAX * n)
+        ).alias("f_mwl"),
+        (GOPHER_ALPHA_DEN * n_alpha < GOPHER_ALPHA_NUM * n).alias("f_alpha"),
+        (n_stop < GOPHER_MIN_STOP_HITS).alias("f_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                ~F.col("f_wc") & ~F.col("f_mwl")
+                & ~F.col("f_alpha") & ~F.col("f_stop"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_pass"),
+        cnt("f_wc").alias("fail_word_count"),
+        cnt("f_mwl").alias("fail_mean_word_len"),
+        cnt("f_alpha").alias("fail_alpha_ratio"),
+        cnt("f_stop").alias("fail_stopwords"),
+    )
+
+
+def pipe_gopher_rules(spark, sf_dir):
+    """Gate: per-source Gopher quality-rule audit."""
+    return gopher_rules(load_table(spark, "documents", sf_dir))
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+PIPELINE_QUERIES["pipe_gopher_rules"] = pipe_gopher_rules
+PIPELINE_ORACLE["pipe_gopher_rules"] = (
+    "WITH f AS ("
+    "  SELECT source, "
+    "    list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "      x -> x <> '') AS t "
+    "  FROM documents), "
+    "m AS ("
+    "  SELECT source, len(t) AS n, "
+    "    COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS sumlen, "
+    "    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha, "
+    f"    len(list_filter(t, x -> list_contains({_GOPHER_STOP_SQL}, x))) "
+    "      AS n_stop "
+    "  FROM f), "
+    "flags AS ("
+    "  SELECT source, "
+    f"    (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_wc, "
+    f"    (sumlen < {GOPHER_MEAN_LEN_MIN} * n "
+    f"     OR sumlen > {GOPHER_MEAN_LEN_MAX} * n) AS f_mwl, "
+    f"    ({GOPHER_ALPHA_DEN} * n_alpha < {GOPHER_ALPHA_NUM} * n) AS f_alpha, "
+    f"    (n_stop < {GOPHER_MIN_STOP_HITS}) AS f_stop "
+    "  FROM m) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_alpha "
+    "    AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+    "  CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS fail_word_count, "
+    "  CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS fail_mean_word_len, "
+    "  CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS fail_alpha_ratio, "
+    "  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS fail_stopwords "
+    "FROM flags GROUP BY source"
+)
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validation assignment (round 11)
+# --------------------------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_SEED = "kfold_r11"
+
+
+def kfold_assign(docs: DataFrame, k: int = KFOLD_K) -> DataFrame:
+    """Deterministic k-fold assignment + leave-one-fold-out readout:
+    fold = md5-bucket(seed:doc_id) — the same engine-portable
+    hash_bucket every split/sample gate rides, so folds are stable
+    across engines, runs, AND cluster sizes (no rand(), no
+    zipWithIndex). Output per fold: member count, token mass, and the
+    train-side size when that fold is held out (total − fold, via a
+    window over the K-row fold table — never a second corpus scan)."""
+    t = ws_tokens(F.col("text"))
+    per_fold = (
+        docs.select(
+            hash_bucket(
+                F.concat(F.lit(KFOLD_SEED + ":"), F.col("doc_id")), k
+            ).alias("fold"),
+            F.size(t).cast("long").alias("n_toks"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_fold.select(
+        "fold", "n_docs", "n_tokens",
+        (F.sum("n_docs").over(w) - F.col("n_docs"))
+        .cast("long")
+        .alias("train_docs"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long")
+        .alias("train_tokens"),
+    )
+
+
+def pipe_kfold_assign(spark, sf_dir):
+    """Gate: deterministic 5-fold assignment with leave-one-out sizes."""
+    return kfold_assign(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_kfold_assign"] = pipe_kfold_assign
+PIPELINE_ORACLE["pipe_kfold_assign"] = (
+    "WITH f AS ("
+    "  SELECT ('0x' || substr(md5("
+    f"    '{KFOLD_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    f"    % {KFOLD_K} AS fold, "
+    "    CAST(len(list_filter(string_split_regex(lower(trim(text)), "
+    "      '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks "
+    "  FROM documents), "
+    "per_fold AS ("
+    "  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "    CAST(SUM(n_toks) AS BIGINT) AS n_tokens "
+    "  FROM f GROUP BY fold) "
+    "SELECT fold, n_docs, n_tokens, "
+    "  CAST(SUM(n_docs) OVER () - n_docs AS BIGINT) AS train_docs, "
+    "  CAST(SUM(n_tokens) OVER () - n_tokens AS BIGINT) AS train_tokens "
+    "FROM per_fold"
+)

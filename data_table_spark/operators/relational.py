@@ -5545,10 +5545,15 @@ def q124_clustering_coefficient(spark, sf_dir):
             F.col("n").alias("node"),
             F.col("d").cast("long").alias("degree"),
             F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
-            (
-                (F.lit(2_000_000) * F.coalesce(F.col("t"), F.lit(0)))
-                / (F.col("d") * (F.col("d") - 1))
-            ).cast("long").alias("coeff_e6"),
+            # _floor_div_dec in DECIMAL(38,0), matching the oracle's
+            # exact `//`: the former double division truncated-to-long,
+            # which equals floor only while 2e6·tri stays under 2^53 —
+            # the q109-q142 overflow class, eliminated here too
+            _floor_div_dec(
+                F.lit(2_000_000).cast("decimal(38,0)")
+                * F.coalesce(F.col("t"), F.lit(0)),
+                (F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)"),
+            ).alias("coeff_e6"),
         )
         .orderBy(F.col("coeff_e6").desc(), F.col("node").asc())
         .limit(20)
@@ -10282,4 +10287,693 @@ RELATIONAL_ORACLE["q177_bollinger_breaches"] = (
     "  CAST(SUM(u) AS BIGINT) AS n_upper_breaches, "
     "  CAST(SUM(l) AS BIGINT) AS n_lower_breaches "
     "FROM f GROUP BY region"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion shapes (round 11): the classic decision-support
+# queries not yet represented, adapted to this schema (no partsupp /
+# l_shipmode / l_commitdate / c_phone — each adaptation is documented
+# in place). All money math is EXACT integer micros: rev_u =
+# round(extprice·100) · (100 − round(disc·100)), summed in
+# DECIMAL(38,0) (the q176 posture), shares via _floor_div_dec.
+# --------------------------------------------------------------------------
+
+def _rev_u():
+    """Per-line revenue in cent-hundredths (cents × (100 − disc_pct)),
+    exact in longs per row; SUM in decimal(38,0) at every aggregate."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+
+
+_REV_U_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def q178_tpch_q8_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) shape: of all PROMO-part
+    revenue delivered to EUROPE-region customers, the share supplied
+    by NATION_3, per order year. The canonical share-of-filtered-fan
+    join: lineitem fans to orders→customer→nation→region on one side
+    and supplier→nation + part on the other — all five dims broadcast
+    (region/nation/supplier/part are dim-bounded; only
+    lineitem⋈orders shuffles). Share is exact: conditional decimal
+    sum over rev_u, _floor_div_dec against the year total."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    cn = n.alias("cn")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.select("l_orderkey", "l_suppkey", "l_partkey", _rev_u().alias("rev_u"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    g = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_u"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+        ).alias("nat"),
+        F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("tot"),
+    )
+    return g.select(
+        "o_year",
+        F.col("nat").cast("long").alias("nation_rev_u"),
+        F.col("tot").cast("long").alias("total_rev_u"),
+        _floor_div_dec(
+            F.col("nat") * F.lit(1_000_000), F.col("tot")
+        ).alias("share_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q178_tpch_q8_share"] = q178_tpch_q8_share
+RELATIONAL_ORACLE["q178_tpch_q8_share"] = (
+    "WITH j AS ("
+    f"  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year, {_REV_U_SQL} AS rev_u, "
+    "    sn.n_name AS supp_nation "
+    "  FROM lineitem l "
+    "  JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "  JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+    "  JOIN region rg ON cn.n_regionkey = rg.r_regionkey "
+    "    AND rg.r_name = 'EUROPE' "
+    "  JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "  JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+    "  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO') "
+    "SELECT CAST(o_year AS BIGINT) AS o_year, "
+    "  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) "
+    "    AS BIGINT) AS nation_rev_u, "
+    "  CAST(SUM(rev_u) AS BIGINT) AS total_rev_u, "
+    "  CAST((1000000 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u "
+    "    ELSE 0 END)) // SUM(rev_u) AS BIGINT) AS share_e6 "
+    "FROM j GROUP BY o_year"
+)
+
+
+def q179_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) shape: profit per supplier nation
+    per order year over parts whose name contains 'widget'. No
+    partsupp table in this schema, so unit cost substitutes
+    p_retailprice (documented adaptation — the join/agg geometry is
+    Q9's: fact fans to part + supplier→nation + orders-for-the-year).
+    amount_u = rev_u − retail_c·qty·100, exact per row in longs
+    (possibly negative), summed in decimal(38,0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    amount = _rev_u() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100)
+    )
+    j = (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount_u"),
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(
+            F.sum(F.col("amount_u").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("profit_u"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q179_tpch_q9_profit"] = q179_tpch_q9_profit
+RELATIONAL_ORACLE["q179_tpch_q9_profit"] = (
+    "WITH j AS ("
+    "  SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS yr, "
+    f"    {_REV_U_SQL} "
+    "      - CAST(ROUND(p.p_retailprice * 100) AS BIGINT) "
+    "        * CAST(ROUND(l.l_quantity) AS BIGINT) * 100 AS amount_u "
+    "  FROM lineitem l "
+    "  JOIN part p ON l.l_partkey = p.p_partkey "
+    "    AND p.p_name LIKE '%widget%' "
+    "  JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "  JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "  JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+    "SELECT nation, CAST(yr AS BIGINT) AS o_year, "
+    "  CAST(SUM(amount_u) AS BIGINT) AS profit_u, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_lines "
+    "FROM j GROUP BY nation, yr"
+)
+
+
+def q180_tpch_q11_important(spark, sf_dir):
+    """TPC-H Q11 (important stock) shape: parts whose revenue exceeds
+    0.1 % of GLOBAL revenue — the HAVING-against-scalar-subquery
+    geometry. No partsupp table, so "value" is lineitem revenue per
+    part (documented adaptation; the operator under test is the
+    global-scalar threshold, not the inventory join). The comparison
+    is EXACT cross-multiplied integers: 1000·part_value > total — no
+    division, no float threshold. The global total is a 1-row
+    aggregate broadcast into the filter (one fact scan feeds both
+    aggregates via grouping on p_partkey then re-aggregation — the
+    per-part table IS the input to the total, so the fact scan runs
+    once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.select(F.col("l_partkey"), _rev_u().alias("rev_u"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("value"))
+        .localCheckpoint()  # reuse: feeds BOTH the total and the filter
+    )
+    total = per_part.agg(F.sum("value").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("long").alias("value_u"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q180_tpch_q11_important"] = q180_tpch_q11_important
+RELATIONAL_ORACLE["q180_tpch_q11_important"] = (
+    "WITH per_part AS ("
+    f"  SELECT l_partkey, SUM({_REV_U_SQL}) AS value "
+    "  FROM lineitem GROUP BY l_partkey) "
+    "SELECT l_partkey AS p_partkey, CAST(value AS BIGINT) AS value_u "
+    "FROM per_part "
+    "WHERE value * 1000 > (SELECT SUM(value) FROM per_part)"
+)
+
+
+def q181_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) shape: the share of September-1997
+    shipped revenue carried by PROMO-type parts — a month-pruned scan
+    (both shipdate bounds push to parquet), a broadcast part join, and
+    ONE conditional aggregate; the share divides once via
+    _floor_div_dec."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = (
+        li.select("l_partkey", _rev_u().alias("rev_u"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_u"))
+                .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
+            ).alias("promo"),
+            F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("tot"),
+        )
+    )
+    return g.select(
+        "n_items",
+        F.col("promo").cast("long").alias("promo_rev_u"),
+        F.col("tot").cast("long").alias("total_rev_u"),
+        _floor_div_dec(
+            F.col("promo") * F.lit(1_000_000), F.col("tot")
+        ).alias("promo_share_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q181_tpch_q14_promo"] = q181_tpch_q14_promo
+RELATIONAL_ORACLE["q181_tpch_q14_promo"] = (
+    "WITH j AS ("
+    f"  SELECT {_REV_U_SQL} AS rev_u, p.p_type "
+    "  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' "
+    "    AND l.l_shipdate < TIMESTAMP '1997-10-01') "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) "
+    "    AS BIGINT) AS promo_rev_u, "
+    "  CAST(SUM(rev_u) AS BIGINT) AS total_rev_u, "
+    "  CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 "
+    "    END)) // SUM(rev_u) AS BIGINT) AS promo_share_e6 "
+    "FROM j"
+)
+
+
+def q182_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier) shape: suppliers whose 1998-Q1 shipped
+    revenue equals the maximum — the view-then-argmax geometry. The
+    revenue "view" is one grouped aggregate; the max is a 1-row
+    aggregate of THAT view broadcast back as an equi-filter (ties
+    included, per the spec). Exact integers end to end, so "equals
+    max" is well-defined — no float max comparison."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-04-01")
+    )
+    rev = (
+        li.select("l_suppkey", _rev_u().alias("rev_u"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("total"))
+        .localCheckpoint()  # reuse: feeds both the argmax and the filter
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total").cast("long").alias("total_rev_u"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q182_tpch_q15_top_supplier"] = q182_tpch_q15_top_supplier
+RELATIONAL_ORACLE["q182_tpch_q15_top_supplier"] = (
+    "WITH rev AS ("
+    f"  SELECT l_suppkey, SUM({_REV_U_SQL}) AS total "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1998-04-01' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, CAST(r.total AS BIGINT) AS total_rev_u "
+    "FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
+    "WHERE r.total = (SELECT MAX(total) FROM rev)"
+)
+
+
+def q183_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue) shape: Brand#4 lines
+    whose quantity is below 20 % of that part's average quantity — the
+    correlated-average-per-group filter. The threshold is EXACT
+    cross-multiplied integers: qty < 0.2·(Σqty/n) ⟺ 5·qty·n < Σqty
+    (quantities are integral by fixture; rounded to long on both
+    sides). The per-part averages table is part-bounded → broadcast
+    back onto the same filtered scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    lines = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext_c"),
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+    )
+    return (
+        lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * F.col("qty") * F.col("n_i") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("ext_c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("small_qty_rev_c"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q183_tpch_q17_small_qty"] = q183_tpch_q17_small_qty
+RELATIONAL_ORACLE["q183_tpch_q17_small_qty"] = (
+    "WITH lines AS ("
+    "  SELECT l.l_partkey, CAST(ROUND(l.l_quantity) AS BIGINT) AS qty, "
+    "    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext_c "
+    "  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "  WHERE p.p_brand = 'Brand#4'), "
+    "per_part AS ("
+    "  SELECT l_partkey AS pk, COUNT(*) AS n_i, "
+    "    CAST(SUM(qty) AS BIGINT) AS sum_qty "
+    "  FROM lines GROUP BY 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "  CAST(SUM(ext_c) AS BIGINT) AS small_qty_rev_c "
+    "FROM lines j JOIN per_part ON j.l_partkey = pk "
+    "WHERE 5 * j.qty * n_i < sum_qty"
+)
+
+
+def q184_tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue) shape: three OR'd
+    brand/size/quantity brackets over the part join — the disjunctive
+    multi-bracket predicate Catalyst must keep join-convertible (the
+    common `l_partkey = p_partkey` factor hoists out of the OR, so
+    the plan stays an equi-join with a residual disjunction, never a
+    nested loop). Quantities compare as the fixture's integral
+    doubles, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_rev_u().cast("decimal(38,0)"))
+            .cast("long")
+            .alias("disc_rev_u"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q184_tpch_q19_disjunctive"] = q184_tpch_q19_disjunctive
+RELATIONAL_ORACLE["q184_tpch_q19_disjunctive"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    f"  CAST(SUM({_REV_U_SQL}) AS BIGINT) AS disc_rev_u "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15 "
+    "       AND l.l_quantity BETWEEN 1 AND 11) "
+    "   OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 10 AND 30 "
+    "       AND l.l_quantity BETWEEN 10 AND 20) "
+    "   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50 "
+    "       AND l.l_quantity BETWEEN 20 AND 30)"
+)
+
+
+def q185_tpch_q22_antijoin(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) shape: customers with
+    above-average positive balances who never ordered, grouped by a
+    name-derived cohort (no c_phone column — the last digit of c_name
+    substitutes for the phone country code; the operator under test
+    is scalar-subquery threshold + anti-join + re-aggregation). The
+    average threshold is exact cross-multiplied cents: bal_c·n_pos >
+    sum_pos_c. The anti join streams orders once."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("right(c_name, 1)").alias("cohort"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    pos = c.where(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("bal_c").cast("decimal(38,0)")).alias("sum_pos_c"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .where(
+            F.col("bal_c").cast("decimal(38,0)") * F.col("n_pos")
+            > F.col("sum_pos_c")
+        )
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum(F.col("bal_c").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_bal_c"),
+    )
+
+
+RELATIONAL_QUERIES["q185_tpch_q22_antijoin"] = q185_tpch_q22_antijoin
+RELATIONAL_ORACLE["q185_tpch_q22_antijoin"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey, right(c_name, 1) AS cohort, "
+    "    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c "
+    "  FROM customer), "
+    "pos AS ("
+    "  SELECT COUNT(*) AS n_pos, SUM(bal_c) AS sum_pos_c "
+    "  FROM c WHERE bal_c > 0) "
+    "SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_custs, "
+    "  CAST(SUM(bal_c) AS BIGINT) AS total_bal_c "
+    "FROM c, pos "
+    "WHERE bal_c * n_pos > sum_pos_c "
+    "  AND NOT EXISTS (SELECT 1 FROM orders o "
+    "                  WHERE o.o_custkey = c.c_custkey) "
+    "GROUP BY cohort"
+)
+
+
+def q186_ohlc_bars(spark, sf_dir):
+    """OHLC (open-high-low-close) candlestick bars per (event_type,
+    day) — the market-data rollup every time-series store ships, as
+    ONE hash aggregate: open/close are min_by/max_by over a totally-
+    ordered DECIMAL(38,0) key (epoch micros · 10¹² + event_id — ties
+    in ts are broken by the unique event id, so the argmin is
+    deterministic at any scale; the key form assumes event_id < 10¹²,
+    asserted nowhere cheaper than the docstring), high/low/n are
+    plain min/max/count. No window function — min_by keeps the whole
+    bar map-side combinable, where a row_number-per-partition form
+    would shuffle every row to rank it."""
+    e = _t(spark, sf_dir, "events")
+    ordkey = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).cast("decimal(38,0)")
+        * F.lit(10**12).cast("decimal(38,0)")
+        + F.col("event_id")
+    )
+    v_c = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            v_c.alias("v_c"),
+            ordkey.alias("ok"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("v_c", "ok").alias("open_c"),
+            F.max("v_c").alias("high_c"),
+            F.min("v_c").alias("low_c"),
+            F.max_by("v_c", "ok").alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q186_ohlc_bars"] = q186_ohlc_bars
+RELATIONAL_ORACLE["q186_ohlc_bars"] = (
+    "WITH e AS ("
+    "  SELECT event_type, CAST(ts AS DATE) AS day, "
+    "    CAST(ROUND(value * 100) AS BIGINT) AS v_c, "
+    "    epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS ok "
+    "  FROM events) "
+    "SELECT event_type, day, "
+    "  arg_min(v_c, ok) AS open_c, "
+    "  CAST(MAX(v_c) AS BIGINT) AS high_c, "
+    "  CAST(MIN(v_c) AS BIGINT) AS low_c, "
+    "  arg_max(v_c, ok) AS close_c, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM e GROUP BY event_type, day"
+)
+
+
+def q187_cramers_v(spark, sf_dir):
+    """Cramér's V association strength for the event_type × day-of-week
+    contingency — the normalized effect size q104's chi-square lacks
+    (χ² grows with N; V ∈ [0,1] answers "is the association BIG").
+    Same kernel discipline as q104: exact BIGINT cell counts, each
+    cell's χ² contribution floored to e6 BEFORE the sum, then
+    V = sqrt(χ²/(N·min(r−1,c−1))) — sqrt is IEEE-exact (correctly
+    rounded, unlike libm ln), so flooring its e6 scaling is
+    engine-portable by construction. Day-of-week is pure integer
+    calendar math (epoch_days mod 7), immune to the Spark-vs-DuckDB
+    dayofweek origin mismatch."""
+    e = _t(spark, sf_dir, "events")
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+    )
+    cells = (
+        e.select(
+            "event_type",
+            ((epoch_s / 86400).cast("long") % 7).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_all = Window.partitionBy()
+    with_m = cells.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("event_type").over(w_all)).alias("nr"),
+        F.size(F.collect_set("dow").over(w_all)).alias("nc"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    scored = with_m.select(
+        "o", "n", "nr", "nc",
+        F.floor(contrib * 1_000_000).cast("long").alias("c_e6"),
+    )
+    g = scored.groupBy("n", "nr", "nc").agg(
+        F.sum("c_e6").alias("chi2_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    v = F.sqrt(
+        (F.col("chi2_e6").cast("double") / 1e6)
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+        )
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows_cat"),
+        F.col("nc").cast("long").alias("n_cols_cat"),
+        "n_cells",
+        F.col("chi2_e6").cast("long").alias("chi2_e6"),
+        F.floor(v * 1_000_000).cast("long").alias("cramers_v_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q187_cramers_v"] = q187_cramers_v
+RELATIONAL_ORACLE["q187_cramers_v"] = (
+    "WITH cells AS ("
+    "  SELECT event_type, (epoch(ts)::BIGINT // 86400) % 7 AS dow, "
+    "    COUNT(*) AS o "
+    "  FROM events GROUP BY 1, 2), "
+    "m AS ("
+    "  SELECT o, "
+    "    SUM(o) OVER (PARTITION BY event_type) AS rt, "
+    "    SUM(o) OVER (PARTITION BY dow) AS ct, "
+    "    SUM(o) OVER () AS n, "
+    "    (SELECT COUNT(DISTINCT event_type) FROM cells) AS nr, "
+    "    (SELECT COUNT(DISTINCT dow) FROM cells) AS nc "
+    "  FROM cells), "
+    "scored AS ("
+    "  SELECT n, nr, nc, "
+    "    CAST(FLOOR(1000000 * (o - (rt * ct)::DOUBLE / n) "
+    "      * (o - (rt * ct)::DOUBLE / n) / ((rt * ct)::DOUBLE / n)) "
+    "      AS BIGINT) AS c_e6 "
+    "  FROM m), "
+    "g AS ("
+    "  SELECT n, nr, nc, CAST(SUM(c_e6) AS BIGINT) AS chi2_e6, "
+    "    COUNT(*) AS n_cells "
+    "  FROM scored GROUP BY 1, 2, 3) "
+    "SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat, "
+    "  CAST(nc AS BIGINT) AS n_cols_cat, "
+    "  CAST(n_cells AS BIGINT) AS n_cells, chi2_e6, "
+    "  CAST(FLOOR(1000000 * SQRT((chi2_e6::DOUBLE / 1000000) "
+    "    / (n::DOUBLE * LEAST(nr - 1, nc - 1)::DOUBLE))) AS BIGINT) "
+    "    AS cramers_v_e6 "
+    "FROM g"
+)
+
+
+def q188_kendall_tau(spark, sf_dir):
+    """Kendall τ-b rank correlation between daily event volume and
+    daily total value — the tie-robust companion to q133's midrank
+    Spearman. The series collapses to ONE row per day first (the
+    support-collapse discipline), then concordant/discordant/tied
+    pair counts come from a day×day self-join bounded by the CALENDAR
+    (O(D²) in days, never in events — 30 days ⇒ 435 pairs at any
+    corpus size; at 10 years ⇒ ~6.7M pairs, still trivially
+    distributed). τ_b = (nc−nd)/√((n0−n1)(n0−n2)) evaluates in
+    doubles whose operands are exact longs; sqrt and one division are
+    IEEE-correctly-rounded, so the e6 floor is engine-portable."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+        .localCheckpoint()  # tiny; feeds both sides of the pair join
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.signum((F.col("x2") - F.col("x1")).cast("double")).alias("cx"),
+        F.signum((F.col("y2") - F.col("y1")).cast("double")).alias("cy"),
+    )
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("cx") * F.col("cy") > 0, 1).otherwise(0))
+        .alias("nc"),
+        F.sum(F.when(F.col("cx") * F.col("cy") < 0, 1).otherwise(0))
+        .alias("nd"),
+        F.sum(F.when(F.col("cx") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("cy") == 0, 1).otherwise(0)).alias("n2"),
+    )
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return g.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.col("n1").cast("long").alias("ties_x"),
+        F.col("n2").cast("long").alias("ties_y"),
+        F.floor(tau * 1_000_000).cast("long").alias("tau_b_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q188_kendall_tau"] = q188_kendall_tau
+RELATIONAL_ORACLE["q188_kendall_tau"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x, "
+    "    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y "
+    "  FROM events GROUP BY 1), "
+    "pairs AS ("
+    "  SELECT SIGN((b.x - a.x)::DOUBLE) AS cx, "
+    "    SIGN((b.y - a.y)::DOUBLE) AS cy "
+    "  FROM daily a JOIN daily b ON a.day < b.day), "
+    "g AS ("
+    "  SELECT COUNT(*) AS n0, "
+    "    SUM(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS nc, "
+    "    SUM(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS nd, "
+    "    SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS n1, "
+    "    SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS n2 "
+    "  FROM pairs) "
+    "SELECT CAST(n0 AS BIGINT) AS n_pairs, CAST(nc AS BIGINT) AS concordant, "
+    "  CAST(nd AS BIGINT) AS discordant, CAST(n1 AS BIGINT) AS ties_x, "
+    "  CAST(n2 AS BIGINT) AS ties_y, "
+    "  CAST(FLOOR(1000000 * (nc - nd)::DOUBLE "
+    "    / SQRT((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE)) AS BIGINT) "
+    "    AS tau_b_e6 "
+    "FROM g"
 )

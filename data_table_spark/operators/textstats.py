@@ -2019,7 +2019,10 @@ def heaps_curve(docs: DataFrame) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     )
-    t = (
+    # NOT named `t`: that name is the token-array Column above, still
+    # live inside kg/doc_tok closures (round-10 ADVICE — rebinding it
+    # to a DataFrame mid-function was reorder-fragile)
+    tok_totals = (
         doc_tok.join(spine, F.col("doc_id") < F.col("c"))
         .groupBy("c")
         .agg(
@@ -2028,7 +2031,7 @@ def heaps_curve(docs: DataFrame) -> DataFrame:
         )
     )
     w = Window.orderBy("c")
-    joined = t.join(v, "c").select(
+    joined = tok_totals.join(v, "c").select(
         "c", "n_docs", "tokens", "vocab",
         F.lag("tokens").over(w).alias("pt"),
         F.lag("vocab").over(w).alias("pv"),
@@ -2087,4 +2090,95 @@ TEXTSTATS_ORACLE["text_heaps_curve"] = (
     "      - LN(CAST(pv AS DOUBLE))) / (LN(CAST(tokens AS DOUBLE)) "
     "      - LN(CAST(pt AS DOUBLE))))) AS BIGINT) END AS beta_e6 "
     "FROM j"
+)
+
+
+# --------------------------------------------------------------------------
+# duplicate word-5-gram fraction (Gopher repetition rule) — round 11
+# --------------------------------------------------------------------------
+
+DUP_NGRAM_N = 5
+
+
+def dup_ngram_stats(docs: DataFrame) -> DataFrame:
+    """Per-source duplicate word-5-gram fraction — Gopher's repetition
+    rule family (Rae et al. 2021 table A1: "fraction of characters in
+    duplicate n-grams") at the cross-DOCUMENT granularity, the
+    boilerplate signal whole-document dedup can't see. (A
+    sentence-level form was measured degenerate before coding: this
+    fixture's texts carry no terminators, so terminator "sentences"
+    are whole docs and all 500 are distinct — the vocab_coverage
+    lesson. Word 5-grams duplicate at ~9 % here, an actual signal.)
+
+    One explode → a 5-gram→distinct-doc-count aggregate (bounded by
+    the distinct-n-gram vocabulary, map-side combinable) → joined
+    back to the instance stream → per-source counts. An instance "is
+    duplicate" when its 5-gram appears in MORE THAN ONE document
+    corpus-wide, so cross-source boilerplate is charged to every
+    source carrying it. dup_rate_e6 floors exactly (longs).
+
+    Scale shape: the vocabulary aggregate is the same two-shuffle
+    skinny-key plan the novelty/PMI family runs; the hottest n-gram
+    is one vocabulary cell — no window, no driver state."""
+    t = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (DUP_NGRAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + k) for k in range(DUP_NGRAM_N)]
+        ),
+    )
+    inst = docs.where(n >= DUP_NGRAM_N).select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    )
+    gram_docs = inst.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    j = inst.join(gram_docs, "g")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_instances"),
+    )
+    return agg.select(
+        "source", "n_ngrams", "n_dup_instances",
+        # exact floor: both operands long, quotient non-negative
+        F.expr("(1000000 * n_dup_instances) div n_ngrams")
+        .cast("long")
+        .alias("dup_rate_e6"),
+    )
+
+
+def text_dup_ngrams(spark, sf_dir):
+    """Gate: per-source duplicate word-5-gram rates."""
+    return dup_ngram_stats(load_table(spark, "documents", sf_dir))
+
+
+TEXTSTATS_QUERIES["text_dup_ngrams"] = text_dup_ngrams
+TEXTSTATS_ORACLE["text_dup_ngrams"] = (
+    "WITH tk AS ("
+    "  SELECT doc_id, source, list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '') AS t "
+    "  FROM documents), "
+    "inst AS ("
+    "  SELECT doc_id, source, "
+    "    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' "
+    "      || t[i+3] || ' ' || t[i+4] "
+    f"      FOR i IN range(1, len(t) - {DUP_NGRAM_N - 2})]) AS g "
+    f"  FROM tk WHERE len(t) >= {DUP_NGRAM_N}), "
+    "gram_docs AS ("
+    "  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY g), "
+    "agg AS ("
+    "  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ngrams, "
+    "    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "      AS n_dup_instances "
+    "  FROM inst JOIN gram_docs USING (g) GROUP BY source) "
+    "SELECT source, n_ngrams, n_dup_instances, "
+    "  CAST((1000000 * n_dup_instances) // n_ngrams AS BIGINT) "
+    "    AS dup_rate_e6 "
+    "FROM agg"
 )

@@ -23,6 +23,22 @@ from pyspark.sql.functions import pandas_udf
 from ..sources.registry import load_table
 
 
+def _round_half_up_i64(s: "pd.Series") -> "pd.Series":
+    """Half-UP rounding to int64 for NON-NEGATIVE series (round-10
+    ADVICE): pandas ``.round()`` is half-EVEN (banker's) while the
+    DuckDB oracle's ROUND is half-away-from-zero — on the shipped
+    fixtures no value lands exactly on .5 after the float multiply, so
+    the two coincided, but the equivalence was coincidental. floor(x +
+    0.5) IS half-up for x >= 0; every caller rounds prices/quantities/
+    discounts, non-negative by construction."""
+    import numpy as np
+
+    arr = s.to_numpy(dtype="float64")
+    if (arr < 0).any():
+        raise ValueError("_round_half_up_i64 requires non-negative values")
+    return pd.Series(np.floor(arr + 0.5).astype("int64"), index=s.index)
+
+
 def _net_price_udf():
     # built lazily: the pandas_udf decorator parses its type against an
     # active SparkSession, so it cannot run at module import time
@@ -446,11 +462,11 @@ def udf_mapinpandas_filter(spark, sf_dir):
 
     def batches(it):
         for pdf in it:
-            qty = pdf["l_quantity"].round().astype("int64")
+            qty = _round_half_up_i64(pdf["l_quantity"])
             keep = pdf[qty >= MIP_MIN_QTY]
             kq = qty[qty >= MIP_MIN_QTY]
-            ext_c = (keep["l_extendedprice"] * 100).round().astype("int64")
-            disc_p = (keep["l_discount"] * 100).round().astype("int64")
+            ext_c = _round_half_up_i64(keep["l_extendedprice"] * 100)
+            disc_p = _round_half_up_i64(keep["l_discount"] * 100)
             out = pd.DataFrame(
                 {
                     "l_orderkey": keep["l_orderkey"].astype("int64"),
@@ -514,13 +530,28 @@ def udf_grouped_agg_sums(spark, sf_dir):
 
     @pandas_udf(T.DoubleType())
     def wsum_cents(ext: pd.Series, qty: pd.Series) -> float:
-        cents = (ext * 100).round().astype("int64").to_numpy()
-        q = qty.round().astype("int64").to_numpy()
-        return float(int((cents * q).sum()))
+        cents = _round_half_up_i64(ext * 100).to_numpy()
+        q = _round_half_up_i64(qty).to_numpy()
+        s = int((cents * q).sum())
+        # the long->double handoff is lossless only below 2^53; a
+        # grouped-agg pandas UDF can only return scalar primitives, so
+        # past that the exact sum would SILENTLY diverge from the
+        # BIGINT oracle — fail loudly instead (round-10 ADVICE). At
+        # scale this aggregate belongs in built-ins anyway (docstring).
+        if abs(s) >= 2**53:
+            raise OverflowError(
+                f"wsum_cents {s} exceeds 2^53; double return would round"
+            )
+        return float(s)
 
     @pandas_udf(T.DoubleType())
     def qty_sum(qty: pd.Series) -> float:
-        return float(int(qty.round().astype("int64").to_numpy().sum()))
+        s = int(_round_half_up_i64(qty).to_numpy().sum())
+        if abs(s) >= 2**53:
+            raise OverflowError(
+                f"qty_sum {s} exceeds 2^53; double return would round"
+            )
+        return float(s)
 
     @pandas_udf(T.DoubleType())
     def row_count(qty: pd.Series) -> float:

@@ -172,6 +172,22 @@ GATES = [
     # Heaps curve: trigram explode + one first-occurrence aggregate,
     # checkpoint spine broadcast, windows over the 6-row table
     ("text_heaps_curve", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    # round-11 session additions over the 10× corpus: the dup-5-gram
+    # fraction (explode + vocab aggregate + skinny join back — the
+    # novelty/PMI plan family), the Gopher rule audit (map-only, one
+    # token pass), OPH minhash (one hash per shingle + the bounded
+    # PAIR_BOUND all-pairs slice), k-fold (map + K-row window), and
+    # the heaviest TPC-H completions: Q8's 7-way star (all dims must
+    # STAY broadcast at 10×), Q11's two-pass global threshold, Q17's
+    # per-part correlated average, OHLC's single fact aggregate
+    ("text_dup_ngrams", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
+    ("pipe_gopher_rules", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("dedup_oph_minhash_est", "data_table_spark.operators.dedup", "DEDUP_QUERIES"),
+    ("pipe_kfold_assign", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("q178_tpch_q8_share", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q180_tpch_q11_important", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q183_tpch_q17_small_qty", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q186_ohlc_bars", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -210,6 +226,12 @@ BOUNDED_NESTED_LOOP_GATES = {
     "pipe_time_split",
     # the Heaps checkpoint spine: 6-row broadcast range joins
     "text_heaps_curve",
+    # round-11: the PAIR_BOUND all-pairs OPH estimator slice (the
+    # bbit/ngram_jaccard posture — the bound, not the data, decides),
+    # and Q11's 1-ROW global-total scalar broadcast (the pipe_time_split
+    # class: broadcasting a scalar IS the correct plan at any scale)
+    "dedup_oph_minhash_est",
+    "q180_tpch_q11_important",
 }
 
 #: synthesis-version marker: bumped when synthesize() changes so a

@@ -138,31 +138,55 @@ def test_stalest_cohort_is_in_window_or_staged_for_r9():
     assert not unknown, f"r9 queue names unknown gates: {unknown}"
 
 
-def test_r4_cohort_is_in_window_or_staged_for_r11():
-    """Round 10 consumes the FIRST 25 of the pinned r4 claim order
-    (_R10_REPROOF_QUEUE) as its rule-3 slots; the 21 r4-resting gates
-    that do not fit hold explicit round-11 claims in _R11_REPROOF_QUEUE
-    — pinned now, before the round-10 window freezes, never improvised
-    next round."""
+def test_r4_cohort_reproves_in_the_r11_window():
+    """Round 11 consumes the ENTIRE pinned r4 claim order
+    (_R11_REPROOF_QUEUE, pinned at round-10 start) as rule-3 slots:
+    every gate whose freshest committed green row is r4 sits in this
+    round's window, in the pinned order."""
     latest = _latest_green()
     stale = {k for k, r in latest.items() if r == 4}
-    out = stale - set(_window()) - set(entry._R11_REPROOF_QUEUE)
-    assert not out, f"r4-resting gates neither in window nor staged: {out}"
-    unknown = [
-        k for k in entry._R11_REPROOF_QUEUE if k not in entry.queries()
-    ]
-    assert not unknown, f"r11 queue names unknown gates: {unknown}"
-    # the r11 queue must not hold gates already re-proven in this
-    # round's window (a slot claimed twice is a slot wasted)
-    dup = set(entry._R11_REPROOF_QUEUE) & set(_window())
-    assert not dup, f"r11 queue duplicates round-10 window slots: {dup}"
-    # the consumed rule-3 slots must follow the pinned claim order:
-    # window ∩ r10-queue is exactly the queue's prefix, and the r11
-    # queue is exactly its suffix
-    consumed = [k for k in entry._R10_REPROOF_QUEUE if k in set(_window())]
-    assert consumed == entry._R10_REPROOF_QUEUE[: len(consumed)], (
-        "rule-3 slots skip ahead of the pinned r4 claim order"
+    out = stale - set(_window())
+    assert not out, f"r4-resting gates outside the r11 window: {out}"
+    missing = set(entry._R11_REPROOF_QUEUE) - set(_window())
+    assert not missing, f"pinned r4 claims not honored: {missing}"
+    # consumed in the pinned order, no skipping ahead
+    consumed = [k for k in _window() if k in set(entry._R11_REPROOF_QUEUE)]
+    assert consumed == entry._R11_REPROOF_QUEUE, (
+        "rule-3 slots reorder the pinned r4 claim order"
     )
-    assert entry._R11_REPROOF_QUEUE == entry._R10_REPROOF_QUEUE[
+
+
+def test_r5_cohort_is_in_window_or_staged_for_r12():
+    """With the r4 cohort re-proving this round, the r5 cohort becomes
+    the stalest green set. Its claim order is pinned NOW
+    (_R5_COHORT_CLAIM_ORDER): round 11's spillover slots consume the
+    prefix; _R12_REPROOF_QUEUE is exactly the unconsumed suffix —
+    pinned before the round-11 window freezes, never improvised next
+    round."""
+    latest = _latest_green()
+    stale = {k for k, r in latest.items() if r == 5}
+    # the pinned claim order covers exactly the r5 cohort
+    assert set(entry._R5_COHORT_CLAIM_ORDER) == stale, (
+        set(entry._R5_COHORT_CLAIM_ORDER) ^ stale
+    )
+    out = stale - set(_window()) - set(entry._R12_REPROOF_QUEUE)
+    assert not out, f"r5-resting gates neither in window nor staged: {out}"
+    unknown = [
+        k for k in entry._R12_REPROOF_QUEUE if k not in entry.queries()
+    ]
+    assert not unknown, f"r12 queue names unknown gates: {unknown}"
+    # the r12 queue must not hold gates already re-proven in this
+    # round's window (a slot claimed twice is a slot wasted)
+    dup = set(entry._R12_REPROOF_QUEUE) & set(_window())
+    assert not dup, f"r12 queue duplicates round-11 window slots: {dup}"
+    # spillover consumes the claim order's prefix; the r12 queue is
+    # exactly its suffix
+    consumed = [
+        k for k in entry._R5_COHORT_CLAIM_ORDER if k in set(_window())
+    ]
+    assert consumed == entry._R5_COHORT_CLAIM_ORDER[: len(consumed)], (
+        "spillover slots skip ahead of the pinned r5 claim order"
+    )
+    assert entry._R12_REPROOF_QUEUE == entry._R5_COHORT_CLAIM_ORDER[
         len(consumed):
-    ], "r11 queue is not the unconsumed suffix of the r4 claim order"
+    ], "r12 queue is not the unconsumed suffix of the r5 claim order"

@@ -45,6 +45,17 @@ def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _epoch_s(ts) -> int:
+    """TZ-independent epoch seconds of a NAIVE datetime (round-10
+    ADVICE): the gates run timestampdiff over TIMESTAMP_NTZ — i.e. the
+    naive value read as UTC — while ``.timestamp()`` on a naive
+    datetime interprets it in the HOST's local zone, shifting every
+    replayed epoch by the UTC offset on a non-UTC host."""
+    import datetime as _dt
+
+    return int((ts - _dt.datetime(1970, 1, 1)).total_seconds())
+
+
 # --------------------------------------------------------------------------
 # winnowing
 # --------------------------------------------------------------------------
@@ -646,7 +657,7 @@ def test_late_drop_matches_python_replay(spark, sf_smoke):
         "event_id", "ts"
     ).collect()
     rows = [
-        (r["event_id"], int(r["ts"].timestamp()))
+        (r["event_id"], _epoch_s(r["ts"]))
         for r in ev
     ]
     arr = [
@@ -852,7 +863,7 @@ def test_time_split_partitions_and_boundaries(spark, sf_smoke):
     ev = load_table(spark, "events", sf_smoke).select(
         "event_type", "ts"
     ).collect()
-    ss = [int(r["ts"].timestamp()) for r in ev]
+    ss = [_epoch_s(r["ts"]) for r in ev]
     lo, hi = min(ss), max(ss)
     cut = lo + ((hi - lo) * TIME_SPLIT_FRAC_E2) // 100
     per_type: dict = {}
@@ -955,7 +966,7 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
 
     rows = events.collect()
     arr = {
-        r["event_id"]: int(r["ts"].timestamp())
+        r["event_id"]: _epoch_s(r["ts"])
         + _h32(f"lag:{r['event_id']}") % (2 * J) - J
         for r in rows
     }
@@ -967,7 +978,7 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
         batches.setdefault(b, []).append(r)
     # lag-2 python replay for the per-row dropped set
     bmax = {
-        b: max(int(r["ts"].timestamp()) for r in v)
+        b: max(_epoch_s(r["ts"]) for r in v)
         for b, v in batches.items()
     }
     dropped = set()
@@ -975,7 +986,7 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
         wm = max((bmax[j] for j in batches if j <= b - 2), default=None)
         wm = wm - D if wm is not None else None
         for r in batches[b]:
-            s = int(r["ts"].timestamp())
+            s = _epoch_s(r["ts"])
             if wm is not None and (s // LATE_WINDOW_S + 1) * LATE_WINDOW_S <= wm:
                 dropped.add(r["event_id"])
     assert len(dropped) == expected
@@ -1021,7 +1032,7 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
     assert 0 < metric <= expected, (metric, expected)
     wm_final = max(bmax.values()) - D
     got = {
-        int(r["w"]["start"].timestamp()): r["cnt"]
+        _epoch_s(r["w"]["start"]): r["cnt"]
         for r in spark.table(name).collect()
     }
     exp: dict[int, int] = {}
@@ -1029,7 +1040,7 @@ def test_late_drop_model_matches_real_streaming(spark, tmp_path):
         for r in v:
             if r["event_id"] in dropped:
                 continue
-            s = int(r["ts"].timestamp())
+            s = _epoch_s(r["ts"])
             ws = (s // LATE_WINDOW_S) * LATE_WINDOW_S
             if ws + LATE_WINDOW_S <= wm_final:
                 exp[ws] = exp.get(ws, 0) + 1
