@@ -211,6 +211,13 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_kfold_assign",            # deterministic 5-fold + LOO sizes
     "text_dup_ngrams",              # Gopher dup word-5-gram fraction
     "dedup_oph_minhash_est",        # one-permutation densified MinHash
+    "q189_merge_full",              # tri-clause MERGE incl. BY SOURCE DELETE
+    "q190_subtree_rollup",          # BOM subtree mass over ancestor explode
+    "pipe_dp_sum",                  # clipped Laplace DP sum release
+    "pipe_pack_efficiency",         # context-window fill efficiency
+    "sim_ivf_pq_topk",              # composed IVF coarse + PQ ADC serving
+    "q191_hits_scores",             # HITS hubs/authorities, integer iterates
+    "stream_ohlc_bars",             # S10 streaming OHLC via struct min/max
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -63,19 +63,35 @@ def _env_fingerprint() -> dict:
     except OSError:
         pass
     fp["cpus"] = os.cpu_count()
-    try:  # other running java/python processes (not this one)
-        java = py = 0
+    try:  # other java/python processes NOT descended from this bench —
+        # the bench's own JVM + pyspark daemon/worker pool must not
+        # count as "contention" (the first fingerprinted run recorded
+        # its own 39 python workers in env_after)
+        info: dict[int, tuple[str, str, int]] = {}
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == os.getpid():
+            if not pid.isdigit():
                 continue
             try:
                 with open(f"/proc/{pid}/comm") as f:
                     comm = f.read().strip()
                 with open(f"/proc/{pid}/stat") as f:
-                    state = f.read().split(") ", 1)[1].split()[0]
-            except (OSError, IndexError):
+                    rest = f.read().split(") ", 1)[1].split()
+                info[int(pid)] = (comm, rest[0], int(rest[1]))
+            except (OSError, IndexError, ValueError):
                 continue
-            if state in ("Z", "X"):
+        me = os.getpid()
+
+        def mine(pid: int, hops: int = 64) -> bool:
+            while pid > 1 and hops:
+                if pid == me:
+                    return True
+                pid = info.get(pid, ("", "", 0))[2]
+                hops -= 1
+            return False
+
+        java = py = 0
+        for pid, (comm, state, _) in info.items():
+            if state in ("Z", "X") or mine(pid):
                 continue
             if comm.startswith("java"):
                 java += 1

@@ -2814,3 +2814,163 @@ PIPELINE_ORACLE["pipe_kfold_assign"] = (
     "  CAST(SUM(n_tokens) OVER () - n_tokens AS BIGINT) AS train_tokens "
     "FROM per_fold"
 )
+
+
+# --------------------------------------------------------------------------
+# DP sum release with clipping (round 11)
+# --------------------------------------------------------------------------
+
+#: clipped-sum release parameters: per-document contribution clipped at
+#: DP_SUM_CLIP tokens (the clipping that BOUNDS sensitivity — without
+#: it a single long document could shift the sum arbitrarily and no
+#: finite noise scale gives ε-DP), Laplace scale b = CLIP/ε.
+#: 64, not a round 100: the fixture's longest document is 99 tokens at
+#: every sf, so a 100-token clip would never bind and the rule would be
+#: vacuous (the text_dup_ngrams degeneracy lesson, caught by the
+#: clip-binds test before any driver row)
+DP_SUM_CLIP = 64
+DP_SUM_SEED = "dp-sum-release-1"
+
+
+def dp_sums(
+    docs: DataFrame, group_col: str = "source", seed: str = DP_SUM_SEED
+) -> DataFrame:
+    """Per-group CLIPPED token-sum release under the Laplace mechanism —
+    the numeric-aggregate companion to dp_counts (counts have unit
+    sensitivity for free; sums must BUY bounded sensitivity by clipping
+    each document's contribution at C, then noise scales as C/ε). The
+    noise draw is the same seeded md5 inverse-CDF as dp_counts — one
+    digest per GROUP — so the release is reproducible and exactly
+    oracle-able; swap in a CSPRNG per production release.
+
+    Scale shape: clip is a map-side least(); one combinable sum per
+    group; one md5 per group."""
+    t = ws_tokens(F.col("text"))
+    clipped = F.least(
+        F.size(t).cast("long"), F.lit(DP_SUM_CLIP).cast("long")
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(group_col))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    b = F.lit(float(DP_SUM_CLIP)) * F.lit(1_000_000.0) / F.lit(
+        float(DP_EPS_E6)
+    )
+    lap = (
+        -b
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return (
+        docs.select(group_col, clipped.alias("c"))
+        .groupBy(group_col)
+        .agg(F.sum("c").cast("long").alias("s"))
+        .select(
+            group_col,
+            (F.col("s") + F.floor(lap + F.lit(0.5))).cast("long")
+            .alias("released_token_sum"),
+            F.lit(DP_SUM_CLIP).cast("long").alias("clip_c"),
+            F.lit(DP_EPS_E6).cast("long").alias("eps_e6"),
+        )
+    )
+
+
+def pipe_dp_sum(spark, sf_dir):
+    """Gate: Laplace-released clipped per-source token sums at ε = 1."""
+    return dp_sums(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_dp_sum"] = pipe_dp_sum
+PIPELINE_ORACLE["pipe_dp_sum"] = (
+    "WITH c AS ("
+    "  SELECT source, LEAST(CAST(len(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT), "
+    f"    {DP_SUM_CLIP}) AS c "
+    "  FROM documents), "
+    "g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM c GROUP BY 1), "
+    "n AS ("
+    "  SELECT source, s, "
+    f"    (('0x' || substr(md5('{DP_SUM_SEED}:' || source), 1, 8))::BIGINT "
+    "      + 0.5) / 4294967296.0 AS u "
+    "  FROM g) "
+    "SELECT source, "
+    f"  CAST(s + FLOOR(-{DP_SUM_CLIP}.0 * 1000000.0 / {DP_EPS_E6} "
+    "    * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)) + 0.5) AS BIGINT) "
+    "    AS released_token_sum, "
+    f"  CAST({DP_SUM_CLIP} AS BIGINT) AS clip_c, "
+    f"  CAST({DP_EPS_E6} AS BIGINT) AS eps_e6 "
+    "FROM n"
+)
+
+
+# --------------------------------------------------------------------------
+# sequence-packing efficiency readout (round 11)
+# --------------------------------------------------------------------------
+
+def pack_efficiency(docs: DataFrame) -> DataFrame:
+    """Per-source context-window fill efficiency of the standard
+    chunk→pack layout — the utilization readout that decides whether a
+    packing strategy wastes paid-for FLOPs (padding share of the
+    context budget is dead compute at training time). Reuses THE
+    chunk_documents → pack_sequences pipeline (same constants), rolls
+    packs up per source: capacity = n_packs·budget,
+    fill_e6 = ⌊1e6·tokens/capacity⌋ exact.
+
+    Scale shape: the pack window is per-doc (parallel); the rollups
+    are map-combinable aggregates."""
+    chunks = chunk_documents(docs)
+    packs = (
+        pack_sequences(chunks)
+        .groupBy("doc_id", "pack_id")
+        .agg(F.sum("n_chunk_tokens").cast("long").alias("pack_toks"))
+    )
+    src = docs.select("doc_id", "source")
+    g = (
+        packs.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("pack_toks").cast("long").alias("total_tokens"),
+        )
+    )
+    return g.select(
+        "source", "n_packs", "total_tokens",
+        (F.col("n_packs") * PACK_BUDGET).cast("long").alias("capacity"),
+        F.expr(f"(1000000 * total_tokens) div (n_packs * {PACK_BUDGET})")
+        .cast("long")
+        .alias("fill_e6"),
+    )
+
+
+def pipe_pack_efficiency(spark, sf_dir):
+    """Gate: per-source sequence-packing fill efficiency."""
+    return pack_efficiency(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_pack_efficiency"] = pipe_pack_efficiency
+PIPELINE_ORACLE["pipe_pack_efficiency"] = (
+    _CHUNK_CTE
+    + ", pk AS ("
+    "  SELECT doc_id, chunk_id, n_chunk_tokens, "
+    "    CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER ("
+    "      PARTITION BY doc_id ORDER BY chunk_id "
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"    / {PACK_BUDGET}) AS BIGINT) AS pack_id "
+    "  FROM ch), "
+    "packs AS ("
+    "  SELECT doc_id, pack_id, CAST(SUM(n_chunk_tokens) AS BIGINT) "
+    "    AS pack_toks "
+    "  FROM pk GROUP BY 1, 2), "
+    "g AS ("
+    "  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_packs, "
+    "    CAST(SUM(p.pack_toks) AS BIGINT) AS total_tokens "
+    "  FROM packs p JOIN documents d USING (doc_id) GROUP BY 1) "
+    "SELECT source, n_packs, total_tokens, "
+    f"  CAST(n_packs * {PACK_BUDGET} AS BIGINT) AS capacity, "
+    f"  CAST((1000000 * total_tokens) // (n_packs * {PACK_BUDGET}) "
+    "    AS BIGINT) AS fill_e6 "
+    "FROM g"
+)

@@ -10977,3 +10977,199 @@ RELATIONAL_ORACLE["q188_kendall_tau"] = (
     "    AS tau_b_e6 "
     "FROM g"
 )
+
+
+def merge_full(base: DataFrame, src: DataFrame, keys: list) -> DataFrame:
+    """Tri-clause MERGE semantics (Delta/Iceberg MERGE INTO, all three
+    arms): WHEN MATCHED → UPDATE from source, WHEN NOT MATCHED →
+    INSERT from source, WHEN NOT MATCHED BY SOURCE → DELETE. One FULL
+    OUTER join on the key + per-column CASE — every non-key column
+    resolves to the source side when the source row exists, and rows
+    present only in base drop. (q68's merge_upsert is the two-arm
+    form; the BY SOURCE arm is what turns a merge into a full
+    snapshot REPLACE-by-key, the CDC compaction contract.)
+
+    Scale shape: one shuffle on the merge key; the CASE projection is
+    map-side. Delete-by-absence requires the full outer — there is no
+    cheaper plan that sees both absences."""
+    b = base.alias("b")
+    s = src.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    src_exists = F.col(f"s.{keys[0]}").isNotNull()
+    cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ] + [
+        F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"b.{c}"))
+        .alias(c)
+        for c in base.columns
+        if c not in keys
+    ]
+    return b.join(s, cond, "full_outer").where(src_exists).select(*cols)
+
+
+def q189_merge_full(spark, sf_dir):
+    """Gate: tri-clause MERGE. Base = orders with key % 5 != 4 (so the
+    source holds pure inserts); source = even keys repriced 2× and
+    flagged 'U' (updates + the %5==4 evens as inserts). Odd base rows
+    not in the source DELETE — the BY SOURCE arm. The reprice factor
+    is 2 (exact in binary) so ROUND never lands on a half-cent tie."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.where(F.col("o_orderkey") % 5 != 4)
+    src = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return merge_full(base, src, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price_r"),
+    )
+
+
+RELATIONAL_QUERIES["q189_merge_full"] = q189_merge_full
+RELATIONAL_ORACLE["q189_merge_full"] = (
+    # the tri-clause MERGE collapses to: every source row survives
+    # (matched rows take source values; unmatched insert), and base
+    # rows absent from the source are deleted — i.e. the result IS the
+    # source projection, which is exactly what makes the FULL OUTER
+    # implementation verifiable: the oracle states the CONTRACT, the
+    # engine runs the join
+    "SELECT o_orderkey, 'U' AS o_orderstatus, "
+    "  ROUND(ROUND(o_totalprice * 2, 2), 2) AS price_r "
+    "FROM orders WHERE o_orderkey % 2 = 0"
+)
+
+
+def q190_subtree_rollup(spark, sf_dir):
+    """BOM subtree aggregation over q121's synthesized part hierarchy
+    (parent = key // 2): every top-6-level node's DESCENDANT count and
+    retail-price mass — the "cost of this assembly including every
+    part under it" rollup. The ancestor set comes from an arithmetic
+    explode of the halving chain (node >> k for k = 0..21 while ≥ 1;
+    21 levels cover 2M parts) — the closed form this synthetic
+    hierarchy admits; a data-driven hierarchy derives the same
+    (node, ancestor) pairs from pointer_doubling's intermediate
+    states. Then ONE groupBy(ancestor) aggregates the exploded
+    stream; the ≤63 filter (depth < 6) bounds the output, not the
+    work. Money is exact cents."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    # node 0 exists in the fixture (keys start at 0) and is its own
+    # 1-element chain: the halving walk from 0 never reaches 1, and a
+    # bare >= 1 filter would drop it while the recursive oracle keeps
+    # its seed row — array_distinct collapses the shift tail instead
+    chain = F.when(
+        F.col("node") == 0, F.array(F.lit(0).cast("long"))
+    ).otherwise(
+        F.array_distinct(
+            F.filter(
+                # 22 literal shifts (shiftright's bit count is a Python
+                # int, not a Column) — covers 2^21 > 2M parts
+                F.array(
+                    *[F.shiftright(F.col("node"), k) for k in range(22)]
+                ),
+                lambda a: a >= 1,
+            )
+        )
+    )
+    anc = p.select("node", "price_c", F.explode(chain).alias("anc"))
+    return (
+        anc.where(F.col("anc") <= 63)
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            # the node itself is in its own chain: subtree INCLUDES it
+            F.count(F.lit(1)).cast("long").alias("subtree_size"),
+            F.sum(F.col("price_c").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("subtree_price_c"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q190_subtree_rollup"] = q190_subtree_rollup
+RELATIONAL_ORACLE["q190_subtree_rollup"] = (
+    "WITH RECURSIVE walk(node, anc) AS ("
+    "  SELECT p_partkey, p_partkey FROM part "
+    "  UNION ALL "
+    "  SELECT node, anc // 2 FROM walk WHERE anc > 1) "
+    "SELECT w.anc AS node, CAST(COUNT(*) AS BIGINT) AS subtree_size, "
+    "  CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS subtree_price_c "
+    "FROM walk w JOIN part p ON w.node = p.p_partkey "
+    "WHERE w.anc <= 63 GROUP BY w.anc"
+)
+
+
+def q191_hits_scores(spark, sf_dir):
+    """HITS hub/authority scores (Kleinberg) over the customer→part
+    purchase bipartite graph, 2 mutual-reinforcement iterations in
+    EXACT integer arithmetic — the link-analysis sibling of q100's
+    PageRank (PageRank ranks by random-walk mass; HITS separates
+    "good buyers" (hubs) from "widely-bought parts" (authorities)).
+    Normalization is deliberately deferred — the iterates stay
+    UNNORMALIZED integer sums (auth₁ = in-degree, hub₁ = Σ auth₁ over
+    the customer's parts, auth₂ = Σ hub₁ over the part's buyers), so
+    every value is a path count, exact in DECIMAL(38,0) at any scale
+    (rankings are scale-invariant, so normalization adds nothing but
+    float drift). Edges are DISTINCT (customer, part) pairs.
+
+    Scale shape: each iteration is one equi-join + one map-combinable
+    aggregate over the edge list (the q100 message-passing shape);
+    the output is a TakeOrderedAndProject top-20."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()  # three passes ride one materialized edge list
+    )
+    auth1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a1"))
+    hub1 = (
+        edges.join(auth1, "p")
+        .groupBy("c")
+        .agg(F.sum(F.col("a1").cast("decimal(38,0)")).alias("h1"))
+    )
+    auth2 = (
+        edges.join(hub1, "c")
+        .groupBy("p")
+        .agg(F.sum(F.col("h1")).alias("a2"))
+    )
+    return (
+        auth2.join(auth1, "p")
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("a1").cast("long").alias("auth1_indegree"),
+            F.col("a2").cast("long").alias("auth2_score"),
+        )
+        .orderBy(F.col("auth2_score").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q191_hits_scores"] = q191_hits_scores
+RELATIONAL_ORACLE["q191_hits_scores"] = (
+    "WITH edges AS ("
+    "  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
+    "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "auth1 AS (SELECT p, COUNT(*) AS a1 FROM edges GROUP BY p), "
+    "hub1 AS ("
+    "  SELECT e.c, CAST(SUM(a1) AS BIGINT) AS h1 "
+    "  FROM edges e JOIN auth1 USING (p) GROUP BY e.c), "
+    "auth2 AS ("
+    "  SELECT e.p, CAST(SUM(h1) AS BIGINT) AS a2 "
+    "  FROM edges e JOIN hub1 USING (c) GROUP BY e.p) "
+    "SELECT x.p AS p_partkey, CAST(y.a1 AS BIGINT) AS auth1_indegree, "
+    "  x.a2 AS auth2_score "
+    "FROM auth2 x JOIN auth1 y ON y.p = x.p "
+    "ORDER BY auth2_score DESC, p_partkey LIMIT 20"
+)

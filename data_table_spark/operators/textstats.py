@@ -2125,12 +2125,21 @@ def dup_ngram_stats(docs: DataFrame) -> DataFrame:
         lambda x: x != "",
     )
     n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (DUP_NGRAM_N - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + k) for k in range(DUP_NGRAM_N)]
-        ),
-    )
+    # 5-gram windows as a zip_with CHAIN over five shifted slices (the
+    # heaps_curve trigram idiom) — each slice references the token
+    # expression ONCE per row. The first cut built grams with
+    # transform(sequence, i -> concat_ws(element_at(t, i+k)...)), which
+    # inlines the full tokenization into every element_at inside the
+    # lambda: O(5·n) tokenizations of an n-token doc = quadratic per
+    # doc (measured: 28 s at sf0.01 → sub-second after this rewrite).
+    m = n - (DUP_NGRAM_N - 1)
+    grams = F.slice(t, 1, m)
+    for k in range(1, DUP_NGRAM_N):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, 1 + k, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     inst = docs.where(n >= DUP_NGRAM_N).select(
         "doc_id", "source", F.explode(grams).alias("g")
     )

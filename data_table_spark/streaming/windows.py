@@ -841,3 +841,80 @@ STREAMJOIN_ORACLE["stream_late_drop_counts"] = (
     "  CAST(wm.wm_s AS BIGINT) AS wm_s "
     "FROM wm LEFT JOIN drops d ON wm.batch = d.batch"
 )
+
+
+def ohlc_bars_stream(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """S10: daily OHLC candlestick bars per event_type as a STREAMING
+    aggregate — q186's market-data rollup in append mode. Open/close
+    ride min/max over a packed (order-key, value) STRUCT (struct
+    ordering is lexicographic, the order key is the same exact
+    DECIMAL(38,0) epoch-µs·10¹² + event_id q186 uses), which keeps the
+    whole bar a plain partial-mergeable aggregate — every micro-batch
+    folds its slice, merge is struct-min/max, state per (window, type)
+    is four scalars. No min_by dependency, no per-window sort."""
+    ordkey = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).cast("decimal(38,0)")
+        * F.lit(10**12).cast("decimal(38,0)")
+        + F.col("event_id")
+    )
+    v_c = F.round(F.col("value") * 100).cast("long")
+    keyed = events.select(
+        "ts", "event_type",
+        F.struct(ordkey.alias("ok"), v_c.alias("v")).alias("kv"),
+        v_c.alias("v_c"),
+    )
+    return (
+        keyed.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min("kv").alias("_first"),
+            F.max("kv").alias("_last"),
+            F.max("v_c").alias("high_c"),
+            F.min("v_c").alias("low_c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            F.col("_first.v").alias("open_c"),
+            "high_c", "low_c",
+            F.col("_last.v").alias("close_c"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def stream_ohlc_bars(spark, sf_dir):
+    """Gate: batch form of S10 through the same transform the stream
+    runs (withWatermark is a no-op on batch input); epoch-seconds
+    projection keeps window bounds engine-neutral. Oracle replays the
+    epoch-day tumbling alignment + arg-min/max over the same packed
+    ordering key."""
+    from ..sources.registry import load_table
+
+    out = ohlc_bars_stream(load_table(spark, "events", sf_dir))
+    return out.select(
+        F.unix_timestamp("w_start").cast("long").alias("w_start_epoch"),
+        "event_type", "open_c", "high_c", "low_c", "close_c", "cnt",
+    )
+
+
+STREAMJOIN_QUERIES["stream_ohlc_bars"] = stream_ohlc_bars
+STREAMJOIN_ORACLE["stream_ohlc_bars"] = (
+    "WITH e AS ("
+    "  SELECT event_type, "
+    "    (FLOOR(epoch(ts) / 86400) * 86400)::BIGINT AS ws, "
+    "    CAST(ROUND(value * 100) AS BIGINT) AS v_c, "
+    "    epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS ok "
+    "  FROM events) "
+    "SELECT ws AS w_start_epoch, event_type, "
+    "  arg_min(v_c, ok) AS open_c, "
+    "  CAST(MAX(v_c) AS BIGINT) AS high_c, "
+    "  CAST(MIN(v_c) AS BIGINT) AS low_c, "
+    "  arg_max(v_c, ok) AS close_c, "
+    "  CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM e GROUP BY 1, 2"
+)

@@ -188,6 +188,21 @@ GATES = [
     ("q180_tpch_q11_important", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q183_tpch_q17_small_qty", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("q186_ohlc_bars", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    # round-11 wave 2: the tri-clause MERGE (one full-outer on the
+    # fact key), the BOM ancestor explode (×22 map-side fan per part),
+    # the clipped DP sum (map + per-group agg), packing efficiency
+    # (per-doc window + rollup), and the composed IVF+PQ serving path
+    # (two map-only Arrow passes + broadcast-literal cluster filter)
+    ("q189_merge_full", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("q190_subtree_rollup", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("pipe_dp_sum", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("pipe_pack_efficiency", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("sim_ivf_pq_topk", "data_table_spark.operators.similarity", "SIMILARITY_QUERIES"),
+    # round-11 wave 3: HITS message passing (per-iteration equi-join +
+    # combinable aggregate over the distinct edge list) and the
+    # streaming OHLC batch form (one windowed struct-min/max aggregate)
+    ("q191_hits_scores", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("stream_ohlc_bars", "data_table_spark.streaming.windows", "STREAMJOIN_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -250,6 +265,9 @@ DIM_BROADCAST_FLOOR = {
     "q79_cooccurrence": 0,     # fact-fact SELF-join: the sf0.1 broadcast
                                # side IS the scaled fact — SMJ at sf1 is
                                # the only correct plan
+    "q189_merge_full": 0,      # MERGE source is half the scaled orders
+                               # fact: the full-outer MUST leave
+                               # broadcast as it grows (q79's class)
 }
 
 PLAN_NODES = (

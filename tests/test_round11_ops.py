@@ -374,3 +374,173 @@ def test_q182_ties_all_included(spark):
     assert {(r["s_suppkey"], r["total_rev_u"]) for r in rows} == {
         (7, 500000), (8, 500000)
     }
+
+
+# --------------------------------------------------------------------------
+# tri-clause MERGE
+# --------------------------------------------------------------------------
+
+def test_merge_full_three_arms(spark):
+    """All three MERGE arms on a planted fixture: matched rows take
+    source values, source-only rows insert, base-only rows DELETE."""
+    from data_table_spark.operators.relational import merge_full
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "status", "price"],
+    )
+    src = spark.createDataFrame(
+        [(2, "U", 99.0), (4, "I", 40.0)], ["k", "status", "price"]
+    )
+    got = {
+        (r["k"], r["status"], r["price"])
+        for r in merge_full(base, src, ["k"]).collect()
+    }
+    assert got == {(2, "U", 99.0), (4, "I", 40.0)}  # 1 and 3 deleted
+
+
+# --------------------------------------------------------------------------
+# subtree rollup
+# --------------------------------------------------------------------------
+
+def test_subtree_rollup_matches_python_walk(spark, sf_smoke):
+    """Counts and price mass equal an imperative parent-chain walk."""
+    p = load_table(spark, "part", sf_smoke).select(
+        "p_partkey", "p_retailprice"
+    )
+    size: dict[int, int] = defaultdict(int)
+    mass: dict[int, int] = defaultdict(int)
+    n_parts = 0
+    for r in p.collect():
+        n = r["p_partkey"]
+        c = round(r["p_retailprice"] * 100)
+        n_parts += 1
+        if n == 0:  # node 0 is its own 1-element chain (never reaches 1)
+            size[0] += 1
+            mass[0] += c
+            continue
+        a = n
+        while a >= 1:
+            if a <= 63:
+                size[a] += 1
+                mass[a] += c
+            if a == 1:
+                break
+            a //= 2
+    got = {
+        r["node"]: (r["subtree_size"], r["subtree_price_c"])
+        for r in RELATIONAL_QUERIES["q190_subtree_rollup"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == {k: (size[k], mass[k]) for k in size}
+    # the root's subtree is every part except the orphan node 0
+    assert got[1][0] == n_parts - 1
+    assert got[0] == (1, mass[0])
+
+
+# --------------------------------------------------------------------------
+# DP sum release
+# --------------------------------------------------------------------------
+
+def test_dp_sum_noise_exact_and_bounded(spark, sf_smoke):
+    """Released = clipped true sum + round(Laplace_b=C/eps(md5 uniform));
+    noise magnitude bounded by b·ln(2^32) so a release can't be wildly
+    off; clipping actually binds on this fixture (some doc > C)."""
+    from data_table_spark.operators.pipeline import (
+        DP_SUM_CLIP,
+        DP_SUM_SEED,
+        dp_sums,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke)
+    true: Counter = Counter()
+    clipped_binds = False
+    for r in docs.select("source", "text").collect():
+        n = len(_toks(r["text"]))
+        clipped_binds |= n > DP_SUM_CLIP
+        true[r["source"]] += min(n, DP_SUM_CLIP)
+    assert clipped_binds, "fixture never exceeds the clip: rule vacuous"
+    for r in dp_sums(docs).collect():
+        u = (_h32(f"{DP_SUM_SEED}:{r['source']}") + 0.5) / 4294967296.0
+        lap = -float(DP_SUM_CLIP) * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        assert r["released_token_sum"] == true[r["source"]] + math.floor(
+            lap + 0.5
+        )
+        assert abs(r["released_token_sum"] - true[r["source"]]) <= (
+            DP_SUM_CLIP * math.log(2**32) + 1
+        )
+
+
+# --------------------------------------------------------------------------
+# packing efficiency
+# --------------------------------------------------------------------------
+
+def test_pack_efficiency_consistency(spark, sf_smoke):
+    """Per-source totals reconcile with the pack_sequences gate output
+    joined to sources, and fill_e6 is the exact floored ratio."""
+    from data_table_spark.operators.pipeline import (
+        PACK_BUDGET,
+        chunk_documents,
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke)
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    packs: dict[tuple, int] = defaultdict(int)
+    for r in pack_sequences(chunk_documents(docs)).collect():
+        packs[(src[r["doc_id"]], r["doc_id"], r["pack_id"])] += r["n_chunk_tokens"]
+    exp: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for (s, _, _), toks in packs.items():
+        exp[s][0] += 1
+        exp[s][1] += toks
+    for r in pack_efficiency(docs).collect():
+        n, t = exp[r["source"]]
+        assert (r["n_packs"], r["total_tokens"]) == (n, t)
+        assert r["capacity"] == n * PACK_BUDGET
+        assert r["fill_e6"] == (1_000_000 * t) // (n * PACK_BUDGET)
+        # a chunk that straddles the budget line overfills its pack, so
+        # fill can exceed 1e6 by < chunk_len/budget; it can't double
+        assert 0 < r["fill_e6"] < 2_000_000
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composition
+# --------------------------------------------------------------------------
+
+def test_ivf_pq_topk_is_adc_restricted_to_probe(spark, sf_smoke):
+    """The composed gate equals brute-force integer ADC restricted to
+    the probed coarse clusters — proving the composition loses nothing
+    but the unprobed clusters (the IVF contract)."""
+    from data_table_spark.operators.similarity import (
+        _ivf_pq_probed_clusters,
+        _pq_dist64,
+        codebook_assign,
+        pinned_codebook,
+        pq_encode,
+        sim_ivf_pq_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_smoke)
+    probed = set(_ivf_pq_probed_clusters())
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in codebook_assign(e, pinned_codebook()).collect()
+    }
+    dt = _pq_dist64()
+    scored = []
+    for r in pq_encode(e).collect():
+        if assign[r["vec_id"]] not in probed:
+            continue
+        d = sum(dt[m][r[f"c{m}"]] for m in range(len(dt)))
+        scored.append((d, r["vec_id"]))
+    scored.sort()
+    got = [
+        (r["dist64"], r["vec_id"], r["cluster"])
+        for r in sim_ivf_pq_topk(spark, sf_smoke).collect()
+    ]
+    assert [(d, v) for d, v, _ in got] == scored[:10]
+    assert all(c in probed for _, _, c in got)

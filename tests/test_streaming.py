@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_table_spark.sources.registry import load_table  # noqa: E402
 from data_table_spark.streaming.windows import (  # noqa: E402
     deduped_windowed_counts,
+    ohlc_bars_stream,
     run_stream_over_files,
     session_counts,
     sliding_counts,
@@ -95,6 +96,9 @@ def _is_sentinel(row):
         ("s2b_tumbling_distinct", tumbling_distinct_users,
          ["w_start", "w_end", "event_type", "n_users"]),
         ("s3_session", session_counts, ["w_start", "w_end", "user_id", "cnt"]),
+        ("s10_ohlc", ohlc_bars_stream,
+         ["w_start", "w_end", "event_type", "open_c", "high_c", "low_c",
+          "close_c", "cnt"]),
     ],
 )
 def test_batch_equivalence(name, transform, keys, spark, replay, tmp_path):
