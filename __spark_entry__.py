@@ -218,6 +218,9 @@ _NEXT_WINDOW_QUEUE = [
     "sim_ivf_pq_topk",              # composed IVF coarse + PQ ADC serving
     "q191_hits_scores",             # HITS hubs/authorities, integer iterates
     "stream_ohlc_bars",             # S10 streaming OHLC via struct min/max
+    "q192_equidepth_histogram",     # quantile buckets, two-phase scan
+    "pipe_neyman_allocation",       # variance-optimal stratified budget
+    "text_rake_keywords",           # RAKE phrase keyword extraction
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

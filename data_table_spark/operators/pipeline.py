@@ -2974,3 +2974,88 @@ PIPELINE_ORACLE["pipe_pack_efficiency"] = (
     "    AS BIGINT) AS fill_e6 "
     "FROM g"
 )
+
+
+# --------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation (round 11)
+# --------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """Variance-proportional (Neyman-optimal) sample allocation across
+    source strata — the statistically correct upgrade of
+    pipe_stratified_sample's proportional split: a stratum's share of
+    the eval budget is N_h·σ_h / Σ N_h·σ_h, which minimizes the
+    variance of the stratified mean estimator for a fixed total n
+    (Neyman 1934). The measured variable is the document token count.
+
+    Exactness: N_h·σ_h = √(N_h·Q_h − S_h²) exactly (population σ), so
+    each stratum weight is ONE IEEE-exact sqrt of an exact integer
+    (moments accumulate as exact longs; Q_h fits int64 at these doc
+    lengths and the 100 TB form promotes to DECIMAL(38,0) like q142).
+    Weights quantize to e6-floored integers BEFORE the cross-stratum
+    sum — ~20 irrational doubles summed in engine-specific order would
+    drift in the last bit; summed as integers the allocation is exact.
+    Floor allocation deliberately under-spends by < n_strata samples
+    (largest-remainder top-up is a driver-side postprocess at release
+    time, not a relational op).
+
+    Scale shape: one map-combinable moment aggregate per stratum, then
+    windows over the |strata|-row table."""
+    t = ws_tokens(F.col("text"))
+    m = (
+        docs.select("source", F.size(t).cast("long").alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+    )
+    w_e6 = F.floor(
+        F.lit(1_000_000.0)
+        * F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+                 .cast("double"))
+    ).cast("long")
+    weighted = m.select(
+        "source", F.col("n").cast("long").alias("n_docs"),
+        w_e6.alias("weight_e6"),
+    )
+    w_all = Window.partitionBy()
+    return weighted.select(
+        "source", "n_docs", "weight_e6",
+        F.expr(f"({budget} * weight_e6) div sum(weight_e6) over ()")
+        .cast("long")
+        .alias("alloc_n"),
+        F.sum("weight_e6").over(w_all).cast("long").alias("total_weight_e6"),
+    )
+
+
+def pipe_neyman_allocation(spark, sf_dir):
+    """Gate: Neyman-optimal eval-budget allocation across sources."""
+    return neyman_allocation(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_neyman_allocation"] = pipe_neyman_allocation
+PIPELINE_ORACLE["pipe_neyman_allocation"] = (
+    "WITH x AS ("
+    "  SELECT source, CAST(len(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), y -> y <> '')) AS BIGINT) AS x "
+    "  FROM documents), "
+    "m AS ("
+    "  SELECT source, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s, "
+    "    CAST(SUM(x * x) AS BIGINT) AS q "
+    "  FROM x GROUP BY source), "
+    "w AS ("
+    "  SELECT source, CAST(n AS BIGINT) AS n_docs, "
+    "    CAST(FLOOR(1000000.0 * SQRT((n * q - s * s)::DOUBLE)) AS BIGINT) "
+    "      AS weight_e6 "
+    "  FROM m) "
+    "SELECT source, n_docs, weight_e6, "
+    f"  CAST(({NEYMAN_BUDGET} * weight_e6) // SUM(weight_e6) OVER () "
+    "    AS BIGINT) AS alloc_n, "
+    "  CAST(SUM(weight_e6) OVER () AS BIGINT) AS total_weight_e6 "
+    "FROM w"
+)

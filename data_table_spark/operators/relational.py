@@ -11173,3 +11173,57 @@ RELATIONAL_ORACLE["q191_hits_scores"] = (
     "FROM auth2 x JOIN auth1 y ON y.p = x.p "
     "ORDER BY auth2_score DESC, p_partkey LIMIT 20"
 )
+
+
+def q192_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH (equal-frequency) 8-bucket histogram of order totals —
+    the quantile-bucket profile q74's fixed-WIDTH histogram can't give
+    on skewed money data (every bucket holds ~n/8 rows, so the bins
+    adapt to density). Scale shape is the q125 discipline: collapse to
+    per-cent (value, count) cells FIRST (map-combinable,
+    support-bounded), ONE distributed_prefix_sum pass over the
+    collapsed support (bucketed two-phase scan — no global window),
+    then bucket = ((cum − 1) · 8) div n in exact integers. Ties are
+    VALUE-ATOMIC by construction: a repeated price lands wholly in the
+    bucket of its last cumulative position — deterministic in both
+    engines, unlike row-ntile whose tie-splitting is order-dependent."""
+    from .scale import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v_c")
+    )
+    cells = o.groupBy("v_c").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = distributed_prefix_sum(cells, "v_c", "cnt", out_col="cum")
+    n = cells.agg(F.sum("cnt").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "v_c", "cnt",
+            F.expr("((cum - 1) * 8) div n").cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.min("v_c").cast("long").alias("lo_c"),
+            F.max("v_c").cast("long").alias("hi_c"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q192_equidepth_histogram"] = q192_equidepth_histogram
+RELATIONAL_ORACLE["q192_equidepth_histogram"] = (
+    "WITH o AS ("
+    "  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_c "
+    "  FROM orders), "
+    "cells AS (SELECT v_c, COUNT(*) AS cnt FROM o GROUP BY v_c), "
+    "cum AS ("
+    "  SELECT v_c, cnt, "
+    "    SUM(cnt) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING) AS cum, "
+    "    SUM(cnt) OVER () AS n "
+    "  FROM cells) "
+    "SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bucket, "
+    "  CAST(SUM(cnt) AS BIGINT) AS n_rows, "
+    "  CAST(MIN(v_c) AS BIGINT) AS lo_c, "
+    "  CAST(MAX(v_c) AS BIGINT) AS hi_c "
+    "FROM cum GROUP BY 1"
+)

@@ -2191,3 +2191,134 @@ TEXTSTATS_ORACLE["text_dup_ngrams"] = (
     "    AS dup_rate_e6 "
     "FROM agg"
 )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (round 11)
+# --------------------------------------------------------------------------
+
+RAKE_TOP_K = 15
+
+
+def rake_keywords(docs: DataFrame) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 "Automatic Keyword
+    Extraction from Individual Documents") over the corpus — the
+    unsupervised keyword table a curation pipeline builds for topic
+    routing and tag suggestion. Candidate phrases are maximal runs of
+    NON-stopword tokens (the corpus STOPWORDS delimit); each word
+    scores degree/frequency where freq counts its phrase occurrences
+    and degree sums the lengths of the phrases it occurs in
+    (co-occurrence degree including self); a phrase scores the sum of
+    its members' word scores. All integer-exact: word score is
+    (1e6·degree) div freq, phrase score sums those integers per
+    occurrence, so identical phrase texts score identically and the
+    DISTINCT collapse is well-defined.
+
+    Scale shape: phrase islands via pos − row_number per doc (a
+    per-doc window — parallel), ONE vocabulary-bounded word-stats
+    aggregate, a broadcast-sized score lookup joined back, and a
+    TakeOrderedAndProject top-K."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "w"),
+    )
+    nonstop = toks.where(~F.col("w").isin(*STOPWORDS))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    members = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wnd)
+    )
+    phrases = (
+        members.groupBy("doc_id", "grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x.w,
+            ).alias("words")
+        )
+        .select(
+            "doc_id", "grp", "words", F.size("words").alias("plen")
+        )
+    )
+    occ = phrases.select(F.explode("words").alias("w"), "plen")
+    stats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    scores = stats.select(
+        "w",
+        F.expr("(1000000 * deg) div freq").cast("long").alias("ws_e6"),
+    )
+    # score each DISTINCT phrase text once (stats above already counted
+    # every occurrence; the phrase score is the sum of its members'
+    # GLOBAL word scores — identical texts carry the same member
+    # multiset, so distinct-before-scoring is exact, and a phrase
+    # occurring 50 times scores the same as one occurring once, per
+    # the published formulation)
+    uniq = phrases.select("words", "plen").distinct()
+    return (
+        uniq.select(
+            F.concat_ws(" ", "words").alias("phrase"),
+            "plen",
+            F.explode("words").alias("w"),
+        )
+        .join(F.broadcast(scores), "w")
+        .groupBy("phrase", "plen")
+        .agg(F.sum("ws_e6").cast("long").alias("score_e6"))
+        .select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            "score_e6",
+        )
+        .orderBy(F.col("score_e6").desc(), F.col("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+def text_rake_keywords(spark, sf_dir):
+    """Gate: corpus-wide RAKE keyword table, top-15 phrases."""
+    return rake_keywords(load_table(spark, "documents", sf_dir))
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXTSTATS_QUERIES["text_rake_keywords"] = text_rake_keywords
+TEXTSTATS_ORACLE["text_rake_keywords"] = (
+    "WITH tk AS ("
+    "  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents), "
+    "toks AS ("
+    "  SELECT doc_id, UNNEST(l) AS w, generate_subscripts(l, 1) AS pos "
+    "  FROM tk), "
+    "nonstop AS ("
+    f"  SELECT * FROM toks WHERE w NOT IN ({_RAKE_STOP_SQL})), "
+    "mem AS ("
+    "  SELECT doc_id, w, pos, pos - ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY pos) AS grp "
+    "  FROM nonstop), "
+    "phr AS ("
+    "  SELECT doc_id, grp, LIST(w ORDER BY pos) AS words "
+    "  FROM mem GROUP BY 1, 2), "
+    "occ AS (SELECT UNNEST(words) AS w, len(words) AS plen FROM phr), "
+    "scores AS ("
+    "  SELECT w, CAST((1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) "
+    "    AS BIGINT) AS ws_e6 "
+    "  FROM occ GROUP BY w), "
+    "uniq AS (SELECT DISTINCT words FROM phr), "
+    "sc AS ("
+    "  SELECT array_to_string(words, ' ') AS phrase, "
+    "    len(words) AS plen, UNNEST(words) AS w "
+    "  FROM uniq) "
+    "SELECT phrase, CAST(plen AS BIGINT) AS n_words, "
+    "  CAST(SUM(ws_e6) AS BIGINT) AS score_e6 "
+    "FROM sc JOIN scores USING (w) "
+    "GROUP BY phrase, plen "
+    f"ORDER BY score_e6 DESC, phrase LIMIT {RAKE_TOP_K}"
+)

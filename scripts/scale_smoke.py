@@ -203,6 +203,14 @@ GATES = [
     # streaming OHLC batch form (one windowed struct-min/max aggregate)
     ("q191_hits_scores", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
     ("stream_ohlc_bars", "data_table_spark.streaming.windows", "STREAMJOIN_QUERIES"),
+    # round-11 wave 4: equi-depth buckets (support-collapsed counts +
+    # the bucketed two-phase prefix scan — ledger stays driver-bounded),
+    # Neyman allocation (one moment aggregate + |strata|-row window),
+    # RAKE keywords (per-doc islands window + vocab-bounded stats +
+    # broadcast score lookup + TakeOrdered top-K)
+    ("q192_equidepth_histogram", "data_table_spark.operators.relational", "RELATIONAL_QUERIES"),
+    ("pipe_neyman_allocation", "data_table_spark.operators.pipeline", "PIPELINE_QUERIES"),
+    ("text_rake_keywords", "data_table_spark.operators.textstats", "TEXTSTATS_QUERIES"),
 ]
 
 #: gates whose plan contains a nested-loop join ON PURPOSE, over an
@@ -247,6 +255,8 @@ BOUNDED_NESTED_LOOP_GATES = {
     # class: broadcasting a scalar IS the correct plan at any scale)
     "dedup_oph_minhash_est",
     "q180_tpch_q11_important",
+    # q192's 1-row corpus-total broadcast (the q180/pipe_time_split class)
+    "q192_equidepth_histogram",
 }
 
 #: synthesis-version marker: bumped when synthesize() changes so a

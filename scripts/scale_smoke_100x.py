@@ -252,6 +252,21 @@ GATES = [
     "q174_moving_median",      # 100× orders collapse to the SAME
                                # daily spine — window cost constant,
                                # the rollup pass is the 100× side
+    # round-11 session additions — the fact/doc-bound heaviest:
+    "q178_tpch_q8_share",      # 7-way star over 100× facts; all five
+                               # dims must STAY broadcast
+    "q186_ohlc_bars",          # one struct-min/max aggregate over
+                               # 100× events under hot-user skew
+    "q191_hits_scores",        # distinct customer→part edges are
+                               # fact-derived (offset clones add new
+                               # customers): two join+agg rounds
+    "text_dup_ngrams",         # 5-gram explode + vocab agg + skinny
+                               # join back over 100× ciphered docs —
+                               # gram df per clone unchanged, so the
+                               # dup structure scales linearly
+    "q192_equidepth_histogram",  # support-collapsed counts + bucketed
+                               # prefix scan; clones repeat prices so
+                               # the support (and ledger) stays put
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -264,6 +279,8 @@ GATES = [
 BOUNDED_SCALAR_BNLJ_GATES = {
     "text_bm25_topk",
     "sim_rp_hamming_topk",
+    # round-11: q192's 1-row corpus-total broadcast
+    "q192_equidepth_histogram",
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each

@@ -544,3 +544,120 @@ def test_ivf_pq_topk_is_adc_restricted_to_probe(spark, sf_smoke):
     ]
     assert [(d, v) for d, v, _ in got] == scored[:10]
     assert all(c in probed for _, _, c in got)
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram
+# --------------------------------------------------------------------------
+
+def test_equidepth_buckets_partition_and_balance(spark, sf_smoke):
+    """Buckets partition the rows, ranges are disjoint and ordered, and
+    every bucket holds ~n/8 rows up to value-atomic tie rounding (no
+    bucket more than the largest tie group off balance)."""
+    rows = RELATIONAL_QUERIES["q192_equidepth_histogram"](
+        spark, sf_smoke
+    ).collect()
+    o = load_table(spark, "orders", sf_smoke).select("o_totalprice").collect()
+    vals = sorted(round(r["o_totalprice"] * 100) for r in o)
+    n = len(vals)
+    assert sum(r["n_rows"] for r in rows) == n
+    by_b = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(by_b, by_b[1:]):
+        assert a["hi_c"] < b["lo_c"]
+    # python replay of the value-atomic bucketing
+    from collections import Counter
+
+    cnt = Counter(vals)
+    cum = 0
+    exp: dict[int, int] = defaultdict(int)
+    for v in sorted(cnt):
+        cum += cnt[v]
+        exp[((cum - 1) * 8) // n] += cnt[v]
+    assert {r["bucket"]: r["n_rows"] for r in rows} == dict(exp)
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation
+# --------------------------------------------------------------------------
+
+def test_neyman_allocation_matches_python_and_dominates(spark, sf_smoke):
+    """Weights equal √(N·Q − S²) e6-floored, allocations floor-split
+    the budget, and a higher-variance-mass stratum never gets fewer
+    samples than a lower one (the optimality ordering)."""
+    from data_table_spark.operators.pipeline import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke)
+    m: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for r in docs.select("source", "text").collect():
+        x = len(_toks(r["text"]))
+        e = m[r["source"]]
+        e[0] += 1
+        e[1] += x
+        e[2] += x * x
+    w = {
+        s: math.floor(1e6 * math.sqrt(n * q - v * v))
+        for s, (n, v, q) in m.items()
+    }
+    tot = sum(w.values())
+    rows = neyman_allocation(docs).collect()
+    assert len(rows) == len(m)
+    got_alloc = {}
+    for r in rows:
+        assert r["weight_e6"] == w[r["source"]]
+        assert r["total_weight_e6"] == tot
+        assert r["alloc_n"] == (NEYMAN_BUDGET * w[r["source"]]) // tot
+        got_alloc[r["source"]] = r["alloc_n"]
+    assert sum(got_alloc.values()) <= NEYMAN_BUDGET
+    ordered = sorted(m, key=lambda s: w[s])
+    for a, b in zip(ordered, ordered[1:]):
+        assert got_alloc[a] <= got_alloc[b]
+
+
+# --------------------------------------------------------------------------
+# RAKE keywords
+# --------------------------------------------------------------------------
+
+def test_rake_matches_python_replay(spark, sf_smoke):
+    """Top-15 phrase table equals a pure-Python RAKE over the same
+    stopword set — pins islands segmentation, degree/freq scoring,
+    the distinct-phrase collapse, and the tie-break."""
+    from data_table_spark.operators.textstats import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        rake_keywords,
+    )
+
+    docs = load_table(spark, "documents", sf_smoke).select("doc_id", "text")
+    phrases: list[tuple[str, ...]] = []
+    for r in docs.collect():
+        run: list[str] = []
+        for wtok in _toks(r["text"]) + ["the"]:  # sentinel flush
+            if wtok in STOPWORDS:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(wtok)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for ph in phrases:
+        for wtok in ph:
+            freq[wtok] += 1
+            deg[wtok] += len(ph)
+    ws = {wtok: (1_000_000 * deg[wtok]) // freq[wtok] for wtok in freq}
+    uniq = {ph for ph in phrases}
+    scored = sorted(
+        (
+            (-sum(ws[wtok] for wtok in ph), " ".join(ph), len(ph))
+            for ph in uniq
+        ),
+        key=lambda x: (x[0], x[1]),
+    )[:RAKE_TOP_K]
+    got = [
+        (r["phrase"], r["n_words"], r["score_e6"])
+        for r in rake_keywords(docs).collect()
+    ]
+    assert got == [(p, n, -s) for s, p, n in scored]
