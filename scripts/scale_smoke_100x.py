@@ -327,6 +327,15 @@ DIM_BROADCAST_FLOOR = {
                                # synthesis) — it must leave broadcast
                                # before it OOMs an executor; there is
                                # no dim in this plan
+    "q178_tpch_q8_share": 6,   # the lineitem⋈orders fact-fact join was
+                               # broadcast only at sf0.1 scale and must
+                               # flip; the SIX dim/part broadcasts
+                               # (customer, 2×nation, region, supplier,
+                               # part) hold the floor
+    "text_dup_ngrams": 0,      # the gram→doc-count "vocabulary" is
+                               # FACT-DERIVED here (ciphered clones
+                               # make 100× disjoint grams) — it must
+                               # leave broadcast; no dim in this plan
     "q99_sliding_distinct": 1, # the delta table is bounded by calendar
                                # days — its broadcast must survive 100×
     "q100_pagerank": 3,        # the rank/outw tables are bounded by the
