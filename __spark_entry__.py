@@ -222,6 +222,7 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_neyman_allocation",       # variance-optimal stratified budget
     "text_rake_keywords",           # RAKE phrase keyword extraction
     "q193_interval_range_frame",    # INTERVAL-typed RANGE window frame
+    "media_luma_histogram",         # 4-bin exposure profile, real P5 decode
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

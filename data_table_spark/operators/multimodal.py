@@ -1203,3 +1203,84 @@ MULTIMODAL_ORACLE["media_quiet_runs"] = (
     "FROM e e2 LEFT JOIN per_doc p ON e2.doc_id = p.doc_id "
     "GROUP BY e2.doc_id"
 )
+
+
+def luma_histogram(df: DataFrame) -> DataFrame:
+    """4-bin luma histogram per image over the REAL netpbm decode —
+    the exposure/contrast profile an image-curation pass reads before
+    filtering too-dark/too-flat assets (the numeric sibling of aHash:
+    aHash answers "which images repeat", this answers "what do they
+    look like"). Bins are maxval quartiles (p >> 6 for 8-bit): exact
+    integer bucketing, no float anywhere. P6 RGB collapses to the
+    ITU-R 601 integer luma ×1000 first (the ahash_media rule), then
+    buckets against 64·1000-wide bins so P5 and P6 share the bin
+    geometry.
+
+    Scale shape: map-only Arrow-batched decode (one pass, no shuffle);
+    the output is 4 longs per image."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("b0", T.LongType()),
+            T.StructField("b1", T.LongType()),
+            T.StructField("b2", T.LongType()),
+            T.StructField("b3", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = bytes(blob)
+                if blob[:2] not in (b"P5", b"P6"):
+                    raise ValueError("luma_histogram expects netpbm input")
+                _w, _h, _mx, ch, raster = _netpbm_raster(blob)
+                if ch == 3:
+                    px = raster.reshape(-1, 3).astype("int64")
+                    luma = px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114
+                else:
+                    luma = raster.astype("int64") * 1000
+                counts = np.bincount(
+                    np.minimum(luma // 64000, 3), minlength=4
+                )
+                rows.append(
+                    (int(doc_id), int(counts[0]), int(counts[1]),
+                     int(counts[2]), int(counts[3]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def media_luma_histogram(spark, sf_dir):
+    """Gate: per-image 4-bin luma histograms over the synthesized REAL
+    P5 corpus (encode_netpbm_demo) — DuckDB replays every pixel via
+    ASCII repeat+substr cycling and the same integer bucketing."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return luma_histogram(encode_netpbm_demo(docs))
+
+
+MULTIMODAL_QUERIES["media_luma_histogram"] = media_luma_histogram
+MULTIMODAL_ORACLE["media_luma_histogram"] = (
+    "WITH px AS ("
+    "  SELECT doc_id, "
+    "    ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+    "      CAST(k + 1 AS INT), 1)) * 1000 AS luma "
+    "  FROM documents, UNNEST(range(64)) AS t(k)) "
+    "SELECT doc_id, "
+    "  CAST(SUM(CASE WHEN luma // 64000 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS b0, "
+    "  CAST(SUM(CASE WHEN luma // 64000 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS b1, "
+    "  CAST(SUM(CASE WHEN luma // 64000 = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS b2, "
+    "  CAST(SUM(CASE WHEN LEAST(luma // 64000, 3) = 3 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS b3 "
+    "FROM px GROUP BY doc_id"
+)
