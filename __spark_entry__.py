@@ -203,6 +203,8 @@ _NEXT_WINDOW_QUEUE = [
     "pipe_span_corruption",         # seeded T5 span-mask ledger per doc
     "stream_latest_state",          # S11 CDC latest-per-key compaction
     "media_jpeg_roundtrip",         # real T.81 encode+decode, exact luma
+    "q195_crosscorr_daily",         # lagged daily cross-correlation
+    "pipe_preference_pairs",        # per-source chosen/rejected pairs
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

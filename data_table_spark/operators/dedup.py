@@ -1902,7 +1902,11 @@ def dedup_oph_minhash_est(spark, sf_dir):
     sh = d.select(
         "doc_id", F.array_distinct(_bigram_shingles(F.col("text"))).alias("s")
     )
-    x = arr.join(sh, "doc_id")
+    # structural broadcast: sh is PAIR_BOUND-bounded BY CONSTRUCTION,
+    # but Catalyst's pre-AQE estimate scales with the file size and
+    # flipped this to SMJ at the 100x smoke — the q100 bounded-side
+    # hint case (boundedness proven by the filter, not by data)
+    x = arr.join(F.broadcast(sh), "doc_id")
     a = x.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("siga"),
         F.col("s").alias("sa"),

@@ -3233,3 +3233,102 @@ PIPELINE_ORACLE["pipe_span_corruption"] = (
     "  CAST((1000000 * SUM(m * t)) // MAX(n) AS BIGINT) AS mask_rate_e6 "
     "FROM f GROUP BY doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# preference pairs (round 12)
+# --------------------------------------------------------------------------
+
+
+def preference_pairs(docs: DataFrame) -> DataFrame:
+    """Per-source (chosen, rejected) document pairs by quality score —
+    the RLHF/DPO-style pair construction reduced to its data-layer
+    core: within each bucket pick the best and worst scored items with
+    a total-order tie rule. The score is textstats' deterministic
+    quality score lifted to an EXACT e4 integer (floor BEFORE the
+    /10000 that quality_parts applies — the float the gates can't
+    hash-compare never appears), and the selection key packs
+    score_e4·10¹² + doc_id into one long, so chosen = max_by and
+    rejected = min_by are single combinable aggregates — never a
+    per-source sort.
+
+    Scale shape: one map-side score projection, ONE hash aggregate on
+    source; ties deterministic at any scale."""
+    from .textstats import quality_parts
+
+    n_tokens, punct_ratio, stop_ratio, _score = quality_parts(
+        F.col("text")
+    )
+    score_e4 = (
+        F.when(n_tokens < 5, F.lit(0))
+        .otherwise(
+            F.floor(
+                (
+                    (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.5
+                    + F.least(stop_ratio * 5, F.lit(1.0)) * 0.5
+                )
+                * 10000
+            )
+        )
+        .cast("long")
+    )
+    key = score_e4 * F.lit(10**12).cast("long") + F.col("doc_id")
+    scored = docs.select(
+        "source", "doc_id", score_e4.alias("s"), key.alias("k")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max_by("doc_id", "k").alias("chosen_doc"),
+            F.max("s").cast("long").alias("chosen_score_e4"),
+            F.min_by("doc_id", "k").alias("rejected_doc"),
+            F.min("s").cast("long").alias("rejected_score_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            "source", "chosen_doc", "chosen_score_e4", "rejected_doc",
+            "rejected_score_e4", "n_docs",
+            (F.col("chosen_score_e4") - F.col("rejected_score_e4")).alias(
+                "gap_e4"
+            ),
+        )
+    )
+
+
+def pipe_preference_pairs(spark, sf_dir):
+    """Gate: per-source best/worst quality preference pairs."""
+    return preference_pairs(load_table(spark, "documents", sf_dir))
+
+
+from .textstats import _STOP_PAT as _QUALITY_STOP_PAT  # noqa: E402
+
+
+PIPELINE_QUERIES["pipe_preference_pairs"] = pipe_preference_pairs
+PIPELINE_ORACLE["pipe_preference_pairs"] = (
+    "WITH p AS ("
+    "  SELECT source, doc_id, "
+    "    len(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
+    "    length(text) AS n_chars, "
+    "    len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS n_punct, "
+    f"    len(regexp_extract_all(lower(text), '{_QUALITY_STOP_PAT}')) "
+    "      AS n_stop "
+    "  FROM documents), "
+    "s AS ("
+    "  SELECT source, doc_id, "
+    "    CASE WHEN n_tokens < 5 THEN 0 ELSE CAST(FLOOR(("
+    "      (1.0 - LEAST(FLOOR(n_punct::DOUBLE / n_chars * 10000) "
+    "        / 10000 * 4, 1.0)) * 0.5 "
+    "      + LEAST(FLOOR(n_stop::DOUBLE / n_tokens * 10000) "
+    "        / 10000 * 5, 1.0) * 0.5) * 10000) AS BIGINT) END AS sc "
+    "  FROM p), "
+    "k AS (SELECT source, doc_id, sc, "
+    "  sc * 1000000000000 + doc_id AS key FROM s) "
+    "SELECT source, "
+    "  arg_max(doc_id, key) AS chosen_doc, "
+    "  CAST(MAX(sc) AS BIGINT) AS chosen_score_e4, "
+    "  arg_min(doc_id, key) AS rejected_doc, "
+    "  CAST(MIN(sc) AS BIGINT) AS rejected_score_e4, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(MAX(sc) - MIN(sc) AS BIGINT) AS gap_e4 "
+    "FROM k GROUP BY source"
+)

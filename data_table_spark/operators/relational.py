@@ -10938,7 +10938,11 @@ def q188_kendall_tau(spark, sf_dir):
         F.col("day").alias("d2"), F.col("x").alias("x2"),
         F.col("y").alias("y2"),
     )
-    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+    # structural broadcast: the daily table is CALENDAR-bounded, but
+    # Catalyst's pre-AQE size estimate scales with the events scan and
+    # degraded this non-equi join to an unbroadcast CartesianProduct at
+    # the 100x smoke — the q100 bounded-side hint case
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
         F.signum((F.col("x2") - F.col("x1")).cast("double")).alias("cx"),
         F.signum((F.col("y2") - F.col("y1")).cast("double")).alias("cy"),
     )
@@ -11364,4 +11368,113 @@ RELATIONAL_ORACLE["q194_mode_per_key"] = (
     "  SELECT user_id, SUM(cnt) AS n_events, COUNT(*) AS n_types "
     "  FROM per GROUP BY 1) t USING (user_id) "
     "WHERE r.rn = 1"
+)
+
+
+def q195_crosscorr_daily(spark, sf_dir):
+    """Lagged cross-correlation between the daily click and purchase
+    value series at lags −3..+3 — the lead/lag detector ("do clicks
+    predict purchases k days out?") behind attribution and demand
+    models. Series collapse to ONE row per calendar day first (the
+    support-collapse discipline: window cost is calendar-bounded
+    forever after), then each lag is an equi-join of the day table
+    against itself shifted by date_add — 7 lags × |days| rows, never a
+    row-level self-join. Centering is exact: a_t = n·x_t − Σx in longs
+    (n ≤ |days|, so n·x fits), products and their sums in
+    DECIMAL(38,0) (a·b ~ 1e24 at sf10 overflows BIGINT — the oracle
+    promotes to HUGEINT for the same reason). r = num/√(Σa²·Σb²) uses
+    the FULL-series variances (the signal-processing biased
+    normalization, lag-invariant denominator — documented choice);
+    num and the variances are the same exact integers in both engines,
+    so their double casts, the sqrt, the division and the e6 floor are
+    bit-identical."""
+    e = _t(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", v_c).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", v_c).otherwise(0)
+            ).cast("long").alias("y"),
+        )
+        .localCheckpoint()  # calendar-sized; feeds 4 readers below
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    d = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("a"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("b"),
+    ).localCheckpoint()
+    dec = "decimal(38,0)"
+    var = d.agg(
+        F.sum(F.col("a").cast(dec) * F.col("a").cast(dec)).alias("va"),
+        F.sum(F.col("b").cast(dec) * F.col("b").cast(dec)).alias("vb"),
+    )
+    lags = d.select(
+        "day", "a", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    num = (
+        lags.join(
+            # structural broadcast: d is calendar-bounded (q100's case)
+            F.broadcast(
+                d.select(F.col("day").alias("d2"), F.col("b").alias("b2"))
+            ),
+            F.col("d2") == F.date_add(F.col("day"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.sum(F.col("a").cast(dec) * F.col("b2").cast(dec)).alias(
+                "num"
+            ),
+        )
+    )
+    r = F.floor(
+        F.lit(1_000_000.0)
+        * F.col("num").cast("double")
+        / F.sqrt(F.col("va").cast("double") * F.col("vb").cast("double"))
+    ).cast("long")
+    return (
+        num.crossJoin(F.broadcast(var))
+        .select(F.col("lag").cast("long").alias("lag"), "n_overlap",
+                r.alias("r_e6"))
+    )
+
+
+RELATIONAL_QUERIES["q195_crosscorr_daily"] = q195_crosscorr_daily
+RELATIONAL_ORACLE["q195_crosscorr_daily"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(ts AS DATE) AS day, "
+    "    CAST(SUM(CASE WHEN event_type = 'click' "
+    "      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)"
+    "      AS x, "
+    "    CAST(SUM(CASE WHEN event_type = 'purchase' "
+    "      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)"
+    "      AS y "
+    "  FROM events GROUP BY 1), "
+    "tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy FROM daily), "
+    "d AS ("
+    "  SELECT day, n * x - sx AS a, n * y - sy AS b "
+    "  FROM daily, tot), "
+    "var AS ("
+    "  SELECT SUM(a::HUGEINT * a) AS va, SUM(b::HUGEINT * b) AS vb "
+    "  FROM d), "
+    "num AS ("
+    "  SELECT l.lag, COUNT(*) AS n_overlap, "
+    "    SUM(da.a::HUGEINT * db.b) AS num "
+    "  FROM (SELECT unnest(range(-3, 4)) AS lag) l "
+    "  JOIN d da ON TRUE "
+    "  JOIN d db ON db.day = da.day + CAST(l.lag AS INT) "
+    "  GROUP BY l.lag) "
+    "SELECT CAST(lag AS BIGINT) AS lag, "
+    "  CAST(n_overlap AS BIGINT) AS n_overlap, "
+    "  CAST(FLOOR(1000000.0 * num::DOUBLE "
+    "    / SQRT(va::DOUBLE * vb::DOUBLE)) AS BIGINT) AS r_e6 "
+    "FROM num, var"
 )

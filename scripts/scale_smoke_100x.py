@@ -341,7 +341,15 @@ BOUNDED_SCALAR_BNLJ_GATES = {
     "q188_kendall_tau",         # day x day pair join (d1 < d2) over the
                                 # CALENDAR-bounded daily table — the
                                 # non-equi BNLJ is constant-size at any
-                                # corpus scale (q148's argument)
+                                # corpus scale (q148's argument); the
+                                # bounded side carries a structural
+                                # broadcast hint so pre-AQE fact-scaled
+                                # estimates can't degrade it to an
+                                # unbroadcast CartesianProduct
+    "dedup_oph_minhash_est",    # the all-pairs estimate join is
+                                # explicitly broadcast over the
+                                # PAIR_BOUND=300 slice — bounded BY
+                                # CONSTRUCTION, scale-invariant
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
@@ -521,6 +529,15 @@ DIM_BROADCAST_FLOOR = {
     "text_rake_keywords": 0,   # the word-degree table is FACT-DERIVED
                                # under the cipher (disjoint vocab per
                                # clone) — it must leave broadcast
+    "pipe_pack_efficiency": 0, # both sides of the packs⋈source join
+                               # are fact-sized (per-pack rollup and
+                               # the doc→source projection) — leaving
+                               # broadcast at 100x is the correct
+                               # degradation; no dim in this plan
+    "dedup_oph_minhash_est": 2,  # the sig⋈shingles join is
+                               # PAIR_BOUND-bounded and now carries a
+                               # structural broadcast hint — it must
+                               # STAY broadcast at any sf
 }
 
 PLAN_NODES = (

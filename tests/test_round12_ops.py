@@ -244,3 +244,111 @@ def test_media_jpeg_roundtrip_exact(spark, sf_smoke):
             (26 * (4 * r["doc_id"] + b)) % 256 for b in range(4)
         )
         assert (r["w"], r["h"], r["lum_sum"]) == (16, 16, exp)
+
+
+# --------------------------------------------------------------------------
+# q195 lagged cross-correlation
+# --------------------------------------------------------------------------
+
+def test_crosscorr_python_replay(spark, sf_smoke):
+    """Exact integer centering + full-series normalization replayed in
+    arbitrary-precision Python; r_e6 must match the engine bit-for-bit
+    and lie in [-1e6, 1e6]."""
+    import math
+
+    e = load_table(spark, "events", sf_smoke)
+    daily: dict = {}
+    for r in e.select(
+        F.to_date("ts").alias("day"), "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    ).collect():
+        cell = daily.setdefault(r["day"], [0, 0])
+        if r["event_type"] == "click":
+            cell[0] += r["v_c"]
+        elif r["event_type"] == "purchase":
+            cell[1] += r["v_c"]
+    n = len(daily)
+    sx = sum(v[0] for v in daily.values())
+    sy = sum(v[1] for v in daily.values())
+    a = {d: n * v[0] - sx for d, v in daily.items()}
+    b = {d: n * v[1] - sy for d, v in daily.items()}
+    va = sum(x * x for x in a.values())
+    vb = sum(x * x for x in b.values())
+    import datetime
+
+    got = {
+        r["lag"]: (r["n_overlap"], r["r_e6"])
+        for r in RELATIONAL_QUERIES["q195_crosscorr_daily"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(range(-3, 4))
+    for lag in range(-3, 4):
+        num = 0
+        n_overlap = 0
+        for d, av in a.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in b:
+                num += av * b[d2]
+                n_overlap += 1
+        exp = math.floor(
+            1_000_000.0 * float(num) / math.sqrt(float(va) * float(vb))
+        )
+        assert got[lag] == (n_overlap, exp), lag
+        assert -1_000_000 <= got[lag][1] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# preference pairs
+# --------------------------------------------------------------------------
+
+def test_preference_pairs_python_replay(spark, sf_smoke):
+    """Score, packed key, and both argmax/argmin selections replayed in
+    Python floats (the same IEEE truncation chain quality_parts pins);
+    chosen strictly >= rejected and the pair is the score-extreme with
+    the doc_id tie rule."""
+    import math
+
+    from data_table_spark.operators.pipeline import preference_pairs
+
+    docs = load_table(spark, "documents", sf_smoke)
+    per: dict[str, list] = {}
+    stop_pat = re.compile(r"\b(the|a|of|and|to|in)\b")
+    punct_pat = re.compile(r"[^\sA-Za-z0-9]")
+    for r in docs.select("source", "doc_id", "text").collect():
+        t = r["text"]
+        n_tokens = len(re.split(r"\s+", t.strip()))
+        n_chars = len(t)
+        n_punct = len(punct_pat.findall(t))
+        n_stop = len(stop_pat.findall(t.lower()))
+        if n_tokens < 5:
+            sc = 0
+        else:
+            punct_ratio = math.floor(n_punct / n_chars * 10000) / 10000
+            stop_ratio = math.floor(n_stop / n_tokens * 10000) / 10000
+            sc = math.floor(
+                (
+                    (1.0 - min(punct_ratio * 4, 1.0)) * 0.5
+                    + min(stop_ratio * 5, 1.0) * 0.5
+                )
+                * 10000
+            )
+        per.setdefault(r["source"], []).append(
+            (sc * 10**12 + r["doc_id"], sc, r["doc_id"])
+        )
+    got = {
+        r["source"]: r for r in preference_pairs(docs).collect()
+    }
+    assert set(got) == set(per)
+    for src, items in per.items():
+        g = got[src]
+        hi = max(items)
+        lo = min(items)
+        assert (g["chosen_doc"], g["chosen_score_e4"]) == (hi[2], max(
+            s for _, s, _ in items
+        ))
+        assert (g["rejected_doc"], g["rejected_score_e4"]) == (lo[2], min(
+            s for _, s, _ in items
+        ))
+        assert g["gap_e4"] == g["chosen_score_e4"] - g["rejected_score_e4"]
+        assert g["gap_e4"] >= 0 and g["n_docs"] == len(items)
