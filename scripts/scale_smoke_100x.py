@@ -320,6 +320,23 @@ GATES = [
                                # over 100x ciphered docs
     "media_luma_histogram",    # map-only Arrow P5 decode + 4-bin
                                # conditional agg per image
+    # round-12 session additions (audited at creation time — the
+    # round-11 cohort had to be back-filled; don't repeat that):
+    "q194_mode_per_key",       # two map-combinable aggs on ONE
+                               # user_id exchange, under hot-user skew
+    "q195_crosscorr_daily",    # day-collapsed; lag join broadcast by
+                               # structural hint (calendar-bounded)
+    "dedup_weighted_jaccard_pairs",  # stride-paired (n/50 pairs,
+                               # linear); one (pair, token) equi-join
+    "pipe_tokenizer_fertility",  # map-side regex counting, one
+                               # combinable aggregate on source
+    "pipe_span_corruption",    # n/3 md5 evals map-side + one
+                               # groupBy(doc_id)
+    "pipe_preference_pairs",   # map-side score + ONE hash aggregate
+    "stream_latest_state",     # struct-max state, one user_id shuffle
+                               # under hot-user skew
+    "media_jpeg_roundtrip",    # two map-only Arrow codec passes over
+                               # the doc_id%7 slice — linear in docs
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -350,6 +367,8 @@ BOUNDED_SCALAR_BNLJ_GATES = {
                                 # explicitly broadcast over the
                                 # PAIR_BOUND=300 slice — bounded BY
                                 # CONSTRUCTION, scale-invariant
+    "q195_crosscorr_daily",     # two 1-row scalar broadcasts (totals,
+                                # variances) — constant at any scale
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
@@ -538,6 +557,10 @@ DIM_BROADCAST_FLOOR = {
                                # PAIR_BOUND-bounded and now carries a
                                # structural broadcast hint — it must
                                # STAY broadcast at any sf
+    "dedup_weighted_jaccard_pairs": 0,  # both full-outer sides are
+                               # corpus-derived stride slices (n/50
+                               # docs) — leaving broadcast at 100x is
+                               # the correct degradation
 }
 
 PLAN_NODES = (
