@@ -205,6 +205,7 @@ _NEXT_WINDOW_QUEUE = [
     "media_jpeg_roundtrip",         # real T.81 encode+decode, exact luma
     "q195_crosscorr_daily",         # lagged daily cross-correlation
     "pipe_preference_pairs",        # per-source chosen/rejected pairs
+    "udf_udtf_dynamic_schema",      # analyze()-time polymorphic UDTF
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

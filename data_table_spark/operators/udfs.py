@@ -585,3 +585,70 @@ UDF_ORACLE["udf_grouped_agg_sums"] = (
     "    / 100.0, 4) AS wavg_price "
     "FROM lineitem GROUP BY l_returnflag"
 )
+
+
+def udf_udtf_dynamic_schema(spark, sf_dir):
+    """The third Python-UDTF flavor (PySpark 4 polymorphic analyze):
+    the OUTPUT SCHEMA is computed at PLAN time by a static ``analyze``
+    method from the call's constant argument — here `dt_head_cols(text,
+    3)` derives columns (n_toks, w0, w1, w2), and calling it with a
+    different literal would produce a different relation shape without
+    touching the class. This is the API for schema-polymorphic table
+    functions (pivot-like explodes, CSV-ish splitters) that a static
+    returnType cannot express; eval() is the same generator surface as
+    the other two flavors. Bounded to 40 <= doc_id < 60 so the three
+    UDTF gates scan disjoint slices. Cites udf_python_udtf_words
+    (static schema) and udf_arrow_udtf_words (Arrow transport) — this
+    completes the flavor matrix on the schema axis."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class HeadCols:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("dt_head_cols: n must be a constant")
+            k = int(n.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField("n_toks", LongType())]
+                    + [StructField(f"w{i}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text, n):
+            toks = (text or "").split()
+            yield tuple(
+                [len(toks)]
+                + [toks[i] if i < len(toks) else None for i in range(int(n))]
+            )
+
+    spark.udtf.register("dt_head_cols", udtf(HeadCols))
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "docs_udtf_dyn"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, h.n_toks, h.w0, h.w1, h.w2
+        FROM docs_udtf_dyn, LATERAL dt_head_cols(text, 3) h
+        WHERE doc_id >= 40 AND doc_id < 60
+        """
+    )
+
+
+UDF_QUERIES["udf_udtf_dynamic_schema"] = udf_udtf_dynamic_schema
+UDF_ORACLE["udf_udtf_dynamic_schema"] = (
+    # 1-based list indexing returns NULL out of range — matching the
+    # eval()'s None padding; blank text filters to zero tokens on both
+    # sides (the udf_python_udtf_words list_filter convention)
+    "WITH t AS ("
+    "  SELECT doc_id, list_filter(string_split_regex(trim(text), "
+    "    '\\s+'), x -> x <> '') AS l "
+    "  FROM documents WHERE doc_id >= 40 AND doc_id < 60) "
+    "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks, "
+    "  l[1] AS w0, l[2] AS w1, l[3] AS w2 "
+    "FROM t"
+)

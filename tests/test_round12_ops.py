@@ -352,3 +352,36 @@ def test_preference_pairs_python_replay(spark, sf_smoke):
         ))
         assert g["gap_e4"] == g["chosen_score_e4"] - g["rejected_score_e4"]
         assert g["gap_e4"] >= 0 and g["n_docs"] == len(items)
+
+
+# --------------------------------------------------------------------------
+# polymorphic (analyze-time) UDTF
+# --------------------------------------------------------------------------
+
+def test_udtf_dynamic_schema_is_polymorphic(spark, sf_smoke):
+    """The schema really is computed from the call's constant argument:
+    n=3 yields (n_toks, w0..w2), a second call with n=1 yields
+    (n_toks, w0) from the SAME registration — and a non-constant n is
+    rejected at plan time, not silently defaulted."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.udfs import UDF_QUERIES
+
+    out = UDF_QUERIES["udf_udtf_dynamic_schema"](spark, sf_smoke)
+    assert out.columns == ["doc_id", "n_toks", "w0", "w1", "w2"]
+    one = spark.sql(
+        "SELECT h.* FROM docs_udtf_dyn, LATERAL dt_head_cols(text, 1) h "
+        "WHERE doc_id = 40"
+    )
+    assert one.columns == ["n_toks", "w0"]
+    (r,) = one.collect()
+    first = spark.sql(
+        "SELECT text FROM docs_udtf_dyn WHERE doc_id = 40"
+    ).collect()[0][0]
+    toks = first.split()
+    assert (r["n_toks"], r["w0"]) == (len(toks), toks[0] if toks else None)
+    with _pytest.raises(Exception, match="constant"):
+        spark.sql(
+            "SELECT h.* FROM docs_udtf_dyn, "
+            "LATERAL dt_head_cols(text, CAST(doc_id AS INT)) h"
+        ).collect()
