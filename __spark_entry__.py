@@ -116,87 +116,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # they rely on their prior green row (round noted in COVERAGE.md) plus
 # the identical DuckDB-oracle comparison run by pytest.
 #
-# Round-12 window (frozen at round start, before any new session
-# additions — the round-9/10/11 precedent, VERDICT r11 item 1).
-# Rule 1: the 27 never-green round-11 session additions, order pinned
-# in round 11's _NEXT_WINDOW_QUEUE (oldest claims first; preserved
-# verbatim in _R11_SESSION_ADDITIONS below) — draining this queue means
-# every oracle-backed gate in the registry again has a driver row.
-# Rule 2: no re-grades — the round-12 ADVICE fixes (q190 depth guard,
-# q186 event_id guard, pipe_dp_sum floor-boundary assert) all land on
-# gates already inside rule 1. Rule 3: the first 23 of the pinned r5
-# claim order remainder (_R12_REPROOF_QUEUE, pinned at round-11 start);
-# the 16 that do not fit hold explicit round-13 claims in
-# _R13_REPROOF_QUEUE. 27 + 23 = 50. Rows-only-by-nature gates stay out
-# per rule 4.
+# Round-13 window (frozen at round start, before any new session
+# additions — the round-9..12 precedent).
+# Rule 1: the 9 never-green round-12 session additions, order pinned in
+# round 12's _NEXT_WINDOW_QUEUE (preserved verbatim in
+# _R12_SESSION_ADDITIONS below) — draining the queue restores the
+# every-oracle-gate-has-a-driver-row invariant.
+# Rule 2: no re-grades — the round-13 ADVICE fixes (jpegcodec
+# single-component sampling, ncomp gate, truncation bounds) only touch
+# media_jpeg_roundtrip's codec, which is already inside rule 1; the
+# other JPEG-routed gate (media_decode_features) sits in rule 3 below.
+# Rule 3: the 16 r5-resting gates pinned in _R13_REPROOF_QUEUE at
+# round-12 start, then the first 25 of the r6 cohort claim order
+# (_R6_COHORT_CLAIM_ORDER, pinned NOW — q-gates numeric, families
+# alphabetical, the _R10/_R5 convention). 9 + 16 + 25 = 50. The 22 r6
+# gates that do not fit hold explicit round-14 claims in
+# _R14_REPROOF_QUEUE. Rows-only-by-nature gates stay out per rule 4.
 _PRIORITY = [
-    # --- rule 1: never-green round-11 additions, queue order preserved ---
-    "q178_tpch_q8_share",           # Q8 national market share, exact e6
-    "q179_tpch_q9_profit",          # Q9 profit by nation/year (retail cost)
-    "q180_tpch_q11_important",      # Q11 global-scalar HAVING threshold
-    "q181_tpch_q14_promo",          # Q14 promo revenue share, month-pruned
-    "q182_tpch_q15_top_supplier",   # Q15 view + argmax with exact ties
-    "q183_tpch_q17_small_qty",      # Q17 correlated per-part avg filter
-    "q184_tpch_q19_disjunctive",    # Q19 OR'd brackets stay equi-join
-    "q185_tpch_q22_antijoin",       # Q22 scalar threshold + anti join
-    "q186_ohlc_bars",               # OHLC candlesticks via min_by/max_by
-    "q187_cramers_v",               # chi2-normalized association strength
-    "q188_kendall_tau",             # tau-b over day-bounded pair join
-    "pipe_gopher_rules",            # Gopher quality-rule audit per source
-    "pipe_kfold_assign",            # deterministic 5-fold + LOO sizes
-    "text_dup_ngrams",              # Gopher dup word-5-gram fraction
-    "dedup_oph_minhash_est",        # one-permutation densified MinHash
-    "q189_merge_full",              # tri-clause MERGE incl. BY SOURCE DELETE
-    "q190_subtree_rollup",          # BOM subtree mass over ancestor explode
-    "pipe_dp_sum",                  # clipped Laplace DP sum release
-    "pipe_pack_efficiency",         # context-window fill efficiency
-    "sim_ivf_pq_topk",              # composed IVF coarse + PQ ADC serving
-    "q191_hits_scores",             # HITS hubs/authorities, integer iterates
-    "stream_ohlc_bars",             # S10 streaming OHLC via struct min/max
-    "q192_equidepth_histogram",     # quantile buckets, two-phase scan
-    "pipe_neyman_allocation",       # variance-optimal stratified budget
-    "text_rake_keywords",           # RAKE phrase keyword extraction
-    "q193_interval_range_frame",    # INTERVAL-typed RANGE window frame
-    "media_luma_histogram",         # 4-bin exposure profile, real P5 decode
-    # --- rule 3: first 23 of the pinned r5 remainder (_R12_REPROOF_QUEUE) ---
-    "q28_trim_nullify",
-    "q30_dates",
-    "q31_math",
-    "q32_conditionals",
-    "q36_string_breadth",
-    "q37_date_breadth",
-    "q38_grouping_sets",
-    "q40_conditional_agg",
-    "q43_range_frame",
-    "q44_first_last_value",
-    "q51_union_distinct",
-    "q60_variant_extract",
-    "q65_tpch_q18_shape",
-    "q66_tpch_q21_shape",
-    "q67_tpch_q2_shape",
-    "q68_merge_upsert",
-    "q72_table_diff",
-    "q73_gap_fill",
-    "q74_histogram",
-    "q75_corr_matrix",
-    "q76_transition_matrix",
-    "q77_outliers",
-    "q78_fuzzy_match",
-]
-
-#: round-11 session additions, frozen verbatim from round 11's
-#: _NEXT_WINDOW_QUEUE the moment the round-12 window consumed it —
-#: kept pinned so tests/test_entry_window.py can keep asserting that
-#: the round-12 window honors the queue in its pinned order.
-_R11_SESSION_ADDITIONS = _PRIORITY[:27]
-
-#: never-green or changed-this-round oracle-backed gates that do NOT fit
-#: the 50-slot window, oldest claims first. Enforced by
-#: tests/test_entry_window.py: every never-green oracle gate must be in
-#: the window or in this queue; nothing may silently fall through.
-_NEXT_WINDOW_QUEUE = [
-    # round-12 session additions (written after the r12 window froze)
-    # append below as implemented, oldest first:
+    # --- rule 1: never-green round-12 additions, queue order preserved ---
     "q194_mode_per_key",            # two-agg modal event type per user
     "dedup_weighted_jaccard_pairs", # multiset Jaccard verify, stride pairs
     "pipe_tokenizer_fertility",     # subwords/word + chars/subword ratios
@@ -206,6 +143,100 @@ _NEXT_WINDOW_QUEUE = [
     "q195_crosscorr_daily",         # lagged daily cross-correlation
     "pipe_preference_pairs",        # per-source chosen/rejected pairs
     "udf_udtf_dynamic_schema",      # analyze()-time polymorphic UDTF
+    # --- rule 3a: the 16 r5-resting gates (_R13_REPROOF_QUEUE, pinned
+    # at round-12 start; consumed IN FULL this round) ---
+    "q79_cooccurrence",
+    "dedup_clusters_recursive_sql",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard_pairs",
+    "media_decode_features",
+    "pipe_shuffle_shards",
+    "ref_cell_ops",
+    "ref_coerce_types",
+    "ref_overlay_region",
+    "sim_bruteforce_topk",
+    "sim_ivf_pinned_assign",
+    "sim_ivf_pinned_topk",
+    "stream_attribution",
+    "stream_user_milestones",
+    "text_token_stats",
+    "udf_scalar_net_price",
+    # --- rule 3b: first 25 of the pinned r6 cohort claim order ---
+    "q50_right_join",
+    "q69_runtime_filter",
+    "q70_scd2_build",
+    "q71_incremental_agg",
+    "q80_ab_test",
+    "q81_tpch_q4_shape",
+    "q82_tpch_q13_shape",
+    "q83_tpch_q14_shape",
+    "q84_tpch_q17_shape",
+    "q85_tpch_q20_shape",
+    "q86_tpch_q22_shape",
+    "q87_tpch_q11_shape",
+    "q88_tpch_q19_shape",
+    "q89_tpch_q16_shape",
+    "q90_latest_n_per_key",
+    "q91_tpch_q8_shape",
+    "q92_tpch_q9_shape",
+    "q93_tpch_q12_shape",
+    "q94_tpch_q15_shape",
+    "q95_tpch_q6_shape",
+    "q96_tpch_q1_full",
+    "q97_column_profile",
+    "q98_cdc_fold",
+    "q99_sliding_distinct",
+    "q100_pagerank",
+]
+
+#: round-11 session additions — an INDEPENDENT literal copied from the
+#: round-11 commit's _NEXT_WINDOW_QUEUE (round-12 ADVICE item 1: the
+#: former `_PRIORITY[:27]` alias asserted a slice against itself and
+#: could never catch reordering). tests/test_entry_window.py checks the
+#: committed CORRECTNESS_r12.json led with exactly these 27, in order.
+_R11_SESSION_ADDITIONS = [
+    "q178_tpch_q8_share", "q179_tpch_q9_profit", "q180_tpch_q11_important",
+    "q181_tpch_q14_promo", "q182_tpch_q15_top_supplier",
+    "q183_tpch_q17_small_qty", "q184_tpch_q19_disjunctive",
+    "q185_tpch_q22_antijoin", "q186_ohlc_bars", "q187_cramers_v",
+    "q188_kendall_tau", "pipe_gopher_rules", "pipe_kfold_assign",
+    "text_dup_ngrams", "dedup_oph_minhash_est", "q189_merge_full",
+    "q190_subtree_rollup", "pipe_dp_sum", "pipe_pack_efficiency",
+    "sim_ivf_pq_topk", "q191_hits_scores", "stream_ohlc_bars",
+    "q192_equidepth_histogram", "pipe_neyman_allocation",
+    "text_rake_keywords", "q193_interval_range_frame",
+    "media_luma_histogram",
+]
+
+#: round-12 session additions — an independent literal frozen verbatim
+#: from round 12's _NEXT_WINDOW_QUEUE (same discipline as
+#: _R11_SESSION_ADDITIONS); the round-13 window's rule-1 slots must
+#: equal this list in order.
+_R12_SESSION_ADDITIONS = [
+    "q194_mode_per_key", "dedup_weighted_jaccard_pairs",
+    "pipe_tokenizer_fertility", "pipe_span_corruption",
+    "stream_latest_state", "media_jpeg_roundtrip",
+    "q195_crosscorr_daily", "pipe_preference_pairs",
+    "udf_udtf_dynamic_schema",
+]
+
+#: never-green or changed-this-round oracle-backed gates that do NOT fit
+#: the 50-slot window, oldest claims first. Enforced by
+#: tests/test_entry_window.py: every never-green oracle gate must be in
+#: the window or in this queue; nothing may silently fall through.
+_NEXT_WINDOW_QUEUE = [
+    # round-13 session additions (written after the r13 window froze)
+    # append below as implemented, oldest first:
+    "q196_streak_islands",          # gaps-and-islands day streaks per user
+    "q197_largest_remainder",       # Hamilton apportionment, exact total
+    "q198_degree_assortativity",    # Newman degree-degree Pearson, e6
+    "pipe_systematic_resample",     # low-discrepancy weighted resampling
+    "pipe_loss_mask_spans",         # SFT alternating-turn loss-mask ledger
+    "dedup_sorted_neighborhood_pairs",  # SNM: sort + windowed verify
+    "udf_arrow_grouped_map",        # applyInArrow per-cohort reconcile
+    "udf_cogrouped_merge",          # two-sided cogroup applyInPandas
+    "udf_iter_series_net",          # Iterator[Series] scalar pandas UDF
+    "media_wav_crossings",          # mean-crossing rate, real PCM decode
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
@@ -302,6 +333,36 @@ _R12_REPROOF_QUEUE = _R5_COHORT_CLAIM_ORDER[4:]
 #: line for round 13's rule-3 slots. Enforced by
 #: tests/test_entry_window.py.
 _R13_REPROOF_QUEUE = _R12_REPROOF_QUEUE[23:]
+
+#: the pinned r6-cohort claim order (pinned at round-13 start, the
+#: moment the r5 cohort's last 16 re-prove and the 47 r6-resting gates
+#: become the stalest green set): q-gates in numeric order, then
+#: families alphabetically — the _R10/_R5 convention. Round 13's
+#: rule-3b slots consume the FIRST 25; _R14_REPROOF_QUEUE is the
+#: unconsumed suffix, first in line for round 14's rule-3 slots.
+#: Enforced by tests/test_entry_window.py.
+_R6_COHORT_CLAIM_ORDER = [
+    "q50_right_join", "q69_runtime_filter", "q70_scd2_build",
+    "q71_incremental_agg", "q80_ab_test", "q81_tpch_q4_shape",
+    "q82_tpch_q13_shape", "q83_tpch_q14_shape", "q84_tpch_q17_shape",
+    "q85_tpch_q20_shape", "q86_tpch_q22_shape", "q87_tpch_q11_shape",
+    "q88_tpch_q19_shape", "q89_tpch_q16_shape", "q90_latest_n_per_key",
+    "q91_tpch_q8_shape", "q92_tpch_q9_shape", "q93_tpch_q12_shape",
+    "q94_tpch_q15_shape", "q95_tpch_q6_shape", "q96_tpch_q1_full",
+    "q97_column_profile", "q98_cdc_fold", "q99_sliding_distinct",
+    "q100_pagerank", "q101_pit_join", "q102_skyline",
+    "q103_weighted_median", "q104_chi_square", "pipe_interleave_sources",
+    "pipe_pii_scrub", "pipe_pps_sample", "pipe_quality_report",
+    "ref_add_column", "ref_fixed_width", "ref_format_output",
+    "ref_select_columns", "ref_sub_table", "sim_quantized_covariance",
+    "sim_range_search", "sim_recall_report", "stream_sliding_counts",
+    "stream_upsert_snapshot", "text_fingerprint", "text_phrase_search",
+    "udf_capped_sessions", "udf_ewma_state",
+]
+
+#: round-14 re-proof claim order: the 22 r6-resting gates whose claims
+#: did not fit round 13's 25 rule-3b slots, in the pinned order above.
+_R14_REPROOF_QUEUE = _R6_COHORT_CLAIM_ORDER[25:]
 
 
 def _ordered(merged: dict) -> dict:

@@ -28,7 +28,7 @@ from __future__ import annotations
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import truncate_lineage
@@ -2073,4 +2073,139 @@ DEDUP_ORACLE["dedup_weighted_jaccard_pairs"] = (
     "  CAST((1000000 * SUM(LEAST(ca, cb))) // SUM(GREATEST(ca, cb)) "
     "    AS BIGINT) AS wj_e6 "
     "FROM j GROUP BY pair"
+)
+
+
+# --------------------------------------------------------------------------
+# round 13: sorted-neighborhood method (SNM)
+# --------------------------------------------------------------------------
+
+#: neighbors ahead each record is compared against after the sort
+SNM_WINDOW = 3
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame, window: int = SNM_WINDOW
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM): sort
+    the corpus by a normalized sort key (lowercased, whitespace-
+    collapsed text — near-dups land adjacent), then compare each record
+    only against its next ``window`` neighbors and keep word-bigram
+    Jaccard ≥ 0.5. The third design point between bounded brute force
+    (O(n²), dedup_ngram_jaccard_pairs) and banded MinHash
+    (probabilistic, dedup_minhash_lsh_pairs): SNM is deterministic AND
+    linear — n·window comparisons — at the cost of missing dups whose
+    normalized prefixes diverge (prefix-edit near-dups; the LSH path
+    covers those).
+
+    Implementation: rank over the (norm, doc_id) sort, explode each row
+    into its ``window`` forward offsets, and EQUI-join rank+k = rank —
+    a shuffle-hash join on an integer, never an inequality/cross join.
+    The exact Jaccard verify reuses the engine's shared shingle +
+    jaccard expressions, so the SNM window and the brute-force gate
+    agree bit-for-bit on any pair both consider.
+
+    Scale posture: global rank WITHOUT a single-reducer window — the
+    sort is a range-partitioned exchange (repartitionByRange + local
+    sort, the same machinery as any distributed ORDER BY), ranks are
+    per-partition row_numbers lifted by a broadcast per-partition
+    count ledger (the distributed_prefix_sum discipline applied to
+    ranks; the ledger is #partitions rows). Window-crossing pairs
+    across partition boundaries stay correct because the offset
+    explode equi-joins on the GLOBAL rank. Comparisons carry only the
+    two shingle arrays per pair — O(n·window) rows shuffled on an int
+    key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        _bigram_shingles(F.col("text")).alias("s"),
+    )
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = base.repartitionByRange(
+        nparts, "norm", "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = truncate_lineage(ranged)
+    ledger = sorted(
+        (row["_pid"], row["c"])
+        for row in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets, run = {}, 0
+    for pid, c in ledger:
+        offsets[pid] = run
+        run += c
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            list(offsets.items()), "_pid int, _off long"
+        )
+    )
+    wp = Window.partitionBy("_pid").orderBy("norm", "doc_id")
+    r = (
+        ranged.join(off_df, "_pid")
+        .withColumn(
+            "rn", (F.col("_off") + F.row_number().over(wp)).cast("long")
+        )
+        .drop("norm", "_pid", "_off")
+    )
+    a = r.select(
+        F.col("doc_id").alias("da"), F.col("s").alias("sa"), "rn"
+    )
+    b = r.select(
+        F.col("doc_id").alias("db"),
+        F.col("s").alias("sb"),
+        F.col("rn").alias("rnb"),
+    )
+    cand = (
+        a.withColumn(
+            "rnb",
+            F.explode(
+                F.sequence(F.col("rn") + 1, F.col("rn") + window)
+            ),
+        )
+        .join(b, "rnb")
+    )
+    j = _jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
+    )
+
+
+def dedup_sorted_neighborhood_pairs(spark, sf_dir):
+    """Gate: SNM near-dup pairs over the full documents corpus."""
+    return sorted_neighborhood_pairs(load_table(spark, "documents", sf_dir))
+
+
+DEDUP_QUERIES["dedup_sorted_neighborhood_pairs"] = (
+    dedup_sorted_neighborhood_pairs
+)
+DEDUP_ORACLE["dedup_sorted_neighborhood_pairs"] = (
+    "WITH toks AS ("
+    "  SELECT doc_id, "
+    "    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm, "
+    "    string_split_regex(lower(trim(text)), '\\s+') AS t "
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, norm, "
+    "    list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) "
+    "      AS s, "
+    "    ROW_NUMBER() OVER (ORDER BY norm, doc_id) AS rn "
+    "  FROM toks), "
+    "cand AS ("
+    "  SELECT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb "
+    f"  FROM sh a JOIN sh b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW})"
+    "SELECT DISTINCT LEAST(da, db) AS a, GREATEST(da, db) AS b, "
+    "  ROUND(len(list_intersect(sa, sb))::DOUBLE "
+    "    / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard "
+    "FROM cand "
+    "WHERE ROUND(len(list_intersect(sa, sb))::DOUBLE "
+    f"    / len(list_distinct(list_concat(sa, sb))), 4) >= {JACCARD_THRESHOLD}"
 )

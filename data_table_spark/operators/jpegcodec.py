@@ -156,8 +156,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -187,8 +191,13 @@ class _BitReader:
         self.bits = 0
         self.nbits = 0
         d = self.data
-        while d[self.pos] != 0xFF or d[self.pos + 1] in (0x00,):
+        n = len(d)
+        while self.pos + 1 < n and (
+            d[self.pos] != 0xFF or d[self.pos + 1] in (0x00,)
+        ):
             self.pos += 1
+        if self.pos + 1 >= n:
+            raise ValueError("truncated JPEG entropy stream")
 
 
 def _extend(v: int, t: int) -> int:
@@ -262,6 +271,9 @@ def decode_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedJpegError(f"{prec}-bit precision")
+            if ncomp not in (1, 3):
+                # e.g. Adobe 4-component CMYK: component 0 is NOT luma
+                raise UnsupportedJpegError(f"{ncomp}-component JPEG")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -299,6 +311,10 @@ def decode_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
 
 def _decode_scan(blob, pos, frame, scan, quant, restart_interval):
     w, h = frame["w"], frame["h"]
+    if len(scan) == 1:
+        # T.81 A.2: a non-interleaved (single-component) scan codes one
+        # data unit per MCU — declared sampling factors do not apply
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in scan):

@@ -1387,3 +1387,96 @@ MULTIMODAL_ORACLE["media_jpeg_roundtrip"] = (
     "  ) AS BIGINT) AS lum_sum "
     f"FROM documents WHERE doc_id % {JPEG_STRIDE} = 0"
 )
+
+
+# --------------------------------------------------------------------------
+# round 13: mean-crossing rate over the real WAV path
+# --------------------------------------------------------------------------
+
+
+def wav_mean_crossings(df: DataFrame) -> DataFrame:
+    """Per-clip mean-crossing rate — the DC-robust zero-crossing-rate
+    variant (audio's cheapest pitch/voicedness proxy; plain ZCR is
+    useless on a signal with DC offset, and the ASCII-derived demo
+    samples are all-negative by construction). Decodes the REAL PCM16
+    WAV via the stdlib codec (no fakes on this path — the
+    media_wav_energy discipline), then counts sign changes of the
+    mean-removed signal in EXACT integers: with S = Σs over the n
+    samples, sample k crosses iff (n·s_k − S)·(n·s_{k+1} − S) < 0 —
+    scaling by n instead of dividing by it keeps everything integral
+    (|n·s| ≤ 64·2¹⁵ so the product fits int64 with 10⁶× headroom).
+    Emits min/max sample alongside — the clip's exact dynamic range.
+
+    Map-only (one Arrow batch per task, no shuffle); the per-clip
+    reduce happens inside numpy."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mcr", T.LongType()),
+            T.StructField("s_min", T.LongType()),
+            T.StructField("s_max", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(blob))) as wv:
+                    if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                        raise ValueError("mean-crossing gate expects PCM16 mono")
+                    pcm = wv.readframes(wv.getnframes())
+                x = np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+                n = len(x)
+                c = n * x - int(x.sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(((c[:-1] * c[1:]) < 0).sum()),
+                        int(x.min()),
+                        int(x.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mcr", "s_min", "s_max"]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def media_wav_crossings(spark, sf_dir):
+    """Gate: synthesize the PCM16 demo WAV per document and measure
+    mean-crossing rate + dynamic range through the real codec; the
+    oracle rebuilds every sample from the ASCII text as (ord(char) −
+    128)·256 and replays the integer crossing product over a lag
+    window — equality proves encode → decode → crossing-count
+    byte-exact."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return wav_mean_crossings(encode_wav_demo(d))
+
+
+MULTIMODAL_QUERIES["media_wav_crossings"] = media_wav_crossings
+MULTIMODAL_ORACLE["media_wav_crossings"] = (
+    "WITH px AS ("
+    "  SELECT doc_id, k, "
+    "    (ord(substr(repeat(text, CAST(1 + 64 // length(text) AS INT)), "
+    "      CAST(k + 1 AS INT), 1)) - 128) * 256 AS s "
+    "  FROM documents, UNNEST(range(64)) AS t(k)), "
+    "tot AS (SELECT doc_id, SUM(s)::BIGINT AS sm FROM px GROUP BY doc_id), "
+    "c AS ("
+    "  SELECT px.doc_id, px.k, 64 * px.s - tot.sm AS cv, "
+    "    LEAD(64 * px.s - tot.sm) OVER ("
+    "      PARTITION BY px.doc_id ORDER BY px.k) AS cn, "
+    "    px.s "
+    "  FROM px JOIN tot ON px.doc_id = tot.doc_id) "
+    "SELECT doc_id, "
+    "  CAST(SUM(CASE WHEN cv * cn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS mcr, "
+    "  CAST(MIN(s) AS BIGINT) AS s_min, CAST(MAX(s) AS BIGINT) AS s_max "
+    "FROM c GROUP BY doc_id"
+)

@@ -3332,3 +3332,151 @@ PIPELINE_ORACLE["pipe_preference_pairs"] = (
     "  CAST(MAX(sc) - MIN(sc) AS BIGINT) AS gap_e4 "
     "FROM k GROUP BY source"
 )
+
+
+# --------------------------------------------------------------------------
+# round 13: systematic (low-discrepancy) weighted resampling
+# --------------------------------------------------------------------------
+
+#: number of picks the systematic-resample gate draws
+RESAMPLE_N = 200
+
+
+def systematic_resample(docs: DataFrame, n_picks: int = RESAMPLE_N) -> DataFrame:
+    """Systematic (low-discrepancy) weighted resampling: draw
+    ``n_picks`` documents with probability proportional to weight
+    (here ``n_chars`` — the byte-budget proxy) by walking the
+    cumulative-weight axis at a FIXED stride — pick j selects the doc
+    whose cumulative interval [cum−w, cum) covers t_j = (2j+1)·W div
+    (2n). The particle-filter / data-mixing standard: zero variance
+    beyond the stride phase, and — unlike multinomial draws — no RNG
+    state at all here (the stride phase is pinned at W/2n), so the
+    same corpus yields the same sample on any cluster, and DuckDB
+    replays it exactly in integers.
+
+    Scale posture: the prefix sum is the q192 two-phase scan
+    (:func:`~data_table_spark.operators.scale.distributed_prefix_sum`
+    — per-range partial sums, driver ledger, broadcast offsets; no
+    global window). The pick table is n_picks rows — broadcast — so
+    the interval match is a map-side broadcast join against the doc
+    intervals: one pass over the corpus, no shuffle beyond the prefix
+    sum's own. Docs with zero weight get an empty [cum, cum) interval
+    and are structurally unpickable — no filter needed."""
+    from .scale import distributed_prefix_sum
+
+    cells = docs.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    cum = distributed_prefix_sum(cells, "doc_id", "w", out_col="cum")
+    tot = cells.agg(F.sum("w").alias("tot"))
+    spark = docs.sparkSession
+    picks = (
+        spark.range(n_picks)
+        .select(F.col("id").alias("pick_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pick_id",
+            F.expr(f"(2 * pick_id + 1) * tot div {2 * n_picks}").alias("t"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(picks),
+            (F.col("t") >= F.col("cum") - F.col("w"))
+            & (F.col("t") < F.col("cum")),
+        )
+        .select("pick_id", "doc_id", F.col("w").alias("weight"))
+    )
+
+
+def pipe_systematic_resample(spark, sf_dir):
+    """Gate: 200 systematic weighted picks over the documents corpus."""
+    return systematic_resample(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_systematic_resample"] = pipe_systematic_resample
+PIPELINE_ORACLE["pipe_systematic_resample"] = (
+    "WITH c AS ("
+    "  SELECT doc_id, CAST(n_chars AS BIGINT) AS w, "
+    "    SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum "
+    "  FROM documents), "
+    "t AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS tot FROM documents), "
+    "p AS ("
+    f"  SELECT j AS pick_id, (2 * j + 1) * tot // {2 * RESAMPLE_N} AS t "
+    f"  FROM (SELECT unnest(range({RESAMPLE_N})) AS j), t) "
+    "SELECT p.pick_id, c.doc_id, c.w AS weight "
+    "FROM p JOIN c ON p.t >= c.cum - c.w AND p.t < c.cum"
+)
+
+
+# --------------------------------------------------------------------------
+# round 13: SFT loss-mask span ledger
+# --------------------------------------------------------------------------
+
+#: sentence-boundary split shared by the Spark gate and the DuckDB
+#: oracle — terminator + whitespace, RE2-safe (no lookbehind) so both
+#: engines drop the delimiter identically.
+SENT_SPLIT = r"[.!?]\s+"
+
+
+def loss_mask_spans(docs: DataFrame) -> DataFrame:
+    """Per-document SFT loss-mask ledger: treat each document as a
+    pseudo-chat transcript (sentences alternate user / assistant turns
+    — even index = user, odd = assistant, the instruction-tuning
+    convention) and account the tokens the loss is actually computed
+    on (assistant turns only; user turns are masked). Output per doc:
+    turn count, total tokens, trainable tokens, and the trainable
+    fraction in exact basis points (·10⁴, integer div) — the number a
+    data-mixing plan needs to convert corpus tokens into EFFECTIVE
+    training tokens.
+
+    Positions are assigned BEFORE empty-segment filtering (posexplode
+    over the raw split), so a double terminator cannot shift the
+    role parity of later turns. All column expressions — split,
+    posexplode, token counts via the shared :func:`ws_tokens` — stay
+    JVM-side; one partial-aggregable groupBy(doc_id), no Python."""
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), SENT_SPLIT)).alias("pos", "seg"),
+    ).where(F.trim(F.col("seg")) != "")
+    tok = n_tokens(F.col("seg"))
+    per = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(tok).cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("pos") % 2 == 1, tok).otherwise(0))
+        .cast("long").alias("trainable_tokens"),
+    )
+    return per.select(
+        "doc_id", "n_turns", "total_tokens", "trainable_tokens",
+        F.expr("trainable_tokens * 10000 div total_tokens").cast("long")
+        .alias("trainable_bp"),
+    )
+
+
+def pipe_loss_mask_spans(spark, sf_dir):
+    """Gate: alternating-turn loss-mask ledger over documents."""
+    return loss_mask_spans(load_table(spark, "documents", sf_dir))
+
+
+PIPELINE_QUERIES["pipe_loss_mask_spans"] = pipe_loss_mask_spans
+PIPELINE_ORACLE["pipe_loss_mask_spans"] = (
+    "WITH parts AS ("
+    "  SELECT doc_id, string_split_regex(text, '[.!?]\\s+') AS segs "
+    "  FROM documents), "
+    "segs AS ("
+    "  SELECT doc_id, k AS pos, segs[k + 1] AS seg "
+    "  FROM parts, UNNEST(range(len(segs))) AS u(k) "
+    "  WHERE trim(segs[k + 1]) <> ''), "
+    "tk AS ("
+    "  SELECT doc_id, pos, len(list_filter(string_split_regex("
+    "    lower(trim(seg)), '\\s+'), x -> x <> '')) AS t "
+    "  FROM segs), "
+    "per AS ("
+    "  SELECT doc_id, COUNT(*) AS n_turns, SUM(t) AS total_tokens, "
+    "    SUM(CASE WHEN pos % 2 = 1 THEN t ELSE 0 END) AS trainable_tokens "
+    "  FROM tk GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, "
+    "  CAST(total_tokens AS BIGINT) AS total_tokens, "
+    "  CAST(trainable_tokens AS BIGINT) AS trainable_tokens, "
+    "  CAST(trainable_tokens * 10000 // total_tokens AS BIGINT) "
+    "    AS trainable_bp "
+    "FROM per"
+)

@@ -11478,3 +11478,244 @@ RELATIONAL_ORACLE["q195_crosscorr_daily"] = (
     "    / SQRT(va::DOUBLE * vb::DOUBLE)) AS BIGINT) AS r_e6 "
     "FROM num, var"
 )
+
+
+# --------------------------------------------------------------------------
+# round 13: q196-q198
+# --------------------------------------------------------------------------
+
+
+def q196_streak_islands(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands shape (retention/engagement's "current streak"
+    metric), which none of the window gates cover: q73 fills gaps,
+    q64 buckets cohorts, but nothing identifies maximal runs.
+
+    Technique: ONE hash aggregate — ``sort_array(collect_set(day))``
+    per user — then pure array algebra: consecutive-day gaps via
+    zip_with over shifted slices (the _bigram_shingles discipline, no
+    per-index element_at), longest run via one aggregate() fold,
+    streak count = 1 + gaps≠1. The textbook day−row_number anchor
+    trick would be a second exchange plus a per-user window sort
+    (measured plan: distinct shuffles on (user, day), window
+    re-exchanges on user); this form is one exchange, zero windows,
+    and the collect_set partial-aggregates map-side.
+
+    Scale posture: per-user state is the DISTINCT-DAY array — bounded
+    by the calendar (≤ 366/year), not by event count — so hot users
+    cost the same as anyone and no skew salt is needed."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set(F.to_date("ts"))).alias("days")
+    )
+    n = F.size("days")
+    per = per.withColumn(
+        "gaps",
+        F.when(n < 2, F.array().cast("array<int>")).otherwise(
+            F.zip_with(
+                F.slice("days", 2, n - 1),
+                F.slice("days", 1, n - 1),
+                lambda b, a: F.datediff(b, a),
+            )
+        ),
+    )
+    run = F.aggregate(
+        F.col("gaps"),
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, d: F.struct(
+            F.when(d == 1, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                F.when(d == 1, acc.cur + 1).otherwise(F.lit(1)), acc.best
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return per.select(
+        "user_id",
+        F.size("days").cast("long").alias("active_days"),
+        (1 + F.size(F.filter("gaps", lambda d: d != 1)))
+        .cast("long").alias("n_streaks"),
+        run.cast("long").alias("max_streak"),
+    )
+
+
+RELATIONAL_QUERIES["q196_streak_islands"] = q196_streak_islands
+RELATIONAL_ORACLE["q196_streak_islands"] = (
+    "WITH days AS ("
+    "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+    "isl AS ("
+    "  SELECT user_id, day - CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY day) AS INT) AS anchor "
+    "  FROM days), "
+    "s AS ("
+    "  SELECT user_id, anchor, COUNT(*) AS len "
+    "  FROM isl GROUP BY user_id, anchor) "
+    "SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+    "  CAST(MAX(len) AS BIGINT) AS max_streak "
+    "FROM s GROUP BY user_id"
+)
+
+#: total seats for the largest-remainder apportionment gate
+LR_SEATS = 1000
+
+
+def q197_largest_remainder(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of LR_SEATS slots
+    across document sources by document count — the deterministic
+    budget-allocation primitive under sampling quotas and shard-count
+    assignment ("give each source shards proportional to size, exact
+    total"). Pure integer arithmetic: base = n·S div N, then the
+    S − Σbase leftover seats go to the largest remainders
+    (tie-broken lexically by source), so Σseats == LR_SEATS exactly —
+    what naive rounding cannot guarantee.
+
+    Scale posture: the per-source count is one partial-aggregable
+    groupBy; everything after operates on the SOURCE VOCABULARY
+    (a handful of rows), so the total and leftover scalars broadcast
+    and the remainder-rank window's single partition holds vocabulary-
+    bounded rows — the q100 structural-boundedness case, not a data-
+    sized global sort."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("tot"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.expr(f"n_docs * {LR_SEATS} div tot").alias("base"),
+        F.expr(f"(n_docs * {LR_SEATS}) % tot").alias("rem"),
+    )
+    lo = q.agg((F.lit(LR_SEATS) - F.sum("base")).alias("leftover"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    return (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("seats"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q197_largest_remainder"] = q197_largest_remainder
+RELATIONAL_ORACLE["q197_largest_remainder"] = (
+    "WITH c AS ("
+    "  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), "
+    "t AS (SELECT SUM(n_docs) AS tot FROM c), "
+    f"q AS (SELECT source, n_docs, n_docs * {LR_SEATS} // tot AS base, "
+    f"  (n_docs * {LR_SEATS}) % tot AS rem FROM c, t), "
+    f"l AS (SELECT {LR_SEATS} - SUM(base) AS leftover FROM q), "
+    "r AS (SELECT q.*, ROW_NUMBER() OVER ("
+    "  ORDER BY rem DESC, source) AS rk FROM q) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) "
+    "    AS seats "
+    "FROM r, l"
+)
+
+
+def q198_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman's degree–degree Pearson r) of the
+    part co-purchase graph — the one-number structural profile (hub-
+    to-hub vs hub-to-leaf wiring) that complements q106's triangles,
+    q124's clustering coefficient and q191's HITS on the same graph.
+
+    Exact integer moments over DIRECTED edge incidences (each
+    undirected edge contributes both directions, the standard
+    convention, making Σdx = Σdy by symmetry): r = (m·Σdxdy − Σdx·Σdy)
+    / sqrt((m·Σdx² − (Σdx)²)(m·Σdy² − (Σdy)²)), accumulated in
+    decimal(38,0) so m·Σd² stays exact far past int64 at 100 TB; the
+    single float op is the final divide, floored to r_e6 — the q195
+    exact-moments-then-one-divide discipline.
+
+    Scale posture: the edge build is q106's (distinct order-part pairs,
+    self-join on order, distinct) — the expensive stage, shuffling on
+    l_orderkey then (a,b). The degree table is node-sized (part
+    vocabulary, dimension-bounded) so both degree joins carry explicit
+    broadcast hints; the moment aggregation is a single partial-
+    aggregable reduce to one row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dir_e = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
+    j = dir_e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(F.col("dx").cast(dec) * F.col("dy")).alias("sxy"),
+        F.sum("dx").cast(dec).alias("sx"),
+        F.sum("dy").cast(dec).alias("sy"),
+        F.sum(F.col("dx").cast(dec) * F.col("dx")).alias("sx2"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).alias("sy2"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("m").cast("long").alias("m_directed"),
+        F.floor(1000000.0 * num / F.sqrt(vx * vy)).cast("long").alias(
+            "r_e6"
+        ),
+    )
+
+
+RELATIONAL_QUERIES["q198_degree_assortativity"] = q198_degree_assortativity
+RELATIONAL_ORACLE["q198_degree_assortativity"] = (
+    "WITH li AS ("
+    "  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "edges AS ("
+    "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "  WHERE x.l_partkey < y.l_partkey), "
+    "deg AS ("
+    "  SELECT node, COUNT(*) AS deg FROM ("
+    "    SELECT a AS node FROM edges "
+    "    UNION ALL SELECT b FROM edges) GROUP BY node), "
+    "dir_e AS ("
+    "  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), "
+    "s AS ("
+    "  SELECT COUNT(*)::HUGEINT AS m, "
+    "    SUM(dx.deg::HUGEINT * dy.deg) AS sxy, "
+    "    SUM(dx.deg)::HUGEINT AS sx, SUM(dy.deg)::HUGEINT AS sy, "
+    "    SUM(dx.deg::HUGEINT * dx.deg) AS sx2, "
+    "    SUM(dy.deg::HUGEINT * dy.deg) AS sy2 "
+    "  FROM dir_e JOIN deg dx ON dir_e.a = dx.node "
+    "  JOIN deg dy ON dir_e.b = dy.node) "
+    "SELECT CAST(m AS BIGINT) AS m_directed, "
+    "  CAST(FLOOR(1000000.0 * (m * sxy - sx * sy)::DOUBLE "
+    "    / SQRT((m * sx2 - sx * sx)::DOUBLE "
+    "           * (m * sy2 - sy * sy)::DOUBLE)) AS BIGINT) AS r_e6 "
+    "FROM s"
+)

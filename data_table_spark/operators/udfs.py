@@ -13,6 +13,7 @@ end-to-end.
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Iterator, Tuple  # noqa: UP035 — pandas_udf hint parsing
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -651,4 +652,203 @@ UDF_ORACLE["udf_udtf_dynamic_schema"] = (
     "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks, "
     "  l[1] AS w0, l[2] AS w1, l[3] AS w2 "
     "FROM t"
+)
+
+
+def udf_arrow_grouped_map(spark, sf_dir):
+    """Grouped-map over RAW ARROW batches (``applyInArrow``) — the
+    zero-pandas sibling of udf_grouped_map_stats. Each cohort's rows
+    arrive as ONE ``pyarrow.Table``; compute.* kernels aggregate it
+    and a one-row Table goes back. Same Arrow IPC transport as
+    applyInPandas but WITHOUT the pandas materialization tax (no
+    index, no block manager, no object boxing) — the right flavor
+    when per-group logic is itself columnar, and the last missing
+    cell of the grouped-map transport matrix (pandas / pandas+state /
+    Arrow). Money is floored to int cents per row BEFORE the sum so
+    the aggregation is associative-exact (the udf_grouped_agg_sums
+    discipline), never float-order-dependent.
+
+    Scale: ONE shuffle on the cohort key; 100 cohorts (the
+    STATS_COHORTS sizing note) keeps per-group batches ~n/100."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load_table(spark, "orders", sf_dir).select(
+        (F.col("o_custkey") % STATS_COHORTS).alias("cohort"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        cents = tbl.column("cents")
+        return pa.table(
+            {
+                "cohort": [tbl.column("cohort")[0].as_py()],
+                "n_orders": [tbl.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("cohort", pa.int64()),
+                    ("n_orders", pa.int64()),
+                    ("total_cents", pa.int64()),
+                    ("max_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    return o.groupBy("cohort").applyInArrow(
+        stats,
+        "cohort long, n_orders long, total_cents long, max_cents long",
+    )
+
+
+UDF_QUERIES["udf_arrow_grouped_map"] = udf_arrow_grouped_map
+UDF_ORACLE["udf_arrow_grouped_map"] = (
+    f"SELECT o_custkey % {STATS_COHORTS} AS cohort, "
+    "  COUNT(*)::BIGINT AS n_orders, "
+    "  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS total_cents, "
+    "  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS max_cents "
+    "FROM orders GROUP BY cohort"
+)
+
+
+def udf_cogrouped_merge(spark, sf_dir):
+    """COGROUPED applyInPandas — the two-sided escape hatch
+    (``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``): each
+    order key's rows from BOTH orders and lineitem arrive as a pandas
+    frame pair in one task, the general form of custom merges
+    (reconciliation, as-of stitching, schema-divergent unions) that a
+    join + groupBy cannot express when the per-key logic is
+    imperative. Here the per-key logic is a reconciliation ledger —
+    order-header cents vs the sum of its line extendedprice cents and
+    the line count — deliberately SQL-expressible so the DuckDB
+    oracle proves the cogroup transport end to end (the
+    udf_grouped_map_stats discipline).
+
+    Scale: BOTH sides shuffle once on the key — exactly a shuffle
+    join's exchange pattern — then Python sees each key once; keys
+    with rows on one side only still surface (full-outer semantics),
+    which the oracle pins via FULL JOIN. Cohorted on o_orderkey %
+    1000 to keep per-group frames batched (the STATS_COHORTS
+    sizing note)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        (F.col("o_orderkey") % 1000).alias("k"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_orderkey") % 1000).alias("k"),
+        F.col("l_orderkey").alias("okey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lo = (
+            left.groupby("okey", as_index=False)
+            .agg(o_cents=("o_cents", "min"), n_headers=("o_cents", "size"))
+            if len(left)
+            else pd.DataFrame(columns=["okey", "o_cents", "n_headers"])
+        )
+        ro = (
+            right.groupby("okey", as_index=False)
+            .agg(li_cents=("cents", "sum"), n_lines=("cents", "size"))
+            if len(right)
+            else pd.DataFrame(columns=["okey", "li_cents", "n_lines"])
+        )
+        m = lo.merge(ro, on="okey", how="outer")
+        for c in ("o_cents", "li_cents"):
+            m[c] = m[c].astype("float64")
+        for c in ("n_headers", "n_lines"):
+            m[c] = m[c].astype("float64").fillna(0.0).astype("int64")
+        return m[["okey", "o_cents", "n_headers", "li_cents", "n_lines"]]
+
+    return (
+        o.groupBy("k")
+        .cogroup(li.groupBy("k"))
+        .applyInPandas(
+            merge,
+            "okey long, o_cents double, n_headers long, "
+            "li_cents double, n_lines long",
+        )
+        .select(
+            "okey",
+            F.col("o_cents").cast("long").alias("o_cents"),
+            "n_headers",
+            F.col("li_cents").cast("long").alias("li_cents"),
+            "n_lines",
+        )
+    )
+
+
+UDF_QUERIES["udf_cogrouped_merge"] = udf_cogrouped_merge
+UDF_ORACLE["udf_cogrouped_merge"] = (
+    "WITH o AS ("
+    "  SELECT o_orderkey AS okey, "
+    "    CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS o_cents, "
+    "    COUNT(*)::BIGINT AS n_headers "
+    "  FROM orders GROUP BY o_orderkey), "
+    "l AS ("
+    "  SELECT l_orderkey AS okey, "
+    "    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS li_cents, "
+    "    COUNT(*)::BIGINT AS n_lines "
+    "  FROM lineitem GROUP BY l_orderkey) "
+    "SELECT COALESCE(o.okey, l.okey) AS okey, o.o_cents, "
+    "  COALESCE(o.n_headers, 0)::BIGINT AS n_headers, l.li_cents, "
+    "  COALESCE(l.n_lines, 0)::BIGINT AS n_lines "
+    "FROM o FULL JOIN l ON o.okey = l.okey"
+)
+
+
+def udf_iter_series_net(spark, sf_dir):
+    """ITERATOR-of-series scalar pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the flavor whose point is PER-TASK
+    initialization amortization: expensive setup (model load, regex
+    compile, dictionary mmap) runs ONCE before the batch loop instead
+    of per batch, which at 100 TB is the difference between loading a
+    tokenizer 10⁶ times and ~10³ times. Here the "expensive init" is a
+    deterministic rate table built before the loop; the arithmetic
+    (floor cents of ext·(1−disc)) matches udf_scalar_net_price's
+    engine-exact floor discipline so the oracle proves the iterator
+    transport, not float luck. Completes the scalar-UDF flavor matrix:
+    plain pandas (udf_scalar_net_price), Arrow-native
+    (udf_arrow_scalar_tax), iterator (this)."""
+    # typing.Iterator/Tuple (imported at MODULE level — get_type_hints
+    # resolves the stringified annotations in module globals, so a
+    # function-local import is invisible to the signature parser)
+    @pandas_udf(T.LongType())
+    def net_cents(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # per-task init: runs once, amortized over every Arrow batch
+        scale = np.float64(100.0)
+        for ext, disc in batches:
+            yield pd.Series(
+                np.floor(
+                    ext.to_numpy() * (1.0 - disc.to_numpy()) * scale
+                ).astype("int64")
+            )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_cents(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "net_cents"
+        ),
+    )
+
+
+UDF_QUERIES["udf_iter_series_net"] = udf_iter_series_net
+UDF_ORACLE["udf_iter_series_net"] = (
+    "SELECT l_orderkey, l_linenumber, "
+    "  CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) "
+    "    AS net_cents "
+    "FROM lineitem"
 )

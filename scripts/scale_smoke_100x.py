@@ -337,6 +337,31 @@ GATES = [
                                # under hot-user skew
     "media_jpeg_roundtrip",    # two map-only Arrow codec passes over
                                # the doc_id%7 slice — linear in docs
+    # round-13 session additions (audited at creation time):
+    "q196_streak_islands",     # distinct (user, day) collapse + ONE
+                               # user_id exchange reused by window and
+                               # both aggs, under hot-user skew
+    "q197_largest_remainder",  # one doc aggregate; everything after
+                               # runs on the source vocabulary
+    "q198_degree_assortativity",  # q106's fact-bound edge build; the
+                               # degree sides stay node-bounded
+                               # broadcasts; one reduce to a row
+    "pipe_systematic_resample",  # two-phase prefix sum (ledger rows =
+                               # id-range/2^16) + broadcast pick join
+    "pipe_loss_mask_spans",    # map-side sentence split + one
+                               # groupBy(doc_id) over 100x docs
+    "dedup_sorted_neighborhood_pairs",  # range-partitioned sort +
+                               # broadcast rank ledger (NO global
+                               # window); n x window comparisons —
+                               # linear by construction
+    "udf_arrow_grouped_map",   # applyInArrow over 100x orders; one
+                               # cohort-key shuffle, 100 groups
+    "udf_cogrouped_merge",     # cogroup: both fact sides shuffle once
+                               # on the 1000-cohort key
+    "udf_iter_series_net",     # iterator pandas UDF over 100x
+                               # lineitem — map-only, no shuffle
+    "media_wav_crossings",     # map-only Arrow WAV encode+decode per
+                               # doc — linear in docs
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:

@@ -155,48 +155,90 @@ def test_r4_cohort_reproved_in_r11():
     assert not not_green, f"pinned r4 claims without an r11 green: {not_green}"
 
 
-def test_r11_session_additions_lead_the_r12_window():
-    """Round-12 window rule 1 (VERDICT r11 item 1): the 27 round-11
-    session additions — pinned verbatim from round 11's
-    _NEXT_WINDOW_QUEUE — occupy the window's first 27 slots in queue
-    order, so every one of them gets its first driver row this round."""
-    assert _window()[:27] == entry._R11_SESSION_ADDITIONS
+def test_r11_session_additions_drained_in_r12():
+    """Archival, never re-interpreted (round-12 ADVICE item 1: the old
+    form asserted `_PRIORITY[:27]` against an alias of itself). The 27
+    round-11 session additions are now an INDEPENDENT literal copied
+    from the round-11 commit; the committed CORRECTNESS_r12.json must
+    lead with exactly those 27 keys, in queue order, all green."""
     assert len(entry._R11_SESSION_ADDITIONS) == 27
+    assert len(set(entry._R11_SESSION_ADDITIONS)) == 27
+    with open(os.path.join(REPO, "CORRECTNESS_r12.json")) as f:
+        r12 = json.load(f)
+    assert list(r12)[:27] == entry._R11_SESSION_ADDITIONS
+    not_green = [
+        k
+        for k in entry._R11_SESSION_ADDITIONS
+        if not r12.get(k, {}).get("hash_match")
+    ]
+    assert not not_green, f"r11 additions without an r12 green: {not_green}"
 
 
-def test_r5_cohort_is_in_window_or_staged():
-    """The r5 cohort is the stalest green set. Its claim order is
-    pinned (_R5_COHORT_CLAIM_ORDER); rounds consume it strictly as a
-    prefix (r11 spillover took 4, the r12 window takes the next 23),
-    and _R13_REPROOF_QUEUE is exactly the unconsumed suffix.
+def test_r5_cohort_drained_by_r12_and_r13():
+    """The r5 cohort claim order was consumed strictly as a prefix:
+    r11 spillover took 4, the committed round-12 window took the next
+    23 (asserted against CORRECTNESS_r12.json — archival), and the
+    round-13 window consumes the 16-gate remainder
+    (_R13_REPROOF_QUEUE) IN FULL as its rule-3a slots."""
+    with open(os.path.join(REPO, "CORRECTNESS_r12.json")) as f:
+        r12 = json.load(f)
+    assert list(r12)[27:50] == entry._R12_REPROOF_QUEUE[:23]
+    assert entry._R13_REPROOF_QUEUE == entry._R12_REPROOF_QUEUE[23:]
+    assert len(entry._R13_REPROOF_QUEUE) == 16
+    # rule-3a: the full remainder sits in this round's window, in the
+    # pinned order, directly after the rule-1 session additions
+    assert _window()[9:25] == entry._R13_REPROOF_QUEUE
+
+
+def test_r12_session_additions_lead_the_r13_window():
+    """Round-13 window rule 1: the 9 round-12 session additions —
+    an independent literal frozen from round 12's _NEXT_WINDOW_QUEUE —
+    occupy the window's first 9 slots in queue order, so every one of
+    them gets its first driver row this round."""
+    assert len(entry._R12_SESSION_ADDITIONS) == 9
+    assert len(set(entry._R12_SESSION_ADDITIONS)) == 9
+    assert _window()[:9] == entry._R12_SESSION_ADDITIONS
+    # none of them may already hold a committed green row (they were
+    # written after the round-12 window froze)
+    latest = _latest_green()
+    pre_green = [k for k in entry._R12_SESSION_ADDITIONS if k in latest]
+    assert not pre_green, f"rule-1 slots wasted on green gates: {pre_green}"
+
+
+def test_r6_cohort_is_in_window_or_staged():
+    """Once the r5 remainder re-proves this round, the r6 cohort is the
+    stalest green set. Its claim order is pinned NOW
+    (_R6_COHORT_CLAIM_ORDER, q-gates numeric then families
+    alphabetical); round 13's rule-3b slots consume the FIRST 25, and
+    _R14_REPROOF_QUEUE is exactly the unconsumed suffix.
 
     COVERAGE, not equality: a grading file landing mid-round moves
-    gates OUT of the stale set (their freshest green row advances),
-    so the pinned order must be a superset of whatever still rests on
-    r5 — never asserted equal to it (VERDICT r11 item 2)."""
+    gates OUT of the stale set, so the pinned order must be a superset
+    of whatever still rests on r6 — never asserted equal to it."""
     latest = _latest_green()
-    stale = {k for k, r in latest.items() if r == 5}
-    assert stale <= set(entry._R5_COHORT_CLAIM_ORDER), (
-        stale - set(entry._R5_COHORT_CLAIM_ORDER)
+    stale = {k for k, r in latest.items() if r == 6}
+    assert stale <= set(entry._R6_COHORT_CLAIM_ORDER), (
+        stale - set(entry._R6_COHORT_CLAIM_ORDER)
     )
-    out = stale - set(_window()) - set(entry._R13_REPROOF_QUEUE)
-    assert not out, f"r5-resting gates neither in window nor staged: {out}"
+    out = stale - set(_window()) - set(entry._R14_REPROOF_QUEUE)
+    assert not out, f"r6-resting gates neither in window nor staged: {out}"
     unknown = [
-        k for k in entry._R13_REPROOF_QUEUE if k not in entry.queries()
+        k
+        for k in entry._R6_COHORT_CLAIM_ORDER
+        if k not in entry.queries()
     ]
-    assert not unknown, f"r13 queue names unknown gates: {unknown}"
-    # the r13 queue must not hold gates already re-proven in this
-    # round's window (a slot claimed twice is a slot wasted)
-    dup = set(entry._R13_REPROOF_QUEUE) & set(_window())
-    assert not dup, f"r13 queue duplicates round-12 window slots: {dup}"
-    # rule-3 slots consume the r12 claim order's prefix, no skipping
-    # ahead; the r13 queue is exactly its suffix
+    assert not unknown, f"r6 claim order names unknown gates: {unknown}"
+    # rule-3b slots consume the r6 claim order's prefix, no skipping
+    # ahead; the r14 queue is exactly its suffix
     consumed = [
-        k for k in entry._R12_REPROOF_QUEUE if k in set(_window())
+        k for k in entry._R6_COHORT_CLAIM_ORDER if k in set(_window())
     ]
-    assert consumed == entry._R12_REPROOF_QUEUE[: len(consumed)], (
-        "rule-3 slots skip ahead of the pinned r12 claim order"
+    assert consumed == entry._R6_COHORT_CLAIM_ORDER[: len(consumed)], (
+        "rule-3b slots skip ahead of the pinned r6 claim order"
     )
-    assert entry._R13_REPROOF_QUEUE == entry._R12_REPROOF_QUEUE[
+    assert entry._R14_REPROOF_QUEUE == entry._R6_COHORT_CLAIM_ORDER[
         len(consumed):
-    ], "r13 queue is not the unconsumed suffix of the r12 claim order"
+    ], "r14 queue is not the unconsumed suffix of the r6 claim order"
+    # a queued claim must not also burn a window slot
+    dup = set(entry._R14_REPROOF_QUEUE) & set(_window())
+    assert not dup, f"r14 queue duplicates round-13 window slots: {dup}"

@@ -1,0 +1,405 @@
+"""Invariant tests for the round-13 operators — each pins an algebraic
+property or a pure-Python recompute the DuckDB hash oracle cannot state
+(the oracle proves value equality; these prove the SEMANTICS are the
+intended ones)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import re
+import sys
+from collections import Counter, defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_table_spark.operators.dedup import (  # noqa: E402
+    DEDUP_QUERIES,
+    PAIR_BOUND,
+    SNM_WINDOW,
+)
+from data_table_spark.operators.multimodal import (  # noqa: E402
+    MULTIMODAL_QUERIES,
+)
+from data_table_spark.operators.pipeline import (  # noqa: E402
+    PIPELINE_QUERIES,
+    RESAMPLE_N,
+    SENT_SPLIT,
+)
+from data_table_spark.operators.relational import (  # noqa: E402
+    LR_SEATS,
+    RELATIONAL_QUERIES,
+)
+from data_table_spark.operators.udfs import UDF_QUERIES  # noqa: E402
+from data_table_spark.sources.registry import load_table  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# q196 gaps-and-islands streaks
+# --------------------------------------------------------------------------
+
+def test_streak_islands_python_replay(spark, sf_smoke):
+    """Per-user streak summary replayed by walking each user's sorted
+    distinct day set in Python; max_streak <= active_days and the
+    streak/day accounting is self-consistent."""
+    e = load_table(spark, "events", sf_smoke)
+    per: dict[int, set] = defaultdict(set)
+    for r in e.select("user_id", F.to_date("ts").alias("day")).collect():
+        per[r["user_id"]].add(r["day"])
+    want = {}
+    for uid, days in per.items():
+        sd = sorted(days)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[uid] = (len(sd), len(runs), max(runs))
+    got = {
+        r["user_id"]: (r["active_days"], r["n_streaks"], r["max_streak"])
+        for r in RELATIONAL_QUERIES["q196_streak_islands"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+    for ad, ns, mx in got.values():
+        assert mx <= ad and ns >= 1 and mx >= 1
+        assert ad >= ns  # every streak holds >= 1 day
+
+
+# --------------------------------------------------------------------------
+# q197 largest-remainder apportionment
+# --------------------------------------------------------------------------
+
+def test_largest_remainder_exact_total_and_quota(spark, sf_smoke):
+    """Seats sum EXACTLY to LR_SEATS (the property naive rounding
+    breaks), and every source's allocation satisfies the quota rule:
+    floor(n*S/N) <= seats <= ceil(n*S/N)."""
+    rows = RELATIONAL_QUERIES["q197_largest_remainder"](
+        spark, sf_smoke
+    ).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert sum(r["seats"] for r in rows) == LR_SEATS
+    for r in rows:
+        lo = r["n_docs"] * LR_SEATS // total
+        hi = -((-r["n_docs"] * LR_SEATS) // total)
+        assert lo <= r["seats"] <= hi, r
+
+
+def test_largest_remainder_python_replay(spark, sf_smoke):
+    """Full Hamilton replay: base + one extra seat for the LARGEST
+    remainders, ties broken lexically by source."""
+    d = load_table(spark, "documents", sf_smoke)
+    counts = Counter(
+        r["source"] for r in d.select("source").collect()
+    )
+    total = sum(counts.values())
+    base = {s: n * LR_SEATS // total for s, n in counts.items()}
+    rem = {s: (n * LR_SEATS) % total for s, n in counts.items()}
+    leftover = LR_SEATS - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    want = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    got = {
+        r["source"]: r["seats"]
+        for r in RELATIONAL_QUERIES["q197_largest_remainder"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# q198 degree assortativity
+# --------------------------------------------------------------------------
+
+def test_degree_assortativity_python_replay(spark, sf_smoke):
+    """Newman r replayed in arbitrary-precision Python ints over the
+    co-purchase edges; r_e6 matches bit-for-bit and lies in
+    [-1e6, 1e6]."""
+    li = load_table(spark, "lineitem", sf_smoke)
+    per_order: dict[int, set] = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = 2 * len(edges)
+    sxy = sum(2 * deg[a] * deg[b] for a, b in edges)
+    sx = sum(deg[a] + deg[b] for a, b in edges)
+    sx2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    num = m * sxy - sx * sx
+    var = m * sx2 - sx * sx
+    exp = math.floor(1_000_000.0 * float(num) / math.sqrt(float(var) * float(var)))
+    (row,) = RELATIONAL_QUERIES["q198_degree_assortativity"](
+        spark, sf_smoke
+    ).collect()
+    assert row["m_directed"] == m
+    assert row["r_e6"] == exp
+    assert -1_000_000 <= row["r_e6"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# pipe systematic resample
+# --------------------------------------------------------------------------
+
+def test_systematic_resample_coverage_and_targets(spark, sf_smoke):
+    """Every pick lands on exactly ONE document; the replayed stride
+    targets select the same docs; per-doc pick counts respect the
+    systematic-sampling bound |picks(d) − n·w_d/W| < 1 + 1 (floor/phase
+    slack) — the low-discrepancy property that distinguishes this from
+    multinomial sampling."""
+    docs = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in load_table(spark, "documents", sf_smoke)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    total = sum(w for _, w in docs)
+    rows = PIPELINE_QUERIES["pipe_systematic_resample"](
+        spark, sf_smoke
+    ).collect()
+    assert len(rows) == RESAMPLE_N
+    assert sorted(r["pick_id"] for r in rows) == list(range(RESAMPLE_N))
+    # python replay of the interval walk
+    want = {}
+    cum, iv = 0, []
+    for d, w in docs:
+        iv.append((cum, cum + w, d, w))
+        cum += w
+    for j in range(RESAMPLE_N):
+        t = (2 * j + 1) * total // (2 * RESAMPLE_N)
+        for lo, hi, d, w in iv:
+            if lo <= t < hi:
+                want[j] = (d, w)
+                break
+    got = {r["pick_id"]: (r["doc_id"], r["weight"]) for r in rows}
+    assert got == want
+    # low-discrepancy: actual picks per doc within 1 of the real-valued
+    # expectation (plus 1 more for the floored stride phase)
+    picks = Counter(d for d, _ in got.values())
+    for d, w in docs:
+        expect = RESAMPLE_N * w / total
+        assert abs(picks[d] - expect) < 2.0, (d, picks[d], expect)
+
+
+# --------------------------------------------------------------------------
+# pipe loss-mask spans
+# --------------------------------------------------------------------------
+
+def test_loss_mask_spans_python_replay(spark, sf_smoke):
+    """Role parity is assigned on RAW split positions (pre-filter), and
+    the token accounting matches a regex replay; trainable <= total and
+    the basis points are exact integer division."""
+    d = load_table(spark, "documents", sf_smoke)
+    want = {}
+    for r in d.select("doc_id", "text").collect():
+        segs = re.split(SENT_SPLIT, r["text"])
+        n_turns = total = trainable = 0
+        for pos, seg in enumerate(segs):
+            if not seg.strip():
+                continue
+            t = len([w for w in re.split(r"\s+", seg.lower().strip()) if w])
+            n_turns += 1
+            total += t
+            if pos % 2 == 1:
+                trainable += t
+        if n_turns:
+            want[r["doc_id"]] = (
+                n_turns, total, trainable, trainable * 10000 // total
+            )
+    got = {
+        r["doc_id"]: (
+            r["n_turns"], r["total_tokens"], r["trainable_tokens"],
+            r["trainable_bp"],
+        )
+        for r in PIPELINE_QUERIES["pipe_loss_mask_spans"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+    for n_turns, total, trainable, bp in got.values():
+        assert 0 <= trainable <= total
+        assert 0 <= bp <= 10000
+
+
+# --------------------------------------------------------------------------
+# dedup sorted-neighborhood
+# --------------------------------------------------------------------------
+
+def test_snm_pairs_subset_of_bruteforce(spark, sf_smoke):
+    """Soundness: every SNM pair inside the brute-force slice
+    (doc_id < PAIR_BOUND) appears in the all-pairs gate with the SAME
+    jaccard — the window only limits RECALL, never changes a score."""
+    brute = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in DEDUP_QUERIES["dedup_ngram_jaccard_pairs"](
+            spark, sf_smoke
+        ).collect()
+    }
+    snm = DEDUP_QUERIES["dedup_sorted_neighborhood_pairs"](
+        spark, sf_smoke
+    ).collect()
+    assert snm, "SNM found no pairs at all"
+    for r in snm:
+        if r["a"] < PAIR_BOUND and r["b"] < PAIR_BOUND:
+            assert brute.get((r["a"], r["b"])) == r["jaccard"], r
+
+
+def test_snm_finds_planted_normalized_duplicates(spark):
+    """Completeness on the easy class: exact normalized duplicates sort
+    ADJACENT, so a planted dup group of size <= SNM_WINDOW + 1 yields
+    all its consecutive pairs at jaccard 1.0 — while the lexically
+    distant decoys never pair with them."""
+    from data_table_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "THE  quick   Brown fox JUMPS"),   # normalized dup of 1
+        (3, "the quick\tbrown fox jumps"),     # normalized dup of 1
+        (4, "zebras graze on open plains"),
+        (5, "apples and oranges differ wildly"),
+        (6, "midway through the winter storm"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in sorted_neighborhood_pairs(docs).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert got.get((1, 3)) == 1.0
+    assert got.get((2, 3)) == 1.0
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+    assert SNM_WINDOW >= 2  # the group of 3 fits one window span
+
+
+# --------------------------------------------------------------------------
+# UDF transport gates
+# --------------------------------------------------------------------------
+
+def test_arrow_grouped_map_equals_builtin_agg(spark, sf_smoke):
+    """The applyInArrow ledger equals the same aggregation computed by
+    built-in JVM expressions — proving the Arrow grouped-map transport,
+    not the arithmetic."""
+    from data_table_spark.operators.udfs import STATS_COHORTS
+
+    o = load_table(spark, "orders", sf_smoke).select(
+        (F.col("o_custkey") % STATS_COHORTS).alias("cohort"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    want = {
+        r["cohort"]: (r["n"], r["tot"], r["mx"])
+        for r in o.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("tot"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    got = {
+        r["cohort"]: (r["n_orders"], r["total_cents"], r["max_cents"])
+        for r in UDF_QUERIES["udf_arrow_grouped_map"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cogrouped_merge_full_outer_semantics(spark, sf_smoke):
+    """Keys present on only one side still surface (the full-outer
+    contract): every order appears exactly once, orphan lineitems (none
+    in TPC-H-ish fixtures, but asserted structurally) would carry null
+    o_cents, and the per-order line sums match a Spark join replay."""
+    rows = UDF_QUERIES["udf_cogrouped_merge"](spark, sf_smoke).collect()
+    by_key = {r["okey"]: r for r in rows}
+    assert len(by_key) == len(rows), "duplicate order keys emitted"
+    o = load_table(spark, "orders", sf_smoke)
+    li = load_table(spark, "lineitem", sf_smoke)
+    n_orders = o.count()
+    li_sum = {
+        r["l_orderkey"]: (r["s"], r["n"])
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert len(rows) >= n_orders
+    for okey, r in by_key.items():
+        if okey in li_sum:
+            assert (r["li_cents"], r["n_lines"]) == li_sum[okey]
+        else:
+            assert r["li_cents"] is None and r["n_lines"] == 0
+
+
+def test_iter_series_net_equals_expression(spark, sf_smoke):
+    """The iterator-flavor UDF equals the pure-expression floor-cents
+    computation row for row."""
+    li = load_table(spark, "lineitem", sf_smoke)
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["c"]
+        for r in li.select(
+            "l_orderkey", "l_linenumber",
+            F.floor(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+            ).cast("long").alias("c"),
+        ).collect()
+    }
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["net_cents"]
+        for r in UDF_QUERIES["udf_iter_series_net"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# media mean-crossing rate
+# --------------------------------------------------------------------------
+
+def test_wav_crossings_python_replay(spark, sf_smoke):
+    """The real encode→decode→count chain replayed from the ASCII text
+    in pure Python: samples are (byte−128)·256 over the cycled UTF-8
+    bytes, crossings counted on the n·s − S product."""
+    d = load_table(spark, "documents", sf_smoke).select("doc_id", "text")
+    want = {}
+    for r in d.collect():
+        data = r["text"].encode("utf-8")
+        cyc = (data * (1 + 64 // len(data)))[:64]
+        s = [(b - 128) * 256 for b in cyc]
+        tot = sum(s)
+        c = [64 * v - tot for v in s]
+        want[r["doc_id"]] = (
+            sum(1 for a, b in zip(c, c[1:]) if a * b < 0),
+            min(s),
+            max(s),
+        )
+    got = {
+        r["doc_id"]: (r["mcr"], r["s_min"], r["s_max"])
+        for r in MULTIMODAL_QUERIES["media_wav_crossings"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+    for mcr, lo, hi in got.values():
+        assert 0 <= mcr <= 63 and lo <= hi
