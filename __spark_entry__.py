@@ -87,6 +87,13 @@ try:
     )
 except Exception:  # pragma: no cover
     STREAMJOIN_QUERIES, STREAMJOIN_ORACLE = {}, {}
+try:
+    from data_table_spark.operators.evalmetrics import (
+        EVAL_ORACLE,
+        EVAL_QUERIES,
+    )
+except Exception:  # pragma: no cover
+    EVAL_QUERIES, EVAL_ORACLE = {}, {}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -237,6 +244,10 @@ _NEXT_WINDOW_QUEUE = [
     "udf_cogrouped_merge",          # two-sided cogroup applyInPandas
     "udf_iter_series_net",          # Iterator[Series] scalar pandas UDF
     "media_wav_crossings",          # mean-crossing rate, real PCM decode
+    "eval_token_f1_pairs",          # SQuAD token F1 over stride pairs
+    "eval_bleu2_pairs",             # clipped 1/2-gram BLEU, no BP
+    "q199_cohens_kappa",            # chance-corrected rater agreement
+    "eval_pass_at_k",               # unbiased pass@{1,5,10} estimator
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when
@@ -385,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PIPELINE_QUERIES)
     out.update(BPE_QUERIES)
     out.update(STREAMJOIN_QUERIES)
+    out.update(EVAL_QUERIES)
     return _ordered(out)
 
 
@@ -402,4 +414,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(PIPELINE_ORACLE)
     out.update(BPE_ORACLE)
     out.update(STREAMJOIN_ORACLE)
+    out.update(EVAL_ORACLE)
     return _ordered(out)

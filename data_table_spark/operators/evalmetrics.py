@@ -1,0 +1,503 @@
+"""Text-generation evaluation metrics over document pairs — SQuAD-style
+token F1, BLEU-2, and ROUGE-L.
+
+These are the scoring kernels of an LLM eval harness (prediction vs
+reference) run as a DATAFLOW: candidate pairs come from the same
+linear stride rule as the dedup verify gates (doc a paired with a+1
+for a % stride == 0 — n/stride pairs, never an all-pairs join), the
+n-gram statistics are map-combinable aggregates, and every score is an
+exact integer fraction floored to e6 after at most ONE IEEE float op
+(the established engine-exactness discipline), so DuckDB hash-matches
+the two set/multiset metrics. ROUGE-L's LCS is inherently an O(n·m)
+dynamic program — not single-statement SQL — so that gate is
+rows-only with a full pure-Python golden (the pipe_bpe_merges
+contract).
+
+At 100 TB the pair table is whatever the eval manifest says (model
+outputs joined to references by example id); the stride rule here
+stands in for that join and keeps every candidate set linear.
+
+The reference has no eval tooling (it is a ~776-LoC tabular facade,
+data-table.lisp:94-537); these extend the engine per the north-star
+brief, like operators/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.registry import load_table
+
+#: pair stride for the eval gates — doc a pairs with a+1 when
+#: a % EVAL_STRIDE == 0 (the dedup WJ_STRIDE convention)
+EVAL_STRIDE = 50
+
+#: ROUGE-L token cap per side: bounds the per-pair LCS DP at
+#: ROUGE_CAP² cells regardless of document length (documented
+#: truncation — eval harnesses cap generation length the same way)
+ROUGE_CAP = 200
+
+
+def _ws_toks(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the corpus-wide
+    token definition (pipeline.ws_tokens), restated here so this
+    module imports nothing Spark-session-bound at import time."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != ""
+    )
+
+
+def _stride_docs(docs: DataFrame, stride: int):
+    """(reference, hypothesis) = (a, a+1) doc pairs under the stride
+    rule, as two keyed projections ready to join on ``pair``."""
+    ref = docs.where(F.col("doc_id") % stride == 0)
+    hyp = docs.where(F.col("doc_id") % stride == 1)
+    return ref, hyp
+
+
+def token_f1_pairs(docs: DataFrame, stride: int = EVAL_STRIDE) -> DataFrame:
+    """SQuAD-style token-level F1 per (reference, hypothesis) pair:
+    overlap = Σ_t min(count_ref, count_hyp) over token MULTISETS, F1 =
+    2·overlap/(len_ref + len_hyp) — the extractive-QA headline metric.
+
+    Shape: each doc collapses to ONE row carrying its token-count MAP
+    (explode + two map-combinable aggregates), then a single pair join
+    and pure map algebra — overlap = Σ least over ``map_zip_with`` of
+    the two count maps (absent keys coalesce to 0). Building the maps
+    once keeps the token subtree single-pass; the first cut re-derived
+    it per consumer (4 lens/count projections → 26 HashAggregates in
+    the plan, measured 12 s for 500 docs; this form runs in ~1 s).
+    precision/recall/F1 all emitted as exact e6 floor-divisions of
+    integer counts — no float anywhere. Per-doc map size is the doc's
+    vocabulary — document-bounded, not corpus-bounded — so the row
+    width holds at any corpus scale."""
+    ref, hyp = _stride_docs(docs, stride)
+    both = ref.select("doc_id", "text").unionByName(
+        hyp.select("doc_id", "text")
+    )
+    per = (
+        both.select(
+            "doc_id", F.explode(_ws_toks(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "cnt"))
+            ).alias("m"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+    )
+    a = per.where(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("pair"),
+        F.col("m").alias("ma"),
+        F.col("n").alias("len_ref"),
+    )
+    b = per.where(F.col("doc_id") % stride == 1).select(
+        (F.col("doc_id") - 1).alias("pair"),
+        F.col("m").alias("mb"),
+        F.col("n").alias("len_hyp"),
+    )
+    ov = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma", "mb",
+                lambda k, x, y: F.least(
+                    F.coalesce(x, F.lit(0)), F.coalesce(y, F.lit(0))
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "pair")
+        .select(
+            F.col("pair").alias("a"),
+            (F.col("pair") + 1).alias("b"),
+            ov.alias("overlap"),
+            "len_ref",
+            "len_hyp",
+        )
+        .select(
+            "a", "b", "overlap", "len_ref", "len_hyp",
+            F.expr("(1000000 * overlap) DIV len_hyp").alias("prec_e6"),
+            F.expr("(1000000 * overlap) DIV len_ref").alias("rec_e6"),
+            F.expr("(2000000 * overlap) DIV (len_ref + len_hyp)")
+            .alias("f1_e6"),
+        )
+    )
+
+
+def eval_token_f1_pairs(spark, sf_dir):
+    """Gate: token-level F1 over the stride-paired corpus."""
+    return token_f1_pairs(load_table(spark, "documents", sf_dir))
+
+
+def bleu2_pairs(docs: DataFrame, stride: int = EVAL_STRIDE) -> DataFrame:
+    """BLEU-2 (no brevity penalty, documented) per pair: clipped
+    unigram precision p1 = Σmin(c_hyp, c_ref)/len_hyp, clipped bigram
+    precision p2 = Σmin over bigram multisets/(len_hyp − 1), score =
+    √(p1·p2) — geometric mean of the two modified precisions
+    (Papineni 2002), restricted to hypotheses with ≥ 2 tokens so p2 is
+    defined. The brevity penalty's exp(1 − r/c) would be the only
+    transcendental in the engine's exactness envelope, so it is
+    deliberately out of scope (pairs here share a length regime; the
+    docstring, not the code, is where that caveat lives).
+
+    m1·m2, len·(len−1) stay exact integers; the single float op is
+    FLOOR(1e6·√(m1·m2 / (len·(len−1)))) — IEEE-identical cross-engine.
+    Same join geometry as token_f1_pairs plus one bigram aggregate
+    (multiplicity-preserving zip_with shingles, NOT array_distinct)."""
+    ref, hyp = _stride_docs(docs, stride)
+    both = ref.select("doc_id", "text").unionByName(
+        hyp.select("doc_id", "text")
+    )
+    t = _ws_toks(F.col("text"))
+    grams = both.select(
+        "doc_id",
+        t.alias("t1"),
+        F.when(
+            F.size(t) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("t2"),
+    )
+    counts = {}
+    for n, col in (("1", "t1"), ("2", "t2")):
+        counts[n] = (
+            grams.select(
+                "doc_id", F.explode(F.col(col)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+    lens = grams.select(
+        "doc_id", F.size("t1").cast("long").alias("n_toks")
+    )
+    la = lens.where(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("pair")
+    )
+    lb = lens.where(
+        (F.col("doc_id") % stride == 1) & (F.col("n_toks") >= 2)
+    ).select(
+        (F.col("doc_id") - 1).alias("pair"),
+        F.col("n_toks").alias("len_hyp"),
+    )
+    pairs = la.join(lb, "pair")
+    matched = {}
+    for n in ("1", "2"):
+        c = counts[n]
+        ca = c.where(F.col("doc_id") % stride == 0).select(
+            F.col("doc_id").alias("pair"), "g", F.col("cnt").alias("ca")
+        )
+        cb = c.where(F.col("doc_id") % stride == 1).select(
+            (F.col("doc_id") - 1).alias("pair"), "g",
+            F.col("cnt").alias("cb"),
+        )
+        matched[n] = (
+            ca.join(cb, ["pair", "g"])
+            .groupBy("pair")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(f"m{n}"))
+        )
+    return (
+        pairs.join(matched["1"], "pair", "left")
+        .join(matched["2"], "pair", "left")
+        .select(
+            F.col("pair").alias("a"),
+            (F.col("pair") + 1).alias("b"),
+            F.coalesce("m1", F.lit(0)).alias("m1"),
+            F.coalesce("m2", F.lit(0)).alias("m2"),
+            "len_hyp",
+            F.floor(
+                1000000.0
+                * F.sqrt(
+                    (
+                        F.coalesce("m1", F.lit(0))
+                        * F.coalesce("m2", F.lit(0))
+                    ).cast("double")
+                    / (F.col("len_hyp") * (F.col("len_hyp") - 1)).cast(
+                        "double"
+                    )
+                )
+            ).cast("long").alias("bleu2_e6"),
+        )
+    )
+
+
+def eval_bleu2_pairs(spark, sf_dir):
+    """Gate: BLEU-2 (clipped 1/2-gram precisions) over stride pairs."""
+    return bleu2_pairs(load_table(spark, "documents", sf_dir))
+
+
+def rouge_l_pairs(
+    docs: DataFrame, stride: int = EVAL_STRIDE, cap: int = ROUGE_CAP
+) -> DataFrame:
+    """ROUGE-L per pair: longest common SUBSEQUENCE of the token
+    streams (order-sensitive, gap-tolerant — what distinguishes it
+    from every bag-of-ngrams metric above), F-measure = 2·lcs/(la+lb).
+
+    LCS is an O(la·lb) dynamic program — genuinely not a SQL
+    expression — so this is the module's one Python kernel: token
+    arrays are built JVM-side (truncated to ``cap`` per side, the
+    standard generation-length cap), the pair join happens BEFORE the
+    UDF so Python sees exactly one row per pair, and the DP runs as a
+    numpy rolling-row inside mapInPandas. Rows-only gate; the full
+    pure-Python golden (tests/test_round13_ops.py) pins every value.
+    """
+    ref, hyp = _stride_docs(docs, stride)
+    a = ref.select(
+        F.col("doc_id").alias("pair"),
+        F.slice(_ws_toks(F.col("text")), 1, cap).alias("ta"),
+    )
+    b = hyp.select(
+        (F.col("doc_id") - 1).alias("pair"),
+        F.slice(_ws_toks(F.col("text")), 1, cap).alias("tb"),
+    )
+    joined = a.join(b, "pair")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("lcs_len", T.LongType()),
+            T.StructField("len_ref", T.LongType()),
+            T.StructField("len_hyp", T.LongType()),
+            T.StructField("rouge_l_f_e6", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for pair, ta, tb in zip(pdf["pair"], pdf["ta"], pdf["tb"]):
+                ta, tb = list(ta), list(tb)
+                la, lb = len(ta), len(tb)
+                # intern tokens to ints so the DP compares int64s
+                vocab = {t: i for i, t in enumerate(dict.fromkeys(ta + tb))}
+                xa = np.array([vocab[t] for t in ta], dtype=np.int64)
+                xb = np.array([vocab[t] for t in tb], dtype=np.int64)
+                prev = np.zeros(lb + 1, dtype=np.int64)
+                for i in range(la):
+                    cur = np.zeros(lb + 1, dtype=np.int64)
+                    match = prev[:-1] + (xb == xa[i])
+                    np.maximum(prev[1:], match, out=cur[1:])
+                    np.maximum.accumulate(cur, out=cur)
+                    prev = cur
+                lcs = int(prev[-1])
+                f = (2_000_000 * lcs) // (la + lb) if la + lb else 0
+                rows.append(
+                    (int(pair), int(pair) + 1, lcs, la, lb, f)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "a", "b", "lcs_len", "len_ref", "len_hyp",
+                    "rouge_l_f_e6",
+                ],
+            )
+
+    return joined.mapInPandas(batches, schema)
+
+
+def eval_rouge_l_pairs(spark, sf_dir):
+    """Gate (rows-only): ROUGE-L LCS F-measure over stride pairs."""
+    return rouge_l_pairs(load_table(spark, "documents", sf_dir))
+
+
+EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "eval_token_f1_pairs": eval_token_f1_pairs,
+    "eval_bleu2_pairs": eval_bleu2_pairs,
+    "eval_rouge_l_pairs": eval_rouge_l_pairs,
+}
+
+_TOK_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "x -> x <> '')"
+)
+
+EVAL_ORACLE: dict[str, str] = {
+    "eval_token_f1_pairs": (
+        "WITH bt AS ("
+        f"  SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents "
+        f"  WHERE doc_id % {EVAL_STRIDE} IN (0, 1)), "
+        "tc AS ("
+        "  SELECT doc_id, tok, COUNT(*) AS cnt FROM bt "
+        "  GROUP BY doc_id, tok), "
+        "lens AS (SELECT doc_id, SUM(cnt) AS n FROM tc GROUP BY doc_id), "
+        f"pairs AS ("
+        f"  SELECT la.doc_id AS pair, la.n AS len_ref, lb.n AS len_hyp "
+        f"  FROM lens la JOIN lens lb ON lb.doc_id = la.doc_id + 1 "
+        f"  WHERE la.doc_id % {EVAL_STRIDE} = 0), "
+        f"ov AS ("
+        f"  SELECT ta.doc_id AS pair, "
+        f"    SUM(LEAST(ta.cnt, tb.cnt)) AS overlap "
+        f"  FROM tc ta JOIN tc tb "
+        f"    ON tb.doc_id = ta.doc_id + 1 AND tb.tok = ta.tok "
+        f"  WHERE ta.doc_id % {EVAL_STRIDE} = 0 "
+        f"  GROUP BY ta.doc_id) "
+        "SELECT p.pair AS a, p.pair + 1 AS b, "
+        "  CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap, "
+        "  CAST(p.len_ref AS BIGINT) AS len_ref, "
+        "  CAST(p.len_hyp AS BIGINT) AS len_hyp, "
+        "  CAST(1000000 * COALESCE(o.overlap, 0) // p.len_hyp AS BIGINT) "
+        "    AS prec_e6, "
+        "  CAST(1000000 * COALESCE(o.overlap, 0) // p.len_ref AS BIGINT) "
+        "    AS rec_e6, "
+        "  CAST(2000000 * COALESCE(o.overlap, 0) "
+        "    // (p.len_ref + p.len_hyp) AS BIGINT) AS f1_e6 "
+        "FROM pairs p LEFT JOIN ov o ON o.pair = p.pair"
+    ),
+    "eval_bleu2_pairs": (
+        "WITH toks AS ("
+        f"  SELECT doc_id, {_TOK_SQL} AS t FROM documents "
+        f"  WHERE doc_id % {EVAL_STRIDE} IN (0, 1)), "
+        "u AS ("
+        "  SELECT doc_id, unnest(t) AS g FROM toks), "
+        "uc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM u "
+        "  GROUP BY doc_id, g), "
+        "bg AS ("
+        "  SELECT doc_id, t[i] || ' ' || t[i+1] AS g "
+        "  FROM toks, UNNEST(range(1, len(t))) AS r(i)), "
+        "bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM bg "
+        "  GROUP BY doc_id, g), "
+        "lens AS (SELECT doc_id, len(t) AS n FROM toks), "
+        f"pairs AS ("
+        f"  SELECT la.doc_id AS pair, lb.n AS len_hyp "
+        f"  FROM lens la JOIN lens lb ON lb.doc_id = la.doc_id + 1 "
+        f"  WHERE la.doc_id % {EVAL_STRIDE} = 0 AND lb.n >= 2), "
+        f"m1 AS ("
+        f"  SELECT a.doc_id AS pair, SUM(LEAST(a.cnt, b.cnt)) AS m "
+        f"  FROM uc a JOIN uc b "
+        f"    ON b.doc_id = a.doc_id + 1 AND b.g = a.g "
+        f"  WHERE a.doc_id % {EVAL_STRIDE} = 0 GROUP BY a.doc_id), "
+        f"m2 AS ("
+        f"  SELECT a.doc_id AS pair, SUM(LEAST(a.cnt, b.cnt)) AS m "
+        f"  FROM bc a JOIN bc b "
+        f"    ON b.doc_id = a.doc_id + 1 AND b.g = a.g "
+        f"  WHERE a.doc_id % {EVAL_STRIDE} = 0 GROUP BY a.doc_id) "
+        "SELECT p.pair AS a, p.pair + 1 AS b, "
+        "  CAST(COALESCE(m1.m, 0) AS BIGINT) AS m1, "
+        "  CAST(COALESCE(m2.m, 0) AS BIGINT) AS m2, "
+        "  CAST(p.len_hyp AS BIGINT) AS len_hyp, "
+        "  CAST(FLOOR(1000000.0 * SQRT("
+        "    (COALESCE(m1.m, 0) * COALESCE(m2.m, 0))::DOUBLE "
+        "    / (p.len_hyp * (p.len_hyp - 1))::DOUBLE)) AS BIGINT) "
+        "    AS bleu2_e6 "
+        "FROM pairs p LEFT JOIN m1 ON m1.pair = p.pair "
+        "LEFT JOIN m2 ON m2.pair = p.pair"
+    ),
+    # eval_rouge_l_pairs: LCS dynamic program — rows-only by nature,
+    # full pure-Python golden in tests/test_round13_ops.py
+}
+
+
+#: pass@k report points — the k=1/5/10 convention of code-gen evals
+PASS_AT_KS = (1, 5, 10)
+
+
+def pass_at_k(events: DataFrame, ks=PASS_AT_KS) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the HumanEval estimator) per
+    k, treating each user as a PROBLEM and their events as n solution
+    SAMPLES of which c = the purchases are "passing": pass@k =
+    1 − C(n−c, k)/C(n, k), averaged over problems with n ≥ k.
+
+    C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i)/(n−i): a LEFT-TO-RIGHT fold of
+    at most k double ratios (integer falling factorials overflow int64
+    at n ≳ 90 for k=10 — the first cut tried them and ANSI mode threw
+    ARITHMETIC_OVERFLOW at sf0.01). Each ratio is one IEEE divide of
+    exact integers and the fold order is pinned on both engines
+    (Spark aggregate() over sequence(0,k−1); DuckDB list_aggregate
+    'product' over the same comprehension order), so the product is
+    bit-identical cross-engine; per-problem p quantizes to floored e6
+    FIRST, then the corpus mean is an exact integer division
+    (floor-of-mean-of-floors — both engines sum identical integers).
+    n−c < k means every k-subset contains a pass: the CASE pins
+    pass@k = 1 exactly before the product is consulted.
+
+    Scale: one (user) count aggregate over events — map-combinable —
+    then a k-row explode of the problem table (problems ≪ samples)
+    and one final global mean. No joins wider than the broadcast k
+    spine."""
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("c"),
+    )
+    ks_df = F.explode(
+        F.array(*[F.lit(int(k)) for k in ks])
+    ).alias("k")
+    probs = per.select("user_id", "n", "c", ks_df).where(
+        F.col("n") >= F.col("k")
+    )
+    # ordered fold of k double ratios (see docstring for why not
+    # integer falling factorials)
+    idx = F.sequence(F.lit(0), F.col("k") - 1)
+    prod = F.aggregate(
+        idx,
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (
+            (F.col("n") - F.col("c") - i).cast("double")
+            / (F.col("n") - i).cast("double")
+        ),
+    )
+    scored = probs.withColumn("_prod", prod).select(
+        "k",
+        F.when(
+            F.col("n") - F.col("c") < F.col("k"), F.lit(1_000_000)
+        )
+        .otherwise(
+            F.floor(1000000.0 * (F.lit(1.0) - F.col("_prod")))
+        )
+        .cast("long")
+        .alias("p_e6"),
+    )
+    return scored.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.expr("SUM(p_e6) DIV COUNT(1)").cast("long").alias(
+            "mean_pass_e6"
+        ),
+    ).select(F.col("k").cast("long").alias("k"), "n_problems", "mean_pass_e6")
+
+
+def eval_pass_at_k(spark, sf_dir):
+    """Gate: unbiased pass@{1,5,10} over the events-as-samples corpus."""
+    return pass_at_k(load_table(spark, "events", sf_dir))
+
+
+EVAL_QUERIES["eval_pass_at_k"] = eval_pass_at_k
+EVAL_ORACLE["eval_pass_at_k"] = (
+    "WITH per AS ("
+    "  SELECT user_id, COUNT(*) AS n, "
+    "    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c "
+    "  FROM events GROUP BY user_id), "
+    "ks AS (SELECT unnest([1, 5, 10]) AS k), "
+    "probs AS ("
+    "  SELECT per.user_id, per.n, per.c, ks.k FROM per, ks "
+    "  WHERE per.n >= ks.k), "
+    "ff AS ("
+    "  SELECT k, n, c, "
+    "    list_aggregate([(n - c - i)::DOUBLE / (n - i) "
+    "      FOR i IN range(0, k)], 'product') AS prod "
+    "  FROM probs), "
+    "scored AS ("
+    "  SELECT k, CASE WHEN n - c < k THEN 1000000 "
+    "    ELSE CAST(FLOOR(1000000.0 * (1.0 - prod)) AS BIGINT) END AS p_e6 "
+    "  FROM ff) "
+    "SELECT CAST(k AS BIGINT) AS k, COUNT(*)::BIGINT AS n_problems, "
+    "  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS mean_pass_e6 "
+    "FROM scored GROUP BY k"
+)

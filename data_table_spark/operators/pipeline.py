@@ -3437,11 +3437,14 @@ def loss_mask_spans(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), SENT_SPLIT)).alias("pos", "seg"),
     ).where(F.trim(F.col("seg")) != "")
-    tok = n_tokens(F.col("seg"))
-    per = segs.groupBy("doc_id").agg(
+    # tokenize each segment ONCE in a projection — referencing
+    # n_tokens(seg) in two aggregate expressions would run the regex
+    # split twice per segment
+    counted = segs.select("doc_id", "pos", n_tokens(F.col("seg")).alias("t"))
+    per = counted.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.sum(tok).cast("long").alias("total_tokens"),
-        F.sum(F.when(F.col("pos") % 2 == 1, tok).otherwise(0))
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("pos") % 2 == 1, F.col("t")).otherwise(0))
         .cast("long").alias("trainable_tokens"),
     )
     return per.select(

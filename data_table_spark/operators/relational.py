@@ -11636,10 +11636,12 @@ def q198_degree_assortativity(spark, sf_dir):
 
     Scale posture: the edge build is q106's (distinct order-part pairs,
     self-join on order, distinct) — the expensive stage, shuffling on
-    l_orderkey then (a,b). The degree table is node-sized (part
-    vocabulary, dimension-bounded) so both degree joins carry explicit
-    broadcast hints; the moment aggregation is a single partial-
-    aggregable reduce to one row."""
+    l_orderkey then (a,b). The degree table is node-sized but
+    FACT-DERIVED (it grows with the part vocabulary), so the degree
+    joins carry NO broadcast hints — Catalyst broadcasts them while
+    they fit and AQE flips to sort-merge when the graph outgrows the
+    threshold (the 100x audit pins that flip); the moment aggregation
+    is a single partial-aggregable reduce to one row."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
@@ -11664,7 +11666,7 @@ def q198_degree_assortativity(spark, sf_dir):
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
-    j = dir_e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    j = dir_e.join(da, "a").join(db, "b")
     dec = "decimal(38,0)"
     s = j.agg(
         F.count(F.lit(1)).cast(dec).alias("m"),
@@ -11718,4 +11720,98 @@ RELATIONAL_ORACLE["q198_degree_assortativity"] = (
     "    / SQRT((m * sx2 - sx * sx)::DOUBLE "
     "           * (m * sy2 - sy * sy)::DOUBLE)) AS BIGINT) AS r_e6 "
     "FROM s"
+)
+
+
+def q199_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa — chance-corrected inter-rater agreement between
+    two deterministic 3-class document raters (a length-based and a
+    token-count-based quality classifier). THE agreement statistic of
+    LLM-judge calibration (two judges / judge-vs-human on the same
+    items); q187's Cramér's V measures association strength, kappa
+    measures AGREEMENT on a shared label space — different diagonal.
+
+    kappa = (p_o − p_e)/(1 − p_e) computed as one exact rational:
+    (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k), every moment
+    an integer; the single float op is the final FLOOR(1e6·x) divide
+    (handles negative kappa where integer div truncation would differ
+    between engines).
+
+    Scale posture: one conditional-expression pass over documents into
+    a 3×3 contingency aggregate (map-combinable, 9 cells); marginals,
+    the diagonal, and the cross products are all algebra on the
+    9-row cell table — broadcast scalars, no second corpus pass. The
+    3-row marginal join carries a structural broadcast hint (bounded
+    by the CLASS vocabulary — without it Catalyst's pre-AQE estimate
+    scales with the corpus scan and plans a sort-merge join for 3
+    rows, caught by the 100x audit)."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    ca = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    cb = F.when(ntok < 40, 0).when(ntok < 80, 1).otherwise(2)
+    cells = d.select(ca.alias("ra"), cb.alias("rb")).groupBy(
+        "ra", "rb"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("n")).otherwise(0))
+        .alias("diag"),
+    )
+    rows = cells.groupBy("ra").agg(F.sum("n").alias("rn"))
+    cols = cells.groupBy("rb").agg(F.sum("n").alias("cn"))
+    pe = (
+        rows.join(F.broadcast(cols), rows["ra"] == cols["rb"])
+        .agg(F.sum(F.col("rn") * F.col("cn")).alias("pe_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("diag").cast("long").alias("diag"),
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.floor(
+                1000000.0
+                * (F.col("n_docs") * F.col("diag") - F.col("pe_num"))
+                .cast("double")
+                / (F.col("n_docs") * F.col("n_docs") - F.col("pe_num"))
+                .cast("double")
+            ).cast("long").alias("kappa_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q199_cohens_kappa"] = q199_cohens_kappa
+RELATIONAL_ORACLE["q199_cohens_kappa"] = (
+    "WITH r AS ("
+    "  SELECT "
+    "    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 "
+    "      ELSE 2 END AS ra, "
+    "    CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), "
+    "      '\\s+'), x -> x <> '')) < 40 THEN 0 "
+    "    WHEN len(list_filter(string_split_regex(lower(trim(text)), "
+    "      '\\s+'), x -> x <> '')) < 80 THEN 1 ELSE 2 END AS rb "
+    "  FROM documents), "
+    "cells AS (SELECT ra, rb, COUNT(*) AS n FROM r GROUP BY ra, rb), "
+    "tot AS ("
+    "  SELECT SUM(n) AS n_docs, "
+    "    SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS diag FROM cells), "
+    "m AS ("
+    "  SELECT SUM(rn * cn) AS pe_num FROM "
+    "    (SELECT ra, SUM(n) AS rn FROM cells GROUP BY ra) a "
+    "    JOIN (SELECT rb, SUM(n) AS cn FROM cells GROUP BY rb) b "
+    "    ON a.ra = b.rb) "
+    "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+    "  CAST(diag AS BIGINT) AS diag, CAST(pe_num AS BIGINT) AS pe_num, "
+    "  CAST(FLOOR(1000000.0 * (n_docs * diag - pe_num)::DOUBLE "
+    "    / (n_docs * n_docs - pe_num)::DOUBLE) AS BIGINT) AS kappa_e6 "
+    "FROM tot, m"
 )

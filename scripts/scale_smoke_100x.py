@@ -362,6 +362,18 @@ GATES = [
                                # lineitem — map-only, no shuffle
     "media_wav_crossings",     # map-only Arrow WAV encode+decode per
                                # doc — linear in docs
+    # round-13 wave 2/3 (eval metrics + kappa):
+    "eval_token_f1_pairs",     # per-doc count maps + ONE pair join;
+                               # stride keeps candidates linear
+    "eval_bleu2_pairs",        # two n-gram count aggregates + two
+                               # pair joins, same stride rule
+    "eval_rouge_l_pairs",      # capped LCS DP per pair inside
+                               # mapInPandas — ROUGE_CAP^2 cells/pair,
+                               # pairs linear in docs
+    "eval_pass_at_k",          # one user count-agg over 100x events
+                               # under hot-user skew + k-row explode
+    "q199_cohens_kappa",       # one conditional pass into a 9-cell
+                               # contingency aggregate
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -394,6 +406,18 @@ BOUNDED_SCALAR_BNLJ_GATES = {
                                 # CONSTRUCTION, scale-invariant
     "q195_crosscorr_daily",     # two 1-row scalar broadcasts (totals,
                                 # variances) — constant at any scale
+    # round-13 batch:
+    "q197_largest_remainder",   # two 1-row scalar broadcasts (total
+                                # docs, leftover seats) — the whole
+                                # post-aggregate plan runs on the
+                                # source vocabulary
+    "pipe_systematic_resample", # 1-row total broadcast + the 200-row
+                                # pick table's interval (non-equi)
+                                # broadcast join — both bounded BY
+                                # CONSTRUCTION (picks = RESAMPLE_N
+                                # regardless of corpus size)
+    "q199_cohens_kappa",        # 1-row pe_num scalar broadcast over
+                                # the 1-row totals — constant
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
@@ -466,6 +490,19 @@ DIM_BROADCAST_FLOOR = {
                                # must leave broadcast at 100×
     "q116_rolling_slope": 1,   # customer projection is the dim here;
                                # it does not grow in this synthesis
+    "eval_token_f1_pairs": 0,  # both pair sides are doc-derived
+                               # count maps (docs scale 100x here) —
+                               # the pair join must flip to SMJ
+    "eval_bleu2_pairs": 0,     # same: all five joins pair doc-derived
+                               # n-gram counts — all must flip
+    "eval_rouge_l_pairs": 0,   # the one pair join is doc-derived on
+                               # both sides — must flip
+    "q198_degree_assortativity": 0,  # the degree table derives from
+                               # the co-purchase edges and parts scale
+                               # 100x in this synthesis — both degree
+                               # joins must leave broadcast (hints
+                               # removed round 13; a true dim-bounded
+                               # graph would re-add them)
     "q106_triangle_count": 0,  # deg/orientation tables are node-
                                # bounded but sit behind fact-sized
                                # joins — planner's choice either way

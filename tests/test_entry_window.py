@@ -46,6 +46,12 @@ ROWS_ONLY_BY_NATURE = {
     # media_decode_features left this set in round 5: the fake-decode
     # features are byte arithmetic an ASCII fixture lets DuckDB replay
     # exactly (ord(char) == byte), so it now carries a hash oracle.
+    "eval_rouge_l_pairs",  # LCS is an O(n*m) dynamic program, not a
+                           # single-statement SQL expression; the full
+                           # pure-Python golden pins every value
+                           # (tests/test_round13_ops.py), and the two
+                           # oracle-backed siblings (token F1, BLEU-2)
+                           # share its pair geometry
 }
 
 

@@ -1128,3 +1128,31 @@ def test_aqe_skew_join_engages(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_accumulate_during_action(spark, sf_dir):
+    """The Observation API (df.observe): named aggregate metrics ride
+    the SAME job as the consuming action — the zero-extra-pass way to
+    collect row counts / sums for pipeline telemetry at 100 TB, where
+    a separate .count() would rescan the input. Metrics must match a
+    dedicated aggregation."""
+    from pyspark.sql import Observation
+
+    from data_table_spark.sources.registry import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    obs = Observation("orders_metrics")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("total_cents"),
+    )
+    # one real action drives both the result and the metrics
+    n_distinct = observed.select("o_custkey").distinct().count()
+    want = o.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")
+    ).collect()[0]
+    assert obs.get["n_rows"] == want["n"]
+    assert obs.get["total_cents"] == want["s"]
+    assert n_distinct > 0

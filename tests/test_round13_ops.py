@@ -403,3 +403,192 @@ def test_wav_crossings_python_replay(spark, sf_smoke):
     assert got == want
     for mcr, lo, hi in got.values():
         assert 0 <= mcr <= 63 and lo <= hi
+
+
+# --------------------------------------------------------------------------
+# eval metrics (wave 2)
+# --------------------------------------------------------------------------
+
+def _tok_counts(text):
+    return Counter(w for w in re.split(r"\s+", text.lower().strip()) if w)
+
+
+def _eval_pairs(spark, sf_smoke):
+    from data_table_spark.operators.evalmetrics import EVAL_STRIDE
+
+    d = load_table(spark, "documents", sf_smoke)
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    return {
+        a: (texts[a], texts[a + 1])
+        for a in texts
+        if a % EVAL_STRIDE == 0 and a + 1 in texts
+    }
+
+
+def test_token_f1_python_replay(spark, sf_smoke):
+    """SQuAD token F1 replayed with Counters: clipped multiset overlap,
+    exact e6 integer divisions; 0 <= P, R, F1 <= 1e6 and F1 lies
+    between min(P,R) and max(P,R)."""
+    from data_table_spark.operators.evalmetrics import EVAL_QUERIES
+
+    got = {
+        r["a"]: (r["overlap"], r["len_ref"], r["len_hyp"],
+                 r["prec_e6"], r["rec_e6"], r["f1_e6"])
+        for r in EVAL_QUERIES["eval_token_f1_pairs"](
+            spark, sf_smoke
+        ).collect()
+    }
+    want = {}
+    for a, (ta, tb) in _eval_pairs(spark, sf_smoke).items():
+        cr, ch = _tok_counts(ta), _tok_counts(tb)
+        if not cr or not ch:
+            continue
+        ov = sum((cr & ch).values())
+        la, lb = sum(cr.values()), sum(ch.values())
+        want[a] = (
+            ov, la, lb,
+            1_000_000 * ov // lb, 1_000_000 * ov // la,
+            2_000_000 * ov // (la + lb),
+        )
+    assert got == want
+    for ov, la, lb, p, r_, f in got.values():
+        assert 0 <= f <= 1_000_000
+        assert min(p, r_) - 1 <= f <= max(p, r_) + 1  # harmonic between
+
+
+def test_bleu2_python_replay(spark, sf_smoke):
+    """BLEU-2 replayed in Python: clipped 1/2-gram matches, score =
+    floor(1e6*sqrt(p1*p2)); hypothesis shorter than 2 tokens excluded."""
+    from data_table_spark.operators.evalmetrics import EVAL_QUERIES
+
+    got = {
+        r["a"]: (r["m1"], r["m2"], r["len_hyp"], r["bleu2_e6"])
+        for r in EVAL_QUERIES["eval_bleu2_pairs"](spark, sf_smoke).collect()
+    }
+    want = {}
+    for a, (ta, tb) in _eval_pairs(spark, sf_smoke).items():
+        tr = [w for w in re.split(r"\s+", ta.lower().strip()) if w]
+        th = [w for w in re.split(r"\s+", tb.lower().strip()) if w]
+        if len(th) < 2:
+            continue
+        m1 = sum(
+            (Counter(th) & Counter(tr)).values()
+        )
+        bg = lambda t: Counter(  # noqa: E731
+            f"{x} {y}" for x, y in zip(t, t[1:])
+        )
+        m2 = sum((bg(th) & bg(tr)).values())
+        sc = math.floor(
+            1_000_000.0
+            * math.sqrt(float(m1 * m2) / float(len(th) * (len(th) - 1)))
+        )
+        want[a] = (m1, m2, len(th), sc)
+    assert got == want
+
+
+def test_rouge_l_python_golden(spark, sf_smoke):
+    """FULL golden for the rows-only ROUGE-L gate: the numpy rolling-row
+    LCS must equal a classic O(n·m) Python DP on the capped token
+    streams, and the F-measure is the exact integer division."""
+    from data_table_spark.operators.evalmetrics import (
+        EVAL_QUERIES,
+        ROUGE_CAP,
+    )
+
+    got = {
+        r["a"]: (r["lcs_len"], r["len_ref"], r["len_hyp"],
+                 r["rouge_l_f_e6"])
+        for r in EVAL_QUERIES["eval_rouge_l_pairs"](
+            spark, sf_smoke
+        ).collect()
+    }
+    want = {}
+    for a, (ta, tb) in _eval_pairs(spark, sf_smoke).items():
+        xr = [w for w in re.split(r"\s+", ta.lower().strip()) if w][:ROUGE_CAP]
+        xh = [w for w in re.split(r"\s+", tb.lower().strip()) if w][:ROUGE_CAP]
+        la, lb = len(xr), len(xh)
+        dp = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la):
+            for j in range(lb):
+                dp[i + 1][j + 1] = (
+                    dp[i][j] + 1
+                    if xr[i] == xh[j]
+                    else max(dp[i][j + 1], dp[i + 1][j])
+                )
+        lcs = dp[la][lb]
+        want[a] = (
+            lcs, la, lb,
+            (2_000_000 * lcs) // (la + lb) if la + lb else 0,
+        )
+    assert got == want
+    for lcs, la, lb, f in got.values():
+        assert lcs <= min(la, lb)
+        assert 0 <= f <= 1_000_000
+
+
+def test_cohens_kappa_python_replay(spark, sf_smoke):
+    """Kappa replayed from the raw rater rules; kappa_e6 in
+    [-1e6, 1e6] and the exact rational matches."""
+    d = load_table(spark, "documents", sf_smoke)
+    cells = Counter()
+    for r in d.select("n_chars", "text").collect():
+        ra = 0 if r["n_chars"] < 200 else (1 if r["n_chars"] < 400 else 2)
+        nt = len([w for w in re.split(r"\s+", r["text"].lower().strip()) if w])
+        rb = 0 if nt < 40 else (1 if nt < 80 else 2)
+        cells[(ra, rb)] += 1
+    n = sum(cells.values())
+    diag = sum(v for (a, b), v in cells.items() if a == b)
+    rows_ = Counter()
+    cols_ = Counter()
+    for (a, b), v in cells.items():
+        rows_[a] += v
+        cols_[b] += v
+    pe = sum(rows_[k] * cols_[k] for k in set(rows_) | set(cols_))
+    exp = math.floor(1_000_000.0 * float(n * diag - pe) / float(n * n - pe))
+    (row,) = RELATIONAL_QUERIES["q199_cohens_kappa"](
+        spark, sf_smoke
+    ).collect()
+    assert (row["n_docs"], row["diag"], row["pe_num"]) == (n, diag, pe)
+    assert row["kappa_e6"] == exp
+    assert -1_000_000 <= row["kappa_e6"] <= 1_000_000
+
+
+def test_pass_at_k_python_replay(spark, sf_smoke):
+    """The unbiased estimator replayed with exact Fractions (then the
+    same ordered double fold): per-problem p_e6 and corpus means match;
+    pass@k is monotone nondecreasing in k."""
+    from data_table_spark.operators.evalmetrics import (
+        EVAL_QUERIES,
+        PASS_AT_KS,
+    )
+
+    e = load_table(spark, "events", sf_smoke)
+    per = Counter()
+    passes = Counter()
+    for r in e.select("user_id", "event_type").collect():
+        per[r["user_id"]] += 1
+        if r["event_type"] == "purchase":
+            passes[r["user_id"]] += 1
+    want = {}
+    for k in PASS_AT_KS:
+        scores = []
+        for uid, n in per.items():
+            if n < k:
+                continue
+            c = passes[uid]
+            if n - c < k:
+                scores.append(1_000_000)
+            else:
+                prod = 1.0
+                for i in range(k):
+                    prod *= float(n - c - i) / float(n - i)
+                scores.append(math.floor(1_000_000.0 * (1.0 - prod)))
+        want[k] = (len(scores), sum(scores) // len(scores))
+    got = {
+        r["k"]: (r["n_problems"], r["mean_pass_e6"])
+        for r in EVAL_QUERIES["eval_pass_at_k"](spark, sf_smoke).collect()
+    }
+    assert got == want
+    ks = sorted(got)
+    means = [got[k][1] for k in ks]
+    assert means == sorted(means), "pass@k must be monotone in k"
