@@ -501,3 +501,102 @@ EVAL_ORACLE["eval_pass_at_k"] = (
     "  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS mean_pass_e6 "
     "FROM scored GROUP BY k"
 )
+
+
+#: stopwords used by the English-confidence scorer (shared with the
+#: DuckDB oracle rendering below)
+_ECE_STOP = "(the|a|of|and|to|in|is|it)"
+
+
+def ece_bins(docs: DataFrame) -> DataFrame:
+    """Calibration audit (the reliability-diagram/ECE readout): score
+    each document with a deterministic "is English" CONFIDENCE (capped
+    stopword-density, exact e4 integers), take the fixture's ``lang``
+    column as ground truth, and bucket into 10 confidence bins. Per
+    bin: count, positives, confidence mass, and the calibration gap
+    |accuracy − mean confidence| as an exact e6 integer —
+    Σ (n_b/N)·gap_b is the Expected Calibration Error, and a judge/
+    classifier whose gap grows with confidence is overconfident.
+
+    gap_e6 = 1e6·|1e4·pos_b − Σconf_b| div (1e4·n_b): the absolute
+    difference of two exact integers, divided once — no float at all.
+
+    Scale: one expression pass over the corpus into a 10-bin hash
+    aggregate (map-combinable); nothing after the aggregate touches
+    the corpus."""
+    ntok = F.size(_ws_toks(F.col("text")))
+    nstop = F.size(
+        F.expr(
+            f"regexp_extract_all(lower(text), '\\\\b{_ECE_STOP}\\\\b', 0)"
+        )
+    )
+    # exact integer: conf_e4 = min(10000, (30000*n_stop) div n_tok) —
+    # DIV, not floor(float /): a float quotient that rounds up across
+    # an integer boundary would diverge from the oracle's `//`
+    scored = (
+        docs.where(ntok > 0)
+        .select(
+            nstop.cast("long").alias("_ns"),
+            ntok.cast("long").alias("_nt"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr("(30000 * _ns) DIV _nt"),
+            ).alias("conf_e4"),
+            "y",
+        )
+        .select(
+            F.least(F.expr("conf_e4 DIV 1000"), F.lit(9)).cast("long")
+            .alias("bin"),
+            "conf_e4",
+            "y",
+        )
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("conf_e4").cast("long").alias("sum_conf_e4"),
+        )
+        .select(
+            "bin", "n_docs", "n_pos", "sum_conf_e4",
+            F.expr(
+                "(1000000 * abs(10000 * n_pos - sum_conf_e4)) "
+                "DIV (10000 * n_docs)"
+            ).cast("long").alias("gap_e6"),
+        )
+    )
+
+
+def eval_ece_bins(spark, sf_dir):
+    """Gate: 10-bin calibration (reliability) table for the stopword
+    English-confidence scorer vs the lang ground truth."""
+    return ece_bins(load_table(spark, "documents", sf_dir))
+
+
+EVAL_QUERIES["eval_ece_bins"] = eval_ece_bins
+EVAL_ORACLE["eval_ece_bins"] = (
+    "WITH s AS ("
+    "  SELECT "
+    f"    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "      x -> x <> '')) AS ntok, "
+    f"    len(regexp_extract_all(lower(text), '\\b{_ECE_STOP}\\b')) "
+    "      AS nstop, "
+    "    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y "
+    "  FROM documents), "
+    "c AS ("
+    "  SELECT LEAST(10000, (30000 * nstop) // ntok) AS conf_e4, y "
+    "  FROM s WHERE ntok > 0), "
+    "b AS ("
+    "  SELECT LEAST(conf_e4 // 1000, 9) AS bin, conf_e4, y FROM c) "
+    "SELECT CAST(bin AS BIGINT) AS bin, COUNT(*)::BIGINT AS n_docs, "
+    "  CAST(SUM(y) AS BIGINT) AS n_pos, "
+    "  CAST(SUM(conf_e4) AS BIGINT) AS sum_conf_e4, "
+    "  CAST((1000000 * ABS(10000 * SUM(y) - SUM(conf_e4))) "
+    "    // (10000 * COUNT(*)) AS BIGINT) AS gap_e6 "
+    "FROM b GROUP BY bin"
+)

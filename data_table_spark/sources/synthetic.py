@@ -76,19 +76,71 @@ class SyntheticCorpusReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.num_partitions = max(1, int(options.get("partitions", 8)))
         self.seed = int(options.get("seed", 42))
+        self.lo = 0             # inclusive pushed lower bound
+        self.hi = self.rows     # exclusive pushed upper bound
 
     def partitions(self) -> list[InputPartition]:
-        if self.rows <= 0:  # empty corpus: one empty slice, not range(0,0,0)
+        lo, hi = self.lo, min(self.hi, self.rows)
+        if hi <= lo:  # empty corpus/range: one empty slice
             return [_CorpusPartition(0, 0, self.seed)]
-        per = -(-self.rows // self.num_partitions)  # ceil division
+        per = -(-(hi - lo) // self.num_partitions)  # ceil division
         return [
-            _CorpusPartition(lo, min(lo + per, self.rows), self.seed)
-            for lo in range(0, self.rows, per)
+            _CorpusPartition(s, min(s + per, hi), self.seed)
+            for s in range(lo, hi, per)
         ]
 
     def read(self, partition: _CorpusPartition) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
             yield _make_doc(partition.seed, doc_id)
+
+
+class SyntheticCorpusPushdownReader(SyntheticCorpusReader):
+    """The ``option("pushdown", "true")`` flavor — doc_id-range FILTER
+    PUSHDOWN via Spark 4.1 ``pushFilters``: comparison filters on
+    doc_id narrow the generated id range BEFORE partition planning, so
+    ``.filter("doc_id >= N")`` prunes whole InputPartitions instead of
+    generating-then-discarding — the Python-data-source analogue of
+    parquet partition pruning, and the difference between O(selected)
+    and O(corpus) work on a generated 10-billion-row load test.
+    Handled filters are consumed (not yielded back); everything else —
+    other columns, OR-trees Spark never offers — stays Spark-side per
+    the contract. A SEPARATE subclass because merely DEFINING
+    pushFilters makes Spark reject the source wherever
+    ``spark.sql.python.filterPushdown.enabled`` is false (the raw
+    driver session) — the default reader must stay flag-agnostic."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            v = getattr(f, "value", None)
+            if (
+                getattr(f, "attribute", None) == ("doc_id",)
+                and isinstance(v, int)
+            ):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                    continue
+            yield f  # unsupported: Spark evaluates it post-scan
 
 
 class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
@@ -133,6 +185,8 @@ class SyntheticCorpusDataSource(DataSource):
         return _SCHEMA
 
     def reader(self, schema) -> SyntheticCorpusReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return SyntheticCorpusPushdownReader(self.options)
         return SyntheticCorpusReader(self.options)
 
     def simpleStreamReader(self, schema) -> SyntheticCorpusStreamReader:

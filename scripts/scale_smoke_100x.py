@@ -374,6 +374,8 @@ GATES = [
                                # under hot-user skew + k-row explode
     "q199_cohens_kappa",       # one conditional pass into a 9-cell
                                # contingency aggregate
+    "eval_ece_bins",           # one expression pass into a 10-bin
+                               # hash aggregate over 100x docs
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:

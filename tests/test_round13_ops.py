@@ -592,3 +592,62 @@ def test_pass_at_k_python_replay(spark, sf_smoke):
     ks = sorted(got)
     means = [got[k][1] for k in ks]
     assert means == sorted(means), "pass@k must be monotone in k"
+
+
+def test_ece_bins_python_replay(spark, sf_smoke):
+    """The calibration table replayed from raw text/lang in Python:
+    exact conf buckets, positives, confidence mass, and gaps; bin
+    confidence mass must sit inside the bin's e4 range."""
+    from data_table_spark.operators.evalmetrics import EVAL_QUERIES
+
+    d = load_table(spark, "documents", sf_smoke)
+    stop = re.compile(r"\b(the|a|of|and|to|in|is|it)\b")
+    bins: dict[int, list] = defaultdict(lambda: [0, 0, 0])
+    for r in d.select("text", "lang").collect():
+        toks = [w for w in re.split(r"\s+", r["text"].lower().strip()) if w]
+        if not toks:
+            continue
+        ns = len(stop.findall(r["text"].lower()))
+        conf = min(10000, 30000 * ns // len(toks))
+        b = min(conf // 1000, 9)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += 1 if r["lang"] == "en" else 0
+        cell[2] += conf
+    want = {
+        b: (n, pos, sc, (1_000_000 * abs(10_000 * pos - sc)) // (10_000 * n))
+        for b, (n, pos, sc) in bins.items()
+    }
+    got = {
+        r["bin"]: (r["n_docs"], r["n_pos"], r["sum_conf_e4"], r["gap_e6"])
+        for r in EVAL_QUERIES["eval_ece_bins"](spark, sf_smoke).collect()
+    }
+    assert got == want
+    for b, (n, pos, sc, gap) in got.items():
+        assert 0 <= pos <= n
+        assert 0 <= gap <= 1_000_000
+        if b < 9:
+            assert b * 1000 * n <= sc < (b + 1) * 1000 * n
+
+
+def test_parameterized_sql(spark, sf_smoke):
+    """spark.sql named/positional parameter binding (the injection-safe
+    SQL surface): parameterized and literal forms agree."""
+    load_table(spark, "orders", sf_smoke).createOrReplaceTempView(
+        "orders_param"
+    )
+    named = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_param "
+        "WHERE o_totalprice > :lo AND o_orderstatus = :st",
+        args={"lo": 1000.0, "st": "O"},
+    ).collect()[0]["n"]
+    positional = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_param "
+        "WHERE o_totalprice > ? AND o_orderstatus = ?",
+        args=[1000.0, "O"],
+    ).collect()[0]["n"]
+    literal = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_param "
+        "WHERE o_totalprice > 1000.0 AND o_orderstatus = 'O'"
+    ).collect()[0]["n"]
+    assert named == positional == literal > 0

@@ -1117,3 +1117,72 @@ def test_synthetic_corpus_stream_reader(spark, tmp_path):
     exp = sorted(map(tuple, batch.collect()))
     assert len(got) == 230
     assert got == exp
+
+
+def test_synthetic_datasource_filter_pushdown(spark):
+    """Spark 4.1 pushFilters on the Python data source: doc_id range
+    predicates narrow the generated range BEFORE partition planning
+    (partition pruning), unsupported filters fall back to Spark, and
+    pushed + post-filtered results agree with the unpruned scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from data_table_spark.sources.synthetic import (
+        SyntheticCorpusPushdownReader,
+        register,
+    )
+
+    # unit level: bounds narrow, handled filters are consumed
+    r = SyntheticCorpusPushdownReader({"rows": "1000", "partitions": "8"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("doc_id",), 900), LessThan(("doc_id",), 950)]
+        )
+    )
+    assert leftover == []
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 50
+    assert min(p.start for p in parts) == 900
+    assert max(p.end for p in parts) == 950
+    # an unsupported filter (other column) must be yielded back
+    r2 = SyntheticCorpusPushdownReader({"rows": "100"})
+    keep = EqualTo(("lang",), "en")
+    assert list(r2.pushFilters([keep])) == [keep]
+    # equality pins a single row
+    r3 = SyntheticCorpusPushdownReader({"rows": "100"})
+    assert list(r3.pushFilters([EqualTo(("doc_id",), 7)])) == []
+    assert sum(p.end - p.start for p in r3.partitions()) == 1
+
+    # end to end: pruned scan equals post-filtered full scan
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000).option("seed", 9)
+        .option("pushdown", "true").load()
+    )
+    pushed = base.filter(
+        (F.col("doc_id") >= 900) & (F.col("doc_id") < 950)
+    )
+    full = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000).option("seed", 9).load()
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in full if 900 <= r["doc_id"] < 950
+    )
+    got = sorted(tuple(r) for r in pushed.collect())
+    assert got == want and len(got) == 50
+    # mixed: pushed range + Spark-side residual on another column
+    mixed = base.filter((F.col("doc_id") >= 990) & (F.col("lang") == "en"))
+    want2 = sorted(
+        tuple(r)
+        for r in full
+        if r["doc_id"] >= 990 and r["lang"] == "en"
+    )
+    assert sorted(tuple(r) for r in mixed.collect()) == want2
+    spark.conf.unset("spark.sql.python.filterPushdown.enabled")
