@@ -11815,3 +11815,54 @@ RELATIONAL_ORACLE["q199_cohens_kappa"] = (
     "    / (n_docs * n_docs - pe_num)::DOUBLE) AS BIGINT) AS kappa_e6 "
     "FROM tot, m"
 )
+
+
+def q200_sql_scripting_search(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements,
+    `spark.sql.scripting.enabled`): DECLARE session variables and an
+    exponential-search WHILE loop — the procedural surface (migration
+    target for T-SQL/PLpgSQL jobs) that pure relational gates cannot
+    exercise. The loop doubles a price threshold until fewer than
+    n DIV 10 orders exceed it; the result is the first power of two
+    whose exceed-count drops below a tenth of the table.
+
+    Every loop iteration re-aggregates the table — ~log2(max_price)
+    small scans. That is the SCRIPTING model's cost (imperative
+    control flow between statements), demonstrated deliberately; the
+    declarative form of this search is the oracle's one-pass
+    power-spine join, which is also how a 100 TB job should phrase it.
+    The integer comparisons use DIV so both engines agree exactly."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1;
+          WHILE (SELECT COUNT(*) FROM orders_script
+                 WHERE o_totalprice > t)
+                >= (SELECT COUNT(*) FROM orders_script) DIV 10 DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT t AS threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_script
+                  WHERE o_totalprice > t) AS n_above;
+        END
+        """
+    )
+
+
+RELATIONAL_QUERIES["q200_sql_scripting_search"] = q200_sql_scripting_search
+RELATIONAL_ORACLE["q200_sql_scripting_search"] = (
+    "WITH tot AS (SELECT COUNT(*) AS n FROM orders), "
+    "ks AS (SELECT unnest(range(0, 40)) AS k), "
+    "c AS ("
+    "  SELECT ks.k, "
+    "    (SELECT COUNT(*) FROM orders "
+    "     WHERE o_totalprice > (1::BIGINT << ks.k)) AS cnt "
+    "  FROM ks), "
+    "sel AS ("
+    "  SELECT MIN(k) AS k FROM c, tot WHERE c.cnt < tot.n // 10) "
+    "SELECT CAST(1::BIGINT << sel.k AS BIGINT) AS threshold, "
+    "  CAST(c.cnt AS BIGINT) AS n_above "
+    "FROM sel JOIN c ON c.k = sel.k"
+)

@@ -1156,3 +1156,63 @@ def test_observe_metrics_accumulate_during_action(spark, sf_dir):
     assert obs.get["n_rows"] == want["n"]
     assert obs.get["total_cents"] == want["s"]
     assert n_distinct > 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling — the runtime answer to hot keys the
+    static planner cannot see: with one key holding ~all rows on both
+    sides, the final adaptive plan must mark the sort-merge join
+    skew=true (hot partitions split into subpartitions) instead of
+    letting one reducer straggle. Thresholds are forced low so the
+    fixture-sized skew triggers the same machinery a 100 TB hot key
+    would."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # ~all left rows share key 0 (the hot partition); the right side
+        # is one row per key so the join output stays left-sized
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 1000 == 0, F.col("id"))
+            .otherwise(F.lit(0)).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("weight")
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution, so the
+        # adaptive plan we read below is the finalized one (count()
+        # would plan a separate aggregate query)
+        n = len(joined.collect())
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
