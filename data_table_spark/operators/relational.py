@@ -11866,3 +11866,56 @@ RELATIONAL_ORACLE["q200_sql_scripting_search"] = (
     "  CAST(c.cnt AS BIGINT) AS n_above "
     "FROM sel JOIN c ON c.k = sel.k"
 )
+
+
+def q201_business_days(spark, sf_dir):
+    """Order-to-ship lead time in BUSINESS DAYS (weekends excluded) —
+    the closed-form calendar arithmetic every warehouse SLA report
+    needs, with no UDF and no calendar-spine join: g(d) = 5·(days div
+    7) + min(days mod 7 + 1, 5) counts business days from the epoch
+    Monday (1970-01-05) through d, so bdays(d1 → d2] = g(d2) − g(d1)
+    — two integer expressions per row, map-side only. Distribution
+    emitted as (bdays, n_lines) — a support-bounded aggregate (lead
+    times span days, not rows).
+
+    Scale: one lineitem⋈orders equi-join on the order key (the fact-
+    fact join AQE plans as SMJ at scale) + one map-combinable
+    aggregate; the closed form replaces both a 7-row dow lookup join
+    and the naive per-day explode."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    joined = li.join(o, "l_orderkey").select(
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-05"))
+        ).cast("long").alias("ds"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-05"))
+        ).cast("long").alias("do_"),
+    )
+    # integer DIV throughout (the round-13 floor(float /) parity rule)
+    bdays = F.expr(
+        "(5 * (ds DIV 7) + LEAST(ds % 7 + 1, 5)) "
+        "- (5 * (do_ DIV 7) + LEAST(do_ % 7 + 1, 5))"
+    )
+    return (
+        joined.select(bdays.cast("long").alias("bdays"))
+        .groupBy("bdays")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+RELATIONAL_QUERIES["q201_business_days"] = q201_business_days
+RELATIONAL_ORACLE["q201_business_days"] = (
+    "WITH j AS ("
+    "  SELECT CAST(l.l_shipdate AS DATE) - DATE '1970-01-05' AS ds, "
+    "    CAST(o.o_orderdate AS DATE) - DATE '1970-01-05' AS do_ "
+    "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "b AS ("
+    "  SELECT (5 * (ds // 7) + LEAST(ds % 7 + 1, 5)) "
+    "    - (5 * (do_ // 7) + LEAST(do_ % 7 + 1, 5)) AS bdays "
+    "  FROM j) "
+    "SELECT CAST(bdays AS BIGINT) AS bdays, COUNT(*)::BIGINT AS n_lines "
+    "FROM b GROUP BY bdays"
+)

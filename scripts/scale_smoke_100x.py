@@ -376,6 +376,8 @@ GATES = [
                                # contingency aggregate
     "eval_ece_bins",           # one expression pass into a 10-bin
                                # hash aggregate over 100x docs
+    "q201_business_days",      # fact-fact equi-join (must flip to
+                               # SMJ) + support-bounded lead-time agg
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -492,6 +494,9 @@ DIM_BROADCAST_FLOOR = {
                                # must leave broadcast at 100×
     "q116_rolling_slope": 1,   # customer projection is the dim here;
                                # it does not grow in this synthesis
+    "q201_business_days": 0,   # lineitem x orders is fact-fact —
+                               # the orders build side must leave
+                               # broadcast at 100x; no dim here
     "eval_token_f1_pairs": 0,  # both pair sides are doc-derived
                                # count maps (docs scale 100x here) —
                                # the pair join must flip to SMJ

@@ -651,3 +651,44 @@ def test_parameterized_sql(spark, sf_smoke):
         "WHERE o_totalprice > 1000.0 AND o_orderstatus = 'O'"
     ).collect()[0]["n"]
     assert named == positional == literal > 0
+
+
+def test_business_days_matches_numpy_busday(spark, sf_smoke):
+    """The closed-form g(d2)−g(d1) equals numpy's busday_count (the
+    independent calendar authority) for every (order, ship) pair —
+    weekends excluded exactly, sign preserved when shipping precedes
+    ordering."""
+    import numpy as np
+
+    li = load_table(spark, "lineitem", sf_smoke).select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, "orders", sf_smoke).select(
+        "o_orderkey", "o_orderdate"
+    )
+    pairs = [
+        (r["o_orderdate"], r["l_shipdate"])
+        for r in li.join(
+            o, li["l_orderkey"] == o["o_orderkey"]
+        ).collect()
+    ]
+    one = np.timedelta64(1, "D")
+    want = Counter()
+    for d1, d2 in pairs:
+        a = np.datetime64(str(d1)[:10])
+        b = np.datetime64(str(d2)[:10])
+        # g-diff counts the SIGNED business days in the half-open
+        # interval (d1, d2]; numpy's reversed-argument convention
+        # differs by one, so negate an explicit forward count instead
+        if b >= a:
+            n = int(np.busday_count(a + one, b + one))
+        else:
+            n = -int(np.busday_count(b + one, a + one))
+        want[n] += 1
+    got = {
+        r["bdays"]: r["n_lines"]
+        for r in RELATIONAL_QUERIES["q201_business_days"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == dict(want)
