@@ -251,6 +251,7 @@ _NEXT_WINDOW_QUEUE = [
     "eval_ece_bins",                # 10-bin calibration (ECE) table
     "q200_sql_scripting_search",    # BEGIN/WHILE scripting surface
     "q201_business_days",           # closed-form weekend-excluded lead time
+    "q202_modularity",              # partition-quality Q, exact moments
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

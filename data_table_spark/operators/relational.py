@@ -11919,3 +11919,107 @@ RELATIONAL_ORACLE["q201_business_days"] = (
     "SELECT CAST(bdays AS BIGINT) AS bdays, COUNT(*)::BIGINT AS n_lines "
     "FROM b GROUP BY bdays"
 )
+
+
+#: community width for the modularity gate: part keys bucket into
+#: communities of this size (deterministic partition of the node set)
+MODULARITY_BUCKET = 25
+
+
+def q202_modularity(spark, sf_dir):
+    """Newman modularity Q of a node partition over the part
+    co-purchase graph — the partition-QUALITY readout that closes the
+    graph-analytics loop (q100 ranks, q106/q124 count structure,
+    dedup_clusters_* PRODUCE partitions; nothing measured how good a
+    partition is). Communities here are the deterministic
+    ``l_partkey div MODULARITY_BUCKET`` buckets, so the oracle replays
+    the exact same partition.
+
+    Q = (4m·Σ_c e_c − Σ_c deg_c²) / (4m²) with e_c = intra-community
+    edges, deg_c = total degree in c, m = |edges| — every moment an
+    exact integer (DECIMAL(38,0) / HUGEINT for the squares), one final
+    FLOOR(1e6·x) divide. Emits the component sums alongside so the
+    score is auditable.
+
+    Scale: the edge build is q106's; everything after is two
+    aggregates over edges (intra flag is a map-side expression) and
+    one over the node-degree table — no joins beyond the edge build
+    itself."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    b = MODULARITY_BUCKET
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(
+            F.when(
+                F.expr(f"a DIV {b}") == F.expr(f"b DIV {b}"), 1
+            ).otherwise(0)
+        ).cast("decimal(38,0)").alias("intra"),
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    degc = (
+        deg.groupBy(F.expr(f"node DIV {b}").alias("comm"))
+        .agg(F.sum("deg").cast("decimal(38,0)").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(degc))
+        .select(
+            F.col("m").cast("long").alias("m_edges"),
+            F.col("intra").cast("long").alias("intra_edges"),
+            F.col("sum_dc2").cast("long").alias("sum_deg2"),
+            F.floor(
+                1000000.0
+                * (
+                    F.lit(4) * F.col("m") * F.col("intra")
+                    - F.col("sum_dc2")
+                ).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+            ).cast("long").alias("q_e6"),
+        )
+    )
+
+
+RELATIONAL_QUERIES["q202_modularity"] = q202_modularity
+RELATIONAL_ORACLE["q202_modularity"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "edges AS ("
+    "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b "
+    "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "  WHERE x.l_partkey < y.l_partkey), "
+    "s AS ("
+    "  SELECT COUNT(*)::HUGEINT AS m, "
+    f"    SUM(CASE WHEN a // {MODULARITY_BUCKET} = b // "
+    f"{MODULARITY_BUCKET} THEN 1 ELSE 0 END)::HUGEINT AS intra "
+    "  FROM edges), "
+    "deg AS ("
+    "  SELECT node, COUNT(*) AS deg FROM ("
+    "    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) "
+    "  GROUP BY node), "
+    "dc AS ("
+    f"  SELECT node // {MODULARITY_BUCKET} AS comm, "
+    "    SUM(deg)::HUGEINT AS d FROM deg GROUP BY comm), "
+    "d2 AS (SELECT SUM(d * d) AS sum_dc2 FROM dc) "
+    "SELECT CAST(m AS BIGINT) AS m_edges, "
+    "  CAST(intra AS BIGINT) AS intra_edges, "
+    "  CAST(sum_dc2 AS BIGINT) AS sum_deg2, "
+    "  CAST(FLOOR(1000000.0 * (4 * m * intra - sum_dc2)::DOUBLE "
+    "    / (4 * m * m)::DOUBLE) AS BIGINT) AS q_e6 "
+    "FROM s, d2"
+)

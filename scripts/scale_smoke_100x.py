@@ -378,6 +378,9 @@ GATES = [
                                # hash aggregate over 100x docs
     "q201_business_days",      # fact-fact equi-join (must flip to
                                # SMJ) + support-bounded lead-time agg
+    "q202_modularity",         # q106's edge build + two edge-table
+                               # aggregates; the 1-row stats crossJoin
+                               # is a scalar BNLJ by construction
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -422,6 +425,8 @@ BOUNDED_SCALAR_BNLJ_GATES = {
                                 # regardless of corpus size)
     "q199_cohens_kappa",        # 1-row pe_num scalar broadcast over
                                 # the 1-row totals — constant
+    "q202_modularity",          # 1-row degree-square scalar broadcast
+                                # over the 1-row edge stats — constant
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each
@@ -494,6 +499,8 @@ DIM_BROADCAST_FLOOR = {
                                # must leave broadcast at 100×
     "q116_rolling_slope": 1,   # customer projection is the dim here;
                                # it does not grow in this synthesis
+    "q202_modularity": 0,      # q198's argument: the edge build is
+                               # fact-fact and parts scale here
     "q201_business_days": 0,   # lineitem x orders is fact-fact —
                                # the orders build side must leave
                                # broadcast at 100x; no dim here

@@ -1186,3 +1186,35 @@ def test_synthetic_datasource_filter_pushdown(spark):
     )
     assert sorted(tuple(r) for r in mixed.collect()) == want2
     spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_csv_dialect_sniffer(spark, tmp_path):
+    """Dialect sniffing on the four common delimiters, with a quoted
+    field containing the OTHER delimiters (the case that breaks naive
+    count-the-chars sniffers); the sniffed read round-trips through
+    the reference-semantics ingest."""
+    from data_table_spark.sources.csv import (
+        read_csv_sniffed,
+        sniff_csv_dialect,
+    )
+
+    cases = {
+        ",": 'a,b,c\n1,"x,y;z",3\n4,plain,6\n',
+        ";": 'a;b;c\n1;"x,y;z";3\n4;plain;6\n',
+        "\t": 'a\tb\tc\n1\t"x,y;z"\t3\n4\tplain\t6\n',
+        "|": 'a|b|c\n1|"x,y;z"|3\n4|plain|6\n',
+    }
+    for delim, text in cases.items():
+        p = tmp_path / f"d_{SNIFF_NAMES[delim]}.csv"
+        p.write_text(text)
+        d = sniff_csv_dialect(spark, str(p))
+        assert d["delimiter"] == delim, (delim, d)
+        assert d["quotechar"] == '"'
+        assert d["n_columns"] == 3 and d["consistent"]
+        df = read_csv_sniffed(spark, str(p))
+        assert df.columns == ["a", "b", "c"]
+        rows = sorted(map(tuple, df.collect()))
+        assert rows == [(1, "x,y;z", 3), (4, "plain", 6)]
+
+
+SNIFF_NAMES = {",": "comma", ";": "semi", "\t": "tab", "|": "pipe"}
