@@ -12023,3 +12023,69 @@ RELATIONAL_ORACLE["q202_modularity"] = (
     "    / (4 * m * m)::DOUBLE) AS BIGINT) AS q_e6 "
     "FROM s, d2"
 )
+
+
+def q203_try_arithmetic(spark, sf_dir):
+    """ANSI-mode safety surface: the `try_` function family — under
+    Spark 4's ANSI default, overflow/÷0/bad-index THROW (the pass@k
+    overflow was caught exactly this way), and `try_add/try_multiply/
+    try_divide/try_element_at` are the per-expression opt-outs that
+    return NULL instead, without giving up ANSI for the whole session.
+    Each column mixes NULL and non-NULL outcomes deterministically by
+    key arithmetic; the oracle replays the NULL rule with HUGEINT
+    range checks (DuckDB has no try_ functions — the CASE forms ARE
+    the semantics being pinned).
+
+    Map-only expressions over orders; one pass, no shuffle beyond the
+    final aggregate-free projection."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    big = F.lit(9223372036854775807).cast("long")
+    return o.select(
+        "o_orderkey",
+        # overflows for every key > 0 at odd parity, exact otherwise
+        F.try_add(
+            (k % 2) * F.lit(9223372036854775800).cast("long"), k
+        ).alias("t_add"),
+        # overflows once |k * 3037000500| passes 2^63
+        F.try_multiply(k * F.lit(1000), F.lit(3037000500).cast("long"))
+        .alias("t_mul"),
+        F.try_subtract(-big, (k % 2)).alias("t_sub"),
+        # denominator cycles -1, 0, 1: the 0 lane must be NULL
+        F.try_divide(F.col("o_totalprice"), (k % 3) - 1).alias("t_div"),
+        # index cycles 1..4 over a 2-element array: 3 and 4 are NULL
+        # (index 0 is invalid USAGE — it throws even under try_, so the
+        # cycle starts at 1; the out-of-bounds lanes are the runtime
+        # misses try_element_at exists for)
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b")), ((k % 4) + 1).cast("int")
+        ).alias("t_elem"),
+    )
+
+
+RELATIONAL_QUERIES["q203_try_arithmetic"] = q203_try_arithmetic
+RELATIONAL_ORACLE["q203_try_arithmetic"] = (
+    "WITH o AS (SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS k, "
+    "  o_totalprice FROM orders), "
+    "c AS ("
+    "  SELECT o_orderkey, "
+    "    (k % 2) * 9223372036854775800::HUGEINT + k AS h_add, "
+    "    k::HUGEINT * 1000 * 3037000500 AS h_mul, "
+    "    -9223372036854775807::HUGEINT - (k % 2) AS h_sub, "
+    "    o_totalprice, k "
+    "  FROM o) "
+    "SELECT o_orderkey, "
+    "  CASE WHEN h_add BETWEEN -9223372036854775808::HUGEINT "
+    "    AND 9223372036854775807::HUGEINT THEN CAST(h_add AS BIGINT) "
+    "    END AS t_add, "
+    "  CASE WHEN h_mul BETWEEN -9223372036854775808::HUGEINT "
+    "    AND 9223372036854775807::HUGEINT THEN CAST(h_mul AS BIGINT) "
+    "    END AS t_mul, "
+    "  CASE WHEN h_sub BETWEEN -9223372036854775808::HUGEINT "
+    "    AND 9223372036854775807::HUGEINT THEN CAST(h_sub AS BIGINT) "
+    "    END AS t_sub, "
+    "  CASE WHEN (k % 3) - 1 = 0 THEN NULL "
+    "    ELSE o_totalprice / ((k % 3) - 1) END AS t_div, "
+    "  CASE (k % 4) + 1 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS t_elem "
+    "FROM c"
+)

@@ -1216,3 +1216,36 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic — the incremental-reload contract
+    at 100 TB: overwriting a partitioned table replaces ONLY the
+    partitions present in the incoming frame, not the whole dataset
+    (static mode would drop every other day). A day-2 restatement must
+    leave day 1 and day 3 untouched."""
+    from data_table_spark.operators.scale import write_partitioned
+
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)],
+        "id int, day string, v int",
+    )
+    write_partitioned(base, path, ["day"])
+    restated = spark.createDataFrame(
+        [(9, "d2", 99)], "id int, day string, v int"
+    )
+    keep = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_partitioned(restated, path, ["day"])
+    finally:
+        if keep is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", keep)
+    got = sorted(
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "d1", 10), (3, "d3", 30), (9, "d2", 99)]
