@@ -253,6 +253,7 @@ _NEXT_WINDOW_QUEUE = [
     "q201_business_days",           # closed-form weekend-excluded lead time
     "q202_modularity",              # partition-quality Q, exact moments
     "q203_try_arithmetic",          # ANSI try_ family NULL semantics
+    "eval_retrieval_ranking",       # MRR + nDCG@10, planted ranks
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

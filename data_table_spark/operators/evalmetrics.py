@@ -600,3 +600,112 @@ EVAL_ORACLE["eval_ece_bins"] = (
     "    // (10000 * COUNT(*)) AS BIGINT) AS gap_e6 "
     "FROM b GROUP BY bin"
 )
+
+
+# --------------------------------------------------------------------------
+# retrieval ranking quality: MRR + nDCG@10 over planted ranks
+# --------------------------------------------------------------------------
+
+#: id offset of each query's RELEVANT candidate (rescaled twin, cos 1.0)
+RETR_REL_OFFSET = 10_000_000
+#: id step for the rank-pinning decoy twins (ids BELOW the relevant's,
+#: so cos-1.0 ties break to the decoys and the relevant lands at
+#: rank 1 + (q mod 3) exactly)
+RETR_DECOY_STEP = 1_000_000
+#: queries = vec_id < RETR_N_QUERIES
+RETR_N_QUERIES = 50
+
+import math as _math  # noqa: E402
+
+#: floor(1e6 / log2(rank+1)) for ranks 1..10, precomputed in Python —
+#: the established constants-not-libm discipline: embedding the same
+#: literals on both engines removes any last-ulp log2 divergence
+NDCG10_E6 = {
+    r: _math.floor(1_000_000.0 / _math.log2(r + 1)) for r in range(1, 11)
+}
+
+
+def retrieval_ranking(emb: DataFrame) -> DataFrame:
+    """MRR and nDCG@10 per query over a PLANTED ranking: each query's
+    relevant candidate is its direction-preserving 2⁻¹-scaled twin
+    (cosine exactly 1.0 in fp), and q mod 3 decoy twins with SMALLER
+    ids force the relevant to rank 1 + (q mod 3) under the
+    (score desc, id asc) tie rule — so the full ranking machinery
+    (score join → per-query window rank → metric lookup) runs for
+    real, while the expected output is closed-form (the
+    sim_knn_join_twins philosophy; natural cross-vector cosines peak
+    ≈ 0.51 ≪ 1.0, pinned by the fixture test, so they never intrude).
+
+    rr_e6 = 1e6 div rank exactly; ndcg@10 uses the PRECOMPUTED
+    floor(1e6/log2(rank+1)) literal table — embedding identical
+    constants on both engines instead of trusting two libm log2s to
+    agree in the last ulp.
+
+    Scale: queries are a bounded slice (broadcast side of the score
+    join); candidates stream by; one window partitioned by query."""
+    from .similarity import cosine
+
+    q = emb.where(F.col("vec_id") < RETR_N_QUERIES)
+
+    def _scaled(s: float):
+        return lambda x: (x * F.lit(s)).cast("float")
+
+    rel = q.select(
+        (F.col("vec_id") + RETR_REL_OFFSET).alias("c_id"),
+        F.transform("embedding", _scaled(0.5)).alias("cv"),
+    )
+    decoys = None
+    for j in (1, 2):
+        d = q.where(F.col("vec_id") % 3 >= j).select(
+            (F.col("vec_id") + j * RETR_DECOY_STEP).alias("c_id"),
+            F.transform("embedding", _scaled(0.25)).alias("cv"),
+        )
+        decoys = d if decoys is None else decoys.unionByName(d)
+    naturals = emb.where(F.col("vec_id") >= RETR_N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    cands = rel.unionByName(decoys).unionByName(naturals)
+    qs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "q_id", "c_id",
+        F.floor(cosine(F.col("cv"), F.col("qv")) * 1_000_000)
+        .cast("long").alias("score_e6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_e6").desc(), F.col("c_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("c_id") == F.col("q_id") + RETR_REL_OFFSET
+    )
+    ndcg = F.lit(0).cast("long")
+    for r, v in sorted(NDCG10_E6.items(), reverse=True):
+        ndcg = F.when(F.col("rank") == r, F.lit(v).cast("long")).otherwise(
+            ndcg
+        )
+    return ranked.select(
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.expr("1000000 DIV rank").cast("long").alias("rr_e6"),
+        ndcg.alias("ndcg10_e6"),
+    )
+
+
+def eval_retrieval_ranking(spark, sf_dir):
+    """Gate: MRR/nDCG@10 over the planted-rank retrieval fixture."""
+    return retrieval_ranking(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    )
+
+
+EVAL_QUERIES["eval_retrieval_ranking"] = eval_retrieval_ranking
+EVAL_ORACLE["eval_retrieval_ranking"] = (
+    "SELECT vec_id AS q_id, "
+    "  CAST(1 + vec_id % 3 AS BIGINT) AS rank, "
+    "  CAST(1000000 // (1 + vec_id % 3) AS BIGINT) AS rr_e6, "
+    "  CAST(CASE 1 + vec_id % 3 "
+    f"    WHEN 1 THEN {NDCG10_E6[1]} WHEN 2 THEN {NDCG10_E6[2]} "
+    f"    WHEN 3 THEN {NDCG10_E6[3]} END AS BIGINT) AS ndcg10_e6 "
+    f"FROM embeddings WHERE vec_id < {RETR_N_QUERIES}"
+)

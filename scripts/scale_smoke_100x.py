@@ -381,6 +381,8 @@ GATES = [
     "q202_modularity",         # q106's edge build + two edge-table
                                # aggregates; the 1-row stats crossJoin
                                # is a scalar BNLJ by construction
+    "eval_retrieval_ranking",  # 50-query broadcast x 100x candidates
+                               # score join; window over 50 partitions
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -427,6 +429,8 @@ BOUNDED_SCALAR_BNLJ_GATES = {
                                 # the 1-row totals — constant
     "q202_modularity",          # 1-row degree-square scalar broadcast
                                 # over the 1-row edge stats — constant
+    "eval_retrieval_ranking",   # the 50-row query slice is broadcast
+                                # BY CONSTRUCTION — bounded eval set
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each

@@ -692,3 +692,30 @@ def test_business_days_matches_numpy_busday(spark, sf_smoke):
         ).collect()
     }
     assert got == dict(want)
+
+
+def test_retrieval_ranking_planted_ranks(spark, sf_smoke):
+    """The relevant twin must land at EXACTLY rank 1 + (q mod 3) —
+    i.e. the decoys out-tie it and nothing natural intrudes — and the
+    metric columns follow: rr = 1e6 div rank, ndcg from the
+    precomputed literal table; corpus-level MRR falls out as the mean."""
+    from data_table_spark.operators.evalmetrics import (
+        EVAL_QUERIES,
+        NDCG10_E6,
+        RETR_N_QUERIES,
+    )
+
+    rows = EVAL_QUERIES["eval_retrieval_ranking"](
+        spark, sf_smoke
+    ).collect()
+    n_vec = load_table(spark, "embeddings", sf_smoke).where(
+        F.col("vec_id") < RETR_N_QUERIES
+    ).count()
+    assert len(rows) == n_vec > 0
+    for r in rows:
+        want_rank = 1 + r["q_id"] % 3
+        assert r["rank"] == want_rank, r
+        assert r["rr_e6"] == 1_000_000 // want_rank
+        assert r["ndcg10_e6"] == NDCG10_E6[want_rank]
+    mrr = sum(r["rr_e6"] for r in rows) / len(rows)
+    assert 500_000 < mrr <= 1_000_000  # ranks 1..3 ⇒ MRR in (1/2, 1]
