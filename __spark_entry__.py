@@ -254,6 +254,8 @@ _NEXT_WINDOW_QUEUE = [
     "q202_modularity",              # partition-quality Q, exact moments
     "q203_try_arithmetic",          # ANSI try_ family NULL semantics
     "eval_retrieval_ranking",       # MRR + nDCG@10, planted ranks
+    "eval_chrf_pairs",              # char-3-gram F_2, exact closed form
+    "q204_mase_forecast_error",     # seasonal-naive MASE, one float op
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -709,3 +709,113 @@ EVAL_ORACLE["eval_retrieval_ranking"] = (
     f"    WHEN 3 THEN {NDCG10_E6[3]} END AS BIGINT) AS ndcg10_e6 "
     f"FROM embeddings WHERE vec_id < {RETR_N_QUERIES}"
 )
+
+
+def chrf_pairs(docs: DataFrame, stride: int = EVAL_STRIDE) -> DataFrame:
+    """chrF (Popović 2015) per pair, the character-level member of the
+    MT-metric set (robust to tokenization and morphology where
+    token F1/BLEU are blind): character 3-gram multiset overlap over
+    whitespace-stripped lowercased text, combined as F_{β=2} =
+    5·P·R/(4P+R) — which with P = o/h, R = o/r collapses to the EXACT
+    integer closed form 5·o/(4r + h) (o = Σmin clipped matches,
+    r/h = reference/hypothesis gram counts), so chrf2_e6 is one
+    integer floor-division, no float anywhere.
+
+    Char 3-grams with multiplicity via a position explode (sequence +
+    substring — O(chars) rows, map-side); one count aggregate per doc
+    and one (pair, gram) equi-join, the token-F1 geometry at character
+    granularity. Pairs restricted to both sides having ≥ 3 stripped
+    chars so the gram sets are non-empty."""
+    ref, hyp = _stride_docs(docs, stride)
+    both = ref.select("doc_id", "text").unionByName(
+        hyp.select("doc_id", "text")
+    )
+    stripped = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    base = both.select(
+        "doc_id", stripped.alias("s"), F.length(stripped).alias("n")
+    ).where(F.col("n") >= 3)
+    grams = (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("i"),
+            "s",
+        )
+        .select("doc_id", F.expr("substring(s, i, 3)").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per = grams.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("g", "cnt"))).alias("m"),
+        F.sum("cnt").cast("long").alias("ng"),
+    )
+    a = per.where(F.col("doc_id") % stride == 0).select(
+        F.col("doc_id").alias("pair"), F.col("m").alias("ma"),
+        F.col("ng").alias("r_grams"),
+    )
+    b = per.where(F.col("doc_id") % stride == 1).select(
+        (F.col("doc_id") - 1).alias("pair"), F.col("m").alias("mb"),
+        F.col("ng").alias("h_grams"),
+    )
+    ov = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma", "mb",
+                lambda k, x, y: F.least(
+                    F.coalesce(x, F.lit(0)), F.coalesce(y, F.lit(0))
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "pair")
+        .select(
+            F.col("pair").alias("a"),
+            (F.col("pair") + 1).alias("b"),
+            ov.alias("overlap"),
+            "r_grams",
+            "h_grams",
+        )
+        .select(
+            "a", "b", "overlap", "r_grams", "h_grams",
+            F.expr("(5000000 * overlap) DIV (4 * r_grams + h_grams)")
+            .alias("chrf2_e6"),
+        )
+    )
+
+
+def eval_chrf_pairs(spark, sf_dir):
+    """Gate: chrF (char-3-gram F_2) over the stride-paired corpus."""
+    return chrf_pairs(load_table(spark, "documents", sf_dir))
+
+
+EVAL_QUERIES["eval_chrf_pairs"] = eval_chrf_pairs
+EVAL_ORACLE["eval_chrf_pairs"] = (
+    "WITH base AS ("
+    "  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS s "
+    f"  FROM documents WHERE doc_id % {EVAL_STRIDE} IN (0, 1)), "
+    "b2 AS (SELECT doc_id, s, length(s) AS n FROM base WHERE length(s) >= 3), "
+    "grams AS ("
+    "  SELECT doc_id, substring(s, CAST(i AS INT), 3) AS g, COUNT(*) AS cnt "
+    "  FROM b2, UNNEST(range(1, n - 1)) AS u(i) "
+    "  GROUP BY doc_id, substring(s, CAST(i AS INT), 3)), "
+    "per AS ("
+    "  SELECT doc_id, SUM(cnt) AS ng FROM grams GROUP BY doc_id), "
+    f"pairs AS ("
+    f"  SELECT pa.doc_id AS pair, pa.ng AS r_grams, pb.ng AS h_grams "
+    f"  FROM per pa JOIN per pb ON pb.doc_id = pa.doc_id + 1 "
+    f"  WHERE pa.doc_id % {EVAL_STRIDE} = 0), "
+    f"ov AS ("
+    f"  SELECT ga.doc_id AS pair, SUM(LEAST(ga.cnt, gb.cnt)) AS o "
+    f"  FROM grams ga JOIN grams gb "
+    f"    ON gb.doc_id = ga.doc_id + 1 AND gb.g = ga.g "
+    f"  WHERE ga.doc_id % {EVAL_STRIDE} = 0 GROUP BY ga.doc_id) "
+    "SELECT p.pair AS a, p.pair + 1 AS b, "
+    "  CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap, "
+    "  CAST(p.r_grams AS BIGINT) AS r_grams, "
+    "  CAST(p.h_grams AS BIGINT) AS h_grams, "
+    "  CAST((5000000 * COALESCE(ov.o, 0)) "
+    "    // (4 * p.r_grams + p.h_grams) AS BIGINT) AS chrf2_e6 "
+    "FROM pairs p LEFT JOIN ov ON ov.pair = p.pair"
+)

@@ -12089,3 +12089,79 @@ RELATIONAL_ORACLE["q203_try_arithmetic"] = (
     "  CASE (k % 4) + 1 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS t_elem "
     "FROM c"
 )
+
+
+def q204_mase_forecast_error(spark, sf_dir):
+    """MASE (mean absolute SCALED error, Hyndman-Koehler 2006) of the
+    seasonal-naive forecaster on the daily revenue series — the
+    forecast-eval yardstick: a lag-7 "same day last week" forecast is
+    useful exactly when its MAE beats the lag-1 random-walk MAE that
+    scales the denominator (MASE < 1e6 here). Everything is exact
+    integer cents: the two absolute-error sums cross-multiply with
+    their term counts instead of dividing into means, so mase_e6 =
+    (1e6·Σ|x−x₋₇|·(n−1)) div (Σ|x−x₋₁|·(n−7)) is ONE integer
+    division. Emits the component sums for auditability.
+
+    Scale shape: orders collapse to the daily spine FIRST (one
+    map-combinable aggregate; the spine is calendar-bounded), then two
+    LAG windows over the tiny spine and a one-row reduce — the q174/
+    q130 collapse-then-window discipline; fact size never reaches a
+    window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "rev_c",
+        F.lag("rev_c", 1).over(w).alias("l1"),
+        F.lag("rev_c", 7).over(w).alias("l7"),
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("rev_c") - F.col("l7"))).cast("long")
+        .alias("sum_err7"),
+        F.sum(F.abs(F.col("rev_c") - F.col("l1"))).cast("long")
+        .alias("sum_err1"),
+    )
+    # the 1e6-scaled cross-product overflows int64 (ANSI threw at
+    # sf0.001) — apply the one-float-op discipline instead: both
+    # products stay exactly representable (< 2^53) far past 100x, and
+    # a single double divide + floor is engine-identical
+    return s.select(
+        "n_days", "sum_err7", "sum_err1",
+        F.floor(
+            1000000.0
+            * (F.col("sum_err7") * (F.col("n_days") - 1)).cast("double")
+            / (F.col("sum_err1") * (F.col("n_days") - 7)).cast("double")
+        ).cast("long").alias("mase_e6"),
+    )
+
+
+RELATIONAL_QUERIES["q204_mase_forecast_error"] = q204_mase_forecast_error
+RELATIONAL_ORACLE["q204_mase_forecast_error"] = (
+    "WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev_c "
+    "  FROM orders GROUP BY day), "
+    "lagged AS ("
+    "  SELECT rev_c, LAG(rev_c, 1) OVER (ORDER BY day) AS l1, "
+    "    LAG(rev_c, 7) OVER (ORDER BY day) AS l7 "
+    "  FROM daily), "
+    "s AS ("
+    "  SELECT COUNT(*) AS n_days, "
+    "    SUM(ABS(rev_c - l7)) AS sum_err7, "
+    "    SUM(ABS(rev_c - l1)) AS sum_err1 "
+    "  FROM lagged) "
+    "SELECT CAST(n_days AS BIGINT) AS n_days, "
+    "  CAST(sum_err7 AS BIGINT) AS sum_err7, "
+    "  CAST(sum_err1 AS BIGINT) AS sum_err1, "
+    "  CAST(FLOOR(1000000.0 * (sum_err7 * (n_days - 1))::DOUBLE "
+    "    / (sum_err1 * (n_days - 7))::DOUBLE) AS BIGINT) AS mase_e6 "
+    "FROM s"
+)

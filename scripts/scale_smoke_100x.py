@@ -383,6 +383,10 @@ GATES = [
                                # is a scalar BNLJ by construction
     "eval_retrieval_ranking",  # 50-query broadcast x 100x candidates
                                # score join; window over 50 partitions
+    "eval_chrf_pairs",         # char-gram explode + count maps, same
+                               # stride geometry as token F1
+    "q204_mase_forecast_error",  # day-spine collapse then two LAGs
+                               # over the calendar-bounded spine
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -508,6 +512,8 @@ DIM_BROADCAST_FLOOR = {
     "q201_business_days": 0,   # lineitem x orders is fact-fact —
                                # the orders build side must leave
                                # broadcast at 100x; no dim here
+    "eval_chrf_pairs": 0,      # char-gram pair sides are doc-derived
+                               # — the pair joins must flip
     "eval_token_f1_pairs": 0,  # both pair sides are doc-derived
                                # count maps (docs scale 100x here) —
                                # the pair join must flip to SMJ

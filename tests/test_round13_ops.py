@@ -719,3 +719,54 @@ def test_retrieval_ranking_planted_ranks(spark, sf_smoke):
         assert r["ndcg10_e6"] == NDCG10_E6[want_rank]
     mrr = sum(r["rr_e6"] for r in rows) / len(rows)
     assert 500_000 < mrr <= 1_000_000  # ranks 1..3 ⇒ MRR in (1/2, 1]
+
+
+def test_chrf_python_replay(spark, sf_smoke):
+    """chrF replayed with char-trigram Counters; the closed form
+    5o/(4r+h) equals F_2 of P=o/h, R=o/r, and scores sit in [0, 1e6]."""
+    from data_table_spark.operators.evalmetrics import EVAL_QUERIES
+
+    got = {
+        r["a"]: (r["overlap"], r["r_grams"], r["h_grams"], r["chrf2_e6"])
+        for r in EVAL_QUERIES["eval_chrf_pairs"](spark, sf_smoke).collect()
+    }
+    want = {}
+    for a, (ta, tb) in _eval_pairs(spark, sf_smoke).items():
+        sa = re.sub(r"\s+", "", ta.lower())
+        sb = re.sub(r"\s+", "", tb.lower())
+        if len(sa) < 3 or len(sb) < 3:
+            continue
+        ca = Counter(sa[i : i + 3] for i in range(len(sa) - 2))
+        cb = Counter(sb[i : i + 3] for i in range(len(sb) - 2))
+        o = sum((ca & cb).values())
+        r_, h = sum(ca.values()), sum(cb.values())
+        want[a] = (o, r_, h, (5_000_000 * o) // (4 * r_ + h))
+    assert got == want
+    for o, r_, h, f in got.values():
+        assert 0 <= f <= 1_000_000
+        assert o <= min(r_, h)
+
+
+def test_mase_python_replay(spark, sf_smoke):
+    """MASE replayed from the raw daily series in exact ints + one
+    float op; the lag-7 error sum skips the first 7 days exactly."""
+    o = load_table(spark, "orders", sf_smoke)
+    daily: dict = defaultdict(int)
+    for r in o.select(
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).collect():
+        daily[r["day"]] += r["c"]
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    s7 = sum(abs(xs[i] - xs[i - 7]) for i in range(7, n))
+    s1 = sum(abs(xs[i] - xs[i - 1]) for i in range(1, n))
+    exp = math.floor(
+        1_000_000.0 * float(s7 * (n - 1)) / float(s1 * (n - 7))
+    )
+    (row,) = RELATIONAL_QUERIES["q204_mase_forecast_error"](
+        spark, sf_smoke
+    ).collect()
+    assert (row["n_days"], row["sum_err7"], row["sum_err1"]) == (n, s7, s1)
+    assert row["mase_e6"] == exp
