@@ -12165,3 +12165,107 @@ RELATIONAL_ORACLE["q204_mase_forecast_error"] = (
     "    / (sum_err1 * (n_days - 7))::DOUBLE) AS BIGINT) AS mase_e6 "
     "FROM s"
 )
+
+
+#: candidate price thresholds (cents) for the split-scoring gate —
+#: fixed literals spanning the fixture's o_totalprice range
+GINI_THRESHOLDS = (5_000_00, 10_000_00, 20_000_00, 30_000_00, 40_000_00)
+
+
+def q205_gini_split_scores(spark, sf_dir):
+    """Decision-tree split scoring — weighted Gini impurity of the
+    children induced by each candidate threshold on o_totalprice,
+    predicting o_orderstatus: THE inner loop of tree/GBM training
+    expressed as pure dataflow (XGBoost/LightGBM's histogram pass is
+    exactly this shape), and the ML-primitive family's first member.
+
+    Exact integers end to end: per (threshold, side) the class counts
+    c_k give side impurity (n_s² − Σc_k²)/n_s²; the n-weighted sum
+    over both sides has closed form
+      [(nL² − ΣcL²)·nR + (nR² − ΣcR²)·nL] / (n·nL·nR),
+    every moment a DECIMAL(38,0)/HUGEINT product and ONE final
+    FLOOR(1e6·x) double divide. The best split is the min impurity —
+    left to the consumer (all candidate rows are emitted, the
+    histogram-pass contract).
+
+    Scale: ONE scan of orders exploded ×|thresholds| map-side (the
+    q136 sketch-explode shape), one (threshold, side, class) hash
+    aggregate — bounded by |thresholds|·2·|classes| cells — and
+    algebra on that tiny cell table."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("cls"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(int(t)).cast("long") for t in GINI_THRESHOLDS])
+    ).alias("thr")
+    cells = (
+        o.select("cents", "cls", th)
+        .select(
+            "thr", "cls",
+            F.when(F.col("cents") <= F.col("thr"), 1).otherwise(0)
+            .alias("side"),
+        )
+        .groupBy("thr", "side", "cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sides = cells.groupBy("thr", "side").agg(
+        F.sum("n").cast("decimal(38,0)").alias("ns"),
+        F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sq"),
+    )
+    l = sides.where(F.col("side") == 1).select(
+        "thr", F.col("ns").alias("nl"), F.col("sq").alias("sql_")
+    )
+    r = sides.where(F.col("side") == 0).select(
+        "thr", F.col("ns").alias("nr"), F.col("sq").alias("sqr_")
+    )
+    # the sides table is bounded by |thresholds| rows — structural
+    # broadcast hint (the q199 marginal-join case: pre-AQE estimates
+    # scale with the fact scan and would plan an SMJ for 5 rows)
+    j = l.join(F.broadcast(r), "thr")
+    num = (
+        (F.col("nl") * F.col("nl") - F.col("sql_")) * F.col("nr")
+        + (F.col("nr") * F.col("nr") - F.col("sqr_")) * F.col("nl")
+    ).cast("double")
+    den = (
+        (F.col("nl") + F.col("nr")) * F.col("nl") * F.col("nr")
+    ).cast("double")
+    return j.select(
+        F.col("thr").cast("long").alias("thr"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.floor(1000000.0 * num / den).cast("long").alias(
+            "weighted_gini_e6"
+        ),
+    )
+
+
+RELATIONAL_QUERIES["q205_gini_split_scores"] = q205_gini_split_scores
+RELATIONAL_ORACLE["q205_gini_split_scores"] = (
+    "WITH o AS ("
+    "  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents, "
+    "    o_orderstatus AS cls FROM orders), "
+    "th AS (SELECT unnest(["
+    + ", ".join(str(int(t)) for t in GINI_THRESHOLDS)
+    + "]) AS thr), "
+    "cells AS ("
+    "  SELECT th.thr, CASE WHEN o.cents <= th.thr THEN 1 ELSE 0 END "
+    "    AS side, o.cls, COUNT(*) AS n "
+    "  FROM o, th GROUP BY 1, 2, 3), "
+    "sides AS ("
+    "  SELECT thr, side, SUM(n)::HUGEINT AS ns, "
+    "    SUM(n::HUGEINT * n) AS sq "
+    "  FROM cells GROUP BY thr, side), "
+    "j AS ("
+    "  SELECT l.thr, l.ns AS nl, l.sq AS sql_, r.ns AS nr, "
+    "    r.sq AS sqr_ "
+    "  FROM sides l JOIN sides r ON l.thr = r.thr "
+    "  WHERE l.side = 1 AND r.side = 0) "
+    "SELECT CAST(thr AS BIGINT) AS thr, CAST(nl AS BIGINT) AS n_left, "
+    "  CAST(nr AS BIGINT) AS n_right, "
+    "  CAST(FLOOR(1000000.0 * ((nl * nl - sql_) * nr "
+    "    + (nr * nr - sqr_) * nl)::DOUBLE "
+    "    / ((nl + nr) * nl * nr)::DOUBLE) AS BIGINT) "
+    "    AS weighted_gini_e6 "
+    "FROM j"
+)

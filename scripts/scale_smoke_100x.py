@@ -387,6 +387,8 @@ GATES = [
                                # stride geometry as token F1
     "q204_mase_forecast_error",  # day-spine collapse then two LAGs
                                # over the calendar-bounded spine
+    "q205_gini_split_scores",  # x5 threshold explode into a
+                               # (thr, side, class)-bounded cell agg
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:

@@ -770,3 +770,43 @@ def test_mase_python_replay(spark, sf_smoke):
     ).collect()
     assert (row["n_days"], row["sum_err7"], row["sum_err1"]) == (n, s7, s1)
     assert row["mase_e6"] == exp
+
+
+def test_gini_split_python_replay(spark, sf_smoke):
+    """Weighted Gini replayed with exact Fractions; each side's
+    impurity sits in [0, 1 − 1/k], and the emitted closed form equals
+    the textbook (nL/n)·giniL + (nR/n)·giniR."""
+    from fractions import Fraction
+
+    from data_table_spark.operators.relational import GINI_THRESHOLDS
+
+    o = load_table(spark, "orders", sf_smoke)
+    rows = [
+        (r["c"], r["cls"])
+        for r in o.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.col("o_orderstatus").alias("cls"),
+        ).collect()
+    ]
+    want = {}
+    for thr in GINI_THRESHOLDS:
+        left = Counter(cls for c, cls in rows if c <= thr)
+        right = Counter(cls for c, cls in rows if c > thr)
+        nl, nr = sum(left.values()), sum(right.values())
+
+        def gini(cnt, n):
+            return 1 - sum(Fraction(v, n) ** 2 for v in cnt.values())
+
+        w = Fraction(nl, nl + nr) * gini(left, nl) + Fraction(
+            nr, nl + nr
+        ) * gini(right, nr)
+        want[thr] = (nl, nr, math.floor(1_000_000.0 * float(w)))
+    got = {
+        r["thr"]: (r["n_left"], r["n_right"], r["weighted_gini_e6"])
+        for r in RELATIONAL_QUERIES["q205_gini_split_scores"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == want
+    for nl, nr, g in got.values():
+        assert 0 <= g <= 1_000_000
