@@ -257,6 +257,7 @@ _NEXT_WINDOW_QUEUE = [
     "eval_chrf_pairs",              # char-3-gram F_2, exact closed form
     "q204_mase_forecast_error",     # seasonal-naive MASE, one float op
     "q205_gini_split_scores",       # tree-split histogram pass, exact
+    "eval_average_precision",       # PR-AUC via two prefix-sum passes
 ]
 
 #: round-9 re-proof claim order (pinned in round 7, renamed r8→r9 when

@@ -819,3 +819,115 @@ EVAL_ORACLE["eval_chrf_pairs"] = (
     "    // (4 * p.r_grams + p.h_grams) AS BIGINT) AS chrf2_e6 "
     "FROM pairs p LEFT JOIN ov ON ov.pair = p.pair"
 )
+
+
+def average_precision(docs: DataFrame) -> DataFrame:
+    """Average Precision (area under the precision-recall curve, the
+    ranking-quality number IR/classifier evals report when positives
+    are rare) of the ECE gate's English-confidence scorer against the
+    lang ground truth: rank all docs by (confidence desc, doc_id),
+    AP = mean over positives of P@rank.
+
+    NO global window: rank and cumulative-positive counts are TWO
+    :func:`~data_table_spark.operators.scale.distributed_prefix_sum`
+    passes over the integral composite key (10⁴ − conf)·10⁷ + doc_id
+    (descending confidence, ascending id — the exact tie rule the
+    oracle replays with ORDER BY). Per-positive terms quantize to
+    floored e6 FIRST, then the mean is one exact integer division
+    (floor-of-mean-of-floors, the pass@k discipline), so both engines
+    sum identical integers."""
+    from .scale import distributed_prefix_sum
+
+    ntok = F.size(_ws_toks(F.col("text")))
+    nstop = F.size(
+        F.expr(
+            f"regexp_extract_all(lower(text), '\\\\b{_ECE_STOP}\\\\b', 0)"
+        )
+    )
+    scored = (
+        docs.where(ntok > 0)
+        .select(
+            "doc_id",
+            nstop.cast("long").alias("_ns"),
+            ntok.cast("long").alias("_nt"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long")
+            .alias("y"),
+        )
+        .select(
+            "doc_id", "y",
+            F.least(
+                F.lit(10000).cast("long"), F.expr("(30000 * _ns) DIV _nt")
+            ).alias("conf_e4"),
+        )
+        .select(
+            "y",
+            (
+                (F.lit(10000) - F.col("conf_e4")) * F.lit(10_000_000)
+                + F.col("doc_id")
+            ).alias("k"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    # bucket_span sized to the composite key RANGE (~1e11), not the
+    # default 2^16: the ledger holds one row per touched bucket, and
+    # 2^30 keeps it ≤ ~100 rows at any corpus size instead of
+    # O(distinct keys)
+    span = 1 << 30
+    with_pos = distributed_prefix_sum(
+        scored, "k", "y", out_col="cum_pos", bucket_span=span
+    )
+    ranked = distributed_prefix_sum(
+        with_pos, "k", "one", out_col="rank", bucket_span=span
+    )
+    terms = ranked.where(F.col("y") == 1).select(
+        F.expr("(1000000 * cum_pos) DIV rank").alias("term_e6")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    ap = terms.agg(F.sum("term_e6").alias("s"))
+    return (
+        tot.crossJoin(F.broadcast(ap))
+        .select(
+            "n_docs", "n_pos",
+            F.expr("s DIV n_pos").cast("long").alias("ap_e6"),
+        )
+    )
+
+
+def eval_average_precision(spark, sf_dir):
+    """Gate: AP of the English-confidence ranking vs lang truth."""
+    return average_precision(load_table(spark, "documents", sf_dir))
+
+
+EVAL_QUERIES["eval_average_precision"] = eval_average_precision
+EVAL_ORACLE["eval_average_precision"] = (
+    "WITH s AS ("
+    "  SELECT doc_id, "
+    f"    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "      x -> x <> '')) AS ntok, "
+    f"    len(regexp_extract_all(lower(text), '\\b{_ECE_STOP}\\b')) "
+    "      AS nstop, "
+    "    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y "
+    "  FROM documents), "
+    "c AS ("
+    "  SELECT doc_id, y, "
+    "    LEAST(10000, (30000 * nstop) // ntok) AS conf_e4 "
+    "  FROM s WHERE ntok > 0), "
+    "r AS ("
+    "  SELECT y, "
+    "    SUM(y) OVER w AS cum_pos, "
+    "    COUNT(*) OVER w AS rank "
+    "  FROM c WINDOW w AS ("
+    "    ORDER BY (10000 - conf_e4) * 10000000 + doc_id "
+    "    ROWS UNBOUNDED PRECEDING)), "
+    "t AS ("
+    "  SELECT SUM((1000000 * cum_pos) // rank) AS ssum "
+    "  FROM r WHERE y = 1), "
+    "tot AS (SELECT COUNT(*) AS n_docs, SUM(y) AS n_pos FROM r) "
+    "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+    "  CAST(n_pos AS BIGINT) AS n_pos, "
+    "  CAST(ssum // n_pos AS BIGINT) AS ap_e6 "
+    "FROM tot, t"
+)

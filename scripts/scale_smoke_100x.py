@@ -389,6 +389,9 @@ GATES = [
                                # over the calendar-bounded spine
     "q205_gini_split_scores",  # x5 threshold explode into a
                                # (thr, side, class)-bounded cell agg
+    "eval_average_precision",  # TWO two-phase prefix sums over the
+                               # composite (conf, id) key — no global
+                               # window; ledger span sized to range
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:
@@ -437,6 +440,8 @@ BOUNDED_SCALAR_BNLJ_GATES = {
                                 # over the 1-row edge stats — constant
     "eval_retrieval_ranking",   # the 50-row query slice is broadcast
                                 # BY CONSTRUCTION — bounded eval set
+    "eval_average_precision",   # 1-row AP-sum scalar broadcast over
+                                # the 1-row totals — constant
 }
 
 #: per-gate extra-Exchange allowance beyond the 2-per-flip rule, each

@@ -810,3 +810,35 @@ def test_gini_split_python_replay(spark, sf_smoke):
     assert got == want
     for nl, nr, g in got.values():
         assert 0 <= g <= 1_000_000
+
+
+def test_average_precision_python_replay(spark, sf_smoke):
+    """AP replayed by explicitly sorting (conf desc, doc_id) in Python
+    and summing floored P@rank terms at the positives; ap_e6 in
+    [0, 1e6] and equals the replay exactly."""
+    from data_table_spark.operators.evalmetrics import EVAL_QUERIES
+
+    d = load_table(spark, "documents", sf_smoke)
+    stop = re.compile(r"\b(the|a|of|and|to|in|is|it)\b")
+    rows = []
+    for r in d.select("doc_id", "text", "lang").collect():
+        toks = [w for w in re.split(r"\s+", r["text"].lower().strip()) if w]
+        if not toks:
+            continue
+        ns = len(stop.findall(r["text"].lower()))
+        conf = min(10000, 30000 * ns // len(toks))
+        rows.append((conf, r["doc_id"], 1 if r["lang"] == "en" else 0))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    cum = 0
+    terms = []
+    for rank, (_, _, y) in enumerate(rows, start=1):
+        cum += y
+        if y:
+            terms.append(1_000_000 * cum // rank)
+    n_pos = sum(y for _, _, y in rows)
+    want = (len(rows), n_pos, sum(terms) // n_pos)
+    (row,) = EVAL_QUERIES["eval_average_precision"](
+        spark, sf_smoke
+    ).collect()
+    assert (row["n_docs"], row["n_pos"], row["ap_e6"]) == want
+    assert 0 <= row["ap_e6"] <= 1_000_000
