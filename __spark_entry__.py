@@ -385,6 +385,33 @@ _R6_COHORT_CLAIM_ORDER = [
 #: did not fit round 13's 25 rule-3b slots, in the pinned order above.
 _R14_REPROOF_QUEUE = _R6_COHORT_CLAIM_ORDER[25:]
 
+#: the pinned r7-cohort claim order (pinned at round-13 END, before the
+#: round-14 window freezes — the established discipline): once the r6
+#: remainder re-proves, the 44 r7-resting gates become the stalest
+#: green set. q-gates numeric, then families alphabetically (the
+#: _R10/_R5/_R6 convention). Round 14's rule-3 spillover (after the
+#: session-addition queue and _R14_REPROOF_QUEUE) consumes this as a
+#: strict prefix; tests/test_entry_window.py enforces superset
+#: coverage of whatever still rests on r7.
+_R7_COHORT_CLAIM_ORDER = [
+    "q52_except_all", "q53_intersect_all", "q54_unpivot",
+    "q56_map_entries", "q105_interval_coverage", "q106_triangle_count",
+    "q107_mode_per_group", "q108_percentile_disc", "q110_pareto_cover",
+    "q111_session_paths", "q112_rrf_fusion", "q113_null_semantics",
+    "q114_cohort_ltv", "q115_last_touch_attribution", "q118_benford",
+    "q120_spatial_grid_join", "q121_tree_closure", "q122_mad_outliers",
+    "q123_time_to_convert", "dedup_clusters_star_bounded",
+    "dedup_embedding_pairs", "dedup_simhash_planted_pairs",
+    "dedup_survivorship", "pipe_bucket_batches", "pipe_chunk_documents",
+    "pipe_contamination", "pipe_expectations", "pipe_pack_global",
+    "pipe_quality_sample", "pipe_source_mix", "ref_xml_roundtrip",
+    "sim_centroid_per_label", "sim_ivf_topk", "sim_knn_join_twins",
+    "sim_lsh_topk_twins", "sim_pq_adc_topk", "sim_pq_encode",
+    "stream_session_counts", "text_langid", "text_oov_rate",
+    "text_quality", "text_tfidf_top_terms", "text_vocab",
+    "udf_table_function_tokens",
+]
+
 
 def _ordered(merged: dict) -> dict:
     out = {k: merged[k] for k in _PRIORITY if k in merged}

@@ -248,3 +248,28 @@ def test_r6_cohort_is_in_window_or_staged():
     # a queued claim must not also burn a window slot
     dup = set(entry._R14_REPROOF_QUEUE) & set(_window())
     assert not dup, f"r14 queue duplicates round-13 window slots: {dup}"
+
+
+def test_r7_cohort_claim_order_pinned_for_r14():
+    """The r7 cohort becomes the stalest green set once the r6
+    remainder re-proves; its claim order was pinned at round-13 END
+    (before the round-14 window freezes). COVERAGE, not equality: the
+    pinned order must be a superset of whatever still rests on r7,
+    every name must resolve, and no name may duplicate a claim already
+    staged in _R14_REPROOF_QUEUE."""
+    latest = _latest_green()
+    stale = {k for k, r in latest.items() if r == 7}
+    assert stale <= set(entry._R7_COHORT_CLAIM_ORDER), (
+        stale - set(entry._R7_COHORT_CLAIM_ORDER)
+    )
+    unknown = [
+        k
+        for k in entry._R7_COHORT_CLAIM_ORDER
+        if k not in entry.queries()
+    ]
+    assert not unknown, f"r7 claim order names unknown gates: {unknown}"
+    assert len(entry._R7_COHORT_CLAIM_ORDER) == len(
+        set(entry._R7_COHORT_CLAIM_ORDER)
+    )
+    dup = set(entry._R7_COHORT_CLAIM_ORDER) & set(entry._R14_REPROOF_QUEUE)
+    assert not dup, f"r7 order duplicates staged r14 claims: {dup}"
