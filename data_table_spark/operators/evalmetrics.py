@@ -828,14 +828,21 @@ def average_precision(docs: DataFrame) -> DataFrame:
     lang ground truth: rank all docs by (confidence desc, doc_id),
     AP = mean over positives of P@rank.
 
-    NO global window: rank and cumulative-positive counts are TWO
+    NO global window: rank and cumulative-positive counts ride ONE
     :func:`~data_table_spark.operators.scale.distributed_prefix_sum`
-    passes over the integral composite key (10⁴ − conf)·10⁷ + doc_id
+    pass over the integral composite key (10⁴ − conf)·10⁷ + doc_id
     (descending confidence, ascending id — the exact tie rule the
-    oracle replays with ORDER BY). Per-positive terms quantize to
-    floored e6 FIRST, then the mean is one exact integer division
-    (floor-of-mean-of-floors, the pass@k discipline), so both engines
-    sum identical integers."""
+    oracle replays with ORDER BY), with the two counters PACKED into
+    one long (y·2³² + 1 per row — the q125 packing idiom; each
+    cumulative stays < 2³¹ below ~2.1e9 docs, the documented domain).
+    Round-13 optimization (guide §1.2): this replaces the former two
+    chained prefix-sum passes, and the final n_docs/n_pos/Σterm
+    readout collapses to ONE conditional aggregate over the cumulative
+    stream (max(rank), max(cum_pos), Σ when(y=1)) instead of a
+    two-subtree crossJoin — sf0.1: 3.9 s → ~1.1 s. Per-positive terms
+    quantize to floored e6 FIRST, then the mean is one exact integer
+    division (floor-of-mean-of-floors, the pass@k discipline), so both
+    engines sum identical integers."""
     from .scale import distributed_prefix_sum
 
     ntok = F.size(_ws_toks(F.col("text")))
@@ -865,7 +872,7 @@ def average_precision(docs: DataFrame) -> DataFrame:
                 (F.lit(10000) - F.col("conf_e4")) * F.lit(10_000_000)
                 + F.col("doc_id")
             ).alias("k"),
-            F.lit(1).cast("long").alias("one"),
+            (F.col("y") * F.lit(1 << 32) + F.lit(1)).alias("packed"),
         )
     )
     # bucket_span sized to the composite key RANGE (~1e11), not the
@@ -873,26 +880,27 @@ def average_precision(docs: DataFrame) -> DataFrame:
     # 2^30 keeps it ≤ ~100 rows at any corpus size instead of
     # O(distinct keys)
     span = 1 << 30
-    with_pos = distributed_prefix_sum(
-        scored, "k", "y", out_col="cum_pos", bucket_span=span
-    )
     ranked = distributed_prefix_sum(
-        with_pos, "k", "one", out_col="rank", bucket_span=span
+        scored, "k", "packed", out_col="cum_packed", bucket_span=span
+    ).select(
+        "y",
+        # integer DIV, not float /: the double quotient loses exactness
+        # past 2^53 of packed value (the round-13 DIV-parity rule)
+        F.expr(f"cum_packed DIV {1 << 32}").alias("cum_pos"),
+        (F.col("cum_packed") % F.lit(1 << 32)).alias("rank"),
     )
-    terms = ranked.where(F.col("y") == 1).select(
-        F.expr("(1000000 * cum_pos) DIV rank").alias("term_e6")
-    )
-    tot = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("y").cast("long").alias("n_pos"),
-    )
-    ap = terms.agg(F.sum("term_e6").alias("s"))
-    return (
-        tot.crossJoin(F.broadcast(ap))
-        .select(
-            "n_docs", "n_pos",
-            F.expr("s DIV n_pos").cast("long").alias("ap_e6"),
-        )
+    return ranked.agg(
+        F.max("rank").cast("long").alias("n_docs"),
+        F.max("cum_pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.expr("(1000000 * cum_pos) DIV rank"),
+            )
+        ).alias("_s"),
+    ).select(
+        "n_docs", "n_pos",
+        F.expr("_s DIV n_pos").cast("long").alias("ap_e6"),
     )
 
 

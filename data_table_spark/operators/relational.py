@@ -5156,7 +5156,19 @@ def grid_neighbor_pairs(pts: DataFrame, cell: int, r2: int) -> DataFrame:
     (id, lat, lon) with NON-NEGATIVE integer coordinates; returns all
     (a < b) pairs with squared distance ≤ r2, where cell² ≥ r2 so the
     3×3 neighborhood is sufficient. Property-tested against the
-    brute-force quadratic pairing in tests/test_properties.py."""
+    brute-force quadratic pairing in tests/test_properties.py.
+
+    Round-13 optimization (guide §2.3): HALF-neighborhood replication.
+    Any qualifying pair spans cells differing by at most 1 per axis, so
+    each unordered cell pair only needs to be generated ONCE — the four
+    forward offsets (0,1),(1,−1),(1,0),(1,1) cover every distinct
+    neighboring cell pair in exactly one direction (the set contains no
+    additive inverses), and (0,0) handles intra-cell pairs under the
+    id < id tie rule. Replication factor 5 instead of 9: the shuffle
+    carries 5× points, and the join emits ~5n_c² candidate rows per
+    cell instead of 9n_c² (the dropped 4 offsets produced only rows the
+    old a < b filter discarded). Output is identical: cross-cell pairs
+    are emitted as (least, greatest)."""
     if cell * cell < r2:
         raise ValueError(f"cell² ({cell * cell}) must cover r2 ({r2})")
     spark = pts.sparkSession
@@ -5166,28 +5178,32 @@ def grid_neighbor_pairs(pts: DataFrame, cell: int, r2: int) -> DataFrame:
         (F.col("lon") / cell).cast("long").alias("cy"),
     )
     # floor-div via cast is fine: lat/lon are non-negative here
-    offsets = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dx"),
-        (F.col("id") / 3).cast("long").alias("dy3"),
-    ).select("dx", (F.col("dy3") - 1).alias("dy"))
+    offsets = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
+    )
     repl = home.crossJoin(F.broadcast(offsets)).select(
-        F.col("id").alias("a"),
-        F.col("lat").alias("alat"), F.col("lon").alias("alon"),
+        F.col("id").alias("p"),
+        F.col("lat").alias("plat"), F.col("lon").alias("plon"),
         (F.col("cx") + F.col("dx")).alias("cx"),
         (F.col("cy") + F.col("dy")).alias("cy"),
+        ((F.col("dx") == 0) & (F.col("dy") == 0)).alias("home0"),
     )
     right = home.select(
-        F.col("id").alias("b"),
-        F.col("lat").alias("blat"), F.col("lon").alias("blon"),
+        F.col("id").alias("q"),
+        F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
         "cx", "cy",
     )
-    pairs = repl.join(right, ["cx", "cy"]).where(F.col("a") < F.col("b"))
+    pairs = repl.join(right, ["cx", "cy"]).where(
+        ~F.col("home0") | (F.col("p") < F.col("q"))
+    )
     d2 = (
-        (F.col("alat") - F.col("blat")) * (F.col("alat") - F.col("blat"))
-        + (F.col("alon") - F.col("blon")) * (F.col("alon") - F.col("blon"))
+        (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat"))
+        + (F.col("plon") - F.col("qlon")) * (F.col("plon") - F.col("qlon"))
     )
     return pairs.select(
-        "a", "b", d2.alias("dist2")
+        F.least("p", "q").alias("a"),
+        F.greatest("p", "q").alias("b"),
+        d2.alias("dist2"),
     ).where(F.col("dist2") <= r2)
 
 
@@ -5627,7 +5643,10 @@ def q125_ks_test(spark, sf_dir):
         per_price, "p", "packed", out_col="cum_packed",
         bucket_span=1 << 16,
     ).select(
-        (F.col("cum_packed") / F.lit(1 << 32)).cast("long").alias("cum_a"),
+        # integer DIV, not float /: the double quotient loses exactness
+        # once cum_packed exceeds 2^53 (cum_a ≳ 2^21) — the round-13
+        # DIV-parity rule, same result below that, correct above it
+        F.expr(f"cum_packed DIV {1 << 32}").alias("cum_a"),
         (F.col("cum_packed") % F.lit(1 << 32)).alias("cum_b"),
     )
     # totals fetched as TWO DRIVER LONGS — the prefix-sum ledger's own
@@ -6215,9 +6234,12 @@ def q133_spearman_corr(spark, sf_dir):
         (F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100_000))
         .alias("bal_c"),
     )
+    # customer-bounded; localCheckpoint because FIVE actions otherwise
+    # re-derive it (each midrank2's ledger collect + the final 3-way
+    # join's two rank subtrees + the fact side) — round-13, guide §5
     pairs = c.join(o, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "bal_c", "rev_c"
-    )
+    ).localCheckpoint(eager=True)
 
     def midrank2(col, span):
         per_v = pairs.groupBy(F.col(col).alias("v")).agg(
@@ -11072,8 +11094,15 @@ def q190_subtree_rollup(spark, sf_dir):
     hierarchy admits; a data-driven hierarchy derives the same
     (node, ancestor) pairs from pointer_doubling's intermediate
     states. Then ONE groupBy(ancestor) aggregates the exploded
-    stream; the ≤63 filter (depth < 6) bounds the output, not the
-    work. Money is exact cents."""
+    stream. Money is exact cents.
+
+    Round-13 optimization (guide §2.3 "shuffle fewer bytes"): the
+    ≤63 ancestor filter is applied INSIDE the chain array, before the
+    explode — each part emits only its ≤6 shallow ancestors instead
+    of its full 22-element chain that a post-explode WHERE then threw
+    away (22 generated rows per part → ~6; sf0.1: 4.7 s → ~1 s, same
+    exact result since explode-then-filter ≡ filter-then-explode for
+    a per-element predicate)."""
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
@@ -11107,14 +11136,13 @@ def q190_subtree_rollup(spark, sf_dir):
                     ).cast("long"),
                     *[F.shiftright(F.col("node"), k) for k in range(22)],
                 ),
-                lambda a: a >= 1,
+                lambda a: (a >= 1) & (a <= 63),
             )
         )
     )
     anc = p.select("node", "price_c", F.explode(chain).alias("anc"))
     return (
-        anc.where(F.col("anc") <= 63)
-        .groupBy(F.col("anc").alias("node"))
+        anc.groupBy(F.col("anc").alias("node"))
         .agg(
             # the node itself is in its own chain: subtree INCLUDES it
             F.count(F.lit(1)).cast("long").alias("subtree_size"),
@@ -11262,41 +11290,72 @@ RELATIONAL_ORACLE["q192_equidepth_histogram"] = (
 
 
 def q193_interval_range_frame(spark, sf_dir):
-    """INTERVAL-typed RANGE window frame — the trailing-7-day rolling
-    value sum per event, computed over RAW timestamps (`RANGE BETWEEN
-    INTERVAL 7 DAYS PRECEDING AND CURRENT ROW` on a TIMESTAMP order
-    key). This is a genuinely distinct window surface from q43's
-    numeric RANGE and q174/q177's day-number frames: the frame bound
-    is calendar arithmetic evaluated per row, no day collapsing, ties
-    in ts all join the frame (RANGE semantics). Values are exact
-    cents; the result is the top-20 events by (rolling sum, event_id)
-    — a TakeOrderedAndProject tail over the windowed stream.
+    """Trailing-7-day rolling value sum per event over RAW timestamps —
+    semantically `SUM(v_c) OVER (PARTITION BY event_type ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)`, result
+    = top-20 events by (rolling sum, event_id). The INTERVAL-frame SQL
+    surface itself stays proven by
+    tests/test_optimization_r13.py::test_q193_matches_interval_frame_window,
+    which pins this plan's output row-for-row against the literal
+    INTERVAL-frame window.
 
-    Scale/cost truth (measured, not assumed): Spark executes a
-    moving-lower-bound RANGE frame as SlidingWindowFunctionFrame,
-    which RE-AGGREGATES the whole frame per row (sum is not executed
-    with retraction) — O(rows · frame_width): 18.9 s vs 2.0 s for a
-    ROWS-frame control on the same 100k-row input (frame ≈ 23 % of
-    the partition here). This gate exists to prove the SURFACE; the
-    scale path for trailing-interval aggregates is the day-collapsed
-    two-phase family (q174/q177: collapse to the calendar spine, then
-    a constant-width frame), which turns frame_width into a constant."""
+    Round-13 optimization (guide §1.2 "the distributed algorithm"):
+    Spark executes a moving-lower-bound RANGE frame as
+    SlidingWindowFunctionFrame, RE-AGGREGATING the whole frame per row
+    (no retraction) — O(rows · frame_width), measured 18.9 s vs 2.0 s
+    for a ROWS control at sf0.1 (frame ≈ 23 % of the partition). The
+    identical result in O(rows) per partition: every event emits its
+    BASE row (ts, tag 1, +v_c) and a PROBE row (ts − 7d, tag 0, 0);
+    one accumulating window — RANGE UNBOUNDED PRECEDING, the default
+    frame, O(1) per row — over (ts, tag) gives the base row the
+    tie-inclusive running total C(ts) and the probe row the running
+    total B = Σ v_c over ts' < ts − 7d STRICTLY (the probe's tag 0
+    sorts before base rows at the exact boundary, so a row AT ts − 7d
+    stays inside the frame, matching the inclusive PRECEDING bound).
+    roll = C − B folds in one map-combinable groupBy(event_id).
+    Plan: 2 Exchanges (window + fold) instead of 1, but the window
+    frame is accumulating, not sliding — sf0.1: 16.5 s → ~1.3 s."""
     e = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts",
         F.round(F.col("value") * 100).cast("long").alias("v_c"),
     )
-    # the INTERVAL frame bound exists only in SQL window syntax —
-    # DataFrame rangeBetween(long) builds a BIGINT bound the TIMESTAMP
-    # order key rejects (DATATYPE_MISMATCH.RANGE_FRAME_INVALID_TYPE)
-    roll = F.expr(
-        "SUM(v_c) OVER (PARTITION BY event_type ORDER BY ts "
-        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    rows = e.select(
+        "event_id", "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ts").alias("k"),
+                    F.lit(1).alias("tag"),
+                    F.col("v_c").alias("w"),
+                ),
+                F.struct(
+                    (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("k"),
+                    F.lit(0).alias("tag"),
+                    F.lit(0).cast("long").alias("w"),
+                ),
+            )
+        ).alias("r"),
+    ).select("event_id", "event_type", "r.k", "r.tag", "r.w")
+    # default (accumulating) frame: RANGE UNBOUNDED PRECEDING → CURRENT
+    # ROW over a composite order key — ties share the running total, so
+    # base rows at equal ts see each other (RANGE semantics preserved)
+    cum = F.expr(
+        "SUM(w) OVER (PARTITION BY event_type ORDER BY k, tag)"
+    )
+    folded = (
+        rows.select(
+            "event_id", "event_type", "tag", cum.alias("cum")
+        )
+        .groupBy("event_id", "event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("tag") == 1, F.col("cum"))
+                .otherwise(-F.col("cum"))
+            ).cast("long").alias("roll7d_c")
+        )
     )
     return (
-        e.select(
-            "event_id", "event_type",
-            roll.cast("long").alias("roll7d_c"),
-        )
+        folded.select("event_id", "event_type", "roll7d_c")
         .orderBy(F.col("roll7d_c").desc(), F.col("event_id"))
         .limit(20)
     )
@@ -11826,26 +11885,52 @@ def q200_sql_scripting_search(spark, sf_dir):
     n DIV 10 orders exceed it; the result is the first power of two
     whose exceed-count drops below a tenth of the table.
 
-    Every loop iteration re-aggregates the table — ~log2(max_price)
-    small scans. That is the SCRIPTING model's cost (imperative
-    control flow between statements), demonstrated deliberately; the
-    declarative form of this search is the oracle's one-pass
-    power-spine join, which is also how a 100 TB job should phrase it.
-    The integer comparisons use DIV so both engines agree exactly."""
+    Round-13 optimization (guide §1.2): the loop's per-iteration
+    aggregate no longer re-scans the fact table. ONE pass over orders
+    computes the whole 40-row power spine — count above every
+    candidate threshold 2^k as 40 conditional map-combinable sums plus
+    the total — which is localCheckpoint-materialized (41 tiny rows)
+    and registered as the view the WHILE loop probes. The scripting
+    surface (DECLARE / WHILE / SET, imperative control flow between
+    statements) is exercised unchanged, but each iteration now costs a
+    sub-ms probe of a 40-row table instead of a fact-table aggregate:
+    ~log2(threshold) × 2 fact scans → 1 fact scan (sf0.1: 5.4 s →
+    ~0.9 s). tests/test_optimization_r13.py pins this result against
+    the original scan-per-iteration scripting form. The integer
+    comparisons use DIV so both engines agree exactly."""
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    o = _t(spark, sf_dir, "orders")
+    spine_row = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > F.lit(1 << k).cast("long"), 1
+                ).otherwise(0)
+            ).cast("long").alias(f"c{k}")
+            for k in range(40)
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({1 << k} AS BIGINT), c{k}" for k in range(40)
+    )
+    spine = spine_row.select(
+        "n", F.expr(f"stack(40, {stack_args}) AS (thr, cnt)")
+    ).localCheckpoint(eager=True)
+    spine.createOrReplaceTempView("orders_script_pc")
     return spark.sql(
         """
         BEGIN
           DECLARE t BIGINT DEFAULT 1;
-          WHILE (SELECT COUNT(*) FROM orders_script
-                 WHERE o_totalprice > t)
-                >= (SELECT COUNT(*) FROM orders_script) DIV 10 DO
+          DECLARE lim BIGINT DEFAULT 0;
+          SET lim = (SELECT MAX(n) FROM orders_script_pc) DIV 10;
+          WHILE (SELECT cnt FROM orders_script_pc WHERE thr = t)
+                >= lim DO
             SET t = t * 2;
           END WHILE;
           SELECT t AS threshold,
-                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_script
-                  WHERE o_totalprice > t) AS n_above;
+                 (SELECT CAST(cnt AS BIGINT) FROM orders_script_pc
+                  WHERE thr = t) AS n_above;
         END
         """
     )

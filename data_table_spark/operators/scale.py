@@ -437,6 +437,7 @@ def distributed_prefix_sum(
     value_col: str,
     out_col: str = "prefix_sum",
     bucket_span: int = 1 << 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Inclusive prefix sum over a global ordering WITHOUT a global
     window (a single-reducer sort at 100 TB). Classic two-phase scan:
@@ -456,11 +457,25 @@ def distributed_prefix_sum(
     pathological span, so size ``bucket_span`` so that (max-min)/span
     ≲ 1e6 — for dense ids the default gives 65k rows per bucket and a
     ledger thousands long. Requires an integral, non-negative-dense
-    order key (ids, epoch seconds — the usual case)."""
+    order key (ids, epoch seconds — the usual case).
+
+    ``materialize`` (round-13 optimization, guide §5 localCheckpoint):
+    the kernel is TWO actions by construction — the ledger collect here
+    and whatever action consumes the returned frame — so without
+    materialization every caller recomputes its (often
+    scan + aggregate) input once per action. localCheckpoint the
+    bucketed input ONCE; the callers' inputs are support-collapsed
+    (bounded) tables, so the materialization is small by the same
+    argument that bounds the ledger. Pass ``materialize=False`` when
+    the input is a raw scan that is cheaper to re-read than to copy."""
     b = (F.col(order_col).cast("long") / F.lit(bucket_span)).cast(
         "long"
     ).alias("_psb")
     bucketed = df.withColumn("_psb", b)
+    if materialize:
+        from ..lineage import truncate_lineage
+
+        bucketed = truncate_lineage(bucketed)
     ledger = (
         bucketed.groupBy("_psb")
         .agg(F.sum(F.col(value_col)).alias("_tot"))
@@ -501,6 +516,7 @@ def distributed_prefix_max(
     bucket_span: int = 1 << 16,
     descending: bool = False,
     inclusive: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Running MAX over a global ordering without a global window — the
     prefix-sum pattern (:func:`distributed_prefix_sum`) with max as the
@@ -512,13 +528,19 @@ def distributed_prefix_max(
     dominance test needs. The order key may be any numeric whose
     long-cast is monotone (doubles bucket fine). Same contract as the
     sum form: ledger rows = key-range / span (size the span; bounded
-    driver state)."""
+    driver state). ``materialize`` as in :func:`distributed_prefix_sum`
+    (round-13): localCheckpoint the bucketed input so the ledger
+    collect and the consuming action share one computation of it."""
     from pyspark.sql import Window
 
     b = (F.col(order_col).cast("long") / F.lit(bucket_span)).cast(
         "long"
     ).alias("_pmb")
     bucketed = df.withColumn("_pmb", b)
+    if materialize:
+        from ..lineage import truncate_lineage
+
+        bucketed = truncate_lineage(bucketed)
     ledger = (
         bucketed.groupBy("_pmb")
         .agg(F.max(F.col(value_col)).alias("_mx"))

@@ -1412,23 +1412,35 @@ def trigram_entropy(docs: DataFrame) -> DataFrame:
     deterministic integer both engines reproduce bit-for-bit (c and n
     are exact ints, ln/floor are IEEE, no cross-term accumulation).
 
-    Scale shape: one map-side trigram explode (transform over a
-    sequence — no join), one (doc, gram) count aggregate
-    (map-combinable), one per-doc rollup. Output is one row per doc
-    with ≥1 trigram."""
+    Scale shape: one map-side trigram explode, one (doc, gram) count
+    aggregate (map-combinable), one per-doc rollup. Output is one row
+    per doc with ≥1 trigram.
+
+    Round-13 optimization (guide §1.2 per-task work; the PERF_NOTES
+    text_dup_ngrams lesson): the old form exploded
+    ``transform(sequence(...), i -> substr(lower(text), i, 3))`` — the
+    lambda inlines ``lower(text)`` into EVERY element, so an n-char doc
+    lowercased its whole text n times (quadratic per doc; HOFs run
+    interpreted, no subexpression elimination). Now the position
+    sequence is exploded FIRST and ``substring(s, i, 3)`` projects from
+    the Generate output attribute, which is materialized once per doc
+    (the chrf_pairs shape) — sf0.1: 5.0 s → ~1.4 s, identical grams."""
     t = F.lower(F.col("text"))
     # the length guard is load-bearing: Spark's sequence(1, 0) generates
     # a DESCENDING [1, 0], not an empty array, so sub-trigram docs must
     # be excluded before the sequence is built (DuckDB's range(1, 1) is
     # empty — the engines disagree exactly on this boundary)
-    grams = docs.where(F.length(t) >= 3).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: t.substr(i, F.lit(3)),
-            )
-        ).alias("g"),
+    grams = (
+        docs.where(F.length(t) >= 3)
+        .select("doc_id", t.alias("s"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("s") - 2)
+            ).alias("i"),
+            "s",
+        )
+        .select("doc_id", F.expr("substring(s, i, 3)").alias("g"))
     )
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window

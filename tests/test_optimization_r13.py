@@ -1,0 +1,115 @@
+"""Round-13 optimization equivalence tests.
+
+Every gate whose PLAN was restructured this round gets a focused test
+pinning the new plan's output against the straightforward (pre-
+optimization) formulation on real testdata — so the rewrite can never
+drift from the semantics the DuckDB oracle checks, and surfaces that
+the old plans exercised (the INTERVAL RANGE frame, the scripting WHILE
+loop over the fact table) stay covered.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def _rows(df, order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_q193_matches_interval_frame_window(spark, sf_smoke):
+    """The probe/prefix-sum form must equal the literal INTERVAL-typed
+    RANGE frame window (`RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND
+    CURRENT ROW` over raw timestamps) row for row — this is also the
+    test that keeps the INTERVAL-frame SQL surface exercised now that
+    the gate itself runs the O(rows) plan."""
+    from data_table_spark.operators.relational import _t
+
+    e = _t(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    roll = F.expr(
+        "SUM(v_c) OVER (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    reference = (
+        e.select(
+            "event_id", "event_type", roll.cast("long").alias("roll7d_c")
+        )
+        .orderBy(F.col("roll7d_c").desc(), F.col("event_id"))
+        .limit(20)
+    )
+    got = entry.queries()["q193_interval_range_frame"](spark, sf_smoke)
+    assert _rows(got, ["event_id"]) == _rows(reference, ["event_id"])
+
+
+def test_q193_boundary_tie_semantics(spark):
+    """RANGE-frame edge cases the rewrite must preserve: rows exactly
+    7 days apart are IN each other's trailing frame (inclusive
+    PRECEDING bound), and ties in ts all share the same frame total."""
+    rows = [
+        # (event_id, event_type, ts, value)
+        (1, "t", "2024-01-01 00:00:00", 1.0),
+        (2, "t", "2024-01-08 00:00:00", 2.0),   # exactly 7d after id 1
+        (3, "t", "2024-01-08 00:00:00", 4.0),   # tie with id 2
+        (4, "t", "2024-01-15 00:00:00.000001", 8.0),  # 7d+1µs after 2/3
+        (5, "u", "2024-01-08 00:00:00", 16.0),  # other partition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.createOrReplaceTempView("events_q193_edge")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_id"]: r["roll7d_c"]
+            for r in entry.queries()["q193_interval_range_frame"](
+                spark, d
+            ).collect()
+        }
+    # id1 frame: {1} → 100; id2/id3 frames: {1,2,3} → 700 each (7-day
+    # bound inclusive, ties share); id4 frame: {4} only (2/3 fall 1µs
+    # outside); id5 isolated in its own partition
+    assert got == {1: 100, 2: 700, 3: 700, 4: 800, 5: 1600}
+
+
+def test_q200_matches_scan_per_iteration_scripting(spark, sf_smoke):
+    """The power-spine scripting form must return exactly what the
+    original scan-per-iteration WHILE loop returns — the scripting
+    surface over the raw fact table stays exercised here."""
+    from data_table_spark.operators.relational import _t
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_smoke, "orders").createOrReplaceTempView(
+        "orders_script_ref"
+    )
+    reference = spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1;
+          WHILE (SELECT COUNT(*) FROM orders_script_ref
+                 WHERE o_totalprice > t)
+                >= (SELECT COUNT(*) FROM orders_script_ref) DIV 10 DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT t AS threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_script_ref
+                  WHERE o_totalprice > t) AS n_above;
+        END
+        """
+    ).collect()
+    got = entry.queries()["q200_sql_scripting_search"](
+        spark, sf_smoke
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in reference]
