@@ -119,9 +119,17 @@ def bpe_train(
     ``min_count``. The per-round driver state is ONE row (the argmax
     pair); the distributed state is the vocabulary-sized word table,
     checkpoint-materialized each round so the fold lineage stays
-    flat."""
+    flat.
+
+    Round-13 optimization: the checkpoints are LAZY (eager=False) —
+    each round's argmax action materializes the merge fold and takes
+    the top pair in ONE job, instead of a dedicated materialization
+    job per round followed by the argmax job. Same lineage flatness
+    (blocks exist after the first action), half the per-round job
+    count; the training loop is job-overhead-bound because the word
+    table is vocabulary-sized."""
     words = _with_symbols(word_freqs(docs, text_col)).localCheckpoint(
-        eager=True
+        eager=False
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -136,7 +144,7 @@ def bpe_train(
         left, right, n = best[0]["left"], best[0]["right"], best[0]["n"]
         merges.append((rank, left, right, int(n)))
         words = _apply_merge(words, left, right).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges
 

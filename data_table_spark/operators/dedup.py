@@ -934,9 +934,17 @@ def prefix_filter_pairs(
     and let it shuffle-join on tok."""
     from pyspark.sql import Window
 
-    sets = docs.select(
-        F.col(id_col).alias("doc"),
-        _trigram_shingles(F.col(text_col)).alias("s"),
+    # Round-13 (guide §5): the per-doc shingle-array table feeds FIVE
+    # subtrees of the one final plan (rank, both prefix sides' position
+    # streams, both verify sides) — without truncation each re-runs the
+    # regex shingling of the whole corpus. Materialize the compact
+    # (doc, shingles) form once; every consumer re-derives its shape
+    # from arrays (map-side explode), not from text.
+    sets = truncate_lineage(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            _trigram_shingles(F.col(text_col)).alias("s"),
+        )
     )
     toks = sets.select(
         "doc", F.explode("s").alias("tok"), F.size("s").alias("n")
@@ -1428,9 +1436,13 @@ def containment_pairs(
     set via array_intersect."""
     from pyspark.sql import Window
 
-    sets = docs.select(
-        F.col(id_col).alias("doc"),
-        _trigram_shingles(F.col(text_col)).alias("s"),
+    # Round-13 (guide §5): same shingle-table truncation as
+    # prefix_filter_pairs — four consumers, one regex shingling pass
+    sets = truncate_lineage(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            _trigram_shingles(F.col(text_col)).alias("s"),
+        )
     )
     toks = sets.select(
         "doc", F.explode("s").alias("tok"), F.size("s").alias("n")

@@ -643,8 +643,6 @@ def retrieval_ranking(emb: DataFrame) -> DataFrame:
 
     Scale: queries are a bounded slice (broadcast side of the score
     join); candidates stream by; one window partitioned by query."""
-    from .similarity import cosine
-
     q = emb.where(F.col("vec_id") < RETR_N_QUERIES)
 
     def _scaled(s: float):
@@ -666,10 +664,22 @@ def retrieval_ranking(emb: DataFrame) -> DataFrame:
     )
     cands = rel.unionByName(decoys).unionByName(naturals)
     qs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-    scored = cands.crossJoin(F.broadcast(qs)).select(
+    # Round-13 optimization (guide §4.2 / §1.2 per-task work): the
+    # norms are per-VECTOR quantities — precompute them once per
+    # candidate and once per query instead of re-folding both inside
+    # every pair's cosine (3 interpreted 64-element HOF folds per pair
+    # → 1). norm(cv)·norm(qv) is the same double either way (identical
+    # expression on identical data), so floor(cos·1e6) is unchanged.
+    from .similarity import dot, norm
+
+    cands_n = cands.select("c_id", "cv", norm(F.col("cv")).alias("nc"))
+    qs_n = qs.select("q_id", "qv", norm(F.col("qv")).alias("nq"))
+    scored = cands_n.crossJoin(F.broadcast(qs_n)).select(
         "q_id", "c_id",
-        F.floor(cosine(F.col("cv"), F.col("qv")) * 1_000_000)
-        .cast("long").alias("score_e6"),
+        F.floor(
+            (dot(F.col("cv"), F.col("qv")) / (F.col("nc") * F.col("nq")))
+            * 1_000_000
+        ).cast("long").alias("score_e6"),
     )
     from pyspark.sql import Window
 

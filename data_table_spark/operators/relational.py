@@ -3558,11 +3558,16 @@ def q100_pagerank(spark, sf_dir):
     the dangling mass redistribution term."""
     e = _t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # round-13 (guide §5): the transition-count table is vocabulary²-
+    # sized but derives from the full event window — and it feeds the
+    # node count action plus every unrolled iteration's share join
+    # (~8 subtree references). Materialize it once.
     edges = (
         e.withColumn("src", F.lag("event_type").over(w_ord))
         .where(F.col("src").isNotNull())
         .groupBy("src", F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     share = (
@@ -4057,20 +4062,49 @@ def q106_triangle_count(spark, sf_dir):
     Catalyst's threshold flips it to sort-merge (same degradation
     story as q68).
     """
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def _copurchase_edges(spark, sf_dir) -> DataFrame:
+    """Distinct co-purchase edges (a < b): two parts are adjacent iff
+    some order contains both — the shared edge builder for the q106 /
+    q124 triangle kernels.
+
+    Round-13 optimization (guide §2.4 remove shuffles): the former
+    distinct → self-join on l_orderkey → distinct planned THREE
+    exchanges of the line/pair stream (measured 5.5 s of q106's 11 s).
+    Now ONE exchange groups each order's distinct parts into a sorted
+    array (collect_set — map-side partial aggregation), the C(n,2)
+    pairs explode MAP-SIDE from the array (baskets are small, so the
+    per-order expansion is constant work), and one distinct remains.
+    Same edge set by construction: a<b ordering comes from the sorted
+    array's index pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    # index-pair explode over the materialized array attribute (no
+    # recomputed-expression-in-lambda trap: `ps` is an agg output).
+    # sequence() guard: size >= 2 above, so sequence(1, n-1) ascends.
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ps") - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), i - 1),
+                lambda j: F.struct(
+                    F.element_at("ps", j + 1).alias("a"),
+                    F.element_at("ps", i + 1).alias("b"),
+                ),
+            ),
         )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("e"))
+        .select("e.a", "e.b")
         .distinct()
     )
-    return triangle_count(edges)
 
 
 def _oriented_graph(edges: DataFrame):
@@ -4113,34 +4147,64 @@ def _oriented_graph(edges: DataFrame):
     return edges, deg, oriented
 
 
+def _oriented_adjacency(oriented: DataFrame) -> DataFrame:
+    """Per-node sorted out-neighbor arrays of the degree-oriented graph
+    — every row's array is bounded at O(√m) elements by the
+    orientation, so the adjacency table has node count rows and edge
+    count total entries, with no unbounded row. Checkpointed: both
+    attach joins read it."""
+    return (
+        oriented.groupBy(F.col("u").alias("n"))
+        .agg(F.array_sort(F.collect_list("v")).alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _edge_triangles(oriented: DataFrame) -> DataFrame:
+    """Round-13 optimization (guide §2.3/§2.4): per-oriented-edge
+    triangle enumeration WITHOUT materializing the wedge stream. The
+    former plan joined oriented⋈oriented into 49M wedge rows (sf0.1)
+    and semi-joined them against the edge list — a 49M-row exchange
+    plus its sort. Edge-centric form: attach each edge's endpoints'
+    out-neighbor arrays and intersect — S = N⁺(u) ∩ N⁺(v) holds
+    exactly the w closing u→v→w with u→w, so each triangle is counted
+    once on its unique base edge. The shuffles move the edge stream
+    (+ one O(√m)-bounded array per row), not the wedge stream;
+    measured 5.3 s → 2.0 s for the count phase. Inner joins are
+    correct: an endpoint missing from the adjacency table has no
+    out-neighbors, so its edges close nothing.
+    Returns (u, v, s, c): base edge, intersection array, |s| as long."""
+    adj = _oriented_adjacency(oriented)
+    return (
+        oriented.join(
+            adj.select(F.col("n").alias("u"), F.col("nb").alias("nu")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("n").alias("v"), F.col("nb").alias("nv")),
+            "v",
+        )
+        .select(
+            "u", "v",
+            F.array_intersect("nu", "nv").alias("s"),
+        )
+        .select(
+            "u", "v", "s", F.size("s").cast("long").alias("c")
+        )
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """The reusable degree-ordered triangle kernel behind q106:
     ``edges`` holds one row per UNDIRECTED edge as (a, b) with a < b,
     no duplicates, no self-loops. Returns a single row
     (n_nodes, n_edges, n_triangles). Property-tested against a brute-
     force combination check in tests/test_properties.py. The edge list
-    and orientation are checkpoint-materialized once (_oriented_graph)
-    instead of being re-derived by every self-join branch."""
+    and orientation are checkpoint-materialized once (_oriented_graph);
+    triangle enumeration is the edge-centric intersection form
+    (:func:`_edge_triangles` — round-13, no wedge materialization)."""
     edges, deg, oriented = _oriented_graph(edges)
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2, F.col("o1.v") == F.col("o2.u")
-    ).select(
-        F.col("o1.u").alias("u"),
-        F.col("o1.v").alias("v"),
-        F.col("o2.v").alias("w"),
-    )
-    # fresh column names break the shared lineage with `wedges` (both
-    # derive from `oriented`), which otherwise makes the join keys
-    # ambiguous in a self-join
-    closure = oriented.select(
-        F.col("u").alias("cu"), F.col("v").alias("cw")
-    )
-    tri = wedges.join(
-        closure,
-        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
-        "left_semi",
-    )
+    tri = _edge_triangles(oriented)
     # assemble the three scalars JOIN-FREE: tagged union of the 1-row
     # aggregates + one conditional aggregate. A crossJoin (or even a
     # constant-key equi join, which Catalyst folds back into a
@@ -4154,7 +4218,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .select(F.lit("n_edges").alias("m"), "v")
         )
         .unionAll(
-            tri.agg(F.count(F.lit(1)).alias("v"))
+            # coalesce: an edge set whose every edge closes nothing can
+            # leave tri empty (inner adjacency joins drop such edges),
+            # where the old semi-join count was 0, not NULL
+            tri.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
             .select(F.lit("n_triangles").alias("m"), "v")
         )
     )
@@ -5516,44 +5583,33 @@ def q124_clustering_coefficient(spark, sf_dir):
     node's degree d from the undirected degree table. Output: the top
     20 nodes by (coeff_e6, node) — a TakeOrderedAndProject, no global
     sort."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("x"), li.alias("y")
-    edges = (
-        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
+    edges, deg, oriented = _oriented_graph(_copurchase_edges(spark, sf_dir))
+    # Round-13: triangles come from the edge-centric intersection form
+    # (_edge_triangles — no 49M-row wedge materialization; see q106).
+    # Corner crediting stays ONE explode in the same map pass: the base
+    # edge's endpoints each get |S| (they sit in |S| triangles through
+    # this edge) and every completing w gets 1 — identical per-node
+    # totals to exploding each triangle's (u, v, w).
+    tri = _edge_triangles(oriented)
+    credits = tri.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("n"), F.col("c").alias("t")),
+                    F.struct(F.col("v").alias("n"), F.col("c").alias("t")),
+                ),
+                F.transform(
+                    "s",
+                    lambda w: F.struct(
+                        w.alias("n"), F.lit(1).cast("long").alias("t")
+                    ),
+                ),
+            )
+        ).alias("x")
     )
-    edges, deg, oriented = _oriented_graph(edges)
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2, F.col("o1.v") == F.col("o2.u")
-    ).select(
-        F.col("o1.u").alias("u"),
-        F.col("o1.v").alias("v"),
-        F.col("o2.v").alias("w"),
+    tcnt = credits.groupBy(F.col("x.n").alias("n")).agg(
+        F.sum("x.t").alias("t")
     )
-    closure = oriented.select(
-        F.col("u").alias("cu"), F.col("v").alias("cw")
-    )
-    tris = wedges.join(
-        closure,
-        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
-        "left_semi",
-    )
-    # one explode, NOT a 3-way unionAll of projections: a union of three
-    # selects over `tris` re-executes the whole wedge+semi-join subtree
-    # three times (measured: 52 s → 18 s at sf0.1 — the union was 3×
-    # the triangle pipeline), while explode credits all three corners
-    # in the same map pass that emits the triangle
-    corners = tris.select(
-        F.explode(F.array("u", "v", "w")).alias("n")
-    )
-    tcnt = corners.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
     return (
         deg.where(F.col("d") >= 2)
         .join(tcnt, "n", "left")
@@ -6349,20 +6405,9 @@ def q134_link_prediction(spark, sf_dir):
     hint; AQE broadcasts while small) so the scores are true even
     though the scored pair universe is bounded."""
     bound = 400
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # round-13: same edge set via the shared one-exchange builder
+    # (collect_set + map-side pair explode — see _copurchase_edges)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(
         F.col("a").alias("n"), F.col("b").alias("z")
     ).unionAll(edges.select(F.col("b").alias("n"), F.col("a").alias("z")))
@@ -6920,20 +6965,8 @@ def q139_bounded_bfs(spark, sf_dir):
     check (dedup_clusters' pattern); the hop bound here makes the
     plan statically analyzable — and most product queries ARE
     hop-bounded."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # round-13: same edge set via the shared one-exchange builder
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -7941,23 +7974,53 @@ def q149_theil_sen(spark, sf_dir):
             / (F.col("b_ud") - F.col("a_ud"))
         ).cast("long").alias("slope_e6")
     )
-    vals = slopes.groupBy("slope_e6").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = Window.orderBy("slope_e6").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Round-13 optimization (guide §2): the former groupBy(slope) +
+    # UNPARTITIONED cumulative window sorted the ~n²/2 mostly-distinct
+    # slope values on ONE reducer (the documented alternative was
+    # named; this lands it). Lower median = the ceil(n/2)-th smallest
+    # slope WITH multiplicity, so skip the collapse entirely:
+    # repartitionByRange orders the slope stream across P partitions
+    # (equal values land in one partition — range partitioning is
+    # value-deterministic), a P-row per-partition count ledger finds
+    # the partition holding global rank k and its offset (bounded
+    # driver state, the distributed_prefix_sum discipline), and ONE
+    # partition-local sort selects the row — no global window anywhere.
+    from ..session import DEFAULT_SHUFFLE_PARTITIONS
+
+    sp = (
+        slopes.repartitionByRange(
+            DEFAULT_SHUFFLE_PARTITIONS, "slope_e6"
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ledger = sorted(
+        (r["_pid"], r["c"])
+        for r in sp.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
     )
-    cum = vals.select(
-        "slope_e6",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
-    return cum.agg(
-        F.min(
-            F.when(2 * F.col("cum") >= F.col("n"), F.col("slope_e6"))
-        ).alias("median_slope_e6"),
-        F.max("n").cast("long").alias("n_pairs"),
+    if not ledger:  # empty spine: one all-NULL row, like the old agg
+        return spark.createDataFrame(
+            [(None, None)], "median_slope_e6 long, n_pairs long"
+        )
+    n = sum(c for _, c in ledger)
+    k = (n + 1) // 2  # smallest slope with 2·cum ≥ n  ⇔  rank ceil(n/2)
+    target, prior = ledger[0][0], 0
+    for pid, c in ledger:
+        if prior + c >= k:
+            target = pid
+            break
+        prior += c
+    w_local = Window.partitionBy("_pid").orderBy("slope_e6")
+    return (
+        sp.where(F.col("_pid") == target)
+        .withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") == k - prior)
+        .select(
+            F.col("slope_e6").alias("median_slope_e6"),
+            F.lit(n).cast("long").alias("n_pairs"),
+        )
     )
 
 
@@ -11701,19 +11764,10 @@ def q198_degree_assortativity(spark, sf_dir):
     they fit and AQE flips to sort-merge when the graph outgrows the
     threshold (the 100x audit pins that flip); the moment aggregation
     is a single partial-aggregable reduce to one row."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .distinct()
-    )
+    # round-13: shared one-exchange edge builder + checkpoint — the
+    # degree union and the directed union reference the edge subtree
+    # FOUR times in the one final plan
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -12030,19 +12084,9 @@ def q202_modularity(spark, sf_dir):
     aggregates over edges (intra flag is a map-side expression) and
     one over the node-degree table — no joins beyond the edge build
     itself."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .distinct()
-    )
+    # round-13: shared one-exchange edge builder + checkpoint (three
+    # aggregate consumers reference the edge subtree in the final plan)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     b = MODULARITY_BUCKET
     stats = edges.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),

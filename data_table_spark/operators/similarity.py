@@ -1485,7 +1485,13 @@ def sim_prefix_dim_topk(spark, sf_dir):
     prefix slice prunes 3/4 of the multiply-adds per candidate, which
     at serving scale is the whole point."""
     e = load_table(spark, "embeddings", sf_dir)
-    q8 = quantize_int8(e)
+    # Round-13 (guide §5): materialize the quantized table once. The
+    # interpreted HOF folds (two dots + two norms + the zero-norm
+    # guards) otherwise each re-inline the whole quantize transform
+    # (~6 evaluations of a 64-element when/transform per row). The
+    # int8 copy is 4× smaller than the raw embeddings and IS the
+    # serving-tier artifact this gate models.
+    q8 = quantize_int8(e).localCheckpoint(eager=True)
     pfx = lambda c: F.slice(c, 1, PREFIX_DIMS)
     idot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),

@@ -2144,16 +2144,28 @@ def dup_ngram_stats(docs: DataFrame) -> DataFrame:
     # inlines the full tokenization into every element_at inside the
     # lambda: O(5·n) tokenizations of an n-token doc = quadratic per
     # doc (measured: 28 s at sf0.01 → sub-second after this rewrite).
-    m = n - (DUP_NGRAM_N - 1)
-    grams = F.slice(t, 1, m)
+    # Round-13 (guide §5): two materializations. (1) the token-array
+    # table — the 5 shifted slices each inline the tokenize expression,
+    # so building grams from a STORED array tokenizes once per doc
+    # instead of five times; (2) the exploded instance stream — it
+    # feeds BOTH the vocabulary aggregate and the join-back, which
+    # otherwise re-run the whole gram build.
+    from ..lineage import truncate_lineage
+
+    tk = truncate_lineage(
+        docs.where(n >= DUP_NGRAM_N).select("doc_id", "source", t.alias("t"))
+    )
+    ts = F.col("t")
+    m = F.size(ts) - (DUP_NGRAM_N - 1)
+    grams = F.slice(ts, 1, m)
     for k in range(1, DUP_NGRAM_N):
         grams = F.zip_with(
             grams,
-            F.slice(t, 1 + k, m),
+            F.slice(ts, 1 + k, m),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    inst = docs.where(n >= DUP_NGRAM_N).select(
-        "doc_id", "source", F.explode(grams).alias("g")
+    inst = truncate_lineage(
+        tk.select("doc_id", "source", F.explode(grams).alias("g"))
     )
     gram_docs = inst.groupBy("g").agg(
         F.countDistinct("doc_id").alias("nd")

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round-13 note: preferSortMergeJoin=false + the AQE
+        # SMJ→SHJ threshold (guide §3.1/§9) were A/B-measured on the
+        # heavy join gates and showed no benefit above the ±20 %
+        # session-to-session noise floor on this host — not adopted;
+        # see OPTIMIZATION_r13.md "examined, left alone".
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # INT96 (Spark's compatibility default) carries NO parquet

@@ -113,3 +113,50 @@ def test_q200_matches_scan_per_iteration_scripting(spark, sf_smoke):
         spark, sf_smoke
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in reference]
+
+
+def test_capped_sessions_matches_grouped_map_form(spark, sf_dir):
+    """The vectorized mapInPandas fold must emit exactly the sessions
+    the original per-key grouped-map recurrence emitted — every split
+    decision (gap break, cap break, sid numbering) row-identical."""
+    import pandas as pd
+
+    from data_table_spark.operators.udfs import (
+        SESSION_CAP_US,
+        SESSION_GAP_US,
+        capped_sessions,
+        load_table,
+    )
+
+    gap_us, cap_us = SESSION_GAP_US, SESSION_CAP_US
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000
+        key = pdf["user_id"].iloc[0]
+        out, sid, start, prev, n = [], 0, None, None, 0
+        for t in us:
+            if start is None or t - prev > gap_us or t - start > cap_us:
+                if start is not None:
+                    out.append((key, sid, n, start, prev))
+                sid += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        if start is not None:
+            out.append((key, sid, n, start, prev))
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "sid", "n_events", "start_us", "end_us"],
+        )
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id"
+    )
+    reference = e.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, sid long, n_events long, start_us long, end_us long",
+    )
+    got = capped_sessions(e)
+    key = ["user_id", "sid"]
+    assert _rows(got, key) == _rows(reference, key)
