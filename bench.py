@@ -114,9 +114,38 @@ def _env_fingerprint() -> dict:
     return fp
 
 
+def _wait_for_quiet_host() -> None:
+    """Contention discipline (round-12 judge item 3): a bench started on
+    a loaded host ships inflated rows for code-unchanged gates (BENCH_r12
+    started at loadavg 4.01 and recorded q106 at 22.4 s vs 12.3 s fresh).
+    Wait — bounded, never block the driver — for 1-min loadavg to drop
+    below the pinned threshold before starting; if the host never
+    quiets, proceed anyway (env_before records the truth either way)."""
+    try:
+        max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "180"))
+    except ValueError:
+        max_load, max_wait = 2.0, 180.0
+    deadline = time.monotonic() + max_wait
+    while time.monotonic() < deadline:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return
+        if load1 < max_load:
+            return
+        print(
+            f"# bench: loadavg {load1:.2f} >= {max_load}, waiting for a "
+            "quiet host",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _wait_for_quiet_host()
     env_before = _env_fingerprint()
     # Bound the Python-worker pool (round-11 judge item 3, twice-observed
     # watch item): a 350+-gate session leaves dozens of idle pyspark

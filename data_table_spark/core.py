@@ -105,15 +105,39 @@ class DataTable:
         records = list(records)
         if keys is None:
             keys = list(records[0].keys()) if records else []
-        keys = dedupe_names([str(k) for k in keys], config.on_duplicate_column)
+        # Values are fetched with the keys AS GIVEN; dedupe_names only
+        # renames the output columns. Deduping first and fetching with
+        # the renamed key (`name` → `name_1`, which no record contains)
+        # silently emptied every case-colliding column — and an all-NULL
+        # column makes createDataFrame's inference throw.
+        fetch_keys = [str(k) for k in keys]
+        keys = dedupe_names(fetch_keys, config.on_duplicate_column)
         # driver-side rows carry their ingest index, so the row id is
         # stamped at creation — no distributed zipWithIndex lineage (whose
         # window+join plan dominates small-facade query compile time)
         rows = [
-            tuple([i] + [r.get(k) for k in keys]) for i, r in enumerate(records)
+            tuple([i] + [r.get(k) for k in fetch_keys])
+            for i, r in enumerate(records)
         ]
         if rows:
-            df = spark.createDataFrame(rows, schema=[ROW_ID, *keys])
+            # same untyped-cell demotion as from_rows: when inference
+            # cannot determine a column's type (e.g. all-NULL), the
+            # table falls back to strings, recoverable via coerce_types()
+            try:
+                df = spark.createDataFrame(rows, schema=[ROW_ID, *keys])
+            except Exception:
+                str_rows = [
+                    tuple(
+                        [r[0]]
+                        + [None if v is None else str(v) for v in r[1:]]
+                    )
+                    for r in rows
+                ]
+                str_schema = T.StructType(
+                    [T.StructField(ROW_ID, T.LongType())]
+                    + [T.StructField(k, T.StringType()) for k in keys]
+                )
+                df = spark.createDataFrame(str_rows, str_schema)
         else:
             schema = T.StructType(
                 [T.StructField(ROW_ID, T.LongType())]

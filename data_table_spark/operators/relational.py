@@ -6977,8 +6977,17 @@ def q139_bounded_bfs(spark, sf_dir):
         .cast("int").alias("d"),
     )
     for _hop in range(3):
+        # frontier-only messaging (r13 opt, guide §2.2 — shuffle fewer
+        # bytes): after round k, dist holds the EXACT distance of every
+        # node with d <= k (BFS invariant), so a node with d < k already
+        # sent its messages in an earlier round and every neighbor it
+        # could update holds d <= d+1 — re-sending from it cannot lower
+        # any min. Messaging only d == k is result-identical and drops
+        # the round-3 message volume from ~all reached x degree to the
+        # last ring x degree (the dense-graph rounds were re-sending
+        # nearly the whole graph).
         msgs = (
-            dist.where(F.col("d").isNotNull())
+            dist.where(F.col("d") == _hop)
             .join(adj, "u")
             .select(F.col("v").alias("u"), (F.col("d") + 1).alias("d"))
         )

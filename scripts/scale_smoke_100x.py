@@ -389,9 +389,17 @@ GATES = [
                                # over the calendar-bounded spine
     "q205_gini_split_scores",  # x5 threshold explode into a
                                # (thr, side, class)-bounded cell agg
-    "eval_average_precision",  # TWO two-phase prefix sums over the
-                               # composite (conf, id) key — no global
-                               # window; ledger span sized to range
+    "eval_average_precision",  # ONE packed two-phase prefix sum over
+                               # the composite (conf, id) key (r13:
+                               # rank+cum_pos fused, y·2^32+1 counter)
+                               # — no global window; ledger span sized
+                               # to range
+    # round-12 session addition, back-filled per round-12 VERDICT
+    # item 4 (landed after the d3cb2c6 audit batch):
+    "udf_udtf_dynamic_schema",  # polymorphic UDTF (analyze-time
+                               # schema) over 100x orders — map-only
+                               # lateral, no shuffle; per-row Python
+                               # cost linear in facts
 ]
 
 #: gates whose plans carry a BroadcastNestedLoopJoin BY CONSTRUCTION:

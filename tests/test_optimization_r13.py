@@ -160,3 +160,38 @@ def test_capped_sessions_matches_grouped_map_form(spark, sf_dir):
     got = capped_sessions(e)
     key = ["user_id", "sid"]
     assert _rows(got, key) == _rows(reference, key)
+
+
+def test_q139_matches_full_remessage_bfs(spark, sf_smoke):
+    """The frontier-only messaging form (send only from d == hop) must
+    equal the original send-from-every-reached-node form — the BFS
+    invariant the optimization rests on: after round k every node with
+    d <= k holds its exact distance, so messages from d < hop nodes
+    can never lower any neighbor's min."""
+    from data_table_spark.operators.relational import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_smoke)
+    adj = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nodes = adj.select("u").distinct()
+    dist = nodes.select(
+        "u",
+        F.when(F.col("u") < 10, F.lit(0)).otherwise(F.lit(None))
+        .cast("int").alias("d"),
+    )
+    for _hop in range(3):
+        msgs = (
+            dist.where(F.col("d").isNotNull())   # original: every reached node
+            .join(adj, "u")
+            .select(F.col("v").alias("u"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionAll(msgs).groupBy("u").agg(F.min("d").alias("d"))
+    reference = (
+        dist.where(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("d").cast("int").alias("dist"), "n_nodes")
+    )
+    got = entry.queries()["q139_bounded_bfs"](spark, sf_smoke)
+    assert _rows(got, ["dist"]) == _rows(reference, ["dist"])

@@ -465,3 +465,25 @@ def test_arrow_round_trip(spark):
     d = DataTable.from_arrow(spark, dup)
     assert d.column_names == ["A", "A_1"]
     assert d.rows() == [[1, 3], [2, 4]]
+
+
+def test_from_records_case_colliding_keys_keep_values(spark):
+    """Keys that collide case-insensitively ("Name"/"name") are deduped
+    to "Name"/"name_1" — but values must still be fetched with the keys
+    AS GIVEN. The old order deduped first and fetched r.get("name_1"),
+    which no record contains: the column silently emptied and the
+    all-NULL column made createDataFrame's inference throw."""
+    t = DataTable.from_records(spark, [{"Name": "x", "name": "y"}])
+    assert t.column_names == ["Name", "name_1"]
+    assert t.rows() == [["x", "y"]]
+    # case-insensitive lookup resolves the first (reference string-equal)
+    assert t.column_index("NAME") == 0
+
+
+def test_from_records_all_null_column_demotes_to_string(spark):
+    """An all-NULL column has no inferable type; like from_rows, the
+    table demotes to strings (untyped-cell model) instead of raising,
+    recoverable via coerce_types()."""
+    t = DataTable.from_records(spark, [{"a": None, "b": 1}, {"a": None, "b": 2}])
+    assert t.rows() == [[None, "1"], [None, "2"]]
+    assert [str(x) for x in t.column_types] == ["StringType()", "StringType()"]

@@ -354,6 +354,29 @@ def test_preference_pairs_python_replay(spark, sf_smoke):
         assert g["gap_e4"] >= 0 and g["n_docs"] == len(items)
 
 
+def test_preference_pairs_doc_id_overflow_raises(spark):
+    """A doc_id >= 10^12 would bleed into the score digits of the
+    packed selection key and silently corrupt the max_by/min_by
+    ordering; the in-plan assert_true guard must raise instead
+    (q186_ohlc_bars discipline — round-12 VERDICT item 2)."""
+    import pytest
+
+    from data_table_spark.operators.pipeline import preference_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("s", 1, "the cat and the dog ran to the house in town"),
+            ("s", 10**12, "a of and to in the a of and to in the road"),
+        ],
+        ["source", "doc_id", "text"],
+    )
+    with pytest.raises(Exception, match="doc_id"):
+        preference_pairs(docs).collect()
+    # the in-bound sibling still evaluates (guard adds exactly 0)
+    ok = docs.filter(F.col("doc_id") < 10**12)
+    assert preference_pairs(ok).count() == 1
+
+
 # --------------------------------------------------------------------------
 # polymorphic (analyze-time) UDTF
 # --------------------------------------------------------------------------
