@@ -1150,9 +1150,15 @@ def sim_quantized_covariance(spark, sf_dir):
     cov_e6 = floor(1e6·(n·Σxy − Σx·Σy)/n²) derives from the exact
     integer sums in IEEE doubles — identical on both engines."""
 
-    q = quantize_int8(
-        load_table(spark, "embeddings", sf_dir)
-    ).select("qvec")
+    # r13: materialize the quantized table before the pair explode —
+    # the nested transform references qvec THREE times (outer input,
+    # sliced inner input, elements), and projection collapse re-inlines
+    # the whole quantize expression (itself HOFs over the raw embedding)
+    # at every reference, all interpreted: the sim_prefix_dim_topk
+    # lesson. The checkpointed table is 2k compact int arrays.
+    q = truncate_lineage(
+        quantize_int8(load_table(spark, "embeddings", sf_dir)).select("qvec")
+    )
     pairs = q.select(
         F.explode(
             F.flatten(

@@ -79,9 +79,11 @@ GATES = [
     # q121's part tree likewise — both covered by their plan asserts):
     "q105_interval_coverage",  # islands scan under hot-user skew
     "q106_triangle_count",     # edge build is 100× fact joins; the
-                               # distinct edge set (and so the wedge
-                               # join) is node-bounded here — cost must
-                               # stay linear in the fact pass
+                               # distinct edge set (and the r13 edge-
+                               # centric neighbor-array intersection —
+                               # no wedge stream) is node-bounded here
+                               # — cost must stay linear in the fact
+                               # pass
     "q111_session_paths",      # two user-keyed windows + bounded paths
     "q114_cohort_ltv",         # first-order agg + same-key self join —
                                # the firsts side is fact-derived and
@@ -112,8 +114,9 @@ GATES = [
                                # count — scales ~linearly; a naive
                                # copy synthesis would square it
     # round-7 session additions:
-    "q124_clustering_coefficient",  # q106's oriented wedge machinery,
-                               # per-node outputs — node-bounded
+    "q124_clustering_coefficient",  # q106's r13 edge-centric kernel
+                               # with in-pass corner credits, per-node
+                               # outputs — node-bounded
     "q125_ks_test",            # packed-counter prefix sum; the price
                                # SUPPORT doesn't grow (clones repeat
                                # values), only the counts do
