@@ -933,7 +933,11 @@ def sim_quantized_topk(spark, sf_dir):
     shape as sim_bruteforce_topk. Zero-norm vectors (all-zero docs)
     cannot rank and are filtered on both sides."""
     e = load_table(spark, "embeddings", sf_dir)
-    q8 = quantize_int8(e)
+    # r13: materialize the quantized corpus once — the dot and the
+    # corpus self-norm reference qvec per row, and each reference
+    # re-inlines the interpreted quantize expression (the covariance
+    # gate's class; plan-verified).
+    q8 = truncate_lineage(quantize_int8(e))
     idot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
         F.lit(0).cast("bigint"),

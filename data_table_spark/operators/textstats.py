@@ -300,12 +300,21 @@ def text_repetition(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     tri = _word_trigrams(F.col("text"))
     sorted_tri = F.array_sort(tri)
-    run = F.aggregate(
+    # r13: ONE fold yields best-run, distinct and total together. The
+    # old form referenced `tri` three times (the fold, size(tri),
+    # size(array_distinct(tri))) and each reference re-inlined the
+    # whole tokenize+trigram build per row (the quantize-re-inline
+    # class, plan-verified: 3 split() sites -> 1). In the sorted array
+    # distinct = number of run starts and total = element count, so
+    # both ride the same accumulator the best-run scan already carries.
+    stats = F.aggregate(
         sorted_tri,
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
+            F.lit(0).alias("distinct"),
+            F.lit(0).alias("total"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
@@ -314,19 +323,33 @@ def text_repetition(spark, sf_dir):
                 acc["best"],
                 F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
             ).alias("best"),
+            (
+                acc["distinct"]
+                + F.when(x == acc["prev"], F.lit(0)).otherwise(F.lit(1))
+            ).alias("distinct"),
+            (acc["total"] + 1).alias("total"),
         ),
-        lambda acc: acc["best"],
+        lambda acc: F.struct(
+            acc["best"].alias("best"),
+            acc["distinct"].alias("distinct"),
+            acc["total"].alias("total"),
+        ),
     )
-    total = F.size(tri)
-    distinct = F.size(F.array_distinct(tri))
+    # the "has trigrams" filter runs on the CHEAP token count, not on
+    # the fold output: `n_trigrams > 0` after the select pushes down as
+    # a second full build+sort+fold per row (plan-verified); a doc has
+    # trigrams iff it has >= 3 tokens, so this predicate is identical
+    # and costs one split per row.
+    has_tri = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3
     return (
-        d.select(
+        d.where(has_tri)
+        .select("doc_id", stats.alias("st"))
+        .select(
             "doc_id",
-            run.cast("long").alias("max_trigram_count"),
-            total.cast("long").alias("n_trigrams"),
-            distinct.cast("long").alias("n_distinct"),
+            F.col("st.best").cast("long").alias("max_trigram_count"),
+            F.col("st.total").cast("long").alias("n_trigrams"),
+            F.col("st.distinct").cast("long").alias("n_distinct"),
         )
-        .where(F.col("n_trigrams") > 0)
         .select(
             "doc_id",
             "max_trigram_count",

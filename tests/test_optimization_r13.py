@@ -195,3 +195,56 @@ def test_q139_matches_full_remessage_bfs(spark, sf_smoke):
     )
     got = entry.queries()["q139_bounded_bfs"](spark, sf_smoke)
     assert _rows(got, ["dist"]) == _rows(reference, ["dist"])
+
+
+def test_text_repetition_matches_distinct_size_form(spark, sf_smoke):
+    """The single-fold form (best run + distinct-as-run-starts + total,
+    cheap token-count pre-filter) must equal the original formulation
+    (separate size / array_distinct references and a post-hoc
+    n_trigrams > 0 filter) row for row: run starts in a sorted array
+    count exactly its distinct elements, and a doc has trigrams iff it
+    has >= 3 tokens."""
+    from data_table_spark.operators.textstats import (
+        _word_trigrams,
+        text_repetition,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    d = load_table(spark, "documents", sf_smoke)
+    tri = _word_trigrams(F.col("text"))
+    sorted_tri = F.array_sort(tri)
+    run = F.aggregate(
+        sorted_tri,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    reference = (
+        d.select(
+            "doc_id",
+            run.cast("long").alias("max_trigram_count"),
+            F.size(tri).cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct"),
+        )
+        .where(F.col("n_trigrams") > 0)
+        .select(
+            "doc_id", "max_trigram_count", "n_trigrams",
+            (F.floor(F.col("max_trigram_count") / F.col("n_trigrams") * 10000)
+             / 10000).alias("top_share"),
+            (F.floor((1 - F.col("n_distinct") / F.col("n_trigrams")) * 10000)
+             / 10000).alias("dup_share"),
+        )
+    )
+    got = text_repetition(spark, sf_smoke)
+    assert _rows(got, ["doc_id"]) == _rows(reference, ["doc_id"])
