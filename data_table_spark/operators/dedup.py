@@ -242,7 +242,12 @@ def minhash_verified_pairs(
     """Banded-MinHash candidates over (doc_id, text) rows, exact-verified
     by bigram Jaccard — the shared core of the full and bounded gates."""
     cand = minhash_band_candidates(d)
-    sh = d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
+    # r13: the verify-side shingle table feeds BOTH candidate joins;
+    # without truncation each side re-runs the bigram shingling of the
+    # whole corpus (the prefix_filter_pairs lesson).
+    sh = truncate_lineage(
+        d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
+    )
     return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
@@ -1610,7 +1615,11 @@ def winnowing_pairs(
     (a, b) aggregate. The 100 TB local-similarity detector: unlike
     MinHash (whole-doc Jaccard), winnowing finds EXCERPT overlap —
     a copied paragraph inside an otherwise-unrelated page."""
-    fps = winnowing_fingerprints(docs)
+    # r13: the fingerprint postings feed THREE consumers (the hot-bucket
+    # aggregate and both pair-join sides); untruncated, each re-derived
+    # the kgram-hash + window-min pipeline over the whole corpus
+    # (plan showed the split/window subtree ~4x).
+    fps = truncate_lineage(winnowing_fingerprints(docs))
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))

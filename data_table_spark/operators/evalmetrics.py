@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..lineage import truncate_lineage
 from ..sources.registry import load_table
 
 #: pair stride for the eval gates — doc a pairs with a+1 when
@@ -159,18 +160,25 @@ def bleu2_pairs(docs: DataFrame, stride: int = EVAL_STRIDE) -> DataFrame:
         hyp.select("doc_id", "text")
     )
     t = _ws_toks(F.col("text"))
-    grams = both.select(
-        "doc_id",
-        t.alias("t1"),
-        F.when(
-            F.size(t) < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.zip_with(
-                F.slice(t, 1, F.size(t) - 1),
-                F.slice(t, 2, F.size(t) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("t2"),
+    # r13: the (t1, t2) gram table feeds FOUR consumers (both n-gram
+    # count aggregates and the length spine's two sides), and `t`
+    # itself is referenced five times in this one select — untruncated,
+    # every consumer re-ran the tokenize+bigram build per doc
+    # (plan-verified: ~80 re-inlined split() sites).
+    grams = truncate_lineage(
+        both.select(
+            "doc_id",
+            t.alias("t1"),
+            F.when(
+                F.size(t) < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("t2"),
+        )
     )
     counts = {}
     for n, col in (("1", "t1"), ("2", "t2")):
