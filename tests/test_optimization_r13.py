@@ -248,3 +248,74 @@ def test_text_repetition_matches_distinct_size_form(spark, sf_smoke):
     )
     got = text_repetition(spark, sf_smoke)
     assert _rows(got, ["doc_id"]) == _rows(reference, ["doc_id"])
+
+
+def test_q138_matches_explode_window_form(spark, sf_dir):
+    """The flat 66-accumulator aggregate must equal the original
+    explode-32-rows-per-order + groupBy(b) + rank-window formulation
+    (the shape the DuckDB oracle literally describes) on real testdata
+    — exact long sums mean the replicate means are the identical
+    doubles, not merely close."""
+    from pyspark.sql import Window
+
+    from data_table_spark.operators.relational import _t
+
+    B = 32
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    digests = o.select(
+        "x",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B // 4 - 1)),
+                lambda g: F.struct(
+                    g.alias("g"),
+                    F.md5(
+                        F.concat(
+                            F.lit("boot"), g, F.lit("_"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("d"),
+    ).select("x", "d.g", "d.h")
+    rep = digests.select(
+        "x",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.struct(
+                    (F.col("g") * 4 + j).alias("b"),
+                    (
+                        F.lit(8)
+                        - F.length(
+                            F.translate(
+                                F.substring(F.col("h"), j * 8 + 1, 8),
+                                "01", "",
+                            )
+                        )
+                    ).alias("w"),
+                ),
+            )
+        ).alias("r"),
+    ).select("x", "r.b", "r.w")
+    means = rep.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("rep_mean")
+    )
+    ranked = means.select(
+        "rep_mean", F.row_number().over(Window.orderBy("rep_mean")).alias("rk")
+    )
+    ci = ranked.where(F.col("rk").isin(2, B - 1)).agg(
+        F.round(F.min("rep_mean"), 6).alias("ci_lo_c"),
+        F.round(F.max("rep_mean"), 6).alias("ci_hi_c"),
+    )
+    full = o.agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("mean_c"))
+    expected = (
+        full.collect()[0].asDict() | ci.collect()[0].asDict()
+        | {"n_replicates": B}
+    )
+    got = entry.queries()["q138_bootstrap_ci"](spark, sf_dir).collect()[0].asDict()
+    assert got == expected
