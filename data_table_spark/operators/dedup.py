@@ -73,8 +73,22 @@ def _bigram_shingles(col) -> Column:
 
 
 def _jaccard(a: Column, b: Column) -> Column:
+    """Jaccard of two DISTINCT arrays (every caller passes
+    _bigram_shingles output, which is array_distinct'ed).
+
+    Round-13 optimization (guide §1.2 per-task work): the union size
+    comes from inclusion-exclusion — |A∪B| = |A|+|B|−|A∩B| holds
+    exactly for distinct arrays in integer arithmetic — so the per-pair
+    array_union build (a hash-set materialization of |A|+|B| elements
+    on EVERY candidate pair, across the ngram-jaccard / minhash-verify
+    / sorted-neighborhood verify stages) is replaced by two O(1) size
+    lookups. The double quotient is the identical division as before
+    (same integer numerator and denominator), so every rounded jaccard
+    is byte-identical; equivalence vs the array_union form is pinned in
+    tests/test_optimization_r13.py::test_jaccard_inclusion_exclusion.
+    """
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter.cast("double") / union.cast("double")
 
 
@@ -1767,8 +1781,6 @@ def dedup_bbit_minhash_est(spark, sf_dir):
         F.col("s").alias("sb"),
     )
     agree = (F.lit(BBIT_K) - F.bit_count(F.col("ba").bitwiseXOR(F.col("bb")))).cast("long")
-    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
-    uni = F.size(F.array_union("sa", "sb")).cast("long")
     return (
         # broadcast the build side explicitly: both sides are the
         # constant PAIR_BOUND slice, but behind the signature joins the
@@ -1786,7 +1798,11 @@ def dedup_bbit_minhash_est(spark, sf_dir):
             F.expr(f"((2 * ({BBIT_K} - bit_count(ba ^ bb)) - {BBIT_K})"
                    f" * 1000000) div {BBIT_K}")
             .cast("long").alias("jhat_e6"),
-            F.expr("(1000000 * size(array_intersect(sa, sb))) div size(array_union(sa, sb))")
+            # inclusion-exclusion union (exact for distinct arrays — the
+            # _jaccard r13 note); codegen CSE dedupes the repeated
+            # intersect
+            F.expr("(1000000 * size(array_intersect(sa, sb))) div "
+                   "(size(sa) + size(sb) - size(array_intersect(sa, sb)))")
             .cast("long").alias("j_e6"),
         )
         .where(F.col("agree_bits") >= BBIT_AGREE_MIN)
@@ -1949,8 +1965,11 @@ def dedup_oph_minhash_est(spark, sf_dir):
             "a", "b", agree.alias("agree_slots"),
             (agree * F.lit(1_000_000 // OPH_K)).alias("jhat_e6"),
             F.expr(
+                # inclusion-exclusion union (exact for distinct arrays
+                # — the _jaccard r13 note)
                 "CAST((1000000 * size(array_intersect(sa, sb))) "
-                "div size(array_union(sa, sb)) AS BIGINT)"
+                "div (size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+                " AS BIGINT)"
             ).alias("j_e6"),
         )
         .where(F.col("agree_slots") >= OPH_AGREE_MIN)

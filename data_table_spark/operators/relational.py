@@ -8976,10 +8976,24 @@ def q162_geo_radius_join(spark, sf_dir):
     integer (the q127 transcendental discipline — an ulp wobble sits
     eight orders of magnitude under the floor).
 
-    Scale shape: candidates are bounded by cell occupancy (9·avg
+    Scale shape: candidates are bounded by cell occupancy (constant·avg
     density per point), never O(n²); the join is a plain equi-join on
     the cell key, shuffled both sides — the geohash recipe at any
-    scale. Skewed cells (cities) would salt exactly like any hot key."""
+    scale. Skewed cells (cities) would salt exactly like any hot key.
+
+    Round-13 optimization (guide §2.3, the q120/grid_neighbor_pairs
+    recipe): HALF-neighborhood replication. The 3×3 explode generated
+    every unordered pair TWICE (once from each endpoint's probe), with
+    the a < b filter discarding half the join output AFTER the join
+    paid for it (~40M candidate rows at sf0.1). The five forward
+    offsets (0,0),(0,1),(1,−1),(1,0),(1,1) generate each neighboring
+    cell pair exactly once (no additive inverses in the set) and (0,0)
+    keeps intra-cell pairs under id < id, so the join emits ~5/9 of
+    the rows and no post-join candidate is redundant. Cross-cell pairs
+    are emitted as (least, greatest); the haversine is exactly
+    symmetric under the endpoint swap (odd sin under squaring,
+    commutative multiplies — identical doubles), asserted against the
+    3×3 formulation in tests/test_optimization_r13.py."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     h1 = F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1 << 31))
     h2 = F.pmod(
@@ -8994,37 +9008,49 @@ def q162_geo_radius_join(spark, sf_dir):
         F.floor("lat").cast("long").alias("cy"),
         F.floor("lon").cast("long").alias("cx"),
     )
+    # literal-array explode (not a broadcast offsets spine): same five
+    # forward offsets as grid_neighbor_pairs, one Generate node
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy, dx in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        ]
+    )
     probe = pts.select(
-        F.col("id").alias("a"), F.col("lat").alias("la"),
-        F.col("lon").alias("oa"),
-        F.explode(
-            F.expr("flatten(transform(sequence(-1,1), dy -> "
-                   "transform(sequence(-1,1), dx -> "
-                   "struct(cy + dy AS y, cx + dx AS x))))")
-        ).alias("cell"),
+        F.col("id").alias("p"), F.col("lat").alias("pla"),
+        F.col("lon").alias("plo"), "cy", "cx",
+        F.explode(offs).alias("o"),
+    ).select(
+        "p", "pla", "plo",
+        (F.col("cy") + F.col("o.dy")).alias("y"),
+        (F.col("cx") + F.col("o.dx")).alias("x"),
+        ((F.col("o.dy") == 0) & (F.col("o.dx") == 0)).alias("home0"),
     )
     build = pts.select(
-        F.col("id").alias("b"), F.col("lat").alias("lb"),
-        F.col("lon").alias("ob"),
-        F.struct(F.col("cy").alias("y"), F.col("cx").alias("x")).alias("cell"),
+        F.col("id").alias("q"), F.col("lat").alias("qla"),
+        F.col("lon").alias("qlo"),
+        F.col("cy").alias("y"), F.col("cx").alias("x"),
+    )
+    pairs = probe.join(build, ["y", "x"]).where(
+        ~F.col("home0") | (F.col("p") < F.col("q"))
     )
     rad = 3.141592653589793 / 180.0
     dist = (
         F.lit(2.0 * 6371000.0)
         * F.asin(
             F.sqrt(
-                F.pow(F.sin((F.col("lb") - F.col("la")) * rad / 2), 2)
-                + F.cos(F.col("la") * rad)
-                * F.cos(F.col("lb") * rad)
-                * F.pow(F.sin((F.col("ob") - F.col("oa")) * rad / 2), 2)
+                F.pow(F.sin((F.col("qla") - F.col("pla")) * rad / 2), 2)
+                + F.cos(F.col("pla") * rad)
+                * F.cos(F.col("qla") * rad)
+                * F.pow(F.sin((F.col("qlo") - F.col("plo")) * rad / 2), 2)
             )
         )
     )
     return (
-        probe.join(build, "cell")
-        .where(F.col("a") < F.col("b"))
-        .select(
-            "a", "b", F.floor(dist).cast("long").alias("dist_m")
+        pairs.select(
+            F.least("p", "q").alias("a"),
+            F.greatest("p", "q").alias("b"),
+            F.floor(dist).cast("long").alias("dist_m"),
         )
         .where(F.col("dist_m") <= 10_000)
     )

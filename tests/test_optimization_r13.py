@@ -319,3 +319,93 @@ def test_q138_matches_explode_window_form(spark, sf_dir):
     )
     got = entry.queries()["q138_bootstrap_ci"](spark, sf_dir).collect()[0].asDict()
     assert got == expected
+
+
+def test_q162_matches_full_neighborhood_form(spark, sf_dir):
+    """The half-neighborhood (5-offset) cell join must equal the
+    original 3x3 form pair-for-pair INCLUDING the floored meter
+    distance — the haversine must be exactly symmetric under the
+    endpoint swap the (least, greatest) emission performs."""
+    from data_table_spark.operators.relational import _t
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    h1 = F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1 << 31))
+    h2 = F.pmod(
+        (F.col("c_custkey") + F.lit(7)) * F.lit(2246822519), F.lit(1 << 31)
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(45.0) + F.lit(5.0) * h1 / F.lit(float(1 << 31))).alias("lat"),
+        (F.lit(0.0) + F.lit(10.0) * h2 / F.lit(float(1 << 31))).alias("lon"),
+    ).select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    probe = pts.select(
+        F.col("id").alias("a"), F.col("lat").alias("la"),
+        F.col("lon").alias("oa"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1,1), dy -> "
+                   "transform(sequence(-1,1), dx -> "
+                   "struct(cy + dy AS y, cx + dx AS x))))")
+        ).alias("cell"),
+    )
+    build = pts.select(
+        F.col("id").alias("b"), F.col("lat").alias("lb"),
+        F.col("lon").alias("ob"),
+        F.struct(F.col("cy").alias("y"), F.col("cx").alias("x")).alias("cell"),
+    )
+    rad = 3.141592653589793 / 180.0
+    dist = (
+        F.lit(2.0 * 6371000.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("lb") - F.col("la")) * rad / 2), 2)
+                + F.cos(F.col("la") * rad)
+                * F.cos(F.col("lb") * rad)
+                * F.pow(F.sin((F.col("ob") - F.col("oa")) * rad / 2), 2)
+            )
+        )
+    )
+    reference = (
+        probe.join(build, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.floor(dist).cast("long").alias("dist_m"))
+        .where(F.col("dist_m") <= 10_000)
+    )
+    got = entry.queries()["q162_geo_radius_join"](spark, sf_dir)
+    assert _rows(got, ["a", "b"]) == _rows(reference, ["a", "b"])
+
+
+def test_jaccard_inclusion_exclusion(spark, sf_dir):
+    """_jaccard's union-by-inclusion-exclusion must equal the literal
+    array_union form on real shingle pairs — exact for DISTINCT arrays
+    (every caller passes _bigram_shingles output), and the division is
+    the identical integer pair, so the rounded jaccard is byte-equal."""
+    from data_table_spark.operators.dedup import (
+        PAIR_BOUND,
+        _bigram_shingles,
+        _jaccard,
+    )
+    from data_table_spark.sources.registry import load_table
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") < PAIR_BOUND
+    )
+    sh = d.select("doc_id", _bigram_shingles(F.col("text")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    union_form = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double")
+    )
+    diff = pairs.select(
+        F.round(_jaccard(F.col("sa"), F.col("sb")), 4).alias("j_new"),
+        F.round(union_form, 4).alias("j_old"),
+    ).where(
+        (F.col("j_new") != F.col("j_old"))
+        | (F.col("j_new").isNull() != F.col("j_old").isNull())
+    )
+    assert diff.count() == 0
