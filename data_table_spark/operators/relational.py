@@ -30,10 +30,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import relaxed_double, trim_and_nullify
+from ..lineage import truncate_lineage
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sorted_array_pairs(col: str):
+    """All index pairs (i > j) of a SORTED array column as structs
+    (a=ps[j], b=ps[i]) with a < b — the map-side C(n,2) expansion shared
+    by the basket pair builders (_copurchase_edges / q79 / q117).
+    Callers must guard size >= 2 so sequence(1, n-1) ascends. The lambda
+    references only the materialized array attribute, never a
+    recomputed expression (the round-13 HOF-recompute trap)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(col) - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), i - 1),
+                lambda j: F.struct(
+                    F.element_at(col, j + 1).alias("a"),
+                    F.element_at(col, i + 1).alias("b"),
+                ),
+            ),
+        )
+    )
 
 
 def mi_term_e6(cxy, cx, cy, n):
@@ -2304,21 +2326,32 @@ RELATIONAL_ORACLE["q78_fuzzy_match"] = (
 
 def q79_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence: part pairs appearing in the same
-    order, top-20 by support. The self-join keys on l_orderkey, so both
-    sides share ONE shuffle and the pair explosion is bounded by the
-    per-order line count squared (≤ ~13² here — basket width, never
-    corpus size; the classic a<b dedup halves it)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    order, top-20 by support. Pair explosion is bounded by the per-order
+    line count squared (≤ ~13² here — basket width, never corpus size;
+    a < b from the sorted array halves it).
+
+    Round-14 optimization (guide §2.4, the r13 _copurchase_edges recipe
+    applied to its pair-COUNT sibling): the former distinct → self-join
+    on l_orderkey → groupBy(pair) planned three exchanges plus a
+    sort-merge join of the line stream against itself. Now ONE exchange
+    groups each order's distinct parts into a sorted array (collect_set
+    dedups in the same aggregate, so the separate distinct disappears),
+    the C(n,2) pairs explode MAP-SIDE, and the pair count is one
+    map-combinable aggregate — 2 exchanges, no join, no sort. Same
+    multiset of pairs by construction (each order contributes each
+    unordered distinct-part pair exactly once either way); equivalence
+    vs the self-join form pinned in tests/test_optimization_r14.py."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        baskets.select(F.explode(_sorted_array_pairs("ps")).alias("e"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("e.a").alias("part_a"),
+            F.col("e.b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
@@ -4088,20 +4121,10 @@ def _copurchase_edges(spark, sf_dir) -> DataFrame:
     # index-pair explode over the materialized array attribute (no
     # recomputed-expression-in-lambda trap: `ps` is an agg output).
     # sequence() guard: size >= 2 above, so sequence(1, n-1) ascends.
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ps") - 1),
-            lambda i: F.transform(
-                F.sequence(F.lit(0), i - 1),
-                lambda j: F.struct(
-                    F.element_at("ps", j + 1).alias("a"),
-                    F.element_at("ps", i + 1).alias("b"),
-                ),
-            ),
-        )
-    )
+    # Round-14: the expansion expression is the shared
+    # _sorted_array_pairs helper (also behind q79 / q117).
     return (
-        baskets.select(F.explode(pair_structs).alias("e"))
+        baskets.select(F.explode(_sorted_array_pairs("ps")).alias("e"))
         .select("e.a", "e.b")
         .distinct()
     )
@@ -4948,22 +4971,35 @@ def q117_association_rules(spark, sf_dir):
     reported metric is INTEGER arithmetic end to end: confidence and
     lift are floored e6 ratios of BIGINT products, so the hash is
     platform-exact with no float division anywhere. Rules are emitted
-    in both directions for pairs seen ≥ 2 times."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    n_baskets = li.select("l_orderkey").distinct().count()
-    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("n_item")
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
+    in both directions for pairs seen ≥ 2 times.
+
+    Round-14 optimization (guide §2.4, the q79 basket-explode recipe):
+    the former distinct li fed THREE consumers (n_baskets count action,
+    item counts, and a self-join pair count) — three exchanges plus a
+    sort-merge join. Now ONE exchange builds per-order sorted
+    distinct-part arrays (collect_set dedups in the aggregate), the
+    basket table is checkpoint-materialized once for its three
+    consumers, and items / pairs both derive map-side from the arrays:
+    n_baskets = basket rows, n_item = one explode + count, n_ab = the
+    C(n,2) struct explode + count. No join of the line stream against
+    itself anywhere; equivalence vs the self-join form pinned in
+    tests/test_optimization_r14.py."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = truncate_lineage(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
         )
+    )
+    n_baskets = baskets.count()
+    item = (
+        baskets.select(F.explode("ps").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pairs = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(_sorted_array_pairs("ps")).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )

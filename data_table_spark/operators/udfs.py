@@ -190,40 +190,72 @@ def ewma_per_key(
 ):
     """Sequential per-key state the SQL window algebra cannot express:
     EWMA is a first-order recurrence (y_t = α·x_t + (1−α)·y_{t−1}),
-    not a frame aggregate — the escape hatch is grouped-map
-    applyInPandas: ONE shuffle on the key, each key's history arrives
-    as a single Arrow batch, the recurrence runs as a tight float64
-    loop. The closed form Σα(1−α)^i·x could ride a window + pow, but
-    drifts numerically for long histories; the recurrence is the
-    numerically-honest form and the same double ops DuckDB's recursive
-    CTE replays, so the gate is hash-exact (floored to e6 — floor has
-    no tie-breaking, unlike ROUND). Hot-key cost is one in-memory
-    pass over that key's rows; state is O(1)."""
+    not a frame aggregate. The closed form Σα(1−α)^i·x could ride a
+    window + pow, but drifts numerically for long histories; the
+    recurrence is the numerically-honest form and the same double ops
+    DuckDB's recursive CTE replays, so the gate is hash-exact (floored
+    to e6 — floor has no tie-breaking, unlike ROUND).
+
+    Round-14 optimization (guide §4.2, the capped_sessions recipe
+    applied mechanically as OPTIMIZATION_r13 staged): the per-key
+    grouped-map form paid ~2 ms of applyInPandas machinery PER KEY
+    (Arrow slice + pandas frame per group — the same overhead isolated
+    at 3.2 s for a no-op fold over the 1500 sf0.1 keys). Now ONE
+    repartition(key) + sortWithinPartitions(key, ts, tiebreak) feeds
+    ``mapInPandas``, which folds a WHOLE partition in one pass: key
+    breaks reset the recurrence, and each row runs the identical
+    float64 ops (python float IS the same IEEE-754 double), so the
+    output is row-identical to the grouped-map form (pinned in
+    tests/test_optimization_r14.py). The grouped-map surface itself
+    stays proven by udf_grouped_map_stats / udf_cogrouped_merge /
+    udf_arrow_grouped_map. Hot-key cost is unchanged (one in-memory
+    pass over that key's rows; state is O(1))."""
     import pandas as pd
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(ts_cols))
-        y, out = None, []
-        for x in pdf[value_col].astype("float64"):
-            y = x if y is None else alpha * x + (1.0 - alpha) * y
-            out.append(y)
-        return pd.DataFrame(
-            {
-                key_col: pdf[key_col],
-                "rn": range(1, len(out) + 1),
-                "ewma_e6": [int(v * 1e6 // 1) for v in out],
-            }
-        )
+    def fold_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # rows arrive sorted by (key, *ts_cols); complete key groups
+        # land in one partition via the repartition(key)
+        keys = pdf[key_col].to_numpy()
+        xs = pdf[value_col].to_numpy(dtype="float64").tolist()
+        n = len(xs)
+        out = [0] * n
+        rn = [0] * n
+        y = 0.0
+        prev = None
+        r = 0
+        for i in range(n):
+            x = xs[i]
+            k = keys[i]
+            if prev is None or k != prev:
+                y, r, prev = x, 1, k
+            else:
+                y = alpha * x + (1.0 - alpha) * y
+                r += 1
+            # identical flooring expression to the grouped-map form
+            out[i] = int(y * 1e6 // 1)
+            rn[i] = r
+        yield pd.DataFrame({key_col: keys, "rn": rn, "ewma_e6": out})
 
-    return df.groupBy(key_col).applyInPandas(
-        fold, f"{key_col} long, rn long, ewma_e6 long"
+    return (
+        df.repartition(key_col)
+        .sortWithinPartitions(key_col, *ts_cols)
+        .mapInPandas(
+            fold_partition, f"{key_col} long, rn long, ewma_e6 long"
+        )
     )
 
 
 def udf_ewma_state(spark, sf_dir):
     """Gate: per-user EWMA over event values (α=0.2) — the sequential
-    recurrence via applyInPandas, proven hash-exact against DuckDB's
-    RECURSIVE CTE replay of the identical double arithmetic."""
+    recurrence via a partition-sorted mapInPandas fold, proven
+    hash-exact against DuckDB's RECURSIVE CTE replay of the identical
+    double arithmetic."""
     e = load_table(spark, "events", sf_dir).select(
         "user_id", "ts", "event_id", "value"
     )
@@ -282,7 +314,7 @@ def capped_sessions(
     identical output (pinned row-for-row against the grouped-map form
     in tests/test_optimization_r13.py); the grouped-map surface itself
     stays proven by udf_grouped_map_stats / udf_cogrouped_merge /
-    udf_ewma_state. sf0.1: 5.6 s → ~1.5 s. Memory note: the fold
+    udf_arrow_grouped_map. sf0.1: 5.6 s → ~1.5 s. Memory note: the fold
     concatenates its partition's batches (complete key groups land in
     one partition by the repartition) — partition sizing bounds this,
     the usual mapInPandas contract."""

@@ -4,7 +4,7 @@ shape before and after every change). Run from the repo root::
 
     python scripts/plan_dump.py SUFFIX GATE [GATE ...]
 
-writes ``plans/r13/<gate>_<SUFFIX>.txt`` for each gate, using the same
+writes ``plans/$SPARK_GRAFT_PLANS_DIR (default r14)/<gate>_<SUFFIX>.txt`` for each gate, using the same
 session factory as the bench so the plans match what the bench executes
 (local[$SPARK_GRAFT_CPUS], AQE on; plans show isFinalPlan=false).
 """
@@ -32,7 +32,9 @@ def main() -> int:
     spark = get_spark(app_name="plan_dump")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     qs = entry_mod.queries()
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for g in gates:
         df = qs[g](spark, sf_dir)

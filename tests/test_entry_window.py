@@ -196,19 +196,26 @@ def test_r5_cohort_drained_by_r12_and_r13():
     assert _window()[9:25] == entry._R13_REPROOF_QUEUE
 
 
-def test_r12_session_additions_lead_the_r13_window():
-    """Round-13 window rule 1: the 9 round-12 session additions —
-    an independent literal frozen from round 12's _NEXT_WINDOW_QUEUE —
-    occupy the window's first 9 slots in queue order, so every one of
-    them gets its first driver row this round."""
+def test_r12_session_additions_drained_in_r13():
+    """Archival, never re-interpreted (round-14 inherited-state fix: the
+    pre-r13 form asserted these gates held NO committed green row, which
+    was true only until the round-13 grading file landed — the exact
+    'equality against moving state' defect of VERDICT r11 item 2, and
+    the round-12 verdict's 'coverage semantics' warning). The committed
+    CORRECTNESS_r13.json must lead with exactly the 9 round-12 session
+    additions, in queue order, all green — rule 1 achieved."""
     assert len(entry._R12_SESSION_ADDITIONS) == 9
     assert len(set(entry._R12_SESSION_ADDITIONS)) == 9
     assert _window()[:9] == entry._R12_SESSION_ADDITIONS
-    # none of them may already hold a committed green row (they were
-    # written after the round-12 window froze)
-    latest = _latest_green()
-    pre_green = [k for k in entry._R12_SESSION_ADDITIONS if k in latest]
-    assert not pre_green, f"rule-1 slots wasted on green gates: {pre_green}"
+    with open(os.path.join(REPO, "CORRECTNESS_r13.json")) as f:
+        r13 = json.load(f)
+    assert list(r13)[:9] == entry._R12_SESSION_ADDITIONS
+    not_green = [
+        k
+        for k in entry._R12_SESSION_ADDITIONS
+        if not r13.get(k, {}).get("hash_match")
+    ]
+    assert not not_green, f"r12 additions without an r13 green: {not_green}"
 
 
 def test_r6_cohort_is_in_window_or_staged():
