@@ -28,11 +28,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .config import DEFAULT_CONFIG, EngineConfig
-from .functions.formatting import format_table_for_output
-from .inference import auto_type, coerce_table, ensure_column_types, guess_types
+from .functions.formatting import format_value
+from .inference import (
+    auto_type,
+    coerce_table,
+    ensure_column_types,
+    guess_types,
+    guess_types_with_audit,
+)
 from .names import dedupe_names, resolve_column, spark_safe_name, symbolize_name
+from .sources.registry import local_slices
 
 ROW_ID = "_row_id"
+
+def _local_relation(spark: SparkSession, data, schema) -> DataFrame:
+    """Driver-side literal rows → DataFrame, sliced by input size.
+
+    ``createDataFrame`` over a python list parallelizes into
+    defaultParallelism slices regardless of size, so a 6-row fixture
+    schedules one pickled-python task PER CORE on EVERY job that
+    touches it (measured ~0.33 s warm per no-op materialize of a 6-row
+    facade table on local[32] — scheduling + python-worker round trips,
+    zero data; multi-job facade paths like coerce_types pay it
+    repeatedly). The facade constructors therefore run the standard
+    list-path ``createDataFrame`` ONCE for its full-list driver-side
+    type inference and untyped-cell demotion (semantics untouched),
+    then rebuild the frame here on a right-sized RDD with the RESOLVED
+    schema — identical per-row converters, one python round trip per
+    job instead of one per core (sources.registry.local_df rationale;
+    slicing = local_slices, one slice per 10k rows)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, local_slices(spark, len(data))),
+        schema,
+    )
 
 
 def with_row_id(df: DataFrame, col: str = ROW_ID) -> DataFrame:
@@ -80,9 +108,17 @@ class DataTable:
     """
 
     def __init__(self, df: DataFrame, config: EngineConfig = DEFAULT_CONFIG,
-                 _has_row_id: bool = False):
+                 _has_row_id: bool = False, _n_rows: int | None = None):
         self._df = df if _has_row_id or ROW_ID in df.columns else with_row_id(df)
         self.config = config
+        # Statically-known row count (round-14, guide §1.2: don't run
+        # jobs for answers the driver already holds). Facade tables are
+        # built from driver-side rows with a dense 0..n-1 _row_id, so
+        # len(rows) IS the count; row-count-preserving operations carry
+        # it forward and everything else drops it (None → count() job,
+        # exactly the old behavior). Never an estimate: a hint is only
+        # ever set where the count is provably exact.
+        self._n_rows = _n_rows
 
     # ---------- constructors ----------
 
@@ -137,14 +173,15 @@ class DataTable:
                     [T.StructField(ROW_ID, T.LongType())]
                     + [T.StructField(k, T.StringType()) for k in keys]
                 )
-                df = spark.createDataFrame(str_rows, str_schema)
+                rows, df = str_rows, spark.createDataFrame(str_rows, str_schema)
+            df = _local_relation(spark, rows, df.schema)
         else:
             schema = T.StructType(
                 [T.StructField(ROW_ID, T.LongType())]
                 + [T.StructField(k, T.StringType()) for k in keys]
             )
             df = spark.createDataFrame([], schema)
-        return cls(df, config=config, _has_row_id=True)
+        return cls(df, config=config, _has_row_id=True, _n_rows=len(rows))
 
     @classmethod
     def from_rows(
@@ -184,18 +221,20 @@ class DataTable:
                 spark.createDataFrame([], str_schema),
                 config=config,
                 _has_row_id=True,
+                _n_rows=0,
             )
         try:
             df = spark.createDataFrame(padded, schema=list(names))
         except Exception:
-            str_rows = [
+            padded = [
                 tuple(
                     [r[0]] + [None if v is None else str(v) for v in r[1:]]
                 )
                 for r in padded
             ]
-            df = spark.createDataFrame(str_rows, str_schema)
-        return cls(df, config=config, _has_row_id=True)
+            df = spark.createDataFrame(padded, str_schema)
+        df = _local_relation(spark, padded, df.schema)
+        return cls(df, config=config, _has_row_id=True, _n_rows=len(padded))
 
     @classmethod
     def from_csv(
@@ -253,6 +292,8 @@ class DataTable:
 
     @property
     def number_of_rows(self) -> int:
+        if self._n_rows is not None:
+            return self._n_rows
         return self._df.count()
 
     def column_index(self, ref: int | str) -> int:
@@ -268,7 +309,9 @@ class DataTable:
     def rename_column(self, ref: int | str, new_name: str) -> "DataTable":
         """(setf column-name) (data-table.lisp:426-432)."""
         old = self.column_names[self.column_index(ref)]
-        return self._rebind(self._df.withColumnRenamed(old, new_name))
+        return self._rebind(
+            self._df.withColumnRenamed(old, new_name), n_rows=self._n_rows
+        )
 
     # ---------- name canonicalization (R5, R34, R40) ----------
 
@@ -291,7 +334,7 @@ class DataTable:
         for old, new in zip(self.column_names, new_names):
             if old != new:
                 df = df.withColumnRenamed(old, new)
-        return self._rebind(df)
+        return self._rebind(df, n_rows=self._n_rows)
 
     # ---------- positional access (R6-R8) ----------
 
@@ -335,7 +378,7 @@ class DataTable:
             df = dt._df.withColumn(
                 name, dt._cell_set_expr(name, row_idx, value)
             )
-            return self._rebind(df)
+            return self._rebind(df, n_rows=dt._n_rows)
         if col is not None:
             # column-set from a value list: the reference iterates exactly
             # len(values) cell-sets (data-table.lisp:166-170), so rows
@@ -347,9 +390,11 @@ class DataTable:
             dt = self._ensure_rows(n)
             name = dt.column_names[dt.column_index(col)]
             spark = dt._df.sparkSession
+            val_rows = [(i, v) for i, v in enumerate(values)]
             vals_df = spark.createDataFrame(
-                [(i, v) for i, v in enumerate(values)], schema=[ROW_ID, "_dt_new"]
+                val_rows, schema=[ROW_ID, "_dt_new"]
             )
+            vals_df = _local_relation(spark, val_rows, vals_df.schema)
             old_c, new_c = F.col(name), F.col("_dt_new")
             if dict(dt._df.dtypes)[name] != dict(vals_df.dtypes)["_dt_new"]:
                 # untyped-cell model: mixing value types demotes the column
@@ -363,14 +408,15 @@ class DataTable:
                 )
                 .drop("_dt_new")
             )
-            return self._rebind(df)
+            # unique-key left join: row count preserved from dt
+            return self._rebind(df, n_rows=dt._n_rows)
         if row_idx is not None:
             dt = self._ensure_rows(row_idx + 1)
             values = list(value)
             df = dt._df
             for name, v in zip(dt.column_names, values):
                 df = df.withColumn(name, dt._cell_set_expr(name, row_idx, v, df))
-            return self._rebind(df)
+            return self._rebind(df, n_rows=dt._n_rows)
         raise ValueError("need row_idx and/or col")
 
     def _cell_set_expr(self, name: str, row_idx: int, value, df=None):
@@ -410,11 +456,12 @@ class DataTable:
         pad_schema = T.StructType(
             [T.StructField(ROW_ID, T.LongType(), False)]
         )
-        pad = spark.createDataFrame([(i,) for i in range(cur, n)], pad_schema)
+        pad_rows = [(i,) for i in range(cur, n)]
+        pad = _local_relation(spark, pad_rows, pad_schema)
         for f in self._df.schema.fields:
             if f.name != ROW_ID:
                 pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return self._rebind(self._df.unionByName(pad))
+        return self._rebind(self._df.unionByName(pad), n_rows=n)
 
     # ---------- slicing / projection (R9-R10) ----------
 
@@ -438,13 +485,21 @@ class DataTable:
         df = df.select(ROW_ID, *cols).withColumn(
             ROW_ID, F.col(ROW_ID) - F.lit(lri)
         )
-        return self._rebind(df)
+        # dense-0..n-1 invariant makes the slice count exact when the
+        # input count is known
+        n_rows = None
+        if self._n_rows is not None:
+            hi = self._n_rows if uri is None else min(uri, self._n_rows)
+            n_rows = max(0, hi - lri)
+        return self._rebind(df, n_rows=n_rows)
 
     def select_columns(self, names: Iterable[int | str]) -> "DataTable":
         """Projection by name list; errors on missing names; reorders
         (select-columns, data-table.lisp:193-208)."""
         resolved = [self.column_names[self.column_index(n)] for n in names]
-        return self._rebind(self._df.select(ROW_ID, *resolved))
+        return self._rebind(
+            self._df.select(ROW_ID, *resolved), n_rows=self._n_rows
+        )
 
     def add_column(
         self,
@@ -464,7 +519,7 @@ class DataTable:
         idx = len(names) if index is None else index
         new_order = names[:idx] + [name] + names[idx:]
         df = self._df.withColumn(name, col).select(ROW_ID, *new_order)
-        return self._rebind(df)
+        return self._rebind(df, n_rows=self._n_rows)
 
     # ---------- composition (R11-R12) ----------
 
@@ -560,7 +615,9 @@ class DataTable:
                 )
             else:
                 out_cols.append(F.col(name))
-        return self._rebind(j.select(*out_cols))
+        # unique-key broadcast left join over the grown base: row count
+        # is the grown base's count
+        return self._rebind(j.select(*out_cols), n_rows=base._n_rows)
 
     # ---------- typing (R14-R20) ----------
 
@@ -577,25 +634,66 @@ class DataTable:
         infer_dates: bool = True,
     ) -> "DataTable":
         """Infer + strictly coerce (coerce-data-table-of-strings-to-types,
-        data-table.lisp:387-407)."""
+        data-table.lisp:387-407).
+
+        Round-14 fast path (guide §1.2: fewer jobs): when the row count
+        is statically known to fit the guess sample (so the head sample
+        IS the whole table) and no explicit types override the guess,
+        the strict-coercion audit's answer is computed inside the guess
+        agg itself (inference.guess_types_with_audit) — one job instead
+        of two, byte-identical outcome by construction. Larger or
+        unknown tables keep the two-job guess-then-audit path."""
         on_error = on_error or self.config.on_coerce_error
-        types = ensure_column_types(
-            self._df.drop(ROW_ID), explicit,
-            self.config.guessing_sample_size, infer_dates,
-        )
-        df = coerce_table(self._df, types, on_error=on_error)
-        return self._rebind(df)
+        sample_size = self.config.guessing_sample_size
+        if (
+            self._n_rows is not None
+            and self._n_rows <= sample_size
+            and not explicit
+        ):
+            types, audit = guess_types_with_audit(
+                self._df.drop(ROW_ID),
+                sample_size=sample_size,
+                infer_dates=infer_dates,
+            )
+            df = coerce_table(
+                self._df, types, on_error=on_error, _audit_counts=audit
+            )
+        else:
+            types = ensure_column_types(
+                self._df.drop(ROW_ID), explicit,
+                sample_size, infer_dates,
+            )
+            df = coerce_table(self._df, types, on_error=on_error)
+        return self._rebind(df, n_rows=self._n_rows)
 
     # ---------- output (R22-R23, R26) ----------
 
     def format_for_output(self) -> "DataTable":
-        """null→"", real→%.2f, array→", "-joined (data-table.lisp:437-469)."""
-        ordered = self._df.orderBy(ROW_ID)
-        formatted = format_table_for_output(
-            ordered.select(*self.column_names), self.config.list_delimiter
+        """null→"", real→%.2f, array→", "-joined (data-table.lisp:437-469).
+
+        Round-14 optimization (guide §2.4, remove shuffles outright):
+        formatting is per-cell, so the row id rides THROUGH the format
+        projection unchanged instead of being dropped and re-derived.
+        The old form paid a global orderBy(_row_id) sort plus the full
+        with_row_id re-stamp plan (two windows + a groupBy + a broadcast
+        join) to renumber an id that is ALREADY dense 0..n-1 in that
+        exact order (the facade invariant: every constructor stamps
+        0..n-1 and sub_table re-bases) — the renumber was the identity.
+        Same rows, same ids, zero exchanges."""
+        formatted = self._df.select(
+            F.col(ROW_ID),
+            *[
+                format_value(
+                    F.col(f.name), f.dataType, self.config.list_delimiter
+                ).alias(f.name)
+                for f in self._df.schema.fields
+                if f.name != ROW_ID
+            ],
         )
-        # formatting drops _row_id; re-attach from the ordered frame
-        return DataTable(formatted, config=self.config)
+        return DataTable(
+            formatted, config=self.config, _has_row_id=True,
+            _n_rows=self._n_rows,
+        )
 
     def render(self, output_type: str = "string") -> str:
         """Render the whole table in a named format — the engine's version
@@ -700,8 +798,10 @@ class DataTable:
 
     # ---------- plumbing ----------
 
-    def _rebind(self, df: DataFrame) -> "DataTable":
-        return DataTable(df, config=self.config, _has_row_id=True)
+    def _rebind(self, df: DataFrame, n_rows: int | None = None) -> "DataTable":
+        return DataTable(
+            df, config=self.config, _has_row_id=True, _n_rows=n_rows
+        )
 
     def cache(self) -> "DataTable":
         self._df = self._df.cache()

@@ -63,7 +63,14 @@ def simplify_type(value) -> str:
 
 def _candidate_exprs(col: str) -> list[Column]:
     """Counting expressions for one column's candidate types (runs over the
-    sample; equivalent of assign-types-to-column, data-table.lisp:309-329)."""
+    sample; equivalent of assign-types-to-column, data-table.lisp:309-329).
+
+    The last three counters (round-14) count strict-coercion FAILURES per
+    candidate type, built from the very ``_cast_value_expr`` the coercion
+    audit applies — so when the sample provably covers the whole table
+    (facade row-count hint ≤ sample size) the audit's answer is already
+    in the guess result and its separate full-table agg job can be
+    skipped with a byte-identical outcome (guess_types_with_audit)."""
     v = trim_and_nullify(F.col(col))
     stripped = F.regexp_replace(v, _NUMERIC_JUNK, "")
     is_int_syntax = stripped.rlike(_INT_RE)
@@ -88,6 +95,17 @@ def _candidate_exprs(col: str) -> list[Column]:
         c(F.when(bad, 1)).alias(f"{col}__bad"),
         c(F.when(non_int, 1)).alias(f"{col}__nonint"),
         c(F.when(non_null & ~is_ts, 1)).alias(f"{col}__nonts"),
+        c(
+            F.when(non_null & _cast_value_expr(v, T.LongType()).isNull(), 1)
+        ).alias(f"{col}__lbad"),
+        c(
+            F.when(non_null & _cast_value_expr(v, T.DoubleType()).isNull(), 1)
+        ).alias(f"{col}__dbad"),
+        c(
+            F.when(
+                non_null & _cast_value_expr(v, T.TimestampType()).isNull(), 1
+            )
+        ).alias(f"{col}__tbad"),
     ]
 
 
@@ -116,29 +134,77 @@ def guess_types(
     ]
     if not columns:
         return {}
+    types, _ = _guess_with_counters(
+        df, columns, sample_size, infer_dates, sample_mode
+    )
+    return types
+
+
+def _guess_with_counters(
+    df: DataFrame,
+    columns: list[str],
+    sample_size: int,
+    infer_dates: bool,
+    sample_mode: str,
+) -> tuple[dict[str, T.DataType], dict[str, int]]:
+    """guess_types' engine: one agg job over the sample; returns the
+    resolved types AND the sample-side strict-coercion failure count for
+    each column's PICKED type (0 for string picks — strings never fail)."""
     if sample_mode == "reservoir":
         rows = df.select(*columns).rdd.takeSample(False, sample_size, seed=42)
         if not rows:
-            return {c: T.StringType() for c in columns}
-        sample = df.sparkSession.createDataFrame(rows, df.select(*columns).schema)
+            return {c: T.StringType() for c in columns}, dict.fromkeys(columns, 0)
+        # ≤1000 sampled rows ride one slice: a default-parallelized
+        # literal costs one python-worker round trip PER CORE per job
+        sample = df.sparkSession.createDataFrame(
+            df.sparkSession.sparkContext.parallelize(rows, 1),
+            df.select(*columns).schema,
+        )
     else:
         sample = df.select(*columns).limit(sample_size)
     exprs = [e for c in columns for e in _candidate_exprs(c)]
     row = sample.agg(*exprs).collect()[0].asDict()
     out: dict[str, T.DataType] = {}
+    bad_counts: dict[str, int] = {}
     for c in columns:
         nn, bad, nonint, nonts = (
             row[f"{c}__nn"], row[f"{c}__bad"], row[f"{c}__nonint"], row[f"{c}__nonts"],
         )
         if nn == 0 or bad > 0:
             out[c] = T.StringType()       # any string candidate wins (lisp:337-338, 343)
+            bad_counts[c] = 0
         elif infer_dates and nonts == 0:
             out[c] = T.TimestampType()    # documented improvement (SURVEY §1.3)
+            bad_counts[c] = row[f"{c}__tbad"]
         elif nonint == 0:
             out[c] = T.LongType()         # exactly {integer} (lisp:339-340)
+            bad_counts[c] = row[f"{c}__lbad"]
         else:
             out[c] = T.DoubleType()       # {int,double} mix (lisp:341-342)
-    return out
+            bad_counts[c] = row[f"{c}__dbad"]
+    return out, bad_counts
+
+
+def guess_types_with_audit(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    sample_size: int = GUESSING_TYPES_SAMPLE_SIZE,
+    infer_dates: bool = True,
+) -> tuple[dict[str, T.DataType], dict[str, int]]:
+    """guess_types PLUS the strict-coercion audit answer, in the same
+    single agg job — valid ONLY when the caller guarantees the table has
+    at most ``sample_size`` rows (then the head sample IS the table, so
+    the per-type failure counters equal what coerce_table's audit agg
+    would count over the full table; the counter expressions are built
+    from the same ``_cast_value_expr`` the audit uses, so the identity
+    is textual). Callers with unknown or larger row counts must keep
+    the two-job guess-then-audit path."""
+    columns = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    if not columns:
+        return {}, {}
+    return _guess_with_counters(df, columns, sample_size, infer_dates, "head")
 
 
 def ensure_column_types(
@@ -166,8 +232,10 @@ def ensure_column_types(
     return guessed
 
 
-def _cast_expr(col: str, dtype: T.DataType) -> Column:
-    v = trim_and_nullify(F.col(col))
+def _cast_value_expr(v: Column, dtype: T.DataType) -> Column:
+    """Strict-coercion cast over an already trim-and-nullified value —
+    the ONE definition both the coercion audit and the guess-side
+    failure counters use (their equivalence is textual, not proven)."""
     if isinstance(dtype, T.DoubleType):
         return relaxed_double(v)
     if isinstance(dtype, (T.LongType, T.IntegerType)):
@@ -182,10 +250,15 @@ def _cast_expr(col: str, dtype: T.DataType) -> Column:
     return v.try_cast(dtype)
 
 
+def _cast_expr(col: str, dtype: T.DataType) -> Column:
+    return _cast_value_expr(trim_and_nullify(F.col(col)), dtype)
+
+
 def coerce_table(
     df: DataFrame,
     types: dict[str, T.DataType],
     on_error: str = "string",
+    _audit_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Cast string columns to their target types with the reference's strict
     semantics (coerce-data-table-of-strings-to-types, data-table.lisp:387-407).
@@ -220,15 +293,24 @@ def coerce_table(
     if not targets and not str_cols:
         return df
     if targets and on_error in ("raise", "string"):
-        audits = [
-            F.count(
-                F.when(
-                    trim_and_nullify(F.col(c)).isNotNull() & _cast_expr(c, t).isNull(), 1
-                )
-            ).alias(c)
-            for c, t in targets.items()
-        ]
-        bad = df.agg(*audits).collect()[0].asDict()
+        if _audit_counts is not None:
+            # caller already holds the full-table audit answer (the
+            # guess_types_with_audit single-job path — only legal when
+            # the guess sample covered every row); same counts, one
+            # fewer full-table agg job
+            bad = {c: _audit_counts.get(c, 0) for c in targets}
+        else:
+            audits = [
+                F.count(
+                    F.when(
+                        trim_and_nullify(F.col(c)).isNotNull()
+                        & _cast_expr(c, t).isNull(),
+                        1,
+                    )
+                ).alias(c)
+                for c, t in targets.items()
+            ]
+            bad = df.agg(*audits).collect()[0].asDict()
         for c, cnt in bad.items():
             if cnt and cnt > 0:
                 if on_error == "raise":

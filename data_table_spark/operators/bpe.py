@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import load_table, local_df
 
 BPE_QUERIES: dict = {}
 BPE_ORACLE: dict = {}
@@ -217,8 +217,8 @@ def pipe_bpe_merges(spark, sf_dir):
     merges = bpe_train(
         load_table(spark, "documents", sf_dir), n_merges=8
     )
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, n_occurrences long"
+    return local_df(
+        spark, merges, "rank int, left string, right string, n_occurrences long"
     )
 
 

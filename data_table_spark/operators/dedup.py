@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lineage import truncate_lineage
-from ..sources.registry import load_table
+from ..sources.registry import load_table, local_df
 
 #: doc_id bound for the brute-force pair oracle (keeps O(n²) capped at any SF).
 PAIR_BOUND = 300
@@ -2178,8 +2178,8 @@ def sorted_neighborhood_pairs(
         offsets[pid] = run
         run += c
     off_df = F.broadcast(
-        spark.createDataFrame(
-            list(offsets.items()), "_pid int, _off long"
+        local_df(
+            spark, list(offsets.items()), "_pid int, _off long"
         )
     )
     wp = Window.partitionBy("_pid").orderBy("norm", "doc_id")

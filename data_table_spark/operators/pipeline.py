@@ -1344,16 +1344,31 @@ def pipe_expectations(spark, sf_dir):
         "stack(1, 'customer_acctbal_not_null', n, v_bal) "
         "AS (rule, n_checked, n_violations)"
     ))
-    fk_total = li.count()
-    fk_orphans = (
+    # Round-14 (guide §1.2, fewer passes): the FK rule used TWO driver
+    # actions (a full lineitem count + an anti-join count) executed
+    # before the report plan, which then re-scanned lineitem again — the
+    # fact table was read 3x per run. One left join against the DISTINCT
+    # key side (count-preserving on ANY input, and orphans are exactly
+    # the no-match rows — same two numbers the count pair produced)
+    # folds the rule into the single report plan: lineitem is scanned
+    # twice total and the gate runs zero driver actions.
+    fk_row = (
         li.select("l_orderkey")
-        .join(o.select("o_orderkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-        .count()
-    )
-    fk_row = spark.createDataFrame(
-        [("lineitem_orderkey_fk_orders", fk_total, fk_orphans)],
-        "rule string, n_checked long, n_violations long",
+        .join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("v_fk"),
+        )
+        .select(F.expr(
+            "stack(1, 'lineitem_orderkey_fk_orders', n, v_fk) "
+            "AS (rule, n_checked, n_violations)"
+        ))
     )
     report = li_agg.unionByName(o_agg).unionByName(c_agg).unionByName(fk_row)
     return report.select(

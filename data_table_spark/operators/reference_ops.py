@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import DataTable
-from ..sources.registry import load_table
+from ..sources.registry import load_table, local_df
 
 #: F1 employees fixture rows (tests/data-table.lisp:15-24), all strings.
 EMPLOYEE_ROWS = [
@@ -129,7 +129,8 @@ def ref_compare(spark, sf_dir):
     dt = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
     same = DataTable.from_rows(spark, EMPLOYEE_ROWS, EMPLOYEE_COLS)
     diff = dt.set_value("Bard of Avon", row_idx=4, col="job_title")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(dt.compare(same), dt.compare(diff))],
         "eq_same boolean, eq_diff boolean",
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import relaxed_double, trim_and_nullify
 from ..lineage import truncate_lineage
+from ..sources.registry import local_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -394,9 +395,10 @@ def q27_strings(spark, sf_dir):
 def q28_trim_nullify(spark, sf_dir):
     """Reference trim-and-nullify semantics (data-table.lisp:48-56) as a
     pure expression over an inline table."""
-    df = spark.createDataFrame(
+    df = local_df(
+        spark,
         [(1, "  a  "), (2, "   "), (3, "nil"), (4, "NIL"), (5, "b")],
-        ["id", "x"],
+        "id long, x string",
     )
     return df.select(
         F.col("id").cast("long").alias("id"),
@@ -407,9 +409,10 @@ def q28_trim_nullify(spark, sf_dir):
 def q29_relaxed_parse(spark, sf_dir):
     """Reference relaxed-parse-float (data-table.lisp:74-90): strip
     whitespace/$/,/% then cast double."""
-    df = spark.createDataFrame(
+    df = local_df(
+        spark,
         [(1, "$1,000.50"), (2, "50%"), (3, " 26.2 "), (4, "1e3")],
-        ["id", "x"],
+        "id long, x string",
     )
     return df.select(
         F.col("id").cast("long").alias("id"),
@@ -5281,8 +5284,8 @@ def grid_neighbor_pairs(pts: DataFrame, cell: int, r2: int) -> DataFrame:
         (F.col("lon") / cell).cast("long").alias("cy"),
     )
     # floor-div via cast is fine: lat/lon are non-negative here
-    offsets = spark.createDataFrame(
-        [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
+    offsets = local_df(
+        spark, [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
     )
     repl = home.crossJoin(F.broadcast(offsets)).select(
         F.col("id").alias("p"),
@@ -8017,8 +8020,8 @@ def q149_theil_sen(spark, sf_dir):
         ).collect()
     )
     if not ledger:  # empty spine: one all-NULL row, like the old agg
-        return spark.createDataFrame(
-            [(None, None)], "median_slope_e6 long, n_pairs long"
+        return local_df(
+            spark, [(None, None)], "median_slope_e6 long, n_pairs long"
         )
     n = sum(c for _, c in ledger)
     k = (n + 1) // 2  # smallest slope with 2·cum ≥ n  ⇔  rank ceil(n/2)

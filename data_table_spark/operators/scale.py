@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..sources.registry import local_df
 
 
 def salted_join(
@@ -488,8 +489,8 @@ def distributed_prefix_sum(
         run += r["_tot"] or 0
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in offsets.items()], "_psb long, _off long"
+        local_df(
+            spark, [(k, v) for k, v in offsets.items()], "_psb long, _off long"
         )
     )
     from pyspark.sql import Window
@@ -553,8 +554,10 @@ def distributed_prefix_max(
         run = r["_mx"] if run is None else max(run, r["_mx"])
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            offsets, f"_pmb long, _off {df.schema[value_col].dataType.simpleString()}"
+        local_df(
+            spark,
+            offsets,
+            f"_pmb long, _off {df.schema[value_col].dataType.simpleString()}",
         )
     )
     order = F.col(order_col).desc() if descending else F.col(order_col)

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lineage import truncate_lineage
-from ..sources.registry import load_table
+from ..sources.registry import load_table, local_df
 
 QUERY_VEC_ID = 0       # the probe vector used by the top-k demo queries
 TOP_K = 10
@@ -673,7 +673,8 @@ def kmeans_codebook(
                 centers[j] = X[m].mean(axis=0)
 
     assign = codebook_assign(e, centers, id_col=id_col, vec_col=vec_col)
-    cents = e.sparkSession.createDataFrame(
+    cents = local_df(
+        e.sparkSession,
         [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
         "cluster int, centroid array<double>",
     )
@@ -779,7 +780,8 @@ def pinned_codebook(dim: int = 64, k: int = PINNED_K) -> "np.ndarray":
 
 
 def _pinned_cents_df(spark: SparkSession, centers: "np.ndarray") -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
         "cluster int, centroid array<double>",
     )

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import load_table
+from ..sources.registry import load_table, local_df
 
 #: BPE-ish token pattern: letter runs | single digits | single punctuation.
 BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
@@ -680,7 +680,8 @@ def phrase_search(docs: DataFrame, phrases) -> DataFrame:
     LIKE oracle does). Output: (phrase, n_docs)."""
     spark = docs.sparkSession
     post = build_postings(docs)
-    probes = spark.createDataFrame(
+    probes = local_df(
+        spark,
         [(p, p.split()[0], p.split()[1]) for p in phrases],
         "phrase string, ta string, tb string",
     )
@@ -2038,8 +2039,8 @@ def heaps_curve(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("occ"),
     )
     spine = F.broadcast(
-        SparkSession.getActiveSession()
-        .createDataFrame(
+        local_df(
+            SparkSession.getActiveSession(),
             [(int(c),) for c in HEAPS_CHECKPOINTS], "c long"
         )
     )

@@ -139,3 +139,132 @@ def test_q117_matches_self_join_form(spark, sf_dir):
     got = entry.queries()["q117_association_rules"](spark, sf_dir)
     key = ["antecedent", "consequent"]
     assert _rows(got, key) == _rows(reference, key)
+
+
+# ---------------------------------------------------------------------------
+# facade batch: row-count hint, in-place formatting, fused guess+audit
+# ---------------------------------------------------------------------------
+
+
+def test_n_rows_hint_tracks_true_count(spark):
+    """The statically-known row count must equal df.count() through every
+    operation that carries it — a wrong hint would silently skip
+    _ensure_rows padding or mis-slice sub_table."""
+    from data_table_spark.core import DataTable
+
+    dt = DataTable.from_rows(
+        spark, [["a", "1"], ["b"], ["c", "3"]], ["x", "y"]
+    )
+
+    def check(t):
+        assert t._n_rows is not None
+        assert t._n_rows == t._df.count()
+
+    check(dt)
+    check(dt.select_columns(["y", "x"]))
+    check(dt.add_column("z", "q"))
+    check(dt.rename_column("x", "xx"))
+    check(dt.symbolize_column_names())
+    check(dt.sub_table(lri=1, uri=3))
+    check(dt.sub_table(lri=2))          # open upper bound
+    check(dt.sub_table(lri=9, uri=20))  # slice beyond the end -> 0 rows
+    check(dt.set_value("Z", row_idx=1, col="x"))
+    check(dt.set_value("Z", row_idx=7, col="x"))        # auto-extends to 8
+    check(dt.set_value(["p", "q"], col="y"))            # column list
+    check(dt.set_value(["p", "q", "r", "s", "t"], col="y"))  # extends to 5
+    check(dt._ensure_rows(10))
+    check(dt.coerce_types())
+    check(dt.format_for_output())
+    block = DataTable.from_rows(spark, [["X"], ["Y"]], ["a"])
+    check(dt.overlay_region(block, row_idx=2, col_idx=1))  # grows to 4 rows
+    check(dt.overlay_region(block, row_idx=0, col_idx=0))
+    # from_records and the empty table
+    check(DataTable.from_records(spark, [{"a": 1}, {"a": 2}]))
+    check(DataTable.from_rows(spark, [], ["a"]))
+
+
+def test_format_for_output_keeps_dense_row_ids(spark):
+    """In-place formatting must emit the same rows with the same _row_id
+    as the old orderBy + re-stamp form (ids are dense 0..n-1, so the
+    renumber it replaced was the identity)."""
+    from data_table_spark.core import ROW_ID, DataTable
+    from data_table_spark.functions.formatting import format_table_for_output
+
+    dt = DataTable.from_rows(
+        spark,
+        [["1", "26.20"], ["2", None], ["3", "0.5"]],
+        ["id", "hours"],
+    ).coerce_types(infer_dates=False)
+    got = dt.format_for_output()
+    # old formulation: order by id, format, re-stamp a fresh dense id
+    old = DataTable(
+        format_table_for_output(
+            dt.ordered_df.orderBy(ROW_ID).select(*dt.column_names),
+            dt.config.list_delimiter,
+        ),
+        config=dt.config,
+    )
+    # _row_id POSITION differs (the facade hides it and resolves by
+    # name); rows and ids must be identical
+    cols = [ROW_ID, *dt.column_names]
+    assert [
+        tuple(r) for r in got.ordered_df.select(*cols).orderBy(ROW_ID).collect()
+    ] == [
+        tuple(r) for r in old.ordered_df.select(*cols).orderBy(ROW_ID).collect()
+    ]
+
+
+def test_fused_coerce_matches_two_job_path(spark):
+    """guess_types_with_audit (one job) must resolve the same types and
+    the same demotions as the guess-then-audit two-job path, including
+    the case the audit EXISTS for: a column the lattice types as LONG
+    whose values can't all cast (mixed int + date under
+    infer_dates=False) must still demote to string."""
+    from data_table_spark.core import DataTable
+    from data_table_spark.inference import BadTypeGuess
+
+    rows = [
+        ["1", "26.2", "2020-01-01", "2020-01-01"],
+        ["2", "37", "2021-06-30", "17"],
+        ["3", "42.1", "2022-12-25", "2022-12-25"],
+    ]
+    cols = ["i", "d", "ts", "mixed"]
+    dt = DataTable.from_rows(spark, rows, cols)
+    assert dt._n_rows == 3  # fused path eligible
+
+    # infer_dates=False: 'ts' and 'mixed' both reach the LONG pick and
+    # must both demote via the audit counters
+    out = dt.coerce_types(infer_dates=False)
+    got_types = {f.name: f.dataType.simpleString() for f in out.df.schema.fields}
+    assert got_types == {
+        "i": "bigint", "d": "double", "ts": "string", "mixed": "string"
+    }
+
+    # infer_dates=True: 'ts' types as timestamp; 'mixed' still demotes
+    out2 = dt.coerce_types(infer_dates=True)
+    got2 = {f.name: f.dataType.simpleString() for f in out2.df.schema.fields}
+    assert got2 == {
+        "i": "bigint", "d": "double", "ts": "timestamp", "mixed": "string"
+    }
+
+    # on_error='raise' must raise from the fused counters too
+    try:
+        dt.coerce_types(on_error="raise", infer_dates=False)
+    except BadTypeGuess as e:
+        assert e.bad_count > 0
+    else:
+        raise AssertionError("fused raise path did not raise")
+
+    # explicit types force the two-job path; results must agree with the
+    # fused path on the untouched columns
+    out3 = dt.coerce_types(explicit={"mixed": "string"}, infer_dates=False)
+    got3 = {f.name: f.dataType.simpleString() for f in out3.df.schema.fields}
+    assert got3 == got_types
+
+    # values identical between the paths (not just the types)
+    big = DataTable.from_rows(spark, rows, cols)
+    object.__setattr__(big, "_n_rows", None)  # force the two-job path
+    ref = big.coerce_types(infer_dates=False)
+    assert [tuple(r) for r in out.df.orderBy("i").collect()] == [
+        tuple(r) for r in ref.df.orderBy("i").collect()
+    ]
